@@ -1,0 +1,179 @@
+"""StatefulTransformer — keyed, event-time-ordered stateful fold on Spark.
+
+The Spark-native re-expression of the reference's
+``StatefulTransformer.transformWithState`` (/root/reference/src/main/scala/com/
+github/ozancicek/artan/ml/state/StatefulTransformer.scala:103-219): model
+parallelism = key parallelism, one latent state per ``stateKey``.
+
+Physical mapping (idiomatic PySpark, no custom Catalyst work):
+
+- **batch**:     ``df.groupBy(key).applyInPandas(fold, outSchema)`` — one
+  hash-shuffle on the state key, then an Arrow-batched numpy fold per group.
+  No state store needed; the fold starts from the initial state.
+- **streaming**: ``df.groupBy(key).applyInPandasWithState(fold, outSchema,
+  stateSchema, "append", timeout)`` — Spark's streaming state store holds the
+  packed state struct between micro-batches; watermark + state timeout
+  semantics come from the engine.
+
+Both paths share ONE fold function so batch == streaming bit-for-bit (the
+reference asserts exact Row equality between the two; identical float op
+order requires a shared fold — SURVEY §7.3.2).
+
+Scale notes (100 TB design): the only shuffle is ``groupBy(stateKey)``; state
+is bounded by #keys × state size (README.md:19-25 of the reference). Skewed
+keys are the risk — mitigate upstream by salting the key space; the fold is
+O(rows-in-group) with numpy inner steps, constants are closure-captured so
+per-row Arrow traffic carries only true per-row columns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from artan_spark.params import HasParams
+
+STATE_KEY = "stateKey"
+EVENT_TIME = "eventTime"
+
+
+def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stable in-group ordering: by eventTime with nulls FIRST, matching the
+    reference's buffered-row sort (StatefulTransformer.scala:415-422, 448)."""
+    if EVENT_TIME in pdf.columns and pdf[EVENT_TIME].notna().any():
+        return pdf.sort_values(EVENT_TIME, kind="stable", na_position="first")
+    return pdf
+
+
+class StatefulTransformer(HasParams):
+    """Base class for all keyed stateful estimation operators.
+
+    Subclass contract (all pure / picklable):
+      - ``_inputCols(df)``  -> list[(name, Column)] true per-row columns
+      - ``_constants()``    -> dict shipped via closure (model params)
+      - ``_outSchema()``    -> StructType of the fold output
+      - ``_stateSchema()``  -> StructType of the packed streaming state
+      - ``_foldFactory()``  -> fn(constants) -> fold(pdf, state) ->
+                               (list-of-row-dicts | pd.DataFrame, new_state)
+      - ``_packState(state) -> tuple`` / ``_unpackState(tuple) -> state``
+    """
+
+    _defaults = {
+        "stateKeyCol": None,
+        "eventTimeCol": None,
+        "watermarkDuration": None,
+        "stateTimeoutMode": "none",  # none | process | event
+        "stateTimeoutDuration": None,
+    }
+
+    # -- subclass hooks -----------------------------------------------------
+
+    def _inputCols(self, df: DataFrame) -> list[tuple[str, Column]]:
+        raise NotImplementedError
+
+    def _constants(self) -> dict:
+        raise NotImplementedError
+
+    def _outSchema(self) -> StructType:
+        raise NotImplementedError
+
+    def _stateSchema(self) -> StructType:
+        raise NotImplementedError
+
+    def _foldFactory(self) -> Callable:
+        raise NotImplementedError
+
+    @staticmethod
+    def _packState(state) -> tuple:
+        raise NotImplementedError
+
+    @staticmethod
+    def _unpackState(packed) -> object:
+        raise NotImplementedError
+
+    # -- shared plumbing ----------------------------------------------------
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        """Add canonical stateKey/eventTime cols + subclass input columns."""
+        key_col = self.get("stateKeyCol")
+        ev_col = self.get("eventTimeCol")
+        cols = [
+            (F.col(key_col).cast("string") if key_col else F.lit("0")).alias(STATE_KEY),
+            (F.col(ev_col).cast("timestamp") if ev_col else F.lit(None).cast("timestamp")).alias(EVENT_TIME),
+        ]
+        cols += [c.alias(n) for n, c in self._inputCols(df)]
+        out = df.select(*cols)
+        if ev_col and self.get("watermarkDuration"):
+            out = out.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
+        return out
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        keyed = self._keyed(df)
+        # factory is invoked lazily on the worker (once per python worker, via
+        # the cache cell) so callable params stay as by-value pickles in transit
+        factory, constants = self._foldFactory(), self._constants()
+        cell: list = []
+
+        def fold(pdf, state):
+            if not cell:
+                cell.append(factory(constants))
+            return cell[0](pdf, state)
+
+        out_schema = self._outSchema()
+
+        if not df.isStreaming:
+
+            def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                rows, _state = fold(sort_group(pdf), None)
+                if isinstance(rows, pd.DataFrame):
+                    return rows
+                return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+            result = keyed.groupBy(STATE_KEY).applyInPandas(batch_fn, out_schema)
+        else:
+            pack, unpack = self._packState, self._unpackState
+            columns = [f.name for f in out_schema.fields]
+            timeout_mode = self.get("stateTimeoutMode")
+            timeout_duration = self.get("stateTimeoutDuration")
+            timeout_conf = {
+                "none": "NoTimeout",
+                "process": "ProcessingTimeTimeout",
+                "event": "EventTimeTimeout",
+            }[timeout_mode]
+
+            def stream_fn(key, pdf_iter: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
+                if group_state.hasTimedOut:
+                    # timeout clears state; the key restarts from the initial
+                    # state on its next row (StatefulTransformer.scala:439-441)
+                    group_state.remove()
+                    return
+                state = unpack(group_state.get) if group_state.exists else None
+                pdf = pd.concat(list(pdf_iter), ignore_index=True)
+                rows, state = fold(sort_group(pdf), state)
+                group_state.update(pack(state))
+                if timeout_mode == "process" and timeout_duration:
+                    group_state.setTimeoutDuration(timeout_duration)
+                elif timeout_mode == "event":
+                    wm = group_state.getCurrentWatermarkMs()
+                    if wm > 0:
+                        group_state.setTimeoutTimestamp(wm + 1)
+                if isinstance(rows, pd.DataFrame):
+                    yield rows
+                else:
+                    yield pd.DataFrame(rows, columns=columns)
+
+            result = keyed.groupBy(STATE_KEY).applyInPandasWithState(
+                stream_fn, out_schema, self._stateSchema(), "append", timeout_conf
+            )
+            if self.get("eventTimeCol") and self.get("watermarkDuration"):
+                result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
+
+        return self._shapeOutput(result)
+
+    def _shapeOutput(self, df: DataFrame) -> DataFrame:
+        """Rename/prune the raw fold output (subclasses may extend)."""
+        return df

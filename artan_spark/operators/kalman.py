@@ -1,0 +1,484 @@
+"""Kalman-family filters: LKF / EKF / UKF / CKF.
+
+Semantics-parity targets in the reference (no code reuse — numpy re-derivation):
+- KalmanBase param surface + input canonicalization:
+  /root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/KalmanBase.scala:37-234,505-525
+- LKF predict/estimate (pinv gain, Joseph form): .../filter/LinearKalmanFilter.scala:168-259
+- EKF function params: .../filter/ExtendedKalmanFilter.scala:220-274, FilterParams.scala:327-500
+- UKF sigma points (Merwe/Julier) + unscented transform: .../filter/UnscentedKalmanFilter.scala:367-472
+- CKF cubature points: .../filter/CubatureKalmanFilter.scala:231-279
+- missing measurement => predict-only (KalmanBase.scala:595-601)
+- multiStepPredict => n+1 rows, stepIndex 0..n (KalmanBase.scala:553-579)
+- stateIndex increments on predict (LinearKalmanFilter.scala:197)
+- loglikelihood/mahalanobis/slidingLikelihood outputs (KalmanBase.scala:359-367,558,611-631)
+- MMAE aggregation (KalmanBase.scala:474-503) lives in operators/mmae.py
+
+Every model parameter is **constant-or-column** (column overrides constant),
+like the reference — but constants ride the UDF closure instead of being
+materialized per row, so the Arrow exchange only carries true per-row data
+(a deliberate scale improvement over the reference's literal-default-UDF
+columns, KalmanBase.scala:505-525).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from artan_spark import linalg
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
+from artan_spark.types import (
+    GAUSSIAN,
+    VECTOR,
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    mat_to_np,
+    np_to_gaussian,
+    vec_to_np,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("state", GAUSSIAN),
+        StructField("residual", GAUSSIAN, True),
+        StructField(EVENT_TIME, TimestampType(), True),
+        StructField("loglikelihood", DoubleType(), True),
+        StructField("mahalanobis", DoubleType(), True),
+        StructField("slidingLikelihood", DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("stateIndex", LongType()),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),  # row-major flattened
+        StructField("llWindow", ArrayType(DoubleType())),
+    ]
+)
+
+# per-row column params and their matching constant params
+_COL_PARAMS = {
+    "measurement": ("measurementCol", None),
+    "measurementModel": ("measurementModelCol", "measurementModel"),
+    "measurementNoise": ("measurementNoiseCol", "measurementNoise"),
+    "processModel": ("processModelCol", "processModel"),
+    "processNoise": ("processNoiseCol", "processNoise"),
+    "control": ("controlCol", "control"),
+    "controlFunction": ("controlFunctionCol", "controlFunction"),
+    "initialStateMean": ("initialStateMeanCol", "initialStateMean"),
+    "initialStateCovariance": ("initialStateCovarianceCol", "initialStateCovariance"),
+    "initialStateDistribution": ("initialStateDistributionCol", None),
+}
+
+
+def _np_or_none(v, to):
+    return None if v is None else to(v)
+
+
+def _row_mat(cells, i, const):
+    """Per-row matrix if the column exists & non-null, else the constant."""
+    if cells is not None:
+        v = cells[i]
+        if v is not None:
+            return mat_to_np(v)
+    return const
+
+
+def _row_vec(cells, i, const):
+    if cells is not None:
+        v = cells[i]
+        if v is not None and not (np.isscalar(v) and pd.isna(v)):
+            return vec_to_np(v)
+    return const
+
+
+def _kalman_fold_factory(c: dict):
+    """Build the per-group fold shared by batch & streaming paths."""
+
+    from artan_spark.params import deserialize_callable
+
+    c = dict(c)
+    for key in (
+        "processFunction",
+        "processStateJacobian",
+        "processNoiseJacobian",
+        "measurementFunction",
+        "measurementStateJacobian",
+        "measurementNoiseJacobian",
+    ):
+        if key in c:
+            c[key] = deserialize_callable(c[key])
+
+    kind = c["kind"]
+    n_state = c["stateSize"]
+    multi_step = c["multiStepPredict"]
+    fading = c["fadingFactor"]
+    ll_window = c["slidingLikelihoodWindow"]
+    compute_ll = c["calculateLoglikelihood"] or c["calculateSlidingLikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+
+    def predict(m, P, Fm, Q, B, u):
+        if kind == "lkf":
+            return linalg.kf_predict(m, P, Fm, Q, B, u, fading)
+        if kind == "ekf":
+            pf, pj, pnj = c["processFunction"], c["processStateJacobian"], c["processNoiseJacobian"]
+            m1 = pf(m, Fm) if pf is not None else Fm @ m
+            if B is not None and u is not None:
+                m1 = m1 + B @ u
+            Fj = pj(m, Fm) if pj is not None else Fm
+            Qe = Q
+            if pnj is not None:
+                L = pnj(m, Q)
+                Qe = L @ Q @ L.T
+            P1 = (fading**2) * (Fj @ P @ Fj.T) + Qe
+            return np.asarray(m1, dtype=np.float64).ravel(), linalg.sym(P1)
+        # sigma-point family
+        pf = c["processFunction"]
+        pts, wm, wc = _points(kind, c, m, P)
+        if pf is not None:
+            prop = np.stack([np.asarray(pf(p, Fm), dtype=np.float64).ravel() for p in pts])
+        else:
+            prop = pts @ Fm.T
+        if B is not None and u is not None:
+            prop = prop + B @ u
+        m1, P1 = linalg.unscented_transform(prop, wm, wc, Q)
+        if fading != 1.0:
+            P1 = (fading**2) * (P1 - Q) + Q
+        return m1, linalg.sym(P1)
+
+    def estimate(m, P, z, H, R):
+        if kind == "lkf":
+            return linalg.kf_estimate(m, P, z, H, R)
+        if kind == "ekf":
+            mf, mj, mnj = c["measurementFunction"], c["measurementStateJacobian"], c["measurementNoiseJacobian"]
+            zhat = np.asarray(mf(m, H), dtype=np.float64).ravel() if mf is not None else H @ m
+            Hj = mj(m, H) if mj is not None else H
+            Re = R
+            if mnj is not None:
+                L = mnj(m, R)
+                Re = L @ R @ L.T
+            r = z - zhat
+            S = linalg.sym(Hj @ P @ Hj.T + Re)
+            K = P @ Hj.T @ linalg.pinv(S)
+            m1 = m + K @ r
+            ikh = np.eye(len(m)) - K @ Hj
+            P1 = ikh @ P @ ikh.T + K @ Re @ K.T
+            return m1, linalg.sym(P1), r, S
+        mf = c["measurementFunction"]
+        pts, wm, wc = _points(kind, c, m, P)
+        if mf is not None:
+            zpts = np.stack([np.asarray(mf(p, H), dtype=np.float64).ravel() for p in pts])
+        else:
+            zpts = pts @ H.T
+        zmean, S = linalg.unscented_transform(zpts, wm, wc, R)
+        cross = ((pts - m) * wc[:, None]).T @ (zpts - zmean)
+        K = cross @ linalg.pinv(S)
+        r = z - zmean
+        m1 = m + K @ r
+        P1 = P - K @ S @ K.T
+        return m1, linalg.sym(P1), r, S
+
+    def fold(pdf: pd.DataFrame, state):
+        nrows = len(pdf)
+        cols = {name: (pdf[name].values if name in pdf.columns else None) for name in _COL_PARAMS}
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        key = pdf[STATE_KEY].iloc[0] if nrows else ""
+
+        out = {f.name: [] for f in _OUT_SCHEMA.fields}
+
+        def emit(idx, step, m, P, resid, ev_i, ll, maha, sll):
+            out[STATE_KEY].append(key)
+            out["stateIndex"].append(idx)
+            out["stepIndex"].append(step)
+            out["state"].append(np_to_gaussian(m, P))
+            out["residual"].append(None if resid is None else np_to_gaussian(resid[0], resid[1]))
+            out[EVENT_TIME].append(ev_i)
+            out["loglikelihood"].append(ll)
+            out["mahalanobis"].append(maha)
+            out["slidingLikelihood"].append(sll)
+
+        for i in range(nrows):
+            if state is None:
+                mean = _row_vec(cols["initialStateMean"], i, c["initialStateMean"])
+                cov = _row_mat(cols["initialStateCovariance"], i, c["initialStateCovariance"])
+                dist_cells = cols["initialStateDistribution"]
+                if dist_cells is not None and dist_cells[i] is not None:
+                    d = dist_cells[i]
+                    mean = vec_to_np(d["mean"] if isinstance(d, dict) else d.mean)
+                    cov = mat_to_np(d["covariance"] if isinstance(d, dict) else d.covariance)
+                if mean is None:
+                    mean = np.zeros(n_state)
+                if cov is None:
+                    cov = np.eye(n_state)
+                state = {
+                    "idx": 0,
+                    "mean": np.asarray(mean, dtype=np.float64).ravel(),
+                    "cov": np.asarray(cov, dtype=np.float64),
+                    "ll": [],
+                }
+
+            Fm = _row_mat(cols["processModel"], i, c["processModel"])
+            Q = _row_mat(cols["processNoise"], i, c["processNoise"])
+            H = _row_mat(cols["measurementModel"], i, c["measurementModel"])
+            R = _row_mat(cols["measurementNoise"], i, c["measurementNoise"])
+            B = _row_mat(cols["controlFunction"], i, c["controlFunction"])
+            u = _row_vec(cols["control"], i, c["control"])
+            z = _row_vec(cols["measurement"], i, None)
+            ev_i = ev[i] if ev is not None else None
+
+            # stateIndex increments on predict (LinearKalmanFilter.scala:197)
+            m1, P1 = predict(state["mean"], state["cov"], Fm, Q, B, u)
+            state["idx"] += 1
+            ll = maha = sll = None
+            resid = None
+            if z is not None:
+                m1, P1, r, S = estimate(m1, P1, z, H, R)
+                resid = (r, S)
+                if compute_ll:
+                    ll = linalg.mvn_logpdf(r, np.zeros(len(r)), S)
+                    state["ll"] = (state["ll"] + [ll])[-ll_window:]
+                    sll = float(np.exp(np.sum(state["ll"])))
+                if compute_maha:
+                    maha = linalg.mahalanobis(r, S)
+            state["mean"], state["cov"] = m1, P1
+
+            emit(state["idx"], 0, m1, P1, resid, ev_i, ll, maha, sll)
+            # multi-step forecast: extra predicts, state untouched
+            fm, fP = m1, P1
+            for step in range(1, multi_step + 1):
+                fm, fP = predict(fm, fP, Fm, Q, B, u)
+                emit(state["idx"], step, fm, fP, None, ev_i, None, None, None)
+
+        return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
+
+    return fold
+
+
+def _points(kind, c, m, P):
+    if kind == "ckf":
+        return linalg.cubature_points(m, P)
+    if c["sigmaPoints"] == "julier":
+        return linalg.julier_sigma_points(m, P, c["kappa"])
+    return linalg.merwe_sigma_points(m, P, c["alpha"], c["beta"], c["kappa"])
+
+
+class KalmanBase(StatefulTransformer):
+    """Shared param surface + plumbing for the Kalman family."""
+
+    _kind = "lkf"
+
+    _defaults = {
+        "stateSize": None,
+        "measurementSize": None,
+        "initialStateMean": None,
+        "initialStateCovariance": None,
+        "initialStateMeanCol": None,
+        "initialStateCovarianceCol": None,
+        "initialStateDistributionCol": None,
+        "measurementCol": "measurement",
+        "measurementModel": None,
+        "measurementModelCol": None,
+        "measurementNoise": None,
+        "measurementNoiseCol": None,
+        "processModel": None,
+        "processModelCol": None,
+        "processNoise": None,
+        "processNoiseCol": None,
+        "control": None,
+        "controlCol": None,
+        "controlFunction": None,
+        "controlFunctionCol": None,
+        "fadingFactor": 1.0,
+        "multiStepPredict": 0,
+        "calculateLoglikelihood": False,
+        "calculateMahalanobis": False,
+        "calculateSlidingLikelihood": False,
+        "slidingLikelihoodWindow": 1,
+        "outputResiduals": True,
+    }
+
+    def __init__(self, stateSize: int, measurementSize: int, **kwargs):
+        super().__init__(**kwargs)
+        self._set("stateSize", int(stateSize))
+        self._set("measurementSize", int(measurementSize))
+
+    # -- defaults mirroring the reference (identity models, eye noises) ----
+
+    def _mat(self, name, default):
+        v = self.get(name)
+        if v is None:
+            return default
+        return np.atleast_2d(np.asarray(v, dtype=np.float64))
+
+    def _vecParam(self, name, default):
+        v = self.get(name)
+        if v is None:
+            return default
+        return np.asarray(v, dtype=np.float64).ravel()
+
+    def _constants(self) -> dict:
+        n, m = self.get("stateSize"), self.get("measurementSize")
+        c = {
+            "kind": self._kind,
+            "stateSize": n,
+            "measurementSize": m,
+            "initialStateMean": self._vecParam("initialStateMean", np.zeros(n)),
+            "initialStateCovariance": self._mat("initialStateCovariance", np.eye(n)),
+            "measurementModel": self._mat("measurementModel", np.eye(m, n)),
+            "measurementNoise": self._mat("measurementNoise", np.eye(m)),
+            "processModel": self._mat("processModel", np.eye(n)),
+            "processNoise": self._mat("processNoise", np.eye(n)),
+            "control": self._vecParam("control", None),
+            "controlFunction": self._mat("controlFunction", None),
+            "fadingFactor": float(self.get("fadingFactor")),
+            "multiStepPredict": int(self.get("multiStepPredict")),
+            "calculateLoglikelihood": bool(self.get("calculateLoglikelihood")),
+            "calculateMahalanobis": bool(self.get("calculateMahalanobis")),
+            "calculateSlidingLikelihood": bool(self.get("calculateSlidingLikelihood")),
+            "slidingLikelihoodWindow": int(self.get("slidingLikelihoodWindow")),
+        }
+        from artan_spark.params import serialize_callable
+
+        for key in (
+            "processFunction",
+            "processStateJacobian",
+            "processNoiseJacobian",
+            "measurementFunction",
+            "measurementStateJacobian",
+            "measurementNoiseJacobian",
+        ):
+            c[key] = serialize_callable(self._paramMap.get(key))
+        for key in ("alpha", "beta", "kappa", "sigmaPoints"):
+            c[key] = self._paramMap.get(key)
+        return c
+
+    def _inputCols(self, df: DataFrame) -> list[tuple[str, Column]]:
+        cols = []
+        for name, (col_param, _const) in _COL_PARAMS.items():
+            if name == "measurement":
+                mc = self.get("measurementCol")
+                if mc and mc in df.columns:
+                    cols.append((name, F.col(mc)))
+                continue
+            cp = self.get(col_param)
+            if cp:
+                cols.append((name, F.col(cp)))
+        return cols
+
+    def _outSchema(self):
+        return _OUT_SCHEMA
+
+    def _stateSchema(self):
+        return _STATE_SCHEMA
+
+    def _foldFactory(self):
+        return _kalman_fold_factory
+
+    @staticmethod
+    def _packState(state) -> tuple:
+        return (
+            int(state["idx"]),
+            state["mean"].tolist(),
+            state["cov"].ravel().tolist(),
+            list(state["ll"]),
+        )
+
+    @staticmethod
+    def _unpackState(packed):
+        idx, mean, cov, ll = packed
+        mean = np.asarray(mean, dtype=np.float64)
+        n = len(mean)
+        return {
+            "idx": int(idx),
+            "mean": mean,
+            "cov": np.asarray(cov, dtype=np.float64).reshape(n, n),
+            "ll": list(ll),
+        }
+
+    def _shapeOutput(self, df: DataFrame) -> DataFrame:
+        drop = []
+        if not self.get("calculateLoglikelihood"):
+            drop.append("loglikelihood")
+        if not self.get("calculateMahalanobis"):
+            drop.append("mahalanobis")
+        if not self.get("calculateSlidingLikelihood"):
+            drop.append("slidingLikelihood")
+        if not self.get("outputResiduals"):
+            drop.append("residual")
+        if self.get("multiStepPredict") == 0:
+            drop.append("stepIndex")
+        if not self.get("eventTimeCol"):
+            drop.append(EVENT_TIME)
+        return df.drop(*drop) if drop else df
+
+
+class LinearKalmanFilter(KalmanBase):
+    """Per-key linear Kalman filter (predict + Joseph-form update).
+
+    Parity: /root/reference/.../filter/LinearKalmanFilter.scala:60-260.
+    """
+
+    _kind = "lkf"
+
+
+class ExtendedKalmanFilter(KalmanBase):
+    """EKF with Python-callable process/measurement functions + Jacobians.
+
+    Function params (each ``fn(mean: np.ndarray, model: np.ndarray) ->
+    np.ndarray``): processFunction, processStateJacobian,
+    processNoiseJacobian, measurementFunction, measurementStateJacobian,
+    measurementNoiseJacobian.
+    Parity: .../filter/ExtendedKalmanFilter.scala:78-276; callables replace
+    the reference's base64 java-serialized lambdas (FilterParams.scala:34-46).
+    """
+
+    _kind = "ekf"
+    _defaults = {
+        "processFunction": None,
+        "processStateJacobian": None,
+        "processNoiseJacobian": None,
+        "measurementFunction": None,
+        "measurementStateJacobian": None,
+        "measurementNoiseJacobian": None,
+    }
+
+
+class UnscentedKalmanFilter(KalmanBase):
+    """Sigma-point KF; Merwe ('merwe', default) or Julier ('julier') sampler.
+
+    Parity: .../filter/UnscentedKalmanFilter.scala:67-330,367-472.
+    """
+
+    _kind = "ukf"
+    _defaults = {
+        "processFunction": None,
+        "measurementFunction": None,
+        "sigmaPoints": "merwe",
+        "alpha": 0.3,
+        "beta": 2.0,
+        "kappa": 0.1,
+    }
+
+
+class CubatureKalmanFilter(KalmanBase):
+    """Cubature KF: 2n symmetric points, uniform weights.
+
+    Parity: .../filter/CubatureKalmanFilter.scala:62-288.
+    """
+
+    _kind = "ckf"
+    _defaults = {
+        "processFunction": None,
+        "measurementFunction": None,
+    }

@@ -1,0 +1,124 @@
+"""Normalized least mean squares filter.
+
+Parity: /root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/
+LeastMeanSquaresFilter.scala:53-224 (update :171-190; defaults learningRate=1.0,
+regularizationConstant=1.0 :201,213). State is a plain vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from artan_spark import linalg
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
+from artan_spark.types import (
+    VECTOR,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    np_to_vec,
+    vec_to_np,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("state", VECTOR),
+        StructField(EVENT_TIME, TimestampType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("stateIndex", LongType()),
+        StructField("mean", VECTOR),
+    ]
+)
+
+
+def _lms_fold_factory(c: dict):
+    lr, reg = c["learningRate"], c["regularizationConstant"]
+
+    def fold(pdf: pd.DataFrame, state):
+        key = pdf[STATE_KEY].iloc[0] if len(pdf) else ""
+        labels = pdf["label"].values
+        feats = pdf["features"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        init_col = pdf["initialState"].values if "initialState" in pdf.columns else None
+
+        out = {f.name: [] for f in _OUT_SCHEMA.fields}
+        for i in range(len(pdf)):
+            if state is None:
+                mean = c["initialState"]
+                if init_col is not None and init_col[i] is not None:
+                    mean = vec_to_np(init_col[i])
+                if mean is None:
+                    mean = np.zeros(len(vec_to_np(feats[i])))
+                state = {"idx": 0, "mean": np.asarray(mean, dtype=np.float64).ravel()}
+            x = vec_to_np(feats[i])
+            state["mean"] = linalg.lms_update(state["mean"], float(labels[i]), x, lr, reg)
+            state["idx"] += 1
+            out[STATE_KEY].append(key)
+            out["stateIndex"].append(state["idx"])
+            out["state"].append(np_to_vec(state["mean"]))
+            out[EVENT_TIME].append(ev[i] if ev is not None else None)
+        return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
+
+    return fold
+
+
+class LeastMeanSquaresFilter(StatefulTransformer):
+    _defaults = {
+        "labelCol": "label",
+        "featuresCol": "features",
+        "learningRate": 1.0,
+        "regularizationConstant": 1.0,
+        "initialState": None,
+        "initialStateCol": None,
+    }
+
+    def setInitialEstimate(self, value):
+        return self._set("initialState", np.asarray(value, dtype=np.float64))
+
+    def _constants(self):
+        init = self.get("initialState")
+        return {
+            "learningRate": float(self.get("learningRate")),
+            "regularizationConstant": float(self.get("regularizationConstant")),
+            "initialState": None if init is None else np.asarray(init, dtype=np.float64).ravel(),
+        }
+
+    def _inputCols(self, df):
+        cols = [
+            ("label", F.col(self.get("labelCol")).cast("double")),
+            ("features", F.col(self.get("featuresCol"))),
+        ]
+        if self.get("initialStateCol"):
+            cols.append(("initialState", F.col(self.get("initialStateCol"))))
+        return cols
+
+    def _outSchema(self):
+        return _OUT_SCHEMA
+
+    def _stateSchema(self):
+        return _STATE_SCHEMA
+
+    def _foldFactory(self):
+        return _lms_fold_factory
+
+    @staticmethod
+    def _packState(state):
+        return (int(state["idx"]), state["mean"].tolist())
+
+    @staticmethod
+    def _unpackState(packed):
+        idx, mean = packed
+        return {"idx": int(idx), "mean": np.asarray(mean, dtype=np.float64)}
+
+    def _shapeOutput(self, df):
+        return df if self.get("eventTimeCol") else df.drop(EVENT_TIME)

@@ -1,0 +1,157 @@
+"""Recursive least squares with exponential forgetting.
+
+Parity: /root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/
+RecursiveLeastSquaresFilter.scala:53-243 (update math :211-242). stateIndex
+increments on each update (:240).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from artan_spark import linalg
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
+from artan_spark.types import (
+    GAUSSIAN,
+    VECTOR,
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    mat_to_np,
+    np_to_gaussian,
+    vec_to_np,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("state", GAUSSIAN),
+        StructField(EVENT_TIME, TimestampType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("stateIndex", LongType()),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _rls_fold_factory(c: dict):
+    lam = c["forgettingFactor"]
+    n_state = c["stateSize"]
+
+    def fold(pdf: pd.DataFrame, state):
+        key = pdf[STATE_KEY].iloc[0] if len(pdf) else ""
+        labels = pdf["label"].values
+        feats = pdf["features"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        init_mean_col = pdf["initialStateMean"].values if "initialStateMean" in pdf.columns else None
+        reg_col = pdf["regularizationMatrix"].values if "regularizationMatrix" in pdf.columns else None
+
+        out = {f.name: [] for f in _OUT_SCHEMA.fields}
+        for i in range(len(pdf)):
+            if state is None:
+                mean = c["initialStateMean"]
+                if init_mean_col is not None and init_mean_col[i] is not None:
+                    mean = vec_to_np(init_mean_col[i])
+                cov = c["regularizationMatrix"]
+                if reg_col is not None and reg_col[i] is not None:
+                    cov = mat_to_np(reg_col[i])
+                if mean is None:
+                    mean = np.zeros(n_state)
+                if cov is None:
+                    cov = np.eye(n_state)
+                state = {"idx": 0, "mean": np.asarray(mean, dtype=np.float64).ravel(), "cov": np.asarray(cov, dtype=np.float64)}
+            x = vec_to_np(feats[i])
+            m1, P1, _gain = linalg.rls_update(state["mean"], state["cov"], float(labels[i]), x, lam)
+            state["idx"] += 1
+            state["mean"], state["cov"] = m1, P1
+            out[STATE_KEY].append(key)
+            out["stateIndex"].append(state["idx"])
+            out["state"].append(np_to_gaussian(m1, P1))
+            out[EVENT_TIME].append(ev[i] if ev is not None else None)
+        return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
+
+    return fold
+
+
+class RecursiveLeastSquaresFilter(StatefulTransformer):
+    _defaults = {
+        "labelCol": "label",
+        "featuresCol": "features",
+        "forgettingFactor": 1.0,
+        "stateSize": None,
+        "initialStateMean": None,
+        "initialStateMeanCol": None,
+        "regularizationMatrix": None,
+        "regularizationMatrixCol": None,
+    }
+
+    def __init__(self, stateSize: int | None = None, **kwargs):
+        super().__init__(**kwargs)
+        if stateSize is not None:
+            self._set("stateSize", int(stateSize))
+
+    def setFeatureSize(self, value: int):
+        return self._set("stateSize", int(value))
+
+    def setInitialEstimate(self, value):
+        return self._set("initialStateMean", np.asarray(value, dtype=np.float64))
+
+    def setRegularizationMatrixFactor(self, value: float):
+        n = self.get("stateSize")
+        return self._set("regularizationMatrix", float(value) * np.eye(n))
+
+    def _constants(self) -> dict:
+        n = self.get("stateSize")
+        reg = self.get("regularizationMatrix")
+        return {
+            "stateSize": n,
+            "forgettingFactor": float(self.get("forgettingFactor")),
+            "initialStateMean": self.get("initialStateMean"),
+            "regularizationMatrix": None if reg is None else np.atleast_2d(np.asarray(reg, dtype=np.float64)),
+        }
+
+    def _inputCols(self, df):
+        cols = [
+            ("label", F.col(self.get("labelCol")).cast("double")),
+            ("features", F.col(self.get("featuresCol"))),
+        ]
+        if self.get("initialStateMeanCol"):
+            cols.append(("initialStateMean", F.col(self.get("initialStateMeanCol"))))
+        if self.get("regularizationMatrixCol"):
+            cols.append(("regularizationMatrix", F.col(self.get("regularizationMatrixCol"))))
+        return cols
+
+    def _outSchema(self):
+        return _OUT_SCHEMA
+
+    def _stateSchema(self):
+        return _STATE_SCHEMA
+
+    def _foldFactory(self):
+        return _rls_fold_factory
+
+    @staticmethod
+    def _packState(state):
+        return (int(state["idx"]), state["mean"].tolist(), state["cov"].ravel().tolist())
+
+    @staticmethod
+    def _unpackState(packed):
+        idx, mean, cov = packed
+        mean = np.asarray(mean, dtype=np.float64)
+        n = len(mean)
+        return {"idx": int(idx), "mean": mean, "cov": np.asarray(cov, dtype=np.float64).reshape(n, n)}
+
+    def _shapeOutput(self, df):
+        return df if self.get("eventTimeCol") else df.drop(EVENT_TIME)

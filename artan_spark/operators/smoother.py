@@ -1,0 +1,210 @@
+"""Fixed-lag Rauch-Tung-Striebel smoother.
+
+Parity: /root/reference/src/main/scala/com/github/ozancicek/artan/ml/smoother/
+LinearKalmanSmoother.scala:50-199 — state is a queue of the last ``fixedLag``
+filtered outputs; once full, every new row triggers a backward RTS recursion
+over the whole queue, emitting ``lag`` smoothed rows (O(N·lag) output,
+:161-181; recursion math :116-159; queue update :183-198).
+
+Scale design departure: the reference composes TWO stateful passes (inner
+LKF, then smoother) = two shuffles on the same key. Here both are **fused
+into one** grouped fold — the filter step runs inline and feeds the RTS queue
+directly, so a single ``groupBy(stateKey)`` shuffle covers filter + smoother
+in batch and streaming alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from artan_spark import linalg
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY
+from artan_spark.operators.kalman import _COL_PARAMS, KalmanBase, _row_mat, _row_vec
+from artan_spark.types import (
+    GAUSSIAN,
+    MATRIX,
+    VECTOR,
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    np_to_gaussian,
+    np_to_mat,
+    vec_to_np,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("state", GAUSSIAN),
+        StructField("rtsGain", MATRIX),
+        StructField(EVENT_TIME, TimestampType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("stateIndex", LongType()),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),
+        StructField("queueIdx", ArrayType(LongType())),
+        StructField("queueMean", ArrayType(ArrayType(DoubleType()))),
+        StructField("queueCov", ArrayType(ArrayType(DoubleType()))),
+        StructField("queueF", ArrayType(ArrayType(DoubleType()))),
+        StructField("queueQ", ArrayType(ArrayType(DoubleType()))),
+        StructField("queueEv", ArrayType(LongType())),  # epoch micros, -1 = null
+    ]
+)
+
+
+def _smoother_fold_factory(c: dict):
+    lag = c["fixedLag"]
+    n_state = c["stateSize"]
+    fading = c["fadingFactor"]
+
+    def fold(pdf: pd.DataFrame, state):
+        nrows = len(pdf)
+        key = pdf[STATE_KEY].iloc[0] if nrows else ""
+        cols = {name: (pdf[name].values if name in pdf.columns else None) for name in _COL_PARAMS}
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        out = {f.name: [] for f in _OUT_SCHEMA.fields}
+
+        for i in range(nrows):
+            if state is None:
+                mean = _row_vec(cols["initialStateMean"], i, c["initialStateMean"])
+                cov = _row_mat(cols["initialStateCovariance"], i, c["initialStateCovariance"])
+                state = {
+                    "idx": 0,
+                    "mean": np.asarray(mean if mean is not None else np.zeros(n_state), dtype=np.float64).ravel(),
+                    "cov": np.asarray(cov if cov is not None else np.eye(n_state), dtype=np.float64),
+                    "queue": [],
+                }
+
+            Fm = _row_mat(cols["processModel"], i, c["processModel"])
+            Q = _row_mat(cols["processNoise"], i, c["processNoise"])
+            H = _row_mat(cols["measurementModel"], i, c["measurementModel"])
+            R = _row_mat(cols["measurementNoise"], i, c["measurementNoise"])
+            B = _row_mat(cols["controlFunction"], i, c["controlFunction"])
+            u = _row_vec(cols["control"], i, c["control"])
+            z = _row_vec(cols["measurement"], i, None)
+            ev_i = ev[i] if ev is not None else None
+
+            m1, P1 = linalg.kf_predict(state["mean"], state["cov"], Fm, Q, B, u, fading)
+            state["idx"] += 1
+            if z is not None:
+                m1, P1, _r, _s = linalg.kf_estimate(m1, P1, z, H, R)
+            state["mean"], state["cov"] = m1, P1
+
+            state["queue"].append((state["idx"], m1, P1, Fm, Q, ev_i))
+            if len(state["queue"]) > lag:
+                state["queue"].pop(0)
+            if len(state["queue"]) < lag:
+                continue
+
+            # backward recursion, newest -> oldest; emit oldest-first like the
+            # reference's prepend-fold (LinearKalmanSmoother.scala:161-181)
+            q = state["queue"]
+            rows = []
+            sm_mean, sm_cov = q[-1][1], q[-1][2]
+            rows.append((q[-1][0], 0, sm_mean, sm_cov, np.zeros((n_state, n_state)), q[-1][5]))
+            for step, j in enumerate(range(lag - 2, -1, -1), start=1):
+                idx_j, m_j, P_j, F_j, Q_j, ev_j = q[j]
+                next_mean = F_j @ m_j
+                next_cov = F_j @ P_j @ F_j.T + Q_j
+                gain = P_j @ F_j.T @ linalg.pinv(next_cov)
+                sm_mean = m_j + gain @ (sm_mean - next_mean)
+                sm_cov = P_j + gain @ (sm_cov - next_cov) @ gain.T
+                rows.append((idx_j, step, sm_mean, sm_cov, gain, ev_j))
+            for idx_j, step, m, P, g, ev_j in reversed(rows):
+                out[STATE_KEY].append(key)
+                out["stateIndex"].append(idx_j)
+                out["stepIndex"].append(step)
+                out["state"].append(np_to_gaussian(m, P))
+                out["rtsGain"].append(np_to_mat(g))
+                out[EVENT_TIME].append(ev_j)
+
+        return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
+
+    return fold
+
+
+def _ev_to_micros(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)) or (hasattr(v, "__class__") and pd.isna(v)):
+        return -1
+    return int(pd.Timestamp(v).value // 1000)
+
+
+def _micros_to_ev(us):
+    return None if us < 0 else pd.Timestamp(us * 1000)
+
+
+class LinearKalmanSmoother(KalmanBase):
+    """LKF + fixed-lag RTS smoother in one fused stateful pass."""
+
+    _kind = "lkf"
+    _defaults = {"fixedLag": 2}
+
+    def _constants(self):
+        c = super()._constants()
+        c["fixedLag"] = int(self.get("fixedLag"))
+        return c
+
+    def _outSchema(self):
+        return _OUT_SCHEMA
+
+    def _stateSchema(self):
+        return _STATE_SCHEMA
+
+    def _foldFactory(self):
+        return _smoother_fold_factory
+
+    @staticmethod
+    def _packState(state):
+        q = state["queue"]
+        return (
+            int(state["idx"]),
+            state["mean"].tolist(),
+            state["cov"].ravel().tolist(),
+            [int(e[0]) for e in q],
+            [e[1].tolist() for e in q],
+            [e[2].ravel().tolist() for e in q],
+            [e[3].ravel().tolist() for e in q],
+            [e[4].ravel().tolist() for e in q],
+            [_ev_to_micros(e[5]) for e in q],
+        )
+
+    @staticmethod
+    def _unpackState(packed):
+        idx, mean, cov, q_idx, q_mean, q_cov, q_f, q_q, q_ev = packed
+        mean = np.asarray(mean, dtype=np.float64)
+        n = len(mean)
+        queue = [
+            (
+                int(q_idx[j]),
+                np.asarray(q_mean[j], dtype=np.float64),
+                np.asarray(q_cov[j], dtype=np.float64).reshape(n, n),
+                np.asarray(q_f[j], dtype=np.float64).reshape(n, n),
+                np.asarray(q_q[j], dtype=np.float64).reshape(n, n),
+                _micros_to_ev(q_ev[j]),
+            )
+            for j in range(len(q_idx))
+        ]
+        return {
+            "idx": int(idx),
+            "mean": mean,
+            "cov": np.asarray(cov, dtype=np.float64).reshape(n, n),
+            "queue": queue,
+        }
+
+    def _shapeOutput(self, df):
+        drop = []
+        if not self.get("eventTimeCol"):
+            drop.append(EVENT_TIME)
+        return df.drop(*drop) if drop else df

@@ -1,0 +1,67 @@
+"""Table readers for the driver-generated testdata + session helpers.
+
+The reference has no scan code of its own (SURVEY §2.6) — all reads go
+through ``spark.read.parquet``. The one environment quirk handled here:
+``events.parquet`` carries nanosecond timestamps, which Spark 4.x rejects
+unless ``spark.sql.legacy.parquet.nanosAsLong=true``; we read nanos as long
+and convert to a proper timestamp column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def session_builder(app_name: str = "artan_spark", master: str | None = None, shuffle_partitions: int | None = None):
+    """Opinionated builder: AQE on, arrow on, nanos-as-long on.
+
+    At cluster scale the same flags apply; only master/partitions change.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        b = b.master(f"local[{cpus}]")
+    return b
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosecond parquet timestamps surfaced as long via nanosAsLong
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
