@@ -57,7 +57,7 @@ class _Gaussian:
     @staticmethod
     def loglik_matrix(x, model):
         return np.stack(
-            [linalg.mvn_logpdf_many(x, model["means"][j], model["covs"][j]) for j in range(len(model["weights"]))],
+            [linalg.mvn_logpdf_many(x, model["means"][j], model["covs"][j]) for j in range(len(model["means"]))],
             axis=1,
         )
 

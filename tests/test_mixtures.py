@@ -1,0 +1,135 @@
+"""Mixture tests: recover ground-truth components within MAE bounds
+(reference python/artan/tests/test_mixtures.py)."""
+
+import numpy as np
+import pytest
+
+from artan_spark.operators import (
+    BernoulliMixture,
+    MultivariateGaussianMixture,
+    PoissonMixture,
+)
+
+
+def _mae(a, b):
+    return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+WEIGHTS = [0.2, 0.3, 0.5]
+MEANS = [[10.0, 2.0], [1.0, 4.0], [5.0, 3.0]]
+COVS = [[[2.0, 1.0], [1.0, 2.0]], [[4.0, 0.0], [0.0, 4.0]], [[5.0, 3.0], [3.0, 5.0]]]
+
+
+def _gaussian_samples(size, seed=0):
+    rng = np.random.RandomState(seed)
+    chunks = [
+        rng.multivariate_normal(m, c, size=int(w * size))
+        for w, m, c in zip(WEIGHTS, MEANS, COVS)
+    ]
+    samples = np.concatenate(chunks)
+    rng.shuffle(samples)
+    return samples
+
+
+def test_online_gmm(spark):
+    samples = _gaussian_samples(5000)
+    df = spark.createDataFrame([(s.tolist(),) for s in samples], "sample array<double>")
+    eye = np.eye(2).ravel().tolist()
+    gmm = (
+        MultivariateGaussianMixture()
+        .setInitialWeights([0.33, 0.33, 0.33])
+        .setInitialMeans([[9.0, 9.0], [1.0, 1.0], [5.0, 5.0]])
+        .setInitialCovariances([eye, eye, eye])
+        .setStepSize(0.01)
+        .setMinibatchSize(1)
+    )
+    res = gmm.transform(df).filter("stateIndex = 5000").collect()[0]
+    model = res.mixtureModel
+    assert _mae(model.weights, WEIGHTS) < 0.2
+    for i, dist in enumerate(model.distributions):
+        assert _mae(list(dist.mean), MEANS[i]) < 4.0
+
+
+def test_online_gmm_minibatch_semantics(spark):
+    samples = _gaussian_samples(100)
+    df = spark.createDataFrame([(s.tolist(),) for s in samples], "sample array<double>")
+    eye = np.eye(2).ravel().tolist()
+    gmm = (
+        MultivariateGaussianMixture()
+        .setInitialMeans([[9.0, 9.0], [1.0, 1.0], [5.0, 5.0]])
+        .setInitialCovariances([eye, eye, eye])
+        .setMinibatchSize(10)
+    )
+    out = gmm.transform(df)
+    # one emission per completed minibatch
+    assert out.count() == 10
+    assert [r.stateIndex for r in out.orderBy("stateIndex").collect()] == list(range(1, 11))
+
+
+def test_poisson_mixture(spark):
+    rng = np.random.RandomState(0)
+    rates = [5.0, 10.0, 30.0]
+    weights = [0.2, 0.3, 0.5]
+    chunks = [rng.poisson(r, size=int(w * 5000)) for r, w in zip(rates, weights)]
+    samples = np.concatenate(chunks)
+    rng.shuffle(samples)
+    df = spark.createDataFrame([(int(s),) for s in samples], "sample long")
+    pm = (
+        PoissonMixture()
+        .setInitialRates([1.0, 7.0, 40.0])
+        .setMinibatchSize(30)
+        .setStepSize(0.1)
+        .setUpdateHoldout(1)
+    )
+    max_idx = len(samples) // 30
+    res = pm.transform(df).filter(f"stateIndex = {max_idx}").collect()[0]
+    model = res.mixtureModel
+    est_rates = sorted(d.rate for d in model.distributions)
+    assert _mae(est_rates, rates) < 2.0
+
+
+def test_bernoulli_mixture(spark):
+    # reference config (BernoulliMixtureSpec.scala:57-95): weights .4/.6,
+    # probs .7/.9, init .4/.8, minibatch 30, step 0.1
+    rng = np.random.RandomState(0)
+    probs = [0.7, 0.9]
+    weights = [0.4, 0.6]
+    chunks = [rng.binomial(1, p, size=int(w * 10000)) for p, w in zip(probs, weights)]
+    samples = np.concatenate(chunks)
+    rng.shuffle(samples)
+    df = spark.createDataFrame([(bool(s),) for s in samples], "sample boolean")
+    bm = (
+        BernoulliMixture()
+        .setInitialWeights([0.5, 0.5])
+        .setInitialProbabilities([0.4, 0.8])
+        .setMinibatchSize(30)
+        .setStepSize(0.1)
+        .setUpdateHoldout(1)
+    )
+    max_idx = len(samples) // 30
+    res = bm.transform(df).filter(f"stateIndex = {max_idx}").collect()[0]
+    est = sorted(d.probability for d in res.mixtureModel.distributions)
+    assert _mae(est, probs) < 0.1
+    assert _mae(sorted(res.mixtureModel.weights), weights) < 0.1
+
+
+def test_batch_em_gaussian(spark):
+    samples = _gaussian_samples(600)
+    df = spark.createDataFrame([("k", s.tolist()) for s in samples], "key string, sample array<double>")
+    eye = np.eye(2).ravel().tolist()
+    gmm = (
+        MultivariateGaussianMixture()
+        .setStateKeyCol("key")
+        .setInitialMeans([[9.0, 9.0], [1.0, 1.0], [5.0, 5.0]])
+        .setInitialCovariances([eye, eye, eye])
+        .setStepSize(1.0)
+        .setBatchTrainEnabled(True)
+        .setBatchTrainMaxIter(15)
+        .setBatchTrainTol(0.01)
+    )
+    rows = gmm.transform(df).collect()
+    assert len(rows) == 1
+    model = rows[0].mixtureModel
+    means = sorted([list(d.mean) for d in model.distributions])
+    expected = sorted(MEANS)
+    assert _mae(np.array(means), np.array(expected)) < 1.0
