@@ -306,7 +306,24 @@ class KalmanBase(StatefulTransformer):
         "calculateSlidingLikelihood": False,
         "slidingLikelihoodWindow": 1,
         "outputResiduals": True,
+        "multipleModelAdaptiveEstimationEnabled": False,
+        "multipleModelMeasurementWindowDuration": None,
     }
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.get("multipleModelAdaptiveEstimationEnabled"):
+            # MMAE needs sliding likelihood (KalmanBase.scala:477-479)
+            self._set("calculateSlidingLikelihood", True)
+        out = super().transform(df)
+        if self.get("multipleModelAdaptiveEstimationEnabled"):
+            from artan_spark.operators.mmae import mmae_aggregate
+
+            return mmae_aggregate(
+                out,
+                self.get("stateSize"),
+                self.get("multipleModelMeasurementWindowDuration"),
+            )
+        return out
 
     def __init__(self, stateSize: int, measurementSize: int, **kwargs):
         super().__init__(**kwargs)
