@@ -103,8 +103,121 @@ def _row_vec(cells, i, const):
     return const
 
 
+def _scalar_lkf_fold_factory(c: dict):
+    """Fast path for the dominant production shape: 1-D linear local-level
+    filters with constant models ("many small systems", reference
+    README.md:19-25). Pure-scalar recursion — ~50-100x less per-row overhead
+    than the general numpy path; same formulas (Joseph form, pinv==1/S)."""
+    import math
+
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    fad2 = float(c["fadingFactor"]) ** 2
+    ll_window = c["slidingLikelihoodWindow"]
+    compute_ll = c["calculateLoglikelihood"] or c["calculateSlidingLikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    LOG2PI = math.log(2.0 * math.pi)
+
+    def fold(pdf: pd.DataFrame, state):
+        nrows = len(pdf)
+        key = pdf[STATE_KEY].iloc[0] if nrows else ""
+        zs = pdf["measurement"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        init_cells = pdf["initialStateDistribution"].values if "initialStateDistribution" in pdf.columns else None
+
+        if state is None:
+            m, P, idx, llw = m0, p0, 0, []
+            if init_cells is not None and nrows and init_cells[0] is not None:
+                d = init_cells[0]
+                if isinstance(d, dict):
+                    m, P = float(d["mean"][0]), float(d["covariance"]["values"][0])
+                else:
+                    m, P = float(d.mean[0]), float(d.covariance.values[0])
+        else:
+            m, P = float(state["mean"][0]), float(state["cov"][0, 0])
+            idx, llw = state["idx"], list(state["ll"])
+
+        o_idx = np.empty(nrows, dtype=np.int64)
+        o_mean = np.empty(nrows)
+        o_cov = np.empty(nrows)
+        o_res = np.full(nrows, np.nan)
+        o_rescov = np.full(nrows, np.nan)
+        o_ll = np.full(nrows, np.nan)
+        o_maha = np.full(nrows, np.nan)
+        o_sll = np.full(nrows, np.nan)
+
+        for i in range(nrows):
+            m = f * m
+            P = fad2 * ((f * P) * f) + q
+            idx += 1
+            z = zs[i]
+            if z is not None:
+                z0 = float(z[0])
+                r = z0 - h * m
+                S = (h * P) * h + rr
+                K = (P * h) * (1.0 / S)
+                m = m + K * r
+                ikh = 1.0 - K * h
+                P = (ikh * P) * ikh + (K * rr) * K
+                o_res[i] = r
+                o_rescov[i] = S
+                if compute_ll:
+                    ell = math.sqrt(S)
+                    ll = -0.5 * (LOG2PI + 2.0 * math.log(ell) + (r / ell) ** 2)
+                    o_ll[i] = ll
+                    llw.append(ll)
+                    if len(llw) > ll_window:
+                        llw = llw[-ll_window:]
+                    o_sll[i] = math.exp(sum(llw))
+                if compute_maha:
+                    o_maha[i] = math.sqrt(max((r * r) / S, 0.0))
+            o_idx[i] = idx
+            o_mean[i] = m
+            o_cov[i] = P
+
+        def g(mean, cov):
+            return {"mean": [mean], "covariance": {"numRows": 1, "numCols": 1, "values": [cov]}}
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: key,
+                "stateIndex": o_idx,
+                "stepIndex": 0,
+                "state": [g(o_mean[i], o_cov[i]) for i in range(nrows)],
+                "residual": [None if np.isnan(o_rescov[i]) else g(o_res[i], o_rescov[i]) for i in range(nrows)],
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": o_ll,
+                "mahalanobis": o_maha,
+                "slidingLikelihood": o_sll,
+            },
+            columns=[fld.name for fld in _OUT_SCHEMA.fields],
+        )
+        state = {"idx": int(idx), "mean": np.array([m]), "cov": np.array([[P]]), "ll": llw}
+        return out, state
+
+    return fold
+
+
+def _is_scalar_lkf(c: dict) -> bool:
+    return (
+        c["kind"] == "lkf"
+        and c["stateSize"] == 1
+        and c["measurementSize"] == 1
+        and not c.get("perRowCols")
+        and c["multiStepPredict"] == 0
+        and c.get("control") is None
+    )
+
+
 def _kalman_fold_factory(c: dict):
     """Build the per-group fold shared by batch & streaming paths."""
+
+    if _is_scalar_lkf(c):
+        return _scalar_lkf_fold_factory(c)
 
     from artan_spark.params import deserialize_callable
 
@@ -364,6 +477,13 @@ class KalmanBase(StatefulTransformer):
             "calculateMahalanobis": bool(self.get("calculateMahalanobis")),
             "calculateSlidingLikelihood": bool(self.get("calculateSlidingLikelihood")),
             "slidingLikelihoodWindow": int(self.get("slidingLikelihoodWindow")),
+            # model params supplied per-row (disqualifies the scalar fast path;
+            # initialStateDistributionCol is handled by both paths)
+            "perRowCols": [
+                name
+                for name, (col_param, _c) in _COL_PARAMS.items()
+                if name not in ("measurement", "initialStateDistribution") and self.get(col_param)
+            ],
         }
         from artan_spark.params import serialize_callable
 

@@ -63,7 +63,104 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _scalar_smoother_fold_factory(c: dict):
+    """Scalar fast path: 1-D constant-model LKF + RTS queue recursion
+    (the bench-dominant "many small local-level models" shape)."""
+    lag = c["fixedLag"]
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    fad2 = float(c["fadingFactor"]) ** 2
+
+    def fold(pdf: pd.DataFrame, state):
+        nrows = len(pdf)
+        key = pdf[STATE_KEY].iloc[0] if nrows else ""
+        zs = pdf["measurement"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        if state is None:
+            m, P, idx, queue = m0, p0, 0, []
+        else:
+            m, P = float(state["mean"][0]), float(state["cov"][0, 0])
+            idx = state["idx"]
+            # queue entries -> scalar tuples
+            queue = [(e[0], float(e[1][0]), float(e[2][0, 0]), e[5]) for e in state["queue"]]
+
+        o_key, o_idx, o_step, o_state, o_gain, o_ev = [], [], [], [], [], []
+        for i in range(nrows):
+            m = f * m
+            P = fad2 * ((f * P) * f) + q
+            idx += 1
+            z = zs[i]
+            if z is not None:
+                z0 = float(z[0])
+                r = z0 - h * m
+                S = (h * P) * h + rr
+                K = (P * h) * (1.0 / S)
+                m = m + K * r
+                ikh = 1.0 - K * h
+                P = (ikh * P) * ikh + (K * rr) * K
+            ev_i = ev[i] if ev is not None else None
+            queue.append((idx, m, P, ev_i))
+            if len(queue) > lag:
+                queue.pop(0)
+            if len(queue) < lag:
+                continue
+
+            sm_m, sm_p = queue[-1][1], queue[-1][2]
+            rows = [(queue[-1][0], 0, sm_m, sm_p, 0.0, queue[-1][3])]
+            for step, j in enumerate(range(lag - 2, -1, -1), start=1):
+                idx_j, m_j, P_j, ev_j = queue[j]
+                nm = f * m_j
+                nc = (f * P_j) * f + q
+                g = (P_j * f) * (1.0 / nc)
+                sm_m = m_j + g * (sm_m - nm)
+                sm_p = P_j + (g * (sm_p - nc)) * g
+                rows.append((idx_j, step, sm_m, sm_p, g, ev_j))
+            for idx_j, step, mm, pp, g, ev_j in reversed(rows):
+                o_key.append(key)
+                o_idx.append(idx_j)
+                o_step.append(step)
+                o_state.append({"mean": [mm], "covariance": {"numRows": 1, "numCols": 1, "values": [pp]}})
+                o_gain.append({"numRows": 1, "numCols": 1, "values": [g]})
+                o_ev.append(ev_j)
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: o_key,
+                "stateIndex": o_idx,
+                "stepIndex": o_step,
+                "state": o_state,
+                "rtsGain": o_gain,
+                EVENT_TIME: o_ev,
+            },
+            columns=[fld.name for fld in _OUT_SCHEMA.fields],
+        )
+        state = {
+            "idx": int(idx),
+            "mean": np.array([m]),
+            "cov": np.array([[P]]),
+            "queue": [
+                (e[0], np.array([e[1]]), np.array([[e[2]]]), np.array([[f]]), np.array([[q]]), e[3])
+                for e in queue
+            ],
+        }
+        return out, state
+
+    return fold
+
+
 def _smoother_fold_factory(c: dict):
+    if (
+        c["stateSize"] == 1
+        and c["measurementSize"] == 1
+        and not c.get("perRowCols")
+        and c.get("control") is None
+    ):
+        return _scalar_smoother_fold_factory(c)
     lag = c["fixedLag"]
     n_state = c["stateSize"]
     fading = c["fadingFactor"]

@@ -1,0 +1,296 @@
+"""Deduplication operators over the ``documents`` table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine — each with an exactly-matching
+DuckDB oracle.
+
+Portability contract: both engines share ONE hash —
+``bigint(first 15 hex chars of md5)`` — and identical shingling
+(word 3-grams of whitespace-split tokens), so candidate pairs and
+fingerprints agree bit-for-bit across engines (verified by the parity
+tests; see tests/test_oracle.py).
+
+Scale design:
+- shingling explodes ~L tokens/doc -> flatMap, no shuffle;
+- MinHash reduces to 2 shuffles (doc-perm min, band-bucket join); the
+  band self-join is on (band, signature) buckets whose size is tiny for
+  non-dup corpora — the classic LSH trick that replaces the O(n^2) pair
+  space with bucket-local pairs;
+- n-gram Jaccard uses the inverted-index join (pairs that share >= 1
+  shingle), never the cross product;
+- embedding near-dup at 100 TB would go through the LSH bucketing in
+  simsearch.py; the exact pairwise version here is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artan_spark.sources import read_table
+
+P31 = 2147483647  # 2^31 - 1, modulus for the affine permutations
+
+# deterministic MinHash permutations shared by both engines
+_rng = np.random.RandomState(42)
+N_PERMS = 8
+ROWS_PER_BAND = 2
+PERMS = [(int(_rng.randint(1, P31)), int(_rng.randint(0, P31))) for _ in range(N_PERMS)]
+
+
+def _h64(col):
+    """Portable 60-bit hash: bigint of md5's first 15 hex chars."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H64_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate collapse: one hash aggregate on the full text
+    (at scale: group by md5(text) to shrink shuffle keys)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via MinHash signatures + banded LSH."""
+    sh = _shingles(spark, sf_dir).withColumn("h", _h64(F.col("shingle")) % P31)
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(PERMS)], "perm int, a long, b long"
+    )
+    mh = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % P31).alias("mh"))
+    )
+    buckets = (
+        mh.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))), lambda x: x["mh"].cast("string")
+                ),
+            ).alias("sig")
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {_H64_SQL.format(x='shingle')} % {P31} AS h FROM sh),
+perms(perm, a, b) AS (VALUES {perm_rows}),
+mh AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {P31}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, perm
+),
+buckets AS (
+  SELECT doc_id, CAST(perm // {ROWS_PER_BAND} AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (bit-majority over shingle
+    hashes). Flat map + one aggregate; fingerprint join finds near-dups."""
+    sh = _shingles(spark, sf_dir).withColumn("h", _h64(F.col("shingle")) % F.lit(1 << 32).cast("long"))
+    bits = sh.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {_H64_SQL.format(x='shingle')} % 4294967296 AS h FROM sh),
+bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM hashed),
+votes AS (
+  SELECT doc_id, b, SUM(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS vote
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 via inverted-index join."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sx, sy = sizes.alias("sx"), sizes.alias("sy")
+    j = (
+        inter.join(sx, F.col("doc_a") == F.col("sx.doc_id"))
+        .join(sy, F.col("doc_b") == F.col("sy.doc_id"))
+        .withColumn("jaccard", F.col("inter") / (F.col("sx.n") + F.col("sy.n") - F.col("inter")))
+    )
+    return j.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(inter * 1.0 / (sx.n + sy.n - inter), 6) AS jaccard
+FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
+WHERE inter * 1.0 / (sx.n + sy.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+COSINE_THRESHOLD = 0.4
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine >= threshold over embeddings.
+
+    Scale design: broadcast-right block matmul — the corpus matrix is
+    broadcast once (same trick as a broadcast hash join), the left side
+    streams through ``mapInPandas`` partition-by-partition, and each Arrow
+    batch computes a dense numpy block product instead of 2M interpreted
+    per-element expressions. At 100 TB the left side stays partitioned and
+    only the (much smaller) candidate side is broadcast, or the LSH-bucketed
+    path in simsearch.py takes over entirely.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    corpus = e.toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    threshold = COSINE_THRESHOLD
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            a = np.stack(pdf["v"].to_numpy())
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.T
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bj],
+                    "cosine": np.round(sims[ai, bj], 6),
+                }
+            )
+
+    schema = "vec_a long, vec_b long, cosine double"
+    return e.mapInPandas(block, schema)
+
+
+_EMB_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_embedding_cosine": _EMB_COSINE_SQL,
+}

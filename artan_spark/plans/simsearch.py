@@ -1,0 +1,180 @@
+"""Similarity search over the embedding column: brute-force cosine top-k
+(correctness baseline) and a random-hyperplane-LSH bucketed variant (the
+100 TB scale path — candidate generation drops from O(N*Q) to bucket-local).
+
+Both engines share the hyperplanes (seeded numpy literals inlined into the
+SQL), so results match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from artan_spark.sources import read_table
+
+TOP_K = 5
+N_QUERIES = 10  # queries = vec_id < N_QUERIES
+N_PLANES = 6
+DIM = 64
+
+_rng = np.random.RandomState(7)
+HYPERPLANES = _rng.normal(0.0, 1.0, (N_PLANES, DIM)).round(6)
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _lit_array(vals) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _emb(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+_EMB_SQL = """
+SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector; queries broadcast, rank by
+    full-precision cosine with vec_id tie-break. At scale the corpus side
+    stays partitioned and only the tiny query set is broadcast."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH n AS ({_EMB_SQL})
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.v) / (e.norm * q.norm) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_dot_product(e.v, q.v) / (e.norm * q.norm) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM n e JOIN n q ON q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr_spark(vcol):
+    b = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        plane = _lit_array(HYPERPLANES[j])
+        b = b + F.when(_dot(vcol, plane) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return b
+
+
+def _bucket_expr_sql(v: str) -> str:
+    parts = []
+    for j in range(N_PLANES):
+        lit = "[" + ", ".join(str(x) for x in HYPERPLANES[j]) + "]"
+        parts.append(f"(CASE WHEN list_dot_product({v}, {lit}) > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-random-projection bucket id, candidates =
+    same-bucket vectors only, then exact cosine rank inside the bucket.
+    The scale path: bucket id is a cheap map-side expression, the join is
+    bucket-co-partitioned instead of all-pairs."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr_spark(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+WITH n AS ({_EMB_SQL}),
+b AS (SELECT vec_id, v, norm, {_bucket_expr_sql('v')} AS bucket FROM n)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.v) / (e.norm * q.norm) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_dot_product(e.v, q.v) / (e.norm * q.norm) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM b e JOIN b q ON q.vec_id < {N_QUERIES} AND e.bucket = q.bucket AND e.vec_id != q.vec_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + dispersion: array aggregation via posexplode
+    (JVM-native columnar path; at scale this is the classic narrow
+    explode -> (label, pos) hash agg with map-side combine)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode(F.transform("embedding", lambda v: v.cast("double"))))
+    return (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("col").alias("dim_mean"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("dim_mean") * F.col("dim_mean"))), 6).alias("centroid_norm"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+_CENTROID_SQL = """
+SELECT label,
+       ROUND(sqrt(SUM(dim_mean * dim_mean)), 6) AS centroid_norm,
+       COUNT(*) AS n_dims
+FROM (
+  SELECT label, pos, AVG(x) AS dim_mean
+  FROM (SELECT label, unnest(list_transform(embedding, y -> CAST(y AS DOUBLE))) AS x,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings)
+  GROUP BY 1, 2
+)
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_cosine": ann_lsh_cosine,
+    "embedding_label_centroids": embedding_label_centroids,
+}
+
+ORACLES = {
+    "ann_cosine_topk": _ANN_TOPK_SQL,
+    "ann_lsh_cosine": _ann_lsh_sql(),
+    "embedding_label_centroids": _CENTROID_SQL,
+}

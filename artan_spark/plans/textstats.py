@@ -1,0 +1,143 @@
+"""Text analysis operators over ``documents``: token counting, quality
+scoring, language profiling, and document fingerprinting — all pure
+JVM-side expressions (no Python in the row path) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artan_spark.sources import read_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + char counts; the canonical narrow map."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(t) AS n_tokens,
+       length(text) AS n_chars_measured,
+       len(list_distinct(t)) AS n_unique_tokens,
+       ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS avg_token_len
+FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, lexical diversity, length
+    band — the standard pretraining-corpus filters, composable per row."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(stop_hits / n, 6)
+    diversity = F.round(uniq / n, 6)
+    len_band = F.least(F.lit(1.0), n / F.lit(100.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("lexical_diversity"),
+        F.round(F.lit(0.4) * stop_ratio + F.lit(0.4) * diversity + F.lit(0.2) * len_band, 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       ROUND(len(list_filter(t, x -> x IN ({_STOP_SQL}))) * 1.0 / len(t), 6) AS stopword_ratio,
+       ROUND(len(list_distinct(t)) * 1.0 / len(t), 6) AS lexical_diversity,
+       ROUND(0.4 * ROUND(len(list_filter(t, x -> x IN ({_STOP_SQL}))) * 1.0 / len(t), 6)
+           + 0.4 * ROUND(len(list_distinct(t)) * 1.0 / len(t), 6)
+           + 0.2 * LEAST(1.0, len(t) / 100.0), 6) AS quality_score
+FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per labeled language: doc counts, token stats,
+    source fan-out — the aggregation a lang-ID calibration step feeds on."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    return (
+        d.select("lang", "source", F.size(toks).alias("n_tokens"), F.length("text").alias("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+_LANG_PROFILE_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+       ROUND(AVG(length(text)), 6) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprints: md5 prefix of normalized text + min/max token
+    hash (1-perm MinHash bounds) — join-key material for incremental dedup."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    norm = F.concat_ws(" ", toks)
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("content_md5_prefix"),
+        F.array_min(F.transform(toks, lambda t: h(t))).alias("min_token_hash"),
+        F.array_max(F.transform(toks, lambda t: h(t))).alias("max_token_hash"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       substring(md5(list_aggregate(t, 'string_agg', ' ')), 1, 16) AS content_md5_prefix,
+       list_min(list_transform(t, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS min_token_hash,
+       list_max(list_transform(t, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS max_token_hash
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_profile": text_lang_profile,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_count": _TOKEN_COUNT_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_lang_profile": _LANG_PROFILE_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+}

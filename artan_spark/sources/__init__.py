@@ -51,6 +51,12 @@ def session_builder(app_name: str = "artan_spark", master: str | None = None, sh
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # settable at runtime, so driver-created sessions work too
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosecond parquet timestamps surfaced as long via nanosAsLong

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# representative slice: relational, windowed streaming-ish, dedup, simsearch,
+# text, and the stateful estimation operators
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "events_window_stats",
+    "events_user_activity",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_fingerprint",
+    "lkf_events_local_level",
+    "rls_events_1d",
+    "gmm_events_value",
+    "rts_smoother_events",
+    "mmae_events",
+]
+
+
+def main() -> None:
+    from artan_spark.plans import QUERIES
+    from artan_spark.sources import session_builder
+
+    spark = session_builder(
+        app_name="artan_spark-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

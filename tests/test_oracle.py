@@ -1,0 +1,31 @@
+"""Local mirror of the driver's correctness gate: every inventory query with
+a DuckDB oracle must match exactly at sf0.001 (row count, columns, values)."""
+
+import pytest
+
+from artan_spark.plans import ORACLES, QUERIES
+from artan_spark.plans.oracle import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    r = compare(spark, QUERIES[name], ORACLES[name], SF_DIR)
+    assert r["match"], f"{name}: {r}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
