@@ -64,6 +64,7 @@ _STATE_SCHEMA = StructType(
         StructField("mean", VECTOR),
         StructField("cov", ArrayType(DoubleType())),  # row-major flattened
         StructField("llWindow", ArrayType(DoubleType())),
+        StructField("adaptiveNoise", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -272,7 +273,8 @@ def _kalman_fold_factory(c: dict):
 
     def estimate(m, P, z, H, R):
         if kind == "lkf":
-            return linalg.kf_estimate(m, P, z, H, R)
+            m1, P1, r, S = linalg.kf_estimate(m, P, z, H, R)
+            return m1, P1, r, S, None
         if kind == "ekf":
             mf, mj, mnj = c["measurementFunction"], c["measurementStateJacobian"], c["measurementNoiseJacobian"]
             zhat = np.asarray(mf(m, H), dtype=np.float64).ravel() if mf is not None else H @ m
@@ -287,7 +289,7 @@ def _kalman_fold_factory(c: dict):
             m1 = m + K @ r
             ikh = np.eye(len(m)) - K @ Hj
             P1 = ikh @ P @ ikh.T + K @ Re @ K.T
-            return m1, linalg.sym(P1), r, S
+            return m1, linalg.sym(P1), r, S, K
         mf = c["measurementFunction"]
         pts, wm, wc = _points(kind, c, m, P)
         if mf is not None:
@@ -300,7 +302,7 @@ def _kalman_fold_factory(c: dict):
         r = z - zmean
         m1 = m + K @ r
         P1 = P - K @ S @ K.T
-        return m1, linalg.sym(P1), r, S
+        return m1, linalg.sym(P1), r, S, K
 
     def fold(pdf: pd.DataFrame, state):
         nrows = len(pdf)
@@ -339,6 +341,7 @@ def _kalman_fold_factory(c: dict):
                     "mean": np.asarray(mean, dtype=np.float64).ravel(),
                     "cov": np.asarray(cov, dtype=np.float64),
                     "ll": [],
+                    "Qa": None,
                 }
 
             Fm = _row_mat(cols["processModel"], i, c["processModel"])
@@ -350,14 +353,28 @@ def _kalman_fold_factory(c: dict):
             z = _row_vec(cols["measurement"], i, None)
             ev_i = ev[i] if ev is not None else None
 
+            # adaptive process noise (RAUKF) overrides the configured Q once
+            # triggered (UnscentedKalmanFilter.scala:238-267)
+            Q_eff = state["Qa"] if state.get("Qa") is not None else Q
+
             # stateIndex increments on predict (LinearKalmanFilter.scala:197)
-            m1, P1 = predict(state["mean"], state["cov"], Fm, Q, B, u)
+            m1, P1 = predict(state["mean"], state["cov"], Fm, Q_eff, B, u)
             state["idx"] += 1
             ll = maha = sll = None
             resid = None
             if z is not None:
-                m1, P1, r, S = estimate(m1, P1, z, H, R)
+                m1, P1, r, S, K = estimate(m1, P1, z, H, R)
                 resid = (r, S)
+                if c.get("adaptiveProcessNoise") and K is not None:
+                    sq_mah = linalg.squared_mahalanobis(r, S)
+                    thresh = c["adaptiveProcessNoiseThreshold"]
+                    if sq_mah > thresh:
+                        weight = max(
+                            c["adaptiveProcessNoiseLambda"],
+                            (sq_mah - c["adaptiveProcessNoiseAlpha"] * thresh) / sq_mah,
+                        )
+                        update = weight * np.outer(r, r)
+                        state["Qa"] = K @ update @ K.T + (1.0 - weight) * Q_eff
                 if compute_ll:
                     ll = linalg.mvn_logpdf(r, np.zeros(len(r)), S)
                     state["ll"] = (state["ll"] + [ll])[-ll_window:]
@@ -370,7 +387,7 @@ def _kalman_fold_factory(c: dict):
             # multi-step forecast: extra predicts, state untouched
             fm, fP = m1, P1
             for step in range(1, multi_step + 1):
-                fm, fP = predict(fm, fP, Fm, Q, B, u)
+                fm, fP = predict(fm, fP, Fm, Q_eff, B, u)
                 emit(state["idx"], step, fm, fP, None, ev_i, None, None, None)
 
         return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
@@ -380,10 +397,17 @@ def _kalman_fold_factory(c: dict):
 
 def _points(kind, c, m, P):
     if kind == "ckf":
-        return linalg.cubature_points(m, P)
-    if c["sigmaPoints"] == "julier":
-        return linalg.julier_sigma_points(m, P, c["kappa"])
-    return linalg.merwe_sigma_points(m, P, c["alpha"], c["beta"], c["kappa"])
+        pts, wm, wc = linalg.cubature_points(m, P)
+    elif c["sigmaPoints"] == "julier":
+        pts, wm, wc = linalg.julier_sigma_points(m, P, c["kappa"])
+    else:
+        pts, wm, wc = linalg.merwe_sigma_points(m, P, c["alpha"], c["beta"], c["kappa"])
+    # optional elementwise sigma-point clipping
+    # (UnscentedKalmanFilter.scala:347-362 applyBounds)
+    lb, ub = c.get("sigmaPointLowerBound"), c.get("sigmaPointUpperBound")
+    if lb is not None or ub is not None:
+        pts = np.clip(pts, lb if lb is not None else -np.inf, ub if ub is not None else np.inf)
+    return pts, wm, wc
 
 
 class KalmanBase(StatefulTransformer):
@@ -496,8 +520,20 @@ class KalmanBase(StatefulTransformer):
             "measurementNoiseJacobian",
         ):
             c[key] = serialize_callable(self._paramMap.get(key))
-        for key in ("alpha", "beta", "kappa", "sigmaPoints"):
+        for key in (
+            "alpha",
+            "beta",
+            "kappa",
+            "sigmaPoints",
+            "adaptiveProcessNoise",
+            "adaptiveProcessNoiseThreshold",
+            "adaptiveProcessNoiseLambda",
+            "adaptiveProcessNoiseAlpha",
+        ):
             c[key] = self._paramMap.get(key)
+        for key in ("sigmaPointLowerBound", "sigmaPointUpperBound"):
+            v = self._paramMap.get(key)
+            c[key] = None if v is None else np.asarray(v, dtype=np.float64).ravel()
         return c
 
     def _inputCols(self, df: DataFrame) -> list[tuple[str, Column]]:
@@ -524,16 +560,18 @@ class KalmanBase(StatefulTransformer):
 
     @staticmethod
     def _packState(state) -> tuple:
+        qa = state.get("Qa")
         return (
             int(state["idx"]),
             state["mean"].tolist(),
             state["cov"].ravel().tolist(),
             list(state["ll"]),
+            None if qa is None else qa.ravel().tolist(),
         )
 
     @staticmethod
     def _unpackState(packed):
-        idx, mean, cov, ll = packed
+        idx, mean, cov, ll, qa = packed
         mean = np.asarray(mean, dtype=np.float64)
         n = len(mean)
         return {
@@ -541,6 +579,7 @@ class KalmanBase(StatefulTransformer):
             "mean": mean,
             "cov": np.asarray(cov, dtype=np.float64).reshape(n, n),
             "ll": list(ll),
+            "Qa": None if qa is None else np.asarray(qa, dtype=np.float64).reshape(n, n),
         }
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:
@@ -605,6 +644,14 @@ class UnscentedKalmanFilter(KalmanBase):
         "alpha": 0.3,
         "beta": 2.0,
         "kappa": 0.1,
+        # RAUKF (UnscentedKalmanFilter.scala:616-694)
+        "adaptiveProcessNoise": False,
+        "adaptiveProcessNoiseThreshold": 2.0,
+        "adaptiveProcessNoiseLambda": 0.9,
+        "adaptiveProcessNoiseAlpha": 1.0,
+        # sigma-point clipping (UnscentedKalmanFilter.scala:146-154)
+        "sigmaPointLowerBound": None,
+        "sigmaPointUpperBound": None,
     }
 
 

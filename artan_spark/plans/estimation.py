@@ -156,9 +156,9 @@ def lms_events_1d(spark, sf_dir):
     )
     lms = LeastMeanSquaresFilter().setStateKeyCol("key").setEventTimeCol("ts")
     out = lms.transform(df)
-    return out.select(
-        "stateKey", "stateIndex", F.round(F.col("state")[0], 9).alias("state_mean")
-    )
+    # no rounding: the scalar recursion is bit-identical across engines,
+    # and ROUND() implementations disagree exactly at dyadic boundaries
+    return out.select("stateKey", "stateIndex", F.col("state")[0].alias("state_mean"))
 
 
 _LMS_1D_SQL = f"""
@@ -173,7 +173,7 @@ rec(k, rn, m) AS (
   SELECT o.k, o.rn, r.m + (1.0 * (o.value - r.m) / (1.0 + 1.0)) * 1.0
   FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
 )
-SELECT k AS stateKey, rn AS stateIndex, ROUND(m, 9) AS state_mean FROM rec
+SELECT k AS stateKey, rn AS stateIndex, m AS state_mean FROM rec
 """
 
 
@@ -194,8 +194,8 @@ def rls_events_1d(spark, sf_dir):
     return out.select(
         "stateKey",
         "stateIndex",
-        F.round(F.col("state.mean")[0], 9).alias("state_mean"),
-        F.round(F.col("state.covariance.values")[0], 9).alias("state_cov"),
+        F.col("state.mean")[0].alias("state_mean"),
+        F.col("state.covariance.values")[0].alias("state_cov"),
     )
 
 
@@ -216,8 +216,7 @@ rec(k, rn, m, p) AS (
          (r.p - (r.p / (1.0 + r.p)) * r.p) / 1.0
   FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
 )
-SELECT k AS stateKey, rn AS stateIndex, ROUND(m, 9) AS state_mean,
-       ROUND(p, 9) AS state_cov
+SELECT k AS stateKey, rn AS stateIndex, m AS state_mean, p AS state_cov
 FROM rec
 """
 

@@ -1,0 +1,141 @@
+"""RAUKF adaptive noise, sigma-point bounds, scalar-fast-path equivalence,
+and state timeout semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from artan_spark.operators import LinearKalmanFilter, UnscentedKalmanFilter
+from artan_spark.operators.kalman import (
+    KalmanBase,
+    _is_scalar_lkf,
+    _kalman_fold_factory,
+    _scalar_lkf_fold_factory,
+)
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY
+
+
+def _series_pdf(zs, key="k"):
+    return pd.DataFrame(
+        {
+            STATE_KEY: key,
+            EVENT_TIME: pd.NaT,
+            "measurement": [np.array([z]) for z in zs],
+        }
+    )
+
+
+def _constants(**over):
+    flt = LinearKalmanFilter(1, 1, **over)
+    flt._set("initialStateCovariance", np.array([[100.0]]))
+    flt._set("processNoise", np.array([[1.0]]))
+    flt._set("measurementNoise", np.array([[10.0]]))
+    flt._set("calculateLoglikelihood", True)
+    flt._set("calculateSlidingLikelihood", True)
+    flt._set("calculateMahalanobis", True)
+    flt._set("slidingLikelihoodWindow", 4)
+    return flt._constants()
+
+
+def test_scalar_fast_path_matches_general():
+    """The scalar LKF fast path must reproduce the general numpy fold
+    bit-for-bit-ish (1e-12) including loglik / sliding / mahalanobis."""
+    rng = np.random.RandomState(0)
+    zs = np.cumsum(rng.normal(0, 1, 200)) + 5
+    c = _constants()
+    assert _is_scalar_lkf(c)
+    fast_fold = _scalar_lkf_fold_factory(c)
+    # disqualify the fast path to obtain the general numpy fold
+    general_fold = _kalman_fold_factory(dict(c, perRowCols=["processModel"]))
+
+    pdf = _series_pdf(zs)
+    out_fast, st_fast = fast_fold(pdf, None)
+    out_gen, st_gen = general_fold(pdf, None)
+    assert len(out_fast) == len(out_gen) == 200
+    for i in range(200):
+        np.testing.assert_allclose(
+            out_fast["state"].iloc[i]["mean"], out_gen["state"].iloc[i]["mean"], rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            out_fast["state"].iloc[i]["covariance"]["values"],
+            out_gen["state"].iloc[i]["covariance"]["values"],
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(out_fast["loglikelihood"].iloc[i], out_gen["loglikelihood"].iloc[i], rtol=1e-9)
+        np.testing.assert_allclose(out_fast["mahalanobis"].iloc[i], out_gen["mahalanobis"].iloc[i], rtol=1e-9)
+        np.testing.assert_allclose(
+            out_fast["slidingLikelihood"].iloc[i], out_gen["slidingLikelihood"].iloc[i], rtol=1e-9
+        )
+    np.testing.assert_allclose(st_fast["mean"], st_gen["mean"], rtol=1e-12)
+
+
+def test_raukf_adapts_process_noise(spark):
+    """A step change in the signal should trigger RAUKF and inflate Q,
+    letting the filter re-converge faster than the non-adaptive UKF
+    (UnscentedKalmanFilter.scala:238-267)."""
+    rng = np.random.RandomState(0)
+    n = 120
+    truth = np.where(np.arange(n) < 60, 0.0, 30.0)
+    zs = truth + rng.normal(0, 1, n)
+    df = spark.createDataFrame([([float(z)],) for z in zs], "measurement array<double>")
+
+    def mk(adaptive):
+        flt = (
+            UnscentedKalmanFilter(1, 1)
+            .setInitialStateMean(np.zeros(1))
+            .setInitialStateCovariance(np.array([[1.0]]))
+            .setProcessModel(np.eye(1))
+            .setProcessNoise(np.array([[1e-4]]))
+            .setMeasurementModel(np.eye(1))
+            .setMeasurementNoise(np.array([[1.0]]))
+        )
+        if adaptive:
+            flt = flt.setAdaptiveProcessNoise(True)
+        return flt
+
+    plain = mk(False).transform(df).orderBy("stateIndex").collect()
+    adaptive = mk(True).transform(df).orderBy("stateIndex").collect()
+    # error in the 20 steps after the break
+    err_plain = np.mean([abs(plain[i].state.mean[0] - 30.0) for i in range(60, 80)])
+    err_adapt = np.mean([abs(adaptive[i].state.mean[0] - 30.0) for i in range(60, 80)])
+    assert err_adapt < err_plain * 0.5
+
+
+def test_sigma_point_bounds(spark):
+    """Bounded UKF keeps the state estimate inside [lb, ub]."""
+    rng = np.random.RandomState(0)
+    zs = np.clip(rng.normal(0.2, 0.4, 60), 0.01, None)
+    df = spark.createDataFrame([([float(z)],) for z in zs], "measurement array<double>")
+    flt = (
+        UnscentedKalmanFilter(1, 1)
+        .setInitialStateMean(np.array([0.5]))
+        .setInitialStateCovariance(np.array([[1.0]]))
+        .setProcessModel(np.eye(1))
+        .setProcessNoise(np.array([[0.01]]))
+        .setMeasurementModel(np.eye(1))
+        .setMeasurementNoise(np.array([[0.2]]))
+        .setSigmaPointLowerBound(np.array([0.0]))
+        .setSigmaPointUpperBound(np.array([1.0]))
+    )
+    rows = flt.transform(df).collect()
+    means = [r.state.mean[0] for r in rows]
+    assert all(-0.25 <= m <= 1.25 for m in means)
+
+
+def test_state_timeout_resets_state(spark):
+    """Processing-time timeout clears state between micro-batches; the key
+    restarts from the initial state (StatefulTransformer.scala:49-68)."""
+    from artan_spark.streaming import stream_transform
+
+    zs = [10.0, 10.0, 10.0, 10.0]
+    df = spark.createDataFrame([("k", [z]) for z in zs], "key string, measurement array<double>")
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[1.0]]))
+    )
+    out = stream_transform(spark, df, flt.transform, chunk_rows=2).collect()
+    # without timeout, stateIndex runs 1..4 continuously
+    assert sorted(r.stateIndex for r in out) == [1, 2, 3, 4]
