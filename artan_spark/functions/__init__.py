@@ -68,6 +68,33 @@ def vector_to_array(vec) -> Column:
     return _vta(_col(vec))
 
 
+def matrix_to_struct(mat) -> Column:
+    """Spark ML MatrixUDT -> matrix struct (column-major values). Interop
+    shim for reference-API users; row-at-a-time (UDTs bypass Arrow), so use
+    native structs in hot paths."""
+    from pyspark.sql.functions import udf
+
+    def conv(m):
+        if m is None:
+            return None
+        arr = m.toArray()  # row-major 2-D
+        return (int(arr.shape[0]), int(arr.shape[1]), [float(v) for v in arr.T.ravel()])
+
+    return udf(conv, MATRIX)(_col(mat))
+
+
+def auto_array(df, col_name: str) -> Column:
+    """Column reference that transparently converts VectorUDT -> array and
+    MatrixUDT -> matrix struct based on the DataFrame schema."""
+    dt = df.schema[col_name].dataType
+    tname = type(dt).__name__
+    if tname == "VectorUDT":
+        return vector_to_array(F.col(col_name))
+    if tname == "MatrixUDT":
+        return matrix_to_struct(F.col(col_name))
+    return F.col(col_name)
+
+
 def array_to_matrix(num_rows, num_cols, values) -> Column:
     """(rows, cols, column-major values) -> matrix struct."""
     nr = F.lit(num_rows) if isinstance(num_rows, int) else _col(num_rows)

@@ -537,16 +537,18 @@ class KalmanBase(StatefulTransformer):
         return c
 
     def _inputCols(self, df: DataFrame) -> list[tuple[str, Column]]:
+        from artan_spark.functions import auto_array
+
         cols = []
         for name, (col_param, _const) in _COL_PARAMS.items():
             if name == "measurement":
                 mc = self.get("measurementCol")
                 if mc and mc in df.columns:
-                    cols.append((name, F.col(mc)))
+                    cols.append((name, auto_array(df, mc)))
                 continue
             cp = self.get(col_param)
             if cp:
-                cols.append((name, F.col(cp)))
+                cols.append((name, auto_array(df, cp)))
         return cols
 
     def _outSchema(self):

@@ -94,12 +94,14 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         }
 
     def _inputCols(self, df):
+        from artan_spark.functions import auto_array
+
         cols = [
             ("label", F.col(self.get("labelCol")).cast("double")),
-            ("features", F.col(self.get("featuresCol"))),
+            ("features", auto_array(df, self.get("featuresCol"))),
         ]
         if self.get("initialStateCol"):
-            cols.append(("initialState", F.col(self.get("initialStateCol"))))
+            cols.append(("initialState", auto_array(df, self.get("initialStateCol"))))
         return cols
 
     def _outSchema(self):

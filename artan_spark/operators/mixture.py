@@ -391,8 +391,10 @@ class FiniteMixtureBase(StatefulTransformer):
         }
 
     def _inputCols(self, df):
+        from artan_spark.functions import auto_array
+
         cast = {"poisson": "double", "bernoulli": "double"}.get(self._family)
-        sample = F.col(self.get("sampleCol"))
+        sample = auto_array(df, self.get("sampleCol"))
         cols = [("sample", sample.cast(cast) if cast else sample)]
         for name, param in (
             ("stepSize", "stepSizeCol"),

@@ -123,14 +123,16 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         }
 
     def _inputCols(self, df):
+        from artan_spark.functions import auto_array
+
         cols = [
             ("label", F.col(self.get("labelCol")).cast("double")),
-            ("features", F.col(self.get("featuresCol"))),
+            ("features", auto_array(df, self.get("featuresCol"))),
         ]
         if self.get("initialStateMeanCol"):
-            cols.append(("initialStateMean", F.col(self.get("initialStateMeanCol"))))
+            cols.append(("initialStateMean", auto_array(df, self.get("initialStateMeanCol"))))
         if self.get("regularizationMatrixCol"):
-            cols.append(("regularizationMatrix", F.col(self.get("regularizationMatrixCol"))))
+            cols.append(("regularizationMatrix", auto_array(df, self.get("regularizationMatrixCol"))))
         return cols
 
     def _outSchema(self):
