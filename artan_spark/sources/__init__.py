@@ -51,8 +51,13 @@ def session_builder(app_name: str = "artan_spark", master: str | None = None, sh
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive runtime confs: driver-created sessions may lack both; UTC
+    # keeps collected timestamps aligned with DuckDB's naive timestamps
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
-        # settable at runtime, so driver-created sessions work too
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:

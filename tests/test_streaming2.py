@@ -1,0 +1,127 @@
+"""Second streaming batch: smoother & Poisson-mixture batch==stream,
+multi-step predict emission, decayed step size, per-row param columns."""
+
+import numpy as np
+import pytest
+
+from artan_spark.operators import (
+    LinearKalmanFilter,
+    LinearKalmanSmoother,
+    PoissonMixture,
+)
+from artan_spark.streaming import stream_transform
+
+
+@pytest.mark.slow
+def test_smoother_batch_stream_equivalence(spark):
+    rng = np.random.RandomState(0)
+    n, lag = 18, 4
+    zs = np.arange(n) + rng.normal(0, 3, n)
+    df = spark.createDataFrame([("k", [float(z)]) for z in zs], "stateKey string, measurement array<double>")
+    sm = (
+        LinearKalmanSmoother(1, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateCovariance(np.array([[50.0]]))
+        .setProcessNoise(np.array([[0.1]]))
+        .setMeasurementNoise(np.array([[5.0]]))
+        .setFixedLag(lag)
+    )
+    batch = sm.transform(df).collect()
+    stream = stream_transform(spark, df, sm.transform, chunk_rows=5).collect()
+    assert len(batch) == len(stream) == (n - lag + 1) * lag
+    key = lambda r: (r.stateIndex, r.stepIndex)  # noqa: E731
+    for rb, rs in zip(sorted(batch, key=key), sorted(stream, key=key)):
+        assert rb.stateIndex == rs.stateIndex and rb.stepIndex == rs.stepIndex
+        np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_poisson_mixture_batch_stream_equivalence(spark):
+    rng = np.random.RandomState(0)
+    samples = np.concatenate([rng.poisson(3.0, 60), rng.poisson(12.0, 60)])
+    rng.shuffle(samples)
+    df = spark.createDataFrame([(int(s),) for s in samples], "sample long")
+    pm = PoissonMixture().setInitialRates([2.0, 10.0]).setMinibatchSize(12).setStepSize(0.2)
+    batch = pm.transform(df).collect()
+    stream = stream_transform(spark, df, pm.transform, chunk_rows=7).collect()
+    assert len(batch) == len(stream) == 10
+    for rb, rs in zip(sorted(batch, key=lambda r: r.stateIndex), sorted(stream, key=lambda r: r.stateIndex)):
+        np.testing.assert_allclose(
+            [d.rate for d in rb.mixtureModel.distributions],
+            [d.rate for d in rs.mixtureModel.distributions],
+            atol=1e-12,
+        )
+
+
+@pytest.mark.slow
+def test_multistep_predict_streaming(spark):
+    zs = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([("k", [z]) for z in zs], "key string, measurement array<double>")
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setProcessNoise(np.array([[0.1]]))
+        .setMultiStepPredict(2)
+    )
+    batch = flt.transform(df).collect()
+    stream = stream_transform(spark, df, flt.transform, chunk_rows=2).collect()
+    assert len(batch) == len(stream) == len(zs) * 3
+    key = lambda r: (r.stateIndex, r.stepIndex)  # noqa: E731
+    for rb, rs in zip(sorted(batch, key=key), sorted(stream, key=key)):
+        np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
+
+
+def test_decayed_step_size(spark):
+    """decayRate: alpha_k = (2+k)^-rate (MixtureBase.scala:393-396)."""
+    rng = np.random.RandomState(0)
+    samples = rng.poisson(5.0, 200)
+    df = spark.createDataFrame([(int(s),) for s in samples], "sample long")
+    pm = PoissonMixture().setInitialRates([2.0, 9.0]).setMinibatchSize(20).setDecayRate(0.6)
+    rows = pm.transform(df).orderBy("stateIndex").collect()
+    assert len(rows) == 10
+    rates = [sorted(d.rate for d in r.mixtureModel.distributions) for r in rows]
+    # moves from the init toward 5.0 and the movement shrinks with k
+    assert abs(rates[-1][0] - 5.0) < abs(rates[0][0] - 5.0)
+
+
+def test_per_row_minibatch_and_step_size(spark):
+    """Column params override constants (KalmanBase.scala:505-525 pattern)."""
+    rng = np.random.RandomState(0)
+    samples = rng.poisson(4.0, 90)
+    rows = [(int(s), 30, 0.5) for s in samples]
+    df = spark.createDataFrame(rows, "sample long, mb int, ss double")
+    pm = (
+        PoissonMixture()
+        .setInitialRates([2.0, 9.0])
+        .setMinibatchSize(5)  # overridden by the column
+        .setMinibatchSizeCol("mb")
+        .setStepSizeCol("ss")
+    )
+    out = pm.transform(df)
+    assert out.count() == 3  # 90 samples / per-row minibatch 30
+
+
+def test_per_row_initial_state_cols(spark):
+    """initialStateMeanCol/initialStateCovarianceCol seed each key's filter
+    (KalmanBase.scala:54-88)."""
+    from artan_spark.types import np_to_mat
+
+    rows = [
+        ("a", [0.0], [5.0], np_to_mat(np.array([[1e-6]]))),
+        ("b", [0.0], [-3.0], np_to_mat(np.array([[1e-6]]))),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, m0 array<double>, "
+        "p0 struct<numRows:int,numCols:int,values:array<double>>",
+    )
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateMeanCol("m0")
+        .setInitialStateCovarianceCol("p0")
+        .setProcessNoise(np.array([[0.0]]))
+        .setMeasurementNoise(np.array([[1000.0]]))  # ~ignore the measurement
+    )
+    out = {r.stateKey: r.state.mean[0] for r in flt.transform(df).collect()}
+    assert abs(out["a"] - 5.0) < 0.1 and abs(out["b"] + 3.0) < 0.1
