@@ -68,6 +68,36 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# scalar fast path emits flat primitives across the Python->JVM boundary
+# (struct-of-array serialization costs ~3x the whole fold at 1M rows);
+# _shapeOutput reassembles the public struct schema JVM-side.
+_FLAT_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("cov", DoubleType()),
+        StructField("res", DoubleType(), True),
+        StructField("resCov", DoubleType(), True),
+        StructField(EVENT_TIME, TimestampType(), True),
+        StructField("loglikelihood", DoubleType(), True),
+        StructField("mahalanobis", DoubleType(), True),
+        StructField("slidingLikelihood", DoubleType(), True),
+    ]
+)
+
+
+def _scalar_gaussian(mean_col: str, cov_col: str):
+    return F.struct(
+        F.array(F.col(mean_col)).alias("mean"),
+        F.struct(
+            F.lit(1).alias("numRows"),
+            F.lit(1).alias("numCols"),
+            F.array(F.col(cov_col)).alias("values"),
+        ).alias("covariance"),
+    )
+
 # per-row column params and their matching constant params
 _COL_PARAMS = {
     "measurement": ("measurementCol", None),
@@ -180,24 +210,23 @@ def _scalar_lkf_fold_factory(c: dict):
             o_mean[i] = m
             o_cov[i] = P
 
-        def g(mean, cov):
-            return {"mean": [mean], "covariance": {"numRows": 1, "numCols": 1, "values": [cov]}}
-
         out = pd.DataFrame(
             {
                 STATE_KEY: key,
                 "stateIndex": o_idx,
                 "stepIndex": 0,
-                "state": [g(o_mean[i], o_cov[i]) for i in range(nrows)],
-                "residual": [None if np.isnan(o_rescov[i]) else g(o_res[i], o_rescov[i]) for i in range(nrows)],
+                "mean": o_mean,
+                "cov": o_cov,
+                "res": o_res,
+                "resCov": o_rescov,
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": o_ll,
                 "mahalanobis": o_maha,
                 "slidingLikelihood": o_sll,
             },
-            columns=[fld.name for fld in _OUT_SCHEMA.fields],
+            columns=[fld.name for fld in _FLAT_OUT_SCHEMA.fields],
         )
-        state = {"idx": int(idx), "mean": np.array([m]), "cov": np.array([[P]]), "ll": llw}
+        state = {"idx": int(idx), "mean": np.array([m]), "cov": np.array([[P]]), "ll": llw, "Qa": None}
         return out, state
 
     return fold
@@ -551,8 +580,11 @@ class KalmanBase(StatefulTransformer):
                 cols.append((name, auto_array(df, cp)))
         return cols
 
+    def _scalarFold(self) -> bool:
+        return _is_scalar_lkf(self._constants())
+
     def _outSchema(self):
-        return _OUT_SCHEMA
+        return _FLAT_OUT_SCHEMA if self._scalarFold() else _OUT_SCHEMA
 
     def _stateSchema(self):
         return _STATE_SCHEMA
@@ -585,6 +617,22 @@ class KalmanBase(StatefulTransformer):
         }
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:
+        if self._scalarFold():
+            # reassemble the public struct schema JVM-side (cheap Catalyst
+            # projection vs expensive Python-side struct serialization)
+            df = df.select(
+                STATE_KEY,
+                "stateIndex",
+                "stepIndex",
+                _scalar_gaussian("mean", "cov").alias("state"),
+                F.when(~F.isnan(F.col("resCov")), _scalar_gaussian("res", "resCov")).alias("residual"),
+                EVENT_TIME,
+                F.when(~F.isnan(F.col("loglikelihood")), F.col("loglikelihood")).alias("loglikelihood"),
+                F.when(~F.isnan(F.col("mahalanobis")), F.col("mahalanobis")).alias("mahalanobis"),
+                F.when(~F.isnan(F.col("slidingLikelihood")), F.col("slidingLikelihood")).alias(
+                    "slidingLikelihood"
+                ),
+            )
         drop = []
         if not self.get("calculateLoglikelihood"):
             drop.append("loglikelihood")

@@ -62,6 +62,19 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# flat boundary schema for the scalar fast path (see kalman._FLAT_OUT_SCHEMA)
+_FLAT_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("cov", DoubleType()),
+        StructField("gain", DoubleType()),
+        StructField(EVENT_TIME, TimestampType(), True),
+    ]
+)
+
 
 def _scalar_smoother_fold_factory(c: dict):
     """Scalar fast path: 1-D constant-model LKF + RTS queue recursion
@@ -89,7 +102,7 @@ def _scalar_smoother_fold_factory(c: dict):
             # queue entries -> scalar tuples
             queue = [(e[0], float(e[1][0]), float(e[2][0, 0]), e[5]) for e in state["queue"]]
 
-        o_key, o_idx, o_step, o_state, o_gain, o_ev = [], [], [], [], [], []
+        o_key, o_idx, o_step, o_state, o_gain, o_ev, o_cov = [], [], [], [], [], [], []
         for i in range(nrows):
             m = f * m
             P = fad2 * ((f * P) * f) + q
@@ -124,20 +137,22 @@ def _scalar_smoother_fold_factory(c: dict):
                 o_key.append(key)
                 o_idx.append(idx_j)
                 o_step.append(step)
-                o_state.append({"mean": [mm], "covariance": {"numRows": 1, "numCols": 1, "values": [pp]}})
-                o_gain.append({"numRows": 1, "numCols": 1, "values": [g]})
+                o_state.append(mm)
+                o_gain.append(g)
                 o_ev.append(ev_j)
+                o_cov.append(pp)
 
         out = pd.DataFrame(
             {
                 STATE_KEY: o_key,
                 "stateIndex": o_idx,
                 "stepIndex": o_step,
-                "state": o_state,
-                "rtsGain": o_gain,
+                "mean": o_state,
+                "cov": o_cov,
+                "gain": o_gain,
                 EVENT_TIME: o_ev,
             },
-            columns=[fld.name for fld in _OUT_SCHEMA.fields],
+            columns=[fld.name for fld in _FLAT_OUT_SCHEMA.fields],
         )
         state = {
             "idx": int(idx),
@@ -253,8 +268,17 @@ class LinearKalmanSmoother(KalmanBase):
         c["fixedLag"] = int(self.get("fixedLag"))
         return c
 
+    def _scalarFold(self) -> bool:
+        c = super()._constants()
+        return (
+            c["stateSize"] == 1
+            and c["measurementSize"] == 1
+            and not c.get("perRowCols")
+            and c.get("control") is None
+        )
+
     def _outSchema(self):
-        return _OUT_SCHEMA
+        return _FLAT_OUT_SCHEMA if self._scalarFold() else _OUT_SCHEMA
 
     def _stateSchema(self):
         return _STATE_SCHEMA
@@ -301,6 +325,23 @@ class LinearKalmanSmoother(KalmanBase):
         }
 
     def _shapeOutput(self, df):
+        if self._scalarFold():
+            from pyspark.sql import functions as F
+
+            from artan_spark.operators.kalman import _scalar_gaussian
+
+            df = df.select(
+                STATE_KEY,
+                "stateIndex",
+                "stepIndex",
+                _scalar_gaussian("mean", "cov").alias("state"),
+                F.struct(
+                    F.lit(1).alias("numRows"),
+                    F.lit(1).alias("numCols"),
+                    F.array(F.col("gain")).alias("values"),
+                ).alias("rtsGain"),
+                EVENT_TIME,
+            )
         drop = []
         if not self.get("eventTimeCol"):
             drop.append(EVENT_TIME)

@@ -49,23 +49,24 @@ def test_scalar_fast_path_matches_general():
     general_fold = _kalman_fold_factory(dict(c, perRowCols=["processModel"]))
 
     pdf = _series_pdf(zs)
-    out_fast, st_fast = fast_fold(pdf, None)
-    out_gen, st_gen = general_fold(pdf, None)
+    out_fast, st_fast = fast_fold(pdf, None)  # flat boundary schema
+    out_gen, st_gen = general_fold(pdf, None)  # struct schema
     assert len(out_fast) == len(out_gen) == 200
-    for i in range(200):
-        np.testing.assert_allclose(
-            out_fast["state"].iloc[i]["mean"], out_gen["state"].iloc[i]["mean"], rtol=1e-12
-        )
-        np.testing.assert_allclose(
-            out_fast["state"].iloc[i]["covariance"]["values"],
-            out_gen["state"].iloc[i]["covariance"]["values"],
-            rtol=1e-12,
-        )
-        np.testing.assert_allclose(out_fast["loglikelihood"].iloc[i], out_gen["loglikelihood"].iloc[i], rtol=1e-9)
-        np.testing.assert_allclose(out_fast["mahalanobis"].iloc[i], out_gen["mahalanobis"].iloc[i], rtol=1e-9)
-        np.testing.assert_allclose(
-            out_fast["slidingLikelihood"].iloc[i], out_gen["slidingLikelihood"].iloc[i], rtol=1e-9
-        )
+    gen_mean = np.array([s["mean"][0] for s in out_gen["state"]])
+    gen_cov = np.array([s["covariance"]["values"][0] for s in out_gen["state"]])
+    np.testing.assert_allclose(out_fast["mean"].to_numpy(), gen_mean, rtol=1e-12)
+    np.testing.assert_allclose(out_fast["cov"].to_numpy(), gen_cov, rtol=1e-12)
+    np.testing.assert_allclose(
+        out_fast["loglikelihood"].to_numpy(), out_gen["loglikelihood"].astype(float).to_numpy(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out_fast["mahalanobis"].to_numpy(), out_gen["mahalanobis"].astype(float).to_numpy(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out_fast["slidingLikelihood"].to_numpy(),
+        out_gen["slidingLikelihood"].astype(float).to_numpy(),
+        rtol=1e-9,
+    )
     np.testing.assert_allclose(st_fast["mean"], st_gen["mean"], rtol=1e-12)
 
 

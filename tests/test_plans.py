@@ -1,0 +1,111 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB must
+hold in the executed plan, not just in intent."""
+
+import pytest
+
+from artan_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # filter reaches the parquet scan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # column pruning: l_orderkey is never read
+    assert "l_orderkey" not in plan.split("FileScan")[1][:400]
+    # partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # top-k must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    # every dim joins as broadcast; no sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_stateful_op_single_shuffle(spark):
+    plan = _plan(spark, "lkf_events_local_level")
+    # exactly one exchange: the groupBy(stateKey) hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_ann_broadcast_queries(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = _plan(spark, "events_window_stats")
+    scan = plan.split("FileScan")[1][:500]
+    assert "props" not in scan and "user_id" not in scan
+
+
+def test_watermarked_streaming_lkf(spark):
+    """Event-time + watermark wiring end-to-end in append mode."""
+    import numpy as np
+
+    from artan_spark.operators import LinearKalmanFilter
+    from artan_spark.streaming import stream_transform
+
+    base = np.datetime64("2024-01-01T00:00:00")
+    rows = [
+        ("k", (base + np.timedelta64(i * 60, "s")).astype("datetime64[us]").item(), [float(i)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, measurement array<double>")
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setWatermarkDuration("5 minutes")
+        .setProcessNoise(np.array([[0.5]]))
+    )
+    batch = flt.transform(df).collect()
+    stream = stream_transform(spark, df, flt.transform, chunk_rows=4).collect()
+    assert len(batch) == len(stream) == 12
+    b = {r.stateIndex: r.state.mean[0] for r in batch}
+    s = {r.stateIndex: r.state.mean[0] for r in stream}
+    assert all(abs(b[i] - s[i]) < 1e-12 for i in b)
+    # eventTime column present and ordered
+    evs = [r.eventTime for r in sorted(batch, key=lambda r: r.stateIndex)]
+    assert evs == sorted(evs)
+
+
+def test_poisson_batch_em(spark):
+    # NB: a 1-D Bernoulli mixture is not identifiable (likelihood depends
+    # only on the marginal mean), so batch-EM convergence is asserted on the
+    # identifiable Poisson family instead.
+    import numpy as np
+
+    from artan_spark.operators import PoissonMixture
+
+    rng = np.random.RandomState(0)
+    samples = np.concatenate([rng.poisson(3.0, 400), rng.poisson(15.0, 400)])
+    rng.shuffle(samples)
+    df = spark.createDataFrame([(int(s),) for s in samples], "sample long")
+    pm = (
+        PoissonMixture()
+        .setInitialRates([2.0, 10.0])
+        .setStepSize(1.0)
+        .setBatchTrainEnabled(True)
+        .setBatchTrainMaxIter(10)
+        .setBatchTrainTol(0.01)
+    )
+    rows = pm.transform(df).collect()
+    assert len(rows) == 1
+    rates = sorted(d.rate for d in rows[0].mixtureModel.distributions)
+    assert abs(rates[0] - 3.0) < 0.5 and abs(rates[1] - 15.0) < 1.0
