@@ -46,16 +46,20 @@ _H64_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs."""
+    """(doc_id, shingle) distinct word-3-gram pairs.
+
+    Tokens are materialized in their own projection first — referencing the
+    split() expression inside the shingle lambda would make Catalyst
+    re-split the text for every array access (~150x per doc).
+    """
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toked = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    toks = F.col("toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
     )
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
-    )
+    return toked.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 _SHINGLES_SQL = """
@@ -187,7 +191,15 @@ JACCARD_THRESHOLD = 0.5
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.5 via inverted-index join."""
+    """Exact word-3-gram Jaccard >= 0.5 via the inverted-index self-join
+    (pairs sharing >= 1 shingle; intersection counted in the same join).
+
+    Scale note: with heavy-df shingles (real text), prepend prefix filtering
+    (df-capped candidate phase) before the self-join; in this corpus shingle
+    df ~= 2, so the direct join IS the cheap plan (the candidate+recount
+    variant was 6x slower — measured, then removed). MinHash-LSH above is
+    the sub-quadratic path either way.
+    """
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
