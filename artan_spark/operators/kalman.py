@@ -31,6 +31,7 @@ from artan_spark import linalg
 from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
 from artan_spark.types import (
     GAUSSIAN,
+    MATRIX,
     VECTOR,
     ArrayType,
     DoubleType,
@@ -41,6 +42,7 @@ from artan_spark.types import (
     TimestampType,
     mat_to_np,
     np_to_gaussian,
+    np_to_mat,
     vec_to_np,
 )
 
@@ -55,6 +57,11 @@ _OUT_SCHEMA = StructType(
         StructField("loglikelihood", DoubleType(), True),
         StructField("mahalanobis", DoubleType(), True),
         StructField("slidingLikelihood", DoubleType(), True),
+        # resolved per-row system matrices (KalmanBase.scala:403-418);
+        # pruned unless outputSystemMatrices is set
+        StructField("processModel", MATRIX, True),
+        StructField("processNoise", MATRIX, True),
+        StructField("measurementModel", MATRIX, True),
     ]
 )
 
@@ -240,6 +247,7 @@ def _is_scalar_lkf(c: dict) -> bool:
         and not c.get("perRowCols")
         and c["multiStepPredict"] == 0
         and c.get("control") is None
+        and not c.get("outputSystemMatrices")
     )
 
 
@@ -341,7 +349,9 @@ def _kalman_fold_factory(c: dict):
 
         out = {f.name: [] for f in _OUT_SCHEMA.fields}
 
-        def emit(idx, step, m, P, resid, ev_i, ll, maha, sll):
+        emit_sysmat = c.get("outputSystemMatrices")
+
+        def emit(idx, step, m, P, resid, ev_i, ll, maha, sll, sysmat=None):
             out[STATE_KEY].append(key)
             out["stateIndex"].append(idx)
             out["stepIndex"].append(step)
@@ -351,6 +361,10 @@ def _kalman_fold_factory(c: dict):
             out["loglikelihood"].append(ll)
             out["mahalanobis"].append(maha)
             out["slidingLikelihood"].append(sll)
+            fm, qm, hm = sysmat if sysmat else (None, None, None)
+            out["processModel"].append(None if fm is None else np_to_mat(fm))
+            out["processNoise"].append(None if qm is None else np_to_mat(qm))
+            out["measurementModel"].append(None if hm is None else np_to_mat(hm))
 
         for i in range(nrows):
             if state is None:
@@ -412,12 +426,13 @@ def _kalman_fold_factory(c: dict):
                     maha = linalg.mahalanobis(r, S)
             state["mean"], state["cov"] = m1, P1
 
-            emit(state["idx"], 0, m1, P1, resid, ev_i, ll, maha, sll)
+            sysmat = (Fm, Q_eff, H) if emit_sysmat else None
+            emit(state["idx"], 0, m1, P1, resid, ev_i, ll, maha, sll, sysmat)
             # multi-step forecast: extra predicts, state untouched
             fm, fP = m1, P1
             for step in range(1, multi_step + 1):
                 fm, fP = predict(fm, fP, Fm, Q_eff, B, u)
-                emit(state["idx"], step, fm, fP, None, ev_i, None, None, None)
+                emit(state["idx"], step, fm, fP, None, ev_i, None, None, None, sysmat)
 
         return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
 
@@ -472,6 +487,7 @@ class KalmanBase(StatefulTransformer):
         "calculateSlidingLikelihood": False,
         "slidingLikelihoodWindow": 1,
         "outputResiduals": True,
+        "outputSystemMatrices": False,
         "multipleModelAdaptiveEstimationEnabled": False,
         "multipleModelMeasurementWindowDuration": None,
     }
@@ -530,6 +546,7 @@ class KalmanBase(StatefulTransformer):
             "calculateMahalanobis": bool(self.get("calculateMahalanobis")),
             "calculateSlidingLikelihood": bool(self.get("calculateSlidingLikelihood")),
             "slidingLikelihoodWindow": int(self.get("slidingLikelihoodWindow")),
+            "outputSystemMatrices": bool(self.get("outputSystemMatrices")),
             # model params supplied per-row (disqualifies the scalar fast path;
             # initialStateDistributionCol is handled by both paths)
             "perRowCols": [
@@ -646,6 +663,8 @@ class KalmanBase(StatefulTransformer):
             drop.append("stepIndex")
         if not self.get("eventTimeCol"):
             drop.append(EVENT_TIME)
+        if not self.get("outputSystemMatrices"):
+            drop += [c for c in ("processModel", "processNoise", "measurementModel") if c in df.columns]
         return df.drop(*drop) if drop else df
 
 

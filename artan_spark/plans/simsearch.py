@@ -167,14 +167,96 @@ GROUP BY label
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (the inverted
+    lists); each query probes only its nearest centroid's list, then exact
+    cosine top-k inside that list.
+
+    At 100 TB: centroids are a broadcast table, list membership is a
+    partition key, so each query touches one partition's worth of vectors —
+    the classic IVF trade of recall for a ~K-fold candidate reduction.
+    """
+    e = _emb(spark, sf_dir)
+    lbl = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = e.join(lbl, "vec_id")
+
+    pos = e.select("label", F.posexplode(F.col("v")).alias("pos", "x"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]).alias("cv")
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "ccos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probe = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") == 1)
+        .select("query_id", "qv", "qn", F.col("label").alias("cell"))
+    )
+
+    scored = (
+        e.join(F.broadcast(probe), (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH n AS ({_EMB_SQL}),
+e AS (SELECT n.vec_id, n.v, n.norm, emb.label
+      FROM n JOIN embeddings emb ON n.vec_id = emb.vec_id),
+pos AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS p FROM e),
+dim AS (SELECT label, p, AVG(x) AS m FROM pos GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY p) AS cv FROM dim GROUP BY label),
+centn AS (SELECT label, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm FROM cent),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT query_id, qv, qn, label AS cell FROM (
+    SELECT q.query_id, q.qv, q.qn, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) DESC,
+                                       c.label ASC) AS crank
+    FROM q CROSS JOIN centn c
+  ) WHERE crank = 1
+)
+SELECT query_id, neighbor_id, cell, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT p.query_id, e.vec_id AS neighbor_id, p.cell,
+         list_dot_product(e.v, p.qv) / (e.norm * p.qn) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY list_dot_product(e.v, p.qv) / (e.norm * p.qn) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM e JOIN probe p ON e.label = p.cell AND e.vec_id != p.query_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_cosine": _ann_lsh_sql(),
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_label_centroids": _CENTROID_SQL,
 }

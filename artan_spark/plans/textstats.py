@@ -128,11 +128,90 @@ FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documen
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alnum runs and single non-space symbols
+    as separate tokens (ASCII-safe regex shared verbatim with the oracle)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_subword_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_subwords"),
+        F.round(F.length("text") / F.size(toks), 6).alias("chars_per_token"),
+    )
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       len(t) AS n_subword_tokens,
+       len(list_distinct(t)) AS n_unique_subwords,
+       ROUND(length(text) * 1.0 / len(t), 6) AS chars_per_token
+FROM (SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS t
+      FROM documents)
+"""
+
+# stopword profiles per language for the n-gram/stopword lang-ID heuristic
+LANG_PROFILES = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+}
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax, reported as a
+    confusion matrix against the labeled lang. Pure per-row expressions."""
+    d = read_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    scores = [
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*words))).alias(f"s_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = toked.select("doc_id", "lang", *scores)
+    # deterministic argmax: strict-greater chain in fixed language order
+    langs = list(LANG_PROFILES)
+    pred = F.lit(langs[0])
+    best = F.col(f"s_{langs[0]}")
+    for lang in langs[1:]:
+        cur = F.col(f"s_{lang}")
+        pred = F.when(cur > best, F.lit(lang)).otherwise(pred)
+        best = F.when(cur > best, cur).otherwise(best)
+    labeled = scored.select("doc_id", "lang", F.when(best > 0, pred).otherwise(F.lit("und")).alias("predicted"))
+    return labeled.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    pred = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH toked AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+scored AS (SELECT doc_id, lang, {score_cols} FROM toked),
+labeled AS (SELECT doc_id, lang,
+                   CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS predicted
+            FROM scored)
+SELECT lang, predicted, COUNT(*) AS n_docs FROM labeled GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_profile": text_lang_profile,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_lang_id": text_lang_id,
 }
 
 ORACLES = {
@@ -140,4 +219,6 @@ ORACLES = {
     "text_quality_score": _QUALITY_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
+    "text_bpe_tokens": _BPE_SQL,
+    "text_lang_id": _lang_id_sql(),
 }

@@ -55,6 +55,15 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # warm the JVM (codegen, parquet reader) and the Python worker pool so
+    # the first timed query doesn't absorb session startup
+    from artan_spark.sources import read_table
+
+    read_table(spark, SF_DIR, "region").count()
+    spark.createDataFrame([(1,)], "x int").groupBy("x").applyInPandas(
+        lambda p: p, "x int"
+    ).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -123,6 +123,47 @@ def test_sigma_point_bounds(spark):
     assert all(-0.25 <= m <= 1.25 for m in means)
 
 
+def test_mmae_with_window_duration(spark):
+    """MMAE groups by (event-time window, stateIndex) when a measurement
+    window is set (KalmanBase.scala:488-492)."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for k in ("a", "b"):
+        for i in range(6):
+            rows.append((k, (base + pd.Timedelta(minutes=7 * i)).to_pydatetime(), [float(i)]))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, measurement array<double>")
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setProcessNoise(np.array([[0.5]]))
+        .setMeasurementNoise(np.array([[1.0]]))
+        .setSlidingLikelihoodWindow(3)
+        .setMultipleModelAdaptiveEstimationEnabled(True)
+        .setMultipleModelMeasurementWindowDuration("10 minutes")
+    )
+    out = flt.transform(df)
+    assert set(out.columns) == {"eventTime", "stateIndex", "state"}
+    rows = out.collect()
+    assert all(r.eventTime.start is not None for r in rows)
+    assert out.count() == 6  # one consensus row per (window, stateIndex)
+
+
+def test_output_system_matrices(spark):
+    df = spark.createDataFrame([([float(i)],) for i in range(4)], "measurement array<double>")
+    out = (
+        LinearKalmanFilter(1, 1)
+        .setProcessNoise(np.array([[0.3]]))
+        .setOutputSystemMatrices(True)
+        .transform(df)
+    )
+    r = out.collect()[0]
+    assert r.processNoise.values == [0.3]
+    assert r.measurementModel.values == [1.0]
+
+
 def test_state_timeout_resets_state(spark):
     """Processing-time timeout clears state between micro-batches; the key
     restarts from the initial state (StatefulTransformer.scala:49-68)."""
