@@ -71,6 +71,36 @@ def test_multistep_predict_streaming(spark):
         np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
 
 
+def _sq_fn(m, H):
+    lin = H @ m
+    return lin * np.abs(lin) ** 0.5
+
+
+@pytest.mark.slow
+def test_ekf_batch_stream_equivalence(spark):
+    """Nonlinear measurement fn + cloudpickled callables through the
+    applyInPandasWithState path."""
+    from artan_spark.operators import ExtendedKalmanFilter
+
+    rng = np.random.RandomState(0)
+    zs = np.abs(np.cumsum(rng.normal(1, 0.5, 20)))
+    df = spark.createDataFrame([("k", [float(z)]) for z in zs], "key string, measurement array<double>")
+    ekf = (
+        ExtendedKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateMean(np.array([1.0]))
+        .setInitialStateCovariance(np.array([[10.0]]))
+        .setProcessNoise(np.array([[0.5]]))
+        .setMeasurementNoise(np.array([[1.0]]))
+        .setMeasurementFunction(_sq_fn)
+    )
+    batch = ekf.transform(df).collect()
+    stream = stream_transform(spark, df, ekf.transform, chunk_rows=4).collect()
+    assert len(batch) == len(stream) == 20
+    for rb, rs in zip(sorted(batch, key=lambda r: r.stateIndex), sorted(stream, key=lambda r: r.stateIndex)):
+        np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
+
+
 def test_decayed_step_size(spark):
     """decayRate: alpha_k = (2+k)^-rate (MixtureBase.scala:393-396)."""
     rng = np.random.RandomState(0)
