@@ -1,0 +1,200 @@
+"""Vectorized multi-key batch fold for the linear Kalman filter.
+
+The sequential per-group fold is O(rows) Python-loop iterations per key —
+fine for 1-D (scalar fast path) but the weak spot for n-D states with many
+keys. This path restructures the computation: keys are salted into
+``groupBy(crc32(stateKey) % P)`` buckets so ONE ``applyInPandas`` group holds
+MANY keys, and the fold steps **time-synchronously across keys** — step t
+updates every key's t-th row in one batched numpy/einsum call (batched gemm,
+batched pinv, Joseph form). Per-row Python overhead drops from O(rows) to
+O(max rows per key).
+
+Semantics identical to the sequential fold (same formulas; float results
+equal to ~1 ulp since batched einsum reassociates). Batch mode only —
+streaming keeps the per-key state-store fold. Opt in with
+``setVectorizedBatch(True)``; scope: LKF, constant F/Q/R (per-row H
+allowed), no control/multi-step/sliding-likelihood/per-row-init. Falls back
+to the sequential path outside that scope.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from artan_spark import linalg
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY
+from artan_spark.types import (
+    VECTOR,
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+# array-flat boundary schema (cheap to serialize; structs reassembled JVM-side)
+VFLAT_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),  # column-major
+        StructField("res", VECTOR, True),
+        StructField("resCov", ArrayType(DoubleType()), True),
+        StructField(EVENT_TIME, TimestampType(), True),
+        StructField("loglikelihood", DoubleType(), True),
+        StructField("mahalanobis", DoubleType(), True),
+        StructField("slidingLikelihood", DoubleType(), True),
+    ]
+)
+
+
+def supports_vectorized(c: dict) -> bool:
+    per_row = set(c.get("perRowCols") or ())
+    return (
+        c["kind"] == "lkf"
+        and c["multiStepPredict"] == 0
+        and c.get("control") is None
+        and not c.get("calculateSlidingLikelihood")
+        and not c.get("outputSystemMatrices")
+        and per_row <= {"measurementModel"}
+    )
+
+
+def vectorized_lkf_fold_factory(c: dict):
+    n = c["stateSize"]
+    mdim = c["measurementSize"]
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    fad2 = float(c["fadingFactor"]) ** 2
+    compute_ll = c["calculateLoglikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    eye_n = np.eye(n)
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return pd.DataFrame({f.name: [] for f in VFLAT_OUT_SCHEMA.fields}), None
+
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        K = len(key_codes)
+        counts = np.bincount(key_idx, minlength=K)
+
+        # position of each row within its key (pdf is key+eventTime sorted)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # rows of one key are contiguous after the caller's sort
+        pos = np.arange(N) - first[key_idx]
+        order = np.lexsort((key_idx, pos))  # step-major: all pos==0, pos==1, ...
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros((N, mdim))
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+
+        if "measurementModel" in pdf.columns:
+            from artan_spark.types import mat_to_np
+
+            h_cells = pdf["measurementModel"].values
+            Hrows = np.empty((N, mdim, n))
+            for i in range(N):
+                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
+        else:
+            Hrows = None
+
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.tile(m0, (K, 1))
+        P = np.tile(P0, (K, 1, 1))
+
+        out_mean = np.empty((N, n))
+        out_cov = np.empty((N, n, n))
+        out_res = np.full((N, mdim), np.nan)
+        out_rescov = np.full((N, mdim, mdim), np.nan)
+        out_ll = np.full(N, np.nan)
+        out_maha = np.full(N, np.nan)
+        out_idx = np.empty(N, dtype=np.int64)
+
+        T = int(counts.max())
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+
+            # batched predict
+            mb = m[ki] @ F_.T
+            Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Q
+            out_idx[block] = t + 1
+
+            zi = has_z[block]
+            if zi.any():
+                rows_u = block[zi]
+                kiu = ki[zi]
+                Hb = Hrows[rows_u] if Hrows is not None else np.broadcast_to(H_const, (len(rows_u), mdim, n))
+                P1 = Pb[zi]
+                m1 = mb[zi]
+                S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
+                S = (S + np.swapaxes(S, 1, 2)) * 0.5
+                pinvS = np.linalg.pinv(S)
+                Kg = np.einsum("aij,akj,akl->ail", P1, Hb, pinvS)
+                r = Z[rows_u] - np.einsum("aij,aj->ai", Hb, m1)
+                m_new = m1 + np.einsum("aij,aj->ai", Kg, r)
+                ikh = eye_n - np.einsum("aij,ajk->aik", Kg, Hb)
+                P_new = np.einsum("aij,ajk,alk->ail", ikh, P1, ikh) + np.einsum(
+                    "aij,jk,alk->ail", Kg, R, Kg
+                )
+                P_new = (P_new + np.swapaxes(P_new, 1, 2)) * 0.5
+                mb[zi] = m_new
+                Pb[zi] = P_new
+                out_res[rows_u] = r
+                out_rescov[rows_u] = S
+                if compute_ll or compute_maha:
+                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                    w = np.linalg.solve(L, r[..., None])[..., 0]
+                    sq = np.sum(w * w, axis=1)
+                    if compute_maha:
+                        out_maha[rows_u] = np.sqrt(np.maximum(sq, 0.0))
+                    if compute_ll:
+                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+                        out_ll[rows_u] = -0.5 * (mdim * _LOG2PI + logdet + sq)
+
+            m[ki] = mb
+            P[ki] = Pb
+            out_mean[block] = mb
+            out_cov[block] = Pb
+
+        resm = ~np.isnan(out_rescov[:, 0, 0])
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "stepIndex": 0,
+                "mean": list(out_mean),
+                "cov": [cvals.T.ravel() for cvals in out_cov],
+                "res": [out_res[i] if resm[i] else None for i in range(N)],
+                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": out_ll,
+                "mahalanobis": out_maha,
+                "slidingLikelihood": np.nan,
+            },
+            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        )
+        return out, None
+
+    return fold

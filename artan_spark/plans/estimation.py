@@ -145,6 +145,41 @@ def poisson_mixture_events(spark, sf_dir):
     )
 
 
+def lkf_ols_multikey(spark, sf_dir):
+    """3-D online OLS (value ~ hour + sqrt(hour) + 1) per user bucket with a
+    per-row measurement model — the n-D many-models workload. Runs the
+    vectorized time-synchronous batch fold (operators/vectorized.py)."""
+    e = read_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    df = e.select(
+        (F.col("user_id") % 512).cast("string").alias("key"),
+        F.col("ts"),
+        F.array(F.col("value")).alias("measurement"),
+        F.struct(
+            F.lit(1).alias("numRows"),
+            F.lit(3).alias("numCols"),
+            F.array(x, F.sqrt(x), F.lit(1.0)).alias("values"),
+        ).alias("measurementModel"),
+    )
+    flt = (
+        LinearKalmanFilter(3, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setInitialStateCovariance(100.0 * np.eye(3))
+        .setMeasurementModelCol("measurementModel")
+        .setProcessNoise(np.zeros((3, 3)))
+        .setMeasurementNoise(np.array([[100.0]]))
+        .setVectorizedBatch(True)
+    )
+    out = flt.transform(df)
+    return out.select(
+        "stateKey",
+        "stateIndex",
+        F.round(F.col("state.mean")[0], 6).alias("coef_hour"),
+        F.round(F.col("state.mean")[2], 6).alias("intercept"),
+    )
+
+
 # -- 1-D LMS / RLS with full recursive-CTE oracles --------------------------
 
 
@@ -228,6 +263,7 @@ QUERIES = {
     "ckf_events_local_level": ckf_events_local_level,
     "rts_smoother_events": rts_smoother_events,
     "mmae_events": mmae_events,
+    "lkf_ols_multikey": lkf_ols_multikey,
     "gmm_events_value": gmm_events_value,
     "poisson_mixture_events": poisson_mixture_events,
     "lms_events_1d": lms_events_1d,

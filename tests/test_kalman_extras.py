@@ -123,6 +123,52 @@ def test_sigma_point_bounds(spark):
     assert all(-0.25 <= m <= 1.25 for m in means)
 
 
+def test_vectorized_batch_matches_sequential(spark):
+    """Time-synchronous multi-key fold == sequential per-key fold (3-D OLS
+    with per-row measurement model across 12 keys, missing measurements)."""
+    from artan_spark.types import np_to_mat
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for k in range(12):
+        n_k = 20 + k  # ragged lengths
+        for i in range(n_k):
+            x, y = float(i), float(np.sqrt(i))
+            z = None if (k + i) % 11 == 3 else [0.5 * x - 0.7 * y + 2.0 + rng.normal()]
+            rows.append((f"key{k}", z, np_to_mat(np.array([[x, y, 1.0]]))))
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, "
+        "measurementModel struct<numRows:int,numCols:int,values:array<double>>",
+    )
+
+    def mk(vectorized):
+        return (
+            LinearKalmanFilter(3, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(10.0 * np.eye(3))
+            .setMeasurementModelCol("measurementModel")
+            .setProcessNoise(np.zeros((3, 3)))
+            .setMeasurementNoise(np.array([[1.0]]))
+            .setCalculateLoglikelihood(True)
+            .setCalculateMahalanobis(True)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-9)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-9)
+        assert (rs.residual is None) == (rv.residual is None)
+        if rs.loglikelihood is not None:
+            np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, atol=1e-9)
+            np.testing.assert_allclose(rs.mahalanobis, rv.mahalanobis, atol=1e-9)
+
+
 def test_mmae_with_window_duration(spark):
     """MMAE groups by (event-time window, stateIndex) when a measurement
     window is set (KalmanBase.scala:488-492)."""
