@@ -46,7 +46,76 @@ _STATE_SCHEMA = StructType(
 )
 
 
+_FLAT_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("cov", DoubleType()),
+        StructField(EVENT_TIME, TimestampType(), True),
+    ]
+)
+
+
+def _scalar_rls_fold_factory(c: dict):
+    """1-D fast path: pure-scalar recursion, flat boundary columns.
+    Same op order as the numpy path (bit-identical; the recursive-CTE
+    oracle in plans/estimation.py verifies this at sf0.01)."""
+    lam = c["forgettingFactor"]
+    m0 = 0.0 if c["initialStateMean"] is None else float(np.ravel(c["initialStateMean"])[0])
+    p0 = 1.0 if c["regularizationMatrix"] is None else float(np.ravel(c["regularizationMatrix"])[0])
+
+    def fold(pdf: pd.DataFrame, state):
+        nrows = len(pdf)
+        key = pdf[STATE_KEY].iloc[0] if nrows else ""
+        labels = pdf["label"].values
+        feats = pdf["features"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        if state is None:
+            m, P, idx = m0, p0, 0
+        else:
+            m, P = float(state["mean"][0]), float(state["cov"][0, 0])
+            idx = state["idx"]
+
+        o_idx = np.empty(nrows, dtype=np.int64)
+        o_mean = np.empty(nrows)
+        o_cov = np.empty(nrows)
+        for i in range(nrows):
+            x = float(feats[i][0])
+            Px = P * x
+            denom = lam + x * Px
+            g = Px / denom
+            err = float(labels[i]) - x * m
+            m = m + g * err
+            P = (P - g * Px) / lam
+            idx += 1
+            o_idx[i] = idx
+            o_mean[i] = m
+            o_cov[i] = P
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: key,
+                "stateIndex": o_idx,
+                "mean": o_mean,
+                "cov": o_cov,
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            columns=[f.name for f in _FLAT_OUT_SCHEMA.fields],
+        )
+        return out, {"idx": int(idx), "mean": np.array([m]), "cov": np.array([[P]])}
+
+    return fold
+
+
+def _is_scalar_rls(c: dict) -> bool:
+    return c["stateSize"] == 1 and not c.get("hasPerRowCols")
+
+
 def _rls_fold_factory(c: dict):
+    if _is_scalar_rls(c):
+        return _scalar_rls_fold_factory(c)
     lam = c["forgettingFactor"]
     n_state = c["stateSize"]
 
@@ -120,6 +189,7 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
             "forgettingFactor": float(self.get("forgettingFactor")),
             "initialStateMean": self.get("initialStateMean"),
             "regularizationMatrix": None if reg is None else np.atleast_2d(np.asarray(reg, dtype=np.float64)),
+            "hasPerRowCols": bool(self.get("initialStateMeanCol") or self.get("regularizationMatrixCol")),
         }
 
     def _inputCols(self, df):
@@ -136,7 +206,7 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         return cols
 
     def _outSchema(self):
-        return _OUT_SCHEMA
+        return _FLAT_OUT_SCHEMA if _is_scalar_rls(self._constants()) else _OUT_SCHEMA
 
     def _stateSchema(self):
         return _STATE_SCHEMA
@@ -156,4 +226,10 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         return {"idx": int(idx), "mean": mean, "cov": np.asarray(cov, dtype=np.float64).reshape(n, n)}
 
     def _shapeOutput(self, df):
+        if "mean" in df.columns:  # flat scalar boundary -> rebuild struct
+            from artan_spark.operators.kalman import _scalar_gaussian
+
+            df = df.select(
+                STATE_KEY, "stateIndex", _scalar_gaussian("mean", "cov").alias("state"), EVENT_TIME
+            )
         return df if self.get("eventTimeCol") else df.drop(EVENT_TIME)
