@@ -1,0 +1,99 @@
+"""Property-based kernel invariants (hypothesis): things that must hold for
+ANY input, not just the seeded fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from artan_spark import linalg
+
+_dim = st.integers(min_value=1, max_value=4)
+_finite = st.floats(min_value=-50, max_value=50, allow_nan=False, allow_infinity=False)
+
+
+def _rand_spd(rng, n, scale=1.0):
+    a = rng.normal(0, 1, (n, n))
+    return a @ a.T + scale * np.eye(n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10_000), _dim)
+def test_kf_cycle_preserves_spd_and_symmetry(seed, n):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(0, 5, n)
+    P = _rand_spd(rng, n)
+    F = rng.normal(0, 1, (n, n))
+    Q = _rand_spd(rng, n, 0.1)
+    H = rng.normal(0, 1, (1, n))
+    R = np.array([[abs(rng.normal()) + 0.1]])
+    z = rng.normal(0, 5, 1)
+
+    m1, P1 = linalg.kf_predict(m, P, F, Q)
+    np.testing.assert_allclose(P1, P1.T)
+    m2, P2, r, S = linalg.kf_estimate(m1, P1, z, H, R)
+    np.testing.assert_allclose(P2, P2.T, atol=1e-9)
+    # Joseph form keeps covariance PSD and the update contracts it
+    eig = np.linalg.eigvalsh(P2)
+    assert eig.min() > -1e-9
+    assert np.trace(P2) <= np.trace(P1) + 1e-9
+    assert S[0, 0] > 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), st.integers(10, 60))
+def test_rls_matches_lstsq_for_random_problems(seed, n_samples):
+    rng = np.random.RandomState(seed)
+    feats = np.column_stack([rng.normal(0, 1, n_samples), np.ones(n_samples)])
+    y = feats @ np.array([1.5, -2.0]) + rng.normal(0, 0.1, n_samples)
+    m = np.zeros(2)
+    P = 1e8 * np.eye(2)
+    for i in range(n_samples):
+        m, P, _ = linalg.rls_update(m, P, y[i], feats[i], 1.0)
+    np.testing.assert_allclose(m, linalg.ols(feats, y), atol=1e-4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_finite, min_size=1, max_size=20))
+def test_logsumexp_matches_naive_when_safe(xs):
+    a = np.array(xs)
+    naive = np.log(np.sum(np.exp(a)))
+    # atol floor: for subnormal inputs the stable form is MORE accurate than
+    # the naive one (hypothesis-found), so exact rtol can't hold
+    np.testing.assert_allclose(linalg.logsumexp(a), naive, rtol=1e-10, atol=1e-12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), _dim)
+def test_sigma_point_sets_reproduce_moments(seed, n):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(0, 3, n)
+    P = _rand_spd(rng, n)
+    for pts, wm, wc in (
+        linalg.merwe_sigma_points(m, P, 0.5, 2.0, 0.1),
+        linalg.julier_sigma_points(m, P, 1.0),
+        linalg.cubature_points(m, P),
+    ):
+        mean, cov = linalg.unscented_transform(pts, wm, wc, np.zeros((n, n)))
+        np.testing.assert_allclose(mean, m, atol=1e-8)
+        np.testing.assert_allclose(cov, P, atol=1e-7)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10_000), _dim)
+def test_mvn_logpdf_integrates_consistently(seed, n):
+    # pdf at the mean must dominate pdf anywhere else for identity-like covs
+    rng = np.random.RandomState(seed)
+    mean = rng.normal(0, 2, n)
+    cov = _rand_spd(rng, n)
+    x = mean + rng.normal(0, 1, n)
+    assert linalg.mvn_logpdf(mean, mean, cov) >= linalg.mvn_logpdf(x, mean, cov)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000))
+def test_poisson_logpmf_normalizes(seed):
+    rng = np.random.RandomState(seed)
+    rate = abs(rng.normal(0, 5)) + 0.1
+    ks = np.arange(0, 200)
+    total = np.exp(linalg.poisson_logpmf(ks, rate)).sum()
+    np.testing.assert_allclose(total, 1.0, atol=1e-6)
