@@ -133,3 +133,44 @@ def test_batch_em_gaussian(spark):
     means = sorted([list(d.mean) for d in model.distributions])
     expected = sorted(MEANS)
     assert _mae(np.array(means), np.array(expected)) < 1.0
+
+
+def test_gmm_resume_from_output_model(spark):
+    """Save/resume pattern for mixtures: feed the output mixtureModel back
+    as initialMixtureModelCol; the resumed run must continue where the
+    uninterrupted run was (reference initialMixtureModelCol path,
+    MixtureBase.scala:212-225)."""
+    from pyspark.sql import functions as F
+
+    samples = _gaussian_samples(200)
+    eye = np.eye(2).ravel().tolist()
+
+    def mk():
+        return (
+            MultivariateGaussianMixture()
+            .setInitialMeans([[9.0, 9.0], [1.0, 1.0], [5.0, 5.0]])
+            .setInitialCovariances([eye, eye, eye])
+            .setMinibatchSize(10)
+            .setStepSize(0.1)
+        )
+
+    df_all = spark.createDataFrame([(s.tolist(),) for s in samples], "sample array<double>")
+    full = mk().transform(df_all).filter("stateIndex = 20").collect()[0]
+
+    df_head = spark.createDataFrame([(s.tolist(),) for s in samples[:100]], "sample array<double>")
+    head_model = mk().transform(df_head).filter("stateIndex = 10").collect()[0].mixtureModel
+    df_tail = (
+        spark.createDataFrame([(s.tolist(),) for s in samples[100:]], "sample array<double>")
+        .crossJoin(spark.createDataFrame([(head_model,)], ["initModel"]))
+    )
+    resumed = (
+        mk()
+        .setInitialMixtureModelCol("initModel")
+        .transform(df_tail)
+        .filter("stateIndex = 10")
+        .collect()[0]
+    )
+    # NOTE: the resumed run restarts the summary model from the weighted
+    # mixture (like the reference), so equality is approximate, not exact
+    for d_full, d_res in zip(full.mixtureModel.distributions, resumed.mixtureModel.distributions):
+        np.testing.assert_allclose(list(d_res.mean), list(d_full.mean), atol=1.0)
