@@ -256,8 +256,42 @@ FROM customer LEFT JOIN (
 """
 
 
+def events_skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    (key, salt) partials, phase 2 merges per key — the standard fix when one
+    hot key would otherwise pin a single reducer at 100 TB. Result is
+    identical to the direct GROUP BY (the oracle proves it); avg is rebuilt
+    from sum/count so the two-phase merge stays exact."""
+    e = read_table(spark, sf_dir, "events")
+    salted = e.withColumn("__salt__", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt__").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum("value").alias("ps"),
+        F.max("value").alias("pm"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("sum_value"),
+            F.round(F.sum("ps") / F.sum("pc"), 6).alias("avg_value"),
+            F.round(F.max("pm"), 6).alias("max_value"),
+        )
+    )
+
+
+_SKEW_SAFE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_skew_safe_agg": events_skew_safe_agg,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "top_parts_by_revenue": top_parts_by_revenue,
@@ -269,6 +303,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
     "top_parts_by_revenue": _TOP_PARTS_SQL,

@@ -247,6 +247,38 @@ def test_sigma_point_logit_regression(spark, cls):
     assert np.mean(np.abs(mean - np.array([0.2, -0.1, 0.2]))) < 0.15
 
 
+def _logistic_proc(m, F_):
+    # x' = x + 0.3*x*(1 - x/10): logistic growth dynamics
+    return m + 0.3 * m * (1.0 - m / 10.0)
+
+
+def _logistic_jac(m, F_):
+    return np.array([[1.0 + 0.3 * (1.0 - 2.0 * m[0] / 10.0)]])
+
+
+def test_ekf_nonlinear_process_function(spark):
+    """processFunction + processStateJacobian path: EKF tracks a logistic
+    trajectory through its own dynamics model."""
+    truth = [0.5]
+    for _ in range(29):
+        truth.append(truth[-1] + 0.3 * truth[-1] * (1 - truth[-1] / 10.0))
+    rng = np.random.RandomState(0)
+    zs = np.array(truth) + rng.normal(0, 0.1, 30)
+    df = spark.createDataFrame([([float(z)],) for z in zs], "measurement array<double>")
+    ekf = (
+        ExtendedKalmanFilter(1, 1)
+        .setInitialStateMean(np.array([0.5]))
+        .setInitialStateCovariance(np.array([[1.0]]))
+        .setProcessNoise(np.array([[1e-4]]))
+        .setMeasurementNoise(np.array([[0.01]]))
+        .setProcessFunction(_logistic_proc)
+        .setProcessStateJacobian(_logistic_jac)
+    )
+    rows = ekf.transform(df).orderBy("stateIndex").collect()
+    est = np.array([r.state.mean[0] for r in rows])
+    assert np.mean(np.abs(est[5:] - np.array(truth)[5:])) < 0.2
+
+
 def test_persistence_roundtrip(tmp_path):
     flt = (
         LinearKalmanFilter(3, 1)
