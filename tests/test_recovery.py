@@ -1,0 +1,94 @@
+"""Streaming restart/recovery: a stateful query stopped mid-stream and
+restarted from the SAME checkpoint must resume its state (not restart from
+the initial state) and end up row-for-row equal to the batch run."""
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.slow
+def test_lkf_checkpoint_recovery(spark):
+    from artan_spark.operators import LinearKalmanFilter
+
+    rng = np.random.RandomState(0)
+    n = 24
+    zs = np.cumsum(rng.normal(1.0, 0.5, n))
+    rows = [("k", [float(z)]) for z in zs]
+    schema = "key string, measurement array<double>"
+    df = spark.createDataFrame(rows, schema)
+
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[2.0]]))
+    )
+    batch = {r.stateIndex: r.state.mean[0] for r in flt.transform(df).collect()}
+
+    src = tempfile.mkdtemp(prefix="rec_src_")
+    ckpt = tempfile.mkdtemp(prefix="rec_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="rec_out_")
+    try:
+
+        def write_chunk(step, chunk):
+            tmp = tempfile.mkdtemp()
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+            dest = os.path.join(src, f"c{step:04d}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (time.time() - 600 + step, time.time() - 600 + step))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        def start_query():
+            # memory sink can't recover from a checkpoint; the file sink can
+            stream = (
+                spark.readStream.schema(spark.createDataFrame(rows, schema).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = flt.transform(stream).select(
+                "stateKey", "stateIndex", F.col("state.mean")[0].alias("mean")
+            )
+            return (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        # phase 1: first half
+        for i in range(0, n // 2, 4):
+            write_chunk(i, rows[i : i + 4])
+        q1 = start_query()
+        q1.processAllAvailable()
+        q1.stop()
+        assert spark.read.parquet(out_dir).count() == n // 2
+
+        # phase 2: stop, add the rest, RESTART from the same checkpoint
+        for i in range(n // 2, n, 4):
+            write_chunk(i, rows[i : i + 4])
+        q2 = start_query()
+        q2.processAllAvailable()
+        q2.stop()
+        final = spark.read.parquet(out_dir).collect()
+
+        # the restarted query continues stateIndex where phase 1 stopped
+        # (state store survived the restart) and matches the batch run
+        idxs = sorted(r.stateIndex for r in final)
+        assert idxs == list(range(1, n + 1))
+        for r in final:
+            np.testing.assert_allclose(r.mean, batch[r.stateIndex], atol=1e-12)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
