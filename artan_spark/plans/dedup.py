@@ -297,8 +297,88 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {COSINE_THRESHOLD}
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the Jaccard>=0.5
+    pair graph, cluster id = min doc_id in the component.
+
+    Spark side: iterative min-label propagation (broadcast the label table —
+    it only contains docs that appear in ANY pair, a tiny fraction of the
+    corpus), localCheckpoint per iteration to cut lineage (same driver-loop
+    pattern as batch EM / the reference's MixtureBase.scala:257-316).
+    Converges in O(component diameter) rounds. Oracle: DuckDB recursive-CTE
+    reachability with min-label aggregation — identical result.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; dup clusters are tiny
+        neighbor_min = (
+            edges.join(F.broadcast(labels), edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+
+    return labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
+  WHERE inter * 1.0 / (sx.n + sy.n - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a, doc_b FROM jpairs UNION ALL SELECT doc_b, doc_a FROM jpairs),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.doc_a, w.lbl FROM walk w JOIN edges e ON e.doc_b = w.doc_id
+  WHERE w.lbl < e.doc_a
+),
+labels AS (SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id)
+SELECT cluster, COUNT(*) AS cluster_size,
+       list_aggregate(list_sort(list(doc_id)), 'string_agg', ',') AS members
+FROM labels GROUP BY cluster
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -307,6 +387,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
