@@ -517,10 +517,14 @@ class KalmanBase(StatefulTransformer):
             )
         return out
 
-    def __init__(self, stateSize: int, measurementSize: int, **kwargs):
+    def __init__(self, stateSize: int | None = None, measurementSize: int | None = None, **kwargs):
+        # sizes may also be set via setStateSize/setMeasurementSize, like the
+        # reference's no-arg constructors (python/artan/filter/*.py)
         super().__init__(**kwargs)
-        self._set("stateSize", int(stateSize))
-        self._set("measurementSize", int(measurementSize))
+        if stateSize is not None:
+            self._set("stateSize", int(stateSize))
+        if measurementSize is not None:
+            self._set("measurementSize", int(measurementSize))
 
     # -- defaults mirroring the reference (identity models, eye noises) ----
 

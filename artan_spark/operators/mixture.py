@@ -338,6 +338,9 @@ class FiniteMixtureBase(StatefulTransformer):
         "batchTrainEnabled": False,
         "batchTrainMaxIter": 30,
         "batchTrainTol": 0.1,
+        # API-parity with the reference's setMixtureCount (validated against
+        # the concrete initial params at transform time)
+        "mixtureCount": None,
     }
 
     # -- subclass hooks -----------------------------------------------------

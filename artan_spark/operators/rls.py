@@ -174,6 +174,9 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
     def setFeatureSize(self, value: int):
         return self._set("stateSize", int(value))
 
+    def setInitialEstimateCol(self, value: str):
+        return self._set("initialStateMeanCol", value)
+
     def setInitialEstimate(self, value):
         return self._set("initialStateMean", np.asarray(value, dtype=np.float64))
 
