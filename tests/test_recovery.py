@@ -92,3 +92,46 @@ def test_lkf_checkpoint_recovery(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_event_time_state_timeout(spark):
+    """'event' timeout mode: a key whose timeout timestamp falls behind the
+    advancing watermark has its state cleared and restarts from the initial
+    state on its next row (StatefulTransformer.scala:49-68 semantics)."""
+    import datetime as dt
+
+    from artan_spark.operators import LinearKalmanFilter
+    from artan_spark.streaming import stream_transform
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    schema = "key string, ts timestamp, measurement array<double>"
+    # chunk layout (chunk_rows=1 -> one row per micro-batch):
+    #   a@0, a@10 (timeout armed at wm+1), b@60 (watermark advances past it,
+    #   a times out), a@120 (restarts)
+    rows = [
+        ("a", ts(0), [1.0]),
+        ("a", ts(10), [2.0]),
+        ("b", ts(60), [5.0]),
+        ("a", ts(120), [3.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setWatermarkDuration("1 minute")
+        .setStateTimeoutMode("event")
+        .setProcessNoise(np.array([[1.0]]))
+    )
+    out = stream_transform(spark, df, flt.transform, chunk_rows=1).collect()
+    a_idx = [r.stateIndex for r in sorted((r for r in out if r.stateKey == "a"), key=lambda r: r.eventTime)]
+    # without timeout this would be [1, 2, 3]; the reset makes the last row
+    # restart at stateIndex 1
+    assert a_idx == [1, 2, 1]
+    b_idx = [r.stateIndex for r in out if r.stateKey == "b"]
+    assert b_idx == [1]

@@ -155,3 +155,31 @@ def test_per_row_initial_state_cols(spark):
     )
     out = {r.stateKey: r.state.mean[0] for r in flt.transform(df).collect()}
     assert abs(out["a"] - 5.0) < 0.1 and abs(out["b"] + 3.0) < 0.1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cls_name", ["UnscentedKalmanFilter", "CubatureKalmanFilter"])
+def test_sigma_point_batch_stream_equivalence(spark, cls_name):
+    """Closes the batch==stream matrix: sigma-point family through
+    applyInPandasWithState (incl. sigma-point state round-trip)."""
+    import artan_spark.operators as ops
+
+    cls = getattr(ops, cls_name)
+    rng = np.random.RandomState(0)
+    zs = np.cumsum(rng.normal(0.5, 1.0, 16))
+    df = spark.createDataFrame([("k", [float(z)]) for z in zs], "key string, measurement array<double>")
+    flt = (
+        cls(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateCovariance(np.array([[10.0]]))
+        .setProcessNoise(np.array([[0.5]]))
+        .setMeasurementNoise(np.array([[1.0]]))
+    )
+    batch = flt.transform(df).collect()
+    stream = stream_transform(spark, df, flt.transform, chunk_rows=5).collect()
+    assert len(batch) == len(stream) == 16
+    for rb, rs in zip(sorted(batch, key=lambda r: r.stateIndex), sorted(stream, key=lambda r: r.stateIndex)):
+        np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
+        np.testing.assert_allclose(
+            rb.state.covariance.values, rs.state.covariance.values, atol=1e-12
+        )
