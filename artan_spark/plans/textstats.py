@@ -205,7 +205,49 @@ SELECT lang, predicted, COUNT(*) AS n_docs FROM labeled GROUP BY 1, 2
 """
 
 
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: the full corpus-cleaning recipe in one plan —
+    quality filter (stopword/diversity score), near-dup removal (drop every
+    doc that loses a Jaccard>=0.5 pairing to a lower doc_id), then per-lang
+    yield stats. Each stage is the same operator exercised standalone
+    elsewhere; this query checks they compose."""
+    from artan_spark.plans.dedup import dedup_ngram_jaccard
+
+    quality = text_quality_score(spark, sf_dir)
+    kept_quality = quality.filter(F.col("quality_score") >= 0.3)
+    losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    cleaned = kept_quality.join(losers, "doc_id", "left_anti")
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+_CORPUS_CLEAN_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+sh AS (SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
+  WHERE inter * 1.0 / (sx.n + sy.n - inter) >= 0.5
+)
+SELECT lang, COUNT(*) AS n_kept, ROUND(AVG(quality_score), 6) AS avg_quality
+FROM q
+WHERE quality_score >= 0.3 AND doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "corpus_clean_stats": corpus_clean_stats,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_profile": text_lang_profile,
@@ -215,6 +257,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_clean_stats": _CORPUS_CLEAN_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
