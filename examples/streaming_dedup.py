@@ -27,7 +27,10 @@ def main(mps=50, seconds=15):
         .option("rowsPerSecond", mps)
         .load()
         .withColumn("doc_id", F.col("value"))
-        .withColumn("content", F.concat(F.lit("doc-"), (F.col("value") % (F.col("value") / 3 + 1)).cast("string")))
+        .withColumn(
+            "content",
+            F.concat(F.lit("doc-"), (F.col("value") % (F.floor(F.col("value") / 3) + 1)).cast("long").cast("string")),
+        )
         .withColumn("text_hash", F.md5("content"))
         .withColumnRenamed("timestamp", "ingest_ts")
         .withWatermark("ingest_ts", "30 seconds")
