@@ -30,10 +30,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "text_fingerprint",
+    "corpus_clean_stats",
     "lkf_events_local_level",
+    "lkf_ols_multikey",
     "rls_events_1d",
     "gmm_events_value",
     "rts_smoother_events",
