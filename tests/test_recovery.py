@@ -135,3 +135,39 @@ def test_event_time_state_timeout(spark):
     assert a_idx == [1, 2, 1]
     b_idx = [r.stateIndex for r in out if r.stateKey == "b"]
     assert b_idx == [1]
+
+
+@pytest.mark.slow
+def test_rocksdb_state_store_backend(spark):
+    """The streaming fold must run unchanged on the RocksDB state store
+    provider — the state backend of choice for large deployments (bounded
+    JVM heap, spill-to-disk state)."""
+    from artan_spark.operators import LinearKalmanFilter
+    from artan_spark.streaming import stream_transform
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        zs = np.cumsum(np.random.RandomState(0).normal(1, 0.5, 12))
+        df = spark.createDataFrame([("k", [float(z)]) for z in zs], "key string, measurement array<double>")
+        flt = (
+            LinearKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setProcessNoise(np.array([[0.5]]))
+            .setMeasurementNoise(np.array([[1.0]]))
+        )
+        batch = flt.transform(df).collect()
+        stream = stream_transform(spark, df, flt.transform, chunk_rows=3).collect()
+        assert len(stream) == len(batch) == 12
+        for rb, rs in zip(
+            sorted(batch, key=lambda r: r.stateIndex), sorted(stream, key=lambda r: r.stateIndex)
+        ):
+            np.testing.assert_allclose(rb.state.mean, rs.state.mean, atol=1e-12)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
