@@ -46,22 +46,28 @@ from artan_spark.types import (
     vec_to_np,
 )
 
+# general fold boundary: ARRAYS, not structs — per-row dict/struct
+# serialization from the Python worker costs multiples of the fold itself;
+# the public struct schema (state/residual GAUSSIAN, MATRIX sysmat) is
+# reassembled JVM-side in _shapeOutput from these flat arrays.
 _OUT_SCHEMA = StructType(
     [
         StructField(STATE_KEY, StringType()),
         StructField("stateIndex", LongType()),
         StructField("stepIndex", LongType()),
-        StructField("state", GAUSSIAN),
-        StructField("residual", GAUSSIAN, True),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),  # column-major
+        StructField("res", VECTOR, True),
+        StructField("resCov", ArrayType(DoubleType()), True),
         StructField(EVENT_TIME, TimestampType(), True),
         StructField("loglikelihood", DoubleType(), True),
         StructField("mahalanobis", DoubleType(), True),
         StructField("slidingLikelihood", DoubleType(), True),
         # resolved per-row system matrices (KalmanBase.scala:403-418);
-        # pruned unless outputSystemMatrices is set
-        StructField("processModel", MATRIX, True),
-        StructField("processNoise", MATRIX, True),
-        StructField("measurementModel", MATRIX, True),
+        # pruned unless outputSystemMatrices is set (column-major values)
+        StructField("pmVals", ArrayType(DoubleType()), True),
+        StructField("pnVals", ArrayType(DoubleType()), True),
+        StructField("mmVals", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -355,16 +361,18 @@ def _kalman_fold_factory(c: dict):
             out[STATE_KEY].append(key)
             out["stateIndex"].append(idx)
             out["stepIndex"].append(step)
-            out["state"].append(np_to_gaussian(m, P))
-            out["residual"].append(None if resid is None else np_to_gaussian(resid[0], resid[1]))
+            out["mean"].append(m)
+            out["cov"].append(np.asarray(P).T.ravel())
+            out["res"].append(None if resid is None else np.asarray(resid[0]).ravel())
+            out["resCov"].append(None if resid is None else np.asarray(resid[1]).T.ravel())
             out[EVENT_TIME].append(ev_i)
             out["loglikelihood"].append(ll)
             out["mahalanobis"].append(maha)
             out["slidingLikelihood"].append(sll)
             fm, qm, hm = sysmat if sysmat else (None, None, None)
-            out["processModel"].append(None if fm is None else np_to_mat(fm))
-            out["processNoise"].append(None if qm is None else np_to_mat(qm))
-            out["measurementModel"].append(None if hm is None else np_to_mat(hm))
+            out["pmVals"].append(None if fm is None else np.asarray(fm).T.ravel())
+            out["pnVals"].append(None if qm is None else np.asarray(qm).T.ravel())
+            out["mmVals"].append(None if hm is None else np.asarray(hm).T.ravel())
 
         for i in range(nrows):
             if state is None:
@@ -705,9 +713,9 @@ class KalmanBase(StatefulTransformer):
         return self._dropDisabled(shaped)
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:
+        # reassemble the public struct schema JVM-side (cheap Catalyst
+        # projection vs expensive Python-side struct serialization)
         if self._scalarFold():
-            # reassemble the public struct schema JVM-side (cheap Catalyst
-            # projection vs expensive Python-side struct serialization)
             df = df.select(
                 STATE_KEY,
                 "stateIndex",
@@ -720,6 +728,33 @@ class KalmanBase(StatefulTransformer):
                 F.when(~F.isnan(F.col("slidingLikelihood")), F.col("slidingLikelihood")).alias(
                     "slidingLikelihood"
                 ),
+            )
+        else:
+            n, mdim = int(self.get("stateSize")), int(self.get("measurementSize"))
+
+            def mat(col_name, rows, cols_):
+                return F.struct(
+                    F.lit(rows).alias("numRows"),
+                    F.lit(cols_).alias("numCols"),
+                    F.col(col_name).alias("values"),
+                )
+
+            def gauss(mean_col, cov_col, dim):
+                return F.struct(F.col(mean_col).alias("mean"), mat(cov_col, dim, dim).alias("covariance"))
+
+            df = df.select(
+                STATE_KEY,
+                "stateIndex",
+                "stepIndex",
+                gauss("mean", "cov", n).alias("state"),
+                F.when(F.col("res").isNotNull(), gauss("res", "resCov", mdim)).alias("residual"),
+                EVENT_TIME,
+                "loglikelihood",
+                "mahalanobis",
+                "slidingLikelihood",
+                F.when(F.col("pmVals").isNotNull(), mat("pmVals", n, n)).alias("processModel"),
+                F.when(F.col("pnVals").isNotNull(), mat("pnVals", n, n)).alias("processNoise"),
+                F.when(F.col("mmVals").isNotNull(), mat("mmVals", mdim, n)).alias("measurementModel"),
             )
         return self._dropDisabled(df)
 

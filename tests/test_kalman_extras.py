@@ -49,11 +49,11 @@ def test_scalar_fast_path_matches_general():
     general_fold = _kalman_fold_factory(dict(c, perRowCols=["processModel"]))
 
     pdf = _series_pdf(zs)
-    out_fast, st_fast = fast_fold(pdf, None)  # flat boundary schema
-    out_gen, st_gen = general_fold(pdf, None)  # struct schema
+    out_fast, st_fast = fast_fold(pdf, None)  # primitive-flat boundary schema
+    out_gen, st_gen = general_fold(pdf, None)  # array-flat boundary schema
     assert len(out_fast) == len(out_gen) == 200
-    gen_mean = np.array([s["mean"][0] for s in out_gen["state"]])
-    gen_cov = np.array([s["covariance"]["values"][0] for s in out_gen["state"]])
+    gen_mean = np.array([m[0] for m in out_gen["mean"]])
+    gen_cov = np.array([cv[0] for cv in out_gen["cov"]])
     np.testing.assert_allclose(out_fast["mean"].to_numpy(), gen_mean, rtol=1e-12)
     np.testing.assert_allclose(out_fast["cov"].to_numpy(), gen_cov, rtol=1e-12)
     np.testing.assert_allclose(
