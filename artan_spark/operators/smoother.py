@@ -37,13 +37,16 @@ from artan_spark.types import (
     vec_to_np,
 )
 
+# array-flat boundary for the general n-D fold (structs reassembled
+# JVM-side in _shapeOutput, same rationale as kalman._OUT_SCHEMA)
 _OUT_SCHEMA = StructType(
     [
         StructField(STATE_KEY, StringType()),
         StructField("stateIndex", LongType()),
         StructField("stepIndex", LongType()),
-        StructField("state", GAUSSIAN),
-        StructField("rtsGain", MATRIX),
+        StructField("mean", VECTOR),
+        StructField("cov", ArrayType(DoubleType())),  # column-major
+        StructField("gainVals", ArrayType(DoubleType())),  # column-major
         StructField(EVENT_TIME, TimestampType(), True),
     ]
 )
@@ -238,8 +241,9 @@ def _smoother_fold_factory(c: dict):
                 out[STATE_KEY].append(key)
                 out["stateIndex"].append(idx_j)
                 out["stepIndex"].append(step)
-                out["state"].append(np_to_gaussian(m, P))
-                out["rtsGain"].append(np_to_mat(g))
+                out["mean"].append(np.asarray(m).ravel())
+                out["cov"].append(np.asarray(P).T.ravel())
+                out["gainVals"].append(np.asarray(g).T.ravel())
                 out[EVENT_TIME].append(ev_j)
 
         return pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields]), state
@@ -325,11 +329,11 @@ class LinearKalmanSmoother(KalmanBase):
         }
 
     def _shapeOutput(self, df):
+        from pyspark.sql import functions as F
+
+        from artan_spark.operators.kalman import _scalar_gaussian
+
         if self._scalarFold():
-            from pyspark.sql import functions as F
-
-            from artan_spark.operators.kalman import _scalar_gaussian
-
             df = df.select(
                 STATE_KEY,
                 "stateIndex",
@@ -340,6 +344,22 @@ class LinearKalmanSmoother(KalmanBase):
                     F.lit(1).alias("numCols"),
                     F.array(F.col("gain")).alias("values"),
                 ).alias("rtsGain"),
+                EVENT_TIME,
+            )
+        else:
+            n = int(self.get("stateSize"))
+
+            def mat(col_name):
+                return F.struct(
+                    F.lit(n).alias("numRows"), F.lit(n).alias("numCols"), F.col(col_name).alias("values")
+                )
+
+            df = df.select(
+                STATE_KEY,
+                "stateIndex",
+                "stepIndex",
+                F.struct(F.col("mean").alias("mean"), mat("cov").alias("covariance")).alias("state"),
+                mat("gainVals").alias("rtsGain"),
                 EVENT_TIME,
             )
         drop = []
