@@ -597,6 +597,7 @@ class KalmanBase(StatefulTransformer):
             "adaptiveProcessNoiseThreshold",
             "adaptiveProcessNoiseLambda",
             "adaptiveProcessNoiseAlpha",
+            "vectorizedFunctions",
         ):
             c[key] = self._paramMap.get(key)
         for key in ("sigmaPointLowerBound", "sigmaPointUpperBound"):
@@ -663,15 +664,20 @@ class KalmanBase(StatefulTransformer):
         from artan_spark.operators.vectorized import (
             VFLAT_OUT_SCHEMA,
             vectorized_lkf_fold_factory,
+            vectorized_sigma_fold_factory,
         )
 
         keyed = self._keyed(df)
         constants = self._constants()
         factory_cell: list = []
 
+        factory = (
+            vectorized_lkf_fold_factory if self._kind == "lkf" else vectorized_sigma_fold_factory
+        )
+
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not factory_cell:
-                factory_cell.append(vectorized_lkf_fold_factory(constants))
+                factory_cell.append(factory(constants))
             cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
             pdf = pdf.sort_values(cols, kind="stable", na_position="first")
             out, _ = factory_cell[0](pdf, None)
@@ -830,6 +836,8 @@ class UnscentedKalmanFilter(KalmanBase):
         # sigma-point clipping (UnscentedKalmanFilter.scala:146-154)
         "sigmaPointLowerBound": None,
         "sigmaPointUpperBound": None,
+        # user fns accept batched (N, n) matrices (vectorized fold contract)
+        "vectorizedFunctions": False,
     }
 
 
@@ -843,4 +851,5 @@ class CubatureKalmanFilter(KalmanBase):
     _defaults = {
         "processFunction": None,
         "measurementFunction": None,
+        "vectorizedFunctions": False,
     }

@@ -59,14 +59,216 @@ VFLAT_OUT_SCHEMA = StructType(
 
 def supports_vectorized(c: dict) -> bool:
     per_row = set(c.get("perRowCols") or ())
-    return (
-        c["kind"] == "lkf"
-        and c["multiStepPredict"] == 0
+    base_ok = (
+        c["multiStepPredict"] == 0
         and c.get("control") is None
         and not c.get("calculateSlidingLikelihood")
         and not c.get("outputSystemMatrices")
         and per_row <= {"measurementModel"}
     )
+    if not base_ok:
+        return False
+    if c["kind"] == "lkf":
+        return True
+    if c["kind"] in ("ukf", "ckf"):
+        # sigma-point filters vectorize when the user fns accept batched
+        # (N, n) point matrices (or are absent => linear)
+        fns_ok = all(
+            c.get(k) is None or c.get("vectorizedFunctions")
+            for k in ("processFunction", "measurementFunction")
+        )
+        return fns_ok and not c.get("adaptiveProcessNoise") and c.get("sigmaPointLowerBound") is None and c.get("sigmaPointUpperBound") is None
+    return False
+
+
+def _batched_sqrt_spd(P):
+    """Batched symmetric PSD square root via batched SVD ((A, n, n) input)."""
+    Ps = (P + np.swapaxes(P, 1, 2)) * 0.5
+    u, s, vt = np.linalg.svd(Ps)
+    return (u * np.sqrt(np.maximum(s, 0.0))[:, None, :]) @ vt
+
+
+def _batched_points(kind, c, m, P):
+    """Sigma/cubature points for a (A, n) mean batch: returns
+    (pts (A, p, n), wm (p,), wc (p,))."""
+    A, n = m.shape
+    if kind == "ckf":
+        root = _batched_sqrt_spd(float(n) * P)
+        pts = np.concatenate([m[:, None, :] + root, m[:, None, :] - root], axis=1)
+        w = np.full(2 * n, 1.0 / (2 * n))
+        return pts, w, w.copy()
+    if c["sigmaPoints"] == "julier":
+        kappa = c["kappa"]
+        root = _batched_sqrt_spd((n + kappa) * P)
+        wm = np.full(2 * n + 1, 0.5 / (n + kappa))
+        wm[0] = kappa / (kappa + n)
+        wc = wm.copy()
+    else:
+        alpha, beta, kappa = c["alpha"], c["beta"], c["kappa"]
+        lam = alpha**2 * (n + kappa) - n
+        root = _batched_sqrt_spd((n + lam) * P)
+        wm = np.full(2 * n + 1, 0.5 / (n + lam))
+        wc = wm.copy()
+        wm[0] = lam / (n + lam)
+        wc[0] = lam / (n + lam) + (1.0 - alpha**2 + beta)
+    pts = np.concatenate([m[:, None, :], m[:, None, :] + root, m[:, None, :] - root], axis=1)
+    return pts, wm, wc
+
+
+def _batched_ut(pts, wm, wc, noise):
+    """Batched unscented transform: pts (A, p, d) -> mean (A, d), cov (A, d, d)."""
+    mean = np.einsum("p,apd->ad", wm, pts)
+    diff = pts - mean[:, None, :]
+    cov = np.einsum("p,apd,ape->ade", wc, diff, diff) + noise
+    return mean, (cov + np.swapaxes(cov, 1, 2)) * 0.5
+
+
+def vectorized_sigma_fold_factory(c: dict):
+    """Vectorized multi-key fold for UKF/CKF: batched sigma-point generation
+    (batched SVD square roots), batched point propagation (user fns receive
+    an (N, n) matrix when ``vectorizedFunctions`` is set; linear otherwise),
+    and batched unscented transforms — time-synchronous across keys like the
+    LKF variant."""
+    from artan_spark.params import deserialize_callable
+
+    kind = c["kind"]
+    n = c["stateSize"]
+    mdim = c["measurementSize"]
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    compute_ll = c["calculateLoglikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    pf = deserialize_callable(c.get("processFunction"))
+    mf = deserialize_callable(c.get("measurementFunction"))
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return pd.DataFrame({f.name: [] for f in VFLAT_OUT_SCHEMA.fields}), None
+
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        K = len(key_codes)
+        counts = np.bincount(key_idx, minlength=K)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(N) - first[key_idx]
+        order = np.lexsort((key_idx, pos))
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros((N, mdim))
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+
+        if "measurementModel" in pdf.columns:
+            from artan_spark.types import mat_to_np
+
+            h_cells = pdf["measurementModel"].values
+            Hrows = np.empty((N, mdim, n))
+            for i in range(N):
+                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
+        else:
+            Hrows = None
+
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.tile(m0, (K, 1))
+        P = np.tile(P0, (K, 1, 1))
+
+        out_mean = np.empty((N, n))
+        out_cov = np.empty((N, n, n))
+        out_res = np.full((N, mdim), np.nan)
+        out_rescov = np.full((N, mdim, mdim), np.nan)
+        out_ll = np.full(N, np.nan)
+        out_maha = np.full(N, np.nan)
+        out_idx = np.empty(N, dtype=np.int64)
+
+        def prop_process(pts_flat):
+            if pf is None:
+                return pts_flat @ F_.T
+            return np.asarray(pf(pts_flat, F_), dtype=np.float64)
+
+        T = int(counts.max())
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+
+            # batched sigma-point predict
+            pts, wm, wc = _batched_points(kind, c, m[ki], P[ki])
+            A, p, _ = pts.shape
+            prop = prop_process(pts.reshape(A * p, n)).reshape(A, p, n)
+            mb, Pb = _batched_ut(prop, wm, wc, Q)
+            out_idx[block] = t + 1
+
+            zi = has_z[block]
+            if zi.any():
+                rows_u = block[zi]
+                m1, P1 = mb[zi], Pb[zi]
+                Hb = Hrows[rows_u] if Hrows is not None else np.broadcast_to(H_const, (len(rows_u), mdim, n))
+                pts2, wm2, wc2 = _batched_points(kind, c, m1, P1)
+                A2, p2, _ = pts2.shape
+                if mf is None:
+                    zpts = np.einsum("aij,apj->api", Hb, pts2)
+                else:
+                    # vectorized contract: fn maps (N, n) -> (N, mdim); per-row
+                    # models are repeated per point
+                    Hrep = np.repeat(Hb, p2, axis=0)
+                    flat = pts2.reshape(A2 * p2, n)
+                    zpts = np.asarray(mf(flat, Hrep), dtype=np.float64).reshape(A2, p2, mdim)
+                zmean, S = _batched_ut(zpts, wm2, wc2, R)
+                cross = np.einsum("p,apd,ape->ade", wc2, pts2 - m1[:, None, :], zpts - zmean[:, None, :])
+                pinvS = np.linalg.pinv(S)
+                Kg = np.einsum("ade,aef->adf", cross, pinvS)
+                r = Z[rows_u] - zmean
+                m_new = m1 + np.einsum("adf,af->ad", Kg, r)
+                P_new = P1 - np.einsum("adf,afg,aeg->ade", Kg, S, Kg)
+                P_new = (P_new + np.swapaxes(P_new, 1, 2)) * 0.5
+                mb[zi] = m_new
+                Pb[zi] = P_new
+                out_res[rows_u] = r
+                out_rescov[rows_u] = S
+                if compute_ll or compute_maha:
+                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                    w = np.linalg.solve(L, r[..., None])[..., 0]
+                    sq = np.sum(w * w, axis=1)
+                    if compute_maha:
+                        out_maha[rows_u] = np.sqrt(np.maximum(sq, 0.0))
+                    if compute_ll:
+                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+                        out_ll[rows_u] = -0.5 * (mdim * _LOG2PI + logdet + sq)
+
+            m[ki] = mb
+            P[ki] = Pb
+            out_mean[block] = mb
+            out_cov[block] = Pb
+
+        resm = ~np.isnan(out_rescov[:, 0, 0])
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "stepIndex": 0,
+                "mean": list(out_mean),
+                "cov": [cv.T.ravel() for cv in out_cov],
+                "res": [out_res[i] if resm[i] else None for i in range(N)],
+                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": out_ll,
+                "mahalanobis": out_maha,
+                "slidingLikelihood": np.nan,
+            },
+            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        )
+        return out, None
+
+    return fold
 
 
 def vectorized_lkf_fold_factory(c: dict):

@@ -169,6 +169,59 @@ def test_vectorized_batch_matches_sequential(spark):
             np.testing.assert_allclose(rs.mahalanobis, rv.mahalanobis, atol=1e-9)
 
 
+def _batched_logit(pts, H):
+    # vectorized contract: pts (N, n), H (mdim, n) or (N, mdim, n)
+    if H.ndim == 3:
+        lin = np.einsum("aij,aj->ai", H, pts)
+    else:
+        lin = pts @ H.T
+    return np.exp(lin) / (1.0 + np.exp(lin))
+
+
+@pytest.mark.parametrize("cls_name", ["UnscentedKalmanFilter", "CubatureKalmanFilter"])
+def test_vectorized_sigma_matches_sequential(spark, cls_name):
+    """Batched sigma-point fold == sequential fold (nonlinear measurement fn
+    under the vectorized contract, per-row models, ragged keys)."""
+    import artan_spark.operators as ops
+    from artan_spark.types import np_to_mat
+
+    cls = getattr(ops, cls_name)
+    rng = np.random.RandomState(0)
+    rows = []
+    for k in range(8):
+        for i in range(15 + k):
+            x = float(i) / 10.0
+            z = [float(1.0 / (1.0 + np.exp(-(0.4 * x + 0.1))) + rng.normal(0, 0.05))]
+            rows.append((f"key{k}", z, np_to_mat(np.array([[x, 1.0]]))))
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, "
+        "measurementModel struct<numRows:int,numCols:int,values:array<double>>",
+    )
+
+    def mk(vectorized):
+        flt = (
+            cls(2, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(0.5 * np.eye(2))
+            .setMeasurementModelCol("measurementModel")
+            .setProcessNoise(np.zeros((2, 2)))
+            .setMeasurementNoise(np.array([[0.01]]))
+            .setMeasurementFunction(_batched_logit)
+            .setVectorizedBatch(vectorized)
+            .setVectorizedFunctions(vectorized)
+        )
+        return flt
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-8)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
+
+
 def test_mmae_with_window_duration(spark):
     """MMAE groups by (event-time window, stateIndex) when a measurement
     window is set (KalmanBase.scala:488-492)."""
