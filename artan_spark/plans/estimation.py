@@ -83,12 +83,13 @@ def ekf_events_local_level(spark, sf_dir):
 
 
 def ukf_events_local_level(spark, sf_dir):
-    flt = _local_level(UnscentedKalmanFilter).setMeasurementFunction(_ident_fn)
+    # default linear fns -> qualifies for the vectorized multi-key sigma fold
+    flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
 def ckf_events_local_level(spark, sf_dir):
-    flt = _local_level(CubatureKalmanFilter).setMeasurementFunction(_ident_fn)
+    flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 

@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_clean_stats",
     "lkf_events_local_level",
     "lkf_ols_multikey",
+    "ukf_events_local_level",
     "rls_events_1d",
     "gmm_events_value",
     "rts_smoother_events",
