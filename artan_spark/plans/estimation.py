@@ -83,13 +83,16 @@ def ekf_events_local_level(spark, sf_dir):
 
 
 def ukf_events_local_level(spark, sf_dir):
-    # default linear fns -> qualifies for the vectorized multi-key sigma fold
-    flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True)
+    # default linear fns -> qualifies for the vectorized multi-key sigma
+    # fold; with only 32 long keys, fewer/wider buckets beat the default
+    # (the per-step loop runs once per bucket, so total step-iterations
+    # scale with bucket count while batch width shrinks)
+    flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True).setVectorizedBuckets(4)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
 def ckf_events_local_level(spark, sf_dir):
-    flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True)
+    flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True).setVectorizedBuckets(4)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
