@@ -17,11 +17,18 @@ from artan_spark.sources import read_table
 
 TOP_K = 5
 N_QUERIES = 10  # queries = vec_id < N_QUERIES
-N_PLANES = 6
 DIM = 64
 
+# OR-amplified multi-table LSH: L tables of K planes each. A single table of
+# many planes has vanishing recall on weakly-similar corpora (p_plane^K —
+# measured 6% here with one 6-plane table); candidates from ANY matching
+# table give 1-(1-p^K)^L ≈ 0.85+ recall at cosine ~0.45 while still pruning
+# the pair space per table.
+N_TABLES = 6
+PLANES_PER_TABLE = 3
+
 _rng = np.random.RandomState(7)
-HYPERPLANES = _rng.normal(0.0, 1.0, (N_PLANES, DIM)).round(6)
+HYPERPLANES = _rng.normal(0.0, 1.0, (N_TABLES, PLANES_PER_TABLE, DIM)).round(6)
 
 
 def _dot(x, y):
@@ -80,34 +87,41 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _bucket_expr_spark(vcol):
+def _bucket_expr_spark(vcol, table: int):
     b = F.lit(0).cast("long")
-    for j in range(N_PLANES):
-        plane = _lit_array(HYPERPLANES[j])
+    for j in range(PLANES_PER_TABLE):
+        plane = _lit_array(HYPERPLANES[table][j])
         b = b + F.when(_dot(vcol, plane) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return b
 
 
-def _bucket_expr_sql(v: str) -> str:
+def _bucket_expr_sql(v: str, table: int) -> str:
     parts = []
-    for j in range(N_PLANES):
-        lit = "[" + ", ".join(str(x) for x in HYPERPLANES[j]) + "]"
+    for j in range(PLANES_PER_TABLE):
+        lit = "[" + ", ".join(str(x) for x in HYPERPLANES[table][j]) + "]"
         parts.append(f"(CASE WHEN list_dot_product({v}, {lit}) > 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(parts)
 
 
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: sign-random-projection bucket id, candidates =
-    same-bucket vectors only, then exact cosine rank inside the bucket.
-    The scale path: bucket id is a cheap map-side expression, the join is
-    bucket-co-partitioned instead of all-pairs."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr_spark(F.col("v")))
+    """Multi-table sign-random-projection LSH: candidate pairs share a
+    bucket in ANY of the L tables (OR-amplification), then exact cosine
+    rank over the candidate union. Map-side bucket ids, bucket-co-partitioned
+    joins per table — the pair space shrinks per table while recall is
+    amplified across tables."""
+    e = _emb(spark, sf_dir)
+    for t in range(N_TABLES):
+        e = e.withColumn(f"b{t}", _bucket_expr_spark(F.col("v"), t))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(N_TABLES)],
     )
+    any_table = None
+    for t in range(N_TABLES):
+        cond = F.col(f"b{t}") == F.col(f"qb{t}")
+        any_table = cond if any_table is None else (any_table | cond)
     scored = (
-        e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        e.join(F.broadcast(q), any_table & (F.col("vec_id") != F.col("query_id")))
         .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -119,9 +133,11 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_sql() -> str:
+    bucket_cols = ", ".join(f"{_bucket_expr_sql('v', t)} AS b{t}" for t in range(N_TABLES))
+    any_cond = " OR ".join(f"e.b{t} = q.b{t}" for t in range(N_TABLES))
     return f"""
 WITH n AS ({_EMB_SQL}),
-b AS (SELECT vec_id, v, norm, {_bucket_expr_sql('v')} AS bucket FROM n)
+b AS (SELECT vec_id, v, norm, {bucket_cols} FROM n)
 SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
 FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -129,7 +145,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY list_dot_product(e.v, q.v) / (e.norm * q.norm) DESC,
                                      e.vec_id ASC) AS rank
-  FROM b e JOIN b q ON q.vec_id < {N_QUERIES} AND e.bucket = q.bucket AND e.vec_id != q.vec_id
+  FROM b e JOIN b q ON q.vec_id < {N_QUERIES} AND ({any_cond}) AND e.vec_id != q.vec_id
 )
 WHERE rank <= {TOP_K}
 """
