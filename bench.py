@@ -77,6 +77,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # per-operator throughput on the events table keyed into N models
+    # (the benchmark workloads BASELINE.md defines for this engine)
+    throughput = _operator_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,11 +89,71 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "operator_rows_per_sec": throughput,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _operator_throughput(spark) -> dict[str, int]:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from artan_spark.operators import (
+        LinearKalmanFilter,
+        MultivariateGaussianMixture,
+        RecursiveLeastSquaresFilter,
+    )
+    from artan_spark.sources import read_table
+
+    e = read_table(spark, SF_DIR, "events").cache()
+    n_rows = e.count()
+    out: dict[str, int] = {}
+    for n_keys in (10, 1000):
+        key = (F.col("event_id") % n_keys).cast("string").alias("key")
+
+        lkf = (
+            LinearKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(np.array([[100.0]]))
+            .setProcessNoise(np.array([[1.0]]))
+            .setMeasurementNoise(np.array([[10.0]]))
+        )
+        df = e.select(key, F.array("value").alias("measurement"))
+        t0 = time.perf_counter()
+        lkf.transform(df).count()
+        out[f"lkf_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+
+        if n_keys >= 1000:
+            # the many-small-models shape: per-group call overhead dominates
+            # at ~100 rows/group; the vectorized multi-key fold amortizes it
+            lkf_vec = lkf.copy().setVectorizedBatch(True)
+            t0 = time.perf_counter()
+            lkf_vec.transform(df).count()
+            out[f"lkf_{n_keys}keys_vectorized"] = int(n_rows / (time.perf_counter() - t0))
+
+        rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key")
+        df = e.select(key, F.col("value").alias("label"), F.array(F.lit(1.0)).alias("features"))
+        t0 = time.perf_counter()
+        rls.transform(df).count()
+        out[f"rls_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+
+        gmm = (
+            MultivariateGaussianMixture()
+            .setStateKeyCol("key")
+            .setInitialMeans([[25.0], [75.0]])
+            .setInitialCovariances([[100.0], [100.0]])
+            .setMinibatchSize(20)
+            .setStepSize(0.1)
+        )
+        df = e.select(key, F.array("value").alias("sample"))
+        t0 = time.perf_counter()
+        gmm.transform(df).count()
+        out[f"gmm_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+    e.unpersist()
+    return out
 
 
 if __name__ == "__main__":
