@@ -503,19 +503,26 @@ class KalmanBase(StatefulTransformer):
     }
 
     def transform(self, df: DataFrame) -> DataFrame:
-        if self.get("multipleModelAdaptiveEstimationEnabled"):
-            # MMAE needs sliding likelihood (KalmanBase.scala:477-479)
+        mmae = bool(self.get("multipleModelAdaptiveEstimationEnabled"))
+        sll_forced = mmae and not self.get("calculateSlidingLikelihood")
+        if sll_forced:
+            # MMAE needs sliding likelihood (KalmanBase.scala:477-479);
+            # restored below so the flag does not leak into later transforms
             self._set("calculateSlidingLikelihood", True)
-        if not df.isStreaming and self.get("vectorizedBatch"):
-            from artan_spark.operators.vectorized import supports_vectorized
+        try:
+            if not df.isStreaming and self.get("vectorizedBatch"):
+                from artan_spark.operators.vectorized import supports_vectorized
 
-            if supports_vectorized(self._constants()):
-                out = self._vectorizedTransform(df)
+                if supports_vectorized(self._constants()):
+                    out = self._vectorizedTransform(df)
+                else:
+                    out = super().transform(df)
             else:
                 out = super().transform(df)
-        else:
-            out = super().transform(df)
-        if self.get("multipleModelAdaptiveEstimationEnabled"):
+        finally:
+            if sll_forced:
+                self._set("calculateSlidingLikelihood", False)
+        if mmae:
             from artan_spark.operators.mmae import mmae_aggregate
 
             return mmae_aggregate(

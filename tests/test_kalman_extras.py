@@ -280,3 +280,78 @@ def test_state_timeout_resets_state(spark):
     out = stream_transform(spark, df, flt.transform, chunk_rows=2).collect()
     # without timeout, stateIndex runs 1..4 continuously
     assert sorted(r.stateIndex for r in out) == [1, 2, 3, 4]
+
+
+def _mmae_filter(window=5):
+    return (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateMean(np.zeros(1))
+        .setInitialStateCovariance(np.array([[1e-4]]))
+        .setProcessNoise(np.array([[0.0]]))
+        .setMeasurementNoise(np.array([[1e-4]]))
+        .setSlidingLikelihoodWindow(window)
+    )
+
+
+def test_mmae_underflow_uniform_fallback(spark):
+    """When every model's sliding likelihood underflows to exactly 0.0
+    (exp of a huge negative loglik sum), the consensus must not raise
+    DIVIDE_BY_ZERO under ANSI mode (round-1 driver failure) and falls back
+    to uniform weights — i.e. the plain average of the per-key means."""
+    rows = [
+        (k, [v])
+        for k, v in (("a", 1000.0), ("b", 2000.0), ("c", 3000.0))
+        for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    per_key = _mmae_filter()._set("calculateSlidingLikelihood", True).transform(df).collect()
+    # sanity: the scenario really underflows for every key
+    assert all(r.slidingLikelihood == 0.0 for r in per_key)
+    expected = {}
+    for r in per_key:
+        expected.setdefault(r.stateIndex, []).append(r.state.mean[0])
+
+    consensus = (
+        _mmae_filter().setMultipleModelAdaptiveEstimationEnabled(True).transform(df).collect()
+    )
+    assert len(consensus) == 4
+    for r in consensus:
+        np.testing.assert_allclose(
+            r.state.mean[0], np.mean(expected[r.stateIndex]), rtol=1e-12
+        )
+
+
+def test_mmae_partial_underflow_picks_surviving_model(spark):
+    """If one model's likelihood is representable and the others underflow,
+    the consensus is the surviving model's estimate (max-shifted weights)."""
+    rows = [(k, [v]) for k, v in (("good", 0.0), ("bad1", 5000.0), ("bad2", -7000.0)) for _ in range(3)]
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    per_key = {
+        (r.stateKey, r.stateIndex): r
+        for r in _mmae_filter()._set("calculateSlidingLikelihood", True).transform(df).collect()
+    }
+    assert per_key[("good", 1)].slidingLikelihood > 0.0
+    assert per_key[("bad1", 1)].slidingLikelihood == 0.0
+
+    consensus = (
+        _mmae_filter().setMultipleModelAdaptiveEstimationEnabled(True).transform(df).collect()
+    )
+    for r in consensus:
+        np.testing.assert_allclose(
+            r.state.mean[0], per_key[("good", r.stateIndex)].state.mean[0], rtol=1e-9
+        )
+
+
+def test_mmae_does_not_leak_sliding_flag(spark):
+    """transform() with MMAE enabled must not permanently flip
+    calculateSlidingLikelihood on the transformer instance."""
+    df = spark.createDataFrame([("a", [1.0]), ("a", [2.0])], "key string, measurement array<double>")
+    flt = _mmae_filter().setMultipleModelAdaptiveEstimationEnabled(True)
+    flt.transform(df).collect()
+    assert not flt.get("calculateSlidingLikelihood")
+    flt._set("multipleModelAdaptiveEstimationEnabled", False)
+    out = flt.transform(df)
+    assert "slidingLikelihood" not in out.columns
