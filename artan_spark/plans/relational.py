@@ -223,7 +223,7 @@ WITH seq AS (
   SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2
 )
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
-       SUM(n_events) AS n_events
+       CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id
 """
 
