@@ -12,9 +12,10 @@ O(max rows per key).
 Semantics identical to the sequential fold (same formulas; float results
 equal to ~1 ulp since batched einsum reassociates). Batch mode only —
 streaming keeps the per-key state-store fold. Opt in with
-``setVectorizedBatch(True)``; scope: LKF, constant F/Q/R (per-row H
-allowed), no control/multi-step/sliding-likelihood/per-row-init. Falls back
-to the sequential path outside that scope.
+``setVectorizedBatch(True)``; scope: LKF/UKF/CKF, constant F/Q/R (per-row H
+and per-row ``initialStateDistributionCol`` allowed), no
+control/multi-step/sliding-likelihood. Falls back to the sequential path
+outside that scope.
 """
 
 from __future__ import annotations
@@ -81,6 +82,23 @@ def supports_vectorized(c: dict) -> bool:
     return False
 
 
+def _seed_initial_state(pdf: pd.DataFrame, first, m, P):
+    """Overwrite per-key (m, P) rows from the first row's
+    ``initialStateDistribution`` struct (same semantics as the sequential
+    fold: the distribution seen on a key's first row wins; kalman.py:378-396)."""
+    from artan_spark.types import mat_to_np, vec_to_np
+
+    cells = pdf["initialStateDistribution"].values
+    for k, f0 in enumerate(first):
+        d = cells[f0]
+        if d is None:
+            continue
+        mean = vec_to_np(d["mean"] if isinstance(d, dict) else d.mean)
+        cov = mat_to_np(d["covariance"] if isinstance(d, dict) else d.covariance)
+        m[k] = np.asarray(mean, dtype=np.float64).ravel()
+        P[k] = np.asarray(cov, dtype=np.float64)
+
+
 def _batched_sqrt_spd(P):
     """Batched symmetric PSD square root via batched SVD ((A, n, n) input)."""
     Ps = (P + np.swapaxes(P, 1, 2)) * 0.5
@@ -140,6 +158,8 @@ def vectorized_sigma_fold_factory(c: dict):
     H_const = c["measurementModel"]
     m0 = c["initialStateMean"]
     P0 = c["initialStateCovariance"]
+    fad = float(c["fadingFactor"])
+    fad2 = fad**2
     compute_ll = c["calculateLoglikelihood"]
     compute_maha = c["calculateMahalanobis"]
     pf = deserialize_callable(c.get("processFunction"))
@@ -178,6 +198,8 @@ def vectorized_sigma_fold_factory(c: dict):
 
         m = np.tile(m0, (K, 1))
         P = np.tile(P0, (K, 1, 1))
+        if "initialStateDistribution" in pdf.columns:
+            _seed_initial_state(pdf, first, m, P)
 
         out_mean = np.empty((N, n))
         out_cov = np.empty((N, n, n))
@@ -205,6 +227,10 @@ def vectorized_sigma_fold_factory(c: dict):
             A, p, _ = pts.shape
             prop = prop_process(pts.reshape(A * p, n)).reshape(A, p, n)
             mb, Pb = _batched_ut(prop, wm, wc, Q)
+            if fad != 1.0:
+                # exponential fading inflates only the propagated covariance,
+                # not the additive noise (kalman.py:313-314)
+                Pb = fad2 * (Pb - Q) + Q
             out_idx[block] = t + 1
 
             zi = has_z[block]
@@ -321,6 +347,8 @@ def vectorized_lkf_fold_factory(c: dict):
 
         m = np.tile(m0, (K, 1))
         P = np.tile(P0, (K, 1, 1))
+        if "initialStateDistribution" in pdf.columns:
+            _seed_initial_state(pdf, first, m, P)
 
         out_mean = np.empty((N, n))
         out_cov = np.empty((N, n, n))

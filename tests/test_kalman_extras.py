@@ -222,6 +222,86 @@ def test_vectorized_sigma_matches_sequential(spark, cls_name):
         np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
 
 
+@pytest.mark.parametrize("cls_name", ["UnscentedKalmanFilter", "CubatureKalmanFilter"])
+def test_vectorized_sigma_fading_matches_sequential(spark, cls_name):
+    """Batched sigma fold applies the fading factor exactly like the
+    sequential path (P1 = fad^2*(P1-Q)+Q, kalman.py predict step) — a
+    round-1 advisory found the vectorized path silently dropped it."""
+    import artan_spark.operators as ops
+
+    cls = getattr(ops, cls_name)
+    rng = np.random.RandomState(1)
+    rows = []
+    for k in range(6):
+        for i in range(12 + k):
+            rows.append((f"key{k}", [float(np.sin(i / 3.0) + rng.normal(0, 0.1))]))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        return (
+            cls(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(np.array([[1.0]]))
+            .setProcessModel(np.eye(1))
+            .setProcessNoise(np.array([[0.01]]))
+            .setMeasurementModel(np.eye(1))
+            .setMeasurementNoise(np.array([[0.5]]))
+            .setFadingFactor(1.05)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-9)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-9)
+
+
+@pytest.mark.parametrize("cls_name", ["LinearKalmanFilter", "UnscentedKalmanFilter"])
+def test_vectorized_per_row_initial_state(spark, cls_name):
+    """Vectorized folds seed per-key (m0, P0) from the first row's
+    initialStateDistribution struct, matching the sequential fold — a
+    round-1 advisory found the vectorized path ignored the column."""
+    import artan_spark.operators as ops
+
+    cls = getattr(ops, cls_name)
+    rng = np.random.RandomState(2)
+    rows = []
+    for k in range(5):
+        init = ([float(k), -float(k)], {"numRows": 2, "numCols": 2, "values": [2.0 + k, 0.0, 0.0, 1.0 + k]})
+        for i in range(10 + k):
+            z = [float(0.3 * i + k + rng.normal(0, 0.2))]
+            # the distribution seen on a key's FIRST row wins; later rows null
+            rows.append((f"key{k}", z, init if i == 0 else None))
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, "
+        "initState struct<mean:array<double>,covariance:struct<numRows:int,numCols:int,values:array<double>>>",
+    )
+
+    def mk(vectorized):
+        return (
+            cls(2, 1)
+            .setStateKeyCol("key")
+            .setInitialStateDistributionCol("initState")
+            .setProcessModel(np.eye(2))
+            .setProcessNoise(0.01 * np.eye(2))
+            .setMeasurementModel(np.array([[1.0, 1.0]]))
+            .setMeasurementNoise(np.array([[0.5]]))
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-9)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-9)
+
+
 def test_mmae_with_window_duration(spark):
     """MMAE groups by (event-time window, stateIndex) when a measurement
     window is set (KalmanBase.scala:488-492)."""
