@@ -64,8 +64,20 @@ def _finalize(out: DataFrame) -> DataFrame:
     )
 
 
+def _finalize_raw(out: DataFrame) -> DataFrame:
+    # raw doubles, no rounding: the 1-D local-level recursion is bit-identical
+    # to the DuckDB recursive CTE below (same IEEE op order), and ROUND()
+    # implementations disagree exactly at dyadic boundaries
+    return out.select(
+        "stateKey",
+        "stateIndex",
+        F.col("state.mean")[0].alias("state_mean"),
+        F.col("state.covariance.values")[0].alias("state_var"),
+    )
+
+
 def lkf_events_local_level(spark, sf_dir):
-    return _finalize(_local_level(LinearKalmanFilter).transform(_events_measurements(spark, sf_dir)))
+    return _finalize_raw(_local_level(LinearKalmanFilter).transform(_events_measurements(spark, sf_dir)))
 
 
 def _ident_fn(m, H):
@@ -79,7 +91,7 @@ def _ident_jac(m, H):
 def ekf_events_local_level(spark, sf_dir):
     flt = _local_level(ExtendedKalmanFilter)
     flt.setMeasurementFunction(_ident_fn).setMeasurementStateJacobian(_ident_jac)
-    return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
 
 
 def ukf_events_local_level(spark, sf_dir):
@@ -184,6 +196,41 @@ def lkf_ols_multikey(spark, sf_dir):
     )
 
 
+# Scalar Kalman recursion for the local-level config (m0=0, P0=100, F=H=1,
+# Q=1, R=10, fading=1), mirroring the scalar fold's exact IEEE op order
+# (kalman.py _scalar_lkf_fold_factory): P1 = P + 1; S = P1 + 10;
+# K = P1*(1/S); m' = m + K*(y-m); P' = ((1-K)*P1)*(1-K) + (K*10)*K (Joseph).
+# Bit-identical to BOTH the LKF scalar path and the EKF general numpy path
+# (every 1x1 matmul is a single FP op in the same order; pinv(1x1) == 1/S) —
+# verified 0 bit-mismatches over sf0.001 and sf0.01. Reference check style:
+# LinearKalmanFilterSpec.scala:189-196 (closed-form equivalence).
+_KF_1D_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, m, p) AS (
+  SELECT k, rn,
+         0.0 + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * (value - 0.0)),
+         ((1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0)))) * (100.0 + 1.0))
+             * (1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))))
+           + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * 10.0)
+             * ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0)))
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.rn,
+         r.m + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * (o.value - r.m)),
+         ((1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0)))) * (r.p + 1.0))
+             * (1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))))
+           + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * 10.0)
+             * ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0)))
+  FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+)
+SELECT k AS stateKey, rn AS stateIndex, m AS state_mean, p AS state_var FROM rec
+"""
+
+
 # -- 1-D LMS / RLS with full recursive-CTE oracles --------------------------
 
 
@@ -276,6 +323,8 @@ QUERIES = {
 
 # only the scalar recursions are SQL-expressible; the rest are rows-only
 ORACLES = {
+    "lkf_events_local_level": _KF_1D_SQL,
+    "ekf_events_local_level": _KF_1D_SQL,
     "lms_events_1d": _LMS_1D_SQL,
     "rls_events_1d": _RLS_1D_SQL,
 }
