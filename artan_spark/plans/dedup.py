@@ -242,16 +242,21 @@ def _dot(x, y):
     return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
 
 
+EMB_BLOCKS = 4  # all-pairs block grid size; shuffle volume is N*B rows
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine >= threshold over embeddings.
 
-    Scale design: broadcast-right block matmul — the corpus matrix is
-    broadcast once (same trick as a broadcast hash join), the left side
-    streams through ``mapInPandas`` partition-by-partition, and each Arrow
-    batch computes a dense numpy block product instead of 2M interpreted
-    per-element expressions. At 100 TB the left side stays partitioned and
-    only the (much smaller) candidate side is broadcast, or the LSH-bucketed
-    path in simsearch.py takes over entirely.
+    Scale design: blocked all-pairs self-join — the classic distributed
+    exact algorithm. Vectors are hashed into B blocks; each of the
+    B*(B+1)/2 unordered block pairs becomes one `applyInPandas` task that
+    receives both blocks' rows and computes a dense numpy block product.
+    Shuffle volume is N*B rows, tasks are independent, and NOTHING touches
+    the driver (round 1 collected the whole corpus via toPandas — a driver
+    OOM at 100x; tests/test_plans.py now asserts no query path does).
+    Exact all-pairs is inherently quadratic in N — at real corpus sizes the
+    LSH-bucketed path (simsearch.py) is the sub-quadratic alternative.
     """
     import numpy as np
     import pandas as pd
@@ -259,32 +264,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
     )
-    corpus = e.toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["v"].to_numpy())
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    B = EMB_BLOCKS
+    blk = F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(B)).cast("int")
+    # replicate each row to the B unordered block-pair tasks it participates in
+    tasks = (
+        e.withColumn("blk", blk)
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            F.least("blk", "other").alias("p1"),
+            F.greatest("blk", "other").alias("p2"),
+            "blk",
+            "vec_id",
+            "v",
+        )
+    )
     threshold = COSINE_THRESHOLD
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            a = np.stack(pdf["v"].to_numpy())
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.T
-            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bj],
-                    "cosine": np.round(sims[ai, bj], 6),
-                }
+    def block_pairs(key, pdf):
+        p1, p2 = key
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if p1 == p2:
+            a_ids = b_ids = ids
+            a = b = mat
+        else:
+            left = (pdf["blk"] == p1).to_numpy()
+            a_ids, b_ids = ids[left], ids[~left]
+            a, b = mat[left], mat[~left]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        sims = a @ b.T
+        mask = sims >= threshold
+        if p1 == p2:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bj = np.nonzero(mask)
+        # cross-block pairs appear once in this task with arbitrary id order:
+        # orient each as (min_id, max_id)
+        ia, ib = a_ids[ai], b_ids[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": np.round(sims[ai, bj], 6),
+            }
+        )
 
     schema = "vec_a long, vec_b long, cosine double"
-    return e.mapInPandas(block, schema)
+    return tasks.groupBy("p1", "p2").applyInPandas(block_pairs, schema)
 
 
 _EMB_COSINE_SQL = f"""
