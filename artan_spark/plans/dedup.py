@@ -190,24 +190,48 @@ FROM votes GROUP BY doc_id
 JACCARD_THRESHOLD = 0.5
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None = None) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.5 via the inverted-index self-join
     (pairs sharing >= 1 shingle; intersection counted in the same join).
 
-    Scale note: with heavy-df shingles (real text), prepend prefix filtering
-    (df-capped candidate phase) before the self-join; in this corpus shingle
-    df ~= 2, so the direct join IS the cheap plan (the candidate+recount
-    variant was 6x slower — measured, then removed). MinHash-LSH above is
-    the sub-quadratic path either way.
+    ``df_cap``: on real text, hot shingles (stopword n-grams) make the
+    direct self-join quadratic in per-shingle document frequency. With a
+    cap, candidate pairs are generated ONLY from shingles with df <= cap
+    (bounding work per shingle at cap^2), then the exact intersection is
+    recounted from the full shingle sets of just those candidates. Near-dup
+    recall relies on dup pairs sharing >= 1 rare shingle (standard
+    prefix/df filtering). Default None keeps the direct plan — on this
+    corpus shingle df ~= 2, and the candidate+recount variant measured 6x
+    slower, so the cap is the 100x-scale escape hatch, not the default.
+    MinHash-LSH above is the sub-quadratic path either way.
     """
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if df_cap is None:
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        rare = sh.join(
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
+            "shingle",
+        ).select("doc_id", "shingle")
+        ra, rb = rare.alias("ra"), rare.alias("rb")
+        cand = (
+            ra.join(rb, (F.col("ra.shingle") == F.col("rb.shingle")) & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+            .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        # exact recount over the candidates' FULL shingle sets
+        inter = (
+            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.shingle") == F.col("b.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sx, sy = sizes.alias("sx"), sizes.alias("sy")
     j = (
         inter.join(sx, F.col("doc_a") == F.col("sx.doc_id"))

@@ -137,3 +137,49 @@ def test_embedding_cosine_blocked_all_pairs(spark):
     plan = _plan(spark, "dedup_embedding_cosine")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_jaccard_df_cap_bounds_hot_shingles(spark, tmp_path):
+    """With a hot shingle shared by every doc (stopword phrase on real
+    text), the df-capped candidate phase must (a) still find the true
+    near-dup pair with the exact jaccard value and (b) generate bounded
+    candidates instead of the quadratic hot-shingle blowup."""
+    from artan_spark.plans.dedup import dedup_ngram_jaccard
+
+    hot = "the quick brown fox"  # 2 hot shingles in every doc
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d", "en", "synth", 0))
+    # one true near-dup pair sharing rare shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta", "en", "synth", 0))
+    rows.append((101, "alpha beta gamma delta epsilon eta", "en", "synth", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path), df_cap=5).collect()
+    }
+    assert (100, 101) in exact
+    assert capped == exact  # dup pair shares rare shingles -> full recall here
+
+    # boundedness: the capped candidate join never touches the hot shingle,
+    # so its intersection recount input stays linear in the dup pairs
+    from artan_spark.plans.dedup import _shingles
+
+    sh = _shingles(spark, str(tmp_path))
+    from pyspark.sql import functions as F
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    assert dfreq.filter(F.col("df") > 5).count() >= 1  # hot shingles exist
+    rare = sh.join(dfreq.filter(F.col("df") <= 5), "shingle")
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    n_cand = (
+        ra.join(rb, (F.col("ra.shingle") == F.col("rb.shingle")) & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+        .select("ra.doc_id", "rb.doc_id").distinct().count()
+    )
+    assert n_cand <= 5  # vs 40*39/2 hot-shingle pairs in the uncapped join
