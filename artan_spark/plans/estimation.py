@@ -96,15 +96,13 @@ def ekf_events_local_level(spark, sf_dir):
 
 def ukf_events_local_level(spark, sf_dir):
     # default linear fns -> qualifies for the vectorized multi-key sigma
-    # fold; with only 32 long keys, fewer/wider buckets beat the default
-    # (the per-step loop runs once per bucket, so total step-iterations
-    # scale with bucket count while batch width shrinks)
-    flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True).setVectorizedBuckets(4)
+    # fold; bucket count is auto-sized from the (approx) key count
+    flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
 def ckf_events_local_level(spark, sf_dir):
-    flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True).setVectorizedBuckets(4)
+    flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True)
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
