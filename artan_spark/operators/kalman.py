@@ -670,6 +670,7 @@ class KalmanBase(StatefulTransformer):
 
         from artan_spark.operators.vectorized import (
             VFLAT_OUT_SCHEMA,
+            vectorized_ekf_fold_factory,
             vectorized_lkf_fold_factory,
             vectorized_sigma_fold_factory,
         )
@@ -678,9 +679,10 @@ class KalmanBase(StatefulTransformer):
         constants = self._constants()
         factory_cell: list = []
 
-        factory = (
-            vectorized_lkf_fold_factory if self._kind == "lkf" else vectorized_sigma_fold_factory
-        )
+        factory = {
+            "lkf": vectorized_lkf_fold_factory,
+            "ekf": vectorized_ekf_fold_factory,
+        }.get(self._kind, vectorized_sigma_fold_factory)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not factory_cell:
@@ -822,6 +824,9 @@ class ExtendedKalmanFilter(KalmanBase):
         "measurementFunction": None,
         "measurementStateJacobian": None,
         "measurementNoiseJacobian": None,
+        # fns/Jacobians accept batched (N, n) state matrices and return
+        # (N, out) / (N, rows, cols) stacks (vectorized fold contract)
+        "vectorizedFunctions": False,
     }
 
 

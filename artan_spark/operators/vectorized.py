@@ -12,10 +12,12 @@ O(max rows per key).
 Semantics identical to the sequential fold (same formulas; float results
 equal to ~1 ulp since batched einsum reassociates). Batch mode only —
 streaming keeps the per-key state-store fold. Opt in with
-``setVectorizedBatch(True)``; scope: LKF/UKF/CKF, constant F/Q/R (per-row H
-and per-row ``initialStateDistributionCol`` allowed), no
-control/multi-step/sliding-likelihood. Falls back to the sequential path
-outside that scope.
+``setVectorizedBatch(True)``; scope: LKF/EKF/UKF/CKF, constant F/Q/R
+(per-row H and per-row ``initialStateDistributionCol`` allowed), no
+control/multi-step/sliding-likelihood; EKF/UKF/CKF callables must follow the
+batched ``vectorizedFunctions`` contract ((N, n) state matrix in, (N, out)
+values / (N, rows, cols) Jacobian stacks out). Falls back to the sequential
+path outside that scope.
 """
 
 from __future__ import annotations
@@ -71,6 +73,22 @@ def supports_vectorized(c: dict) -> bool:
         return False
     if c["kind"] == "lkf":
         return True
+    if c["kind"] == "ekf":
+        # EKF vectorizes when every supplied callable follows the batched
+        # contract: fn((N, n) states, model) -> (N, out) values or
+        # (N, rows, cols) Jacobian stacks
+        any_fn = any(
+            c.get(k) is not None
+            for k in (
+                "processFunction",
+                "processStateJacobian",
+                "processNoiseJacobian",
+                "measurementFunction",
+                "measurementStateJacobian",
+                "measurementNoiseJacobian",
+            )
+        )
+        return (not any_fn) or bool(c.get("vectorizedFunctions"))
     if c["kind"] in ("ukf", "ckf"):
         # sigma-point filters vectorize when the user fns accept batched
         # (N, n) point matrices (or are absent => linear)
@@ -297,7 +315,18 @@ def vectorized_sigma_fold_factory(c: dict):
     return fold
 
 
+def vectorized_ekf_fold_factory(c: dict):
+    """EKF variant of the linear multi-key fold: user fns/Jacobians are
+    called ONCE per time step on the whole (A, n) key batch instead of per
+    row (the ``vectorizedFunctions`` contract — models are passed through
+    as the constant 2-D array, or as the (A, rows, cols) stack when a
+    per-row model column is set)."""
+    return vectorized_lkf_fold_factory(c)
+
+
 def vectorized_lkf_fold_factory(c: dict):
+    from artan_spark.params import deserialize_callable
+
     n = c["stateSize"]
     mdim = c["measurementSize"]
     F_ = c["processModel"]
@@ -310,6 +339,14 @@ def vectorized_lkf_fold_factory(c: dict):
     compute_ll = c["calculateLoglikelihood"]
     compute_maha = c["calculateMahalanobis"]
     eye_n = np.eye(n)
+    # EKF hooks — all None for plain LKF (and for EKF run with default
+    # linear semantics); each receives the batched (A, n) state matrix
+    pf = deserialize_callable(c.get("processFunction"))
+    pj = deserialize_callable(c.get("processStateJacobian"))
+    pnj = deserialize_callable(c.get("processNoiseJacobian"))
+    mf = deserialize_callable(c.get("measurementFunction"))
+    mj = deserialize_callable(c.get("measurementStateJacobian"))
+    mnj = deserialize_callable(c.get("measurementNoiseJacobian"))
 
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
@@ -366,27 +403,57 @@ def vectorized_lkf_fold_factory(c: dict):
             ptr += a
             ki = key_idx[block]
 
-            # batched predict
-            mb = m[ki] @ F_.T
-            Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Q
+            # batched predict (Jacobians evaluated at the PRIOR mean,
+            # matching the sequential EKF: kalman.py predict())
+            m_prior = m[ki]
+            mb = np.asarray(pf(m_prior, F_), dtype=np.float64) if pf is not None else m_prior @ F_.T
+            if pnj is not None:
+                L = np.asarray(pnj(m_prior, Q), dtype=np.float64)
+                Qe = np.einsum("aij,jk,alk->ail", L, Q, L)
+            else:
+                Qe = Q
+            if pj is not None:
+                Fj = np.asarray(pj(m_prior, F_), dtype=np.float64)
+                Pb = fad2 * np.einsum("aij,ajk,alk->ail", Fj, P[ki], Fj) + Qe
+            else:
+                Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Qe
             out_idx[block] = t + 1
 
             zi = has_z[block]
             if zi.any():
                 rows_u = block[zi]
                 kiu = ki[zi]
-                Hb = Hrows[rows_u] if Hrows is not None else np.broadcast_to(H_const, (len(rows_u), mdim, n))
+                Hmod = Hrows[rows_u] if Hrows is not None else np.broadcast_to(H_const, (len(rows_u), mdim, n))
+                # user fns receive the constant 2-D model unless a per-row
+                # model column supplied the (A, mdim, n) stack
+                H_arg = Hrows[rows_u] if Hrows is not None else H_const
                 P1 = Pb[zi]
                 m1 = mb[zi]
-                S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
+                # measurement prediction uses the MODEL; the update uses the
+                # Jacobian (which defaults to the model), kalman.py estimate()
+                zhat = (
+                    np.asarray(mf(m1, H_arg), dtype=np.float64)
+                    if mf is not None
+                    else np.einsum("aij,aj->ai", Hmod, m1)
+                )
+                Hb = np.asarray(mj(m1, H_arg), dtype=np.float64) if mj is not None else Hmod
+                if mnj is not None:
+                    Lr = np.asarray(mnj(m1, R), dtype=np.float64)
+                    Re = np.einsum("aij,jk,alk->ail", Lr, R, Lr)
+                    S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + Re
+                else:
+                    Re = None
+                    S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
                 S = (S + np.swapaxes(S, 1, 2)) * 0.5
                 pinvS = np.linalg.pinv(S)
                 Kg = np.einsum("aij,akj,akl->ail", P1, Hb, pinvS)
-                r = Z[rows_u] - np.einsum("aij,aj->ai", Hb, m1)
+                r = Z[rows_u] - zhat
                 m_new = m1 + np.einsum("aij,aj->ai", Kg, r)
                 ikh = eye_n - np.einsum("aij,ajk->aik", Kg, Hb)
-                P_new = np.einsum("aij,ajk,alk->ail", ikh, P1, ikh) + np.einsum(
-                    "aij,jk,alk->ail", Kg, R, Kg
+                P_new = np.einsum("aij,ajk,alk->ail", ikh, P1, ikh) + (
+                    np.einsum("aij,ajk,alk->ail", Kg, Re, Kg)
+                    if Re is not None
+                    else np.einsum("aij,jk,alk->ail", Kg, R, Kg)
                 )
                 P_new = (P_new + np.swapaxes(P_new, 1, 2)) * 0.5
                 mb[zi] = m_new

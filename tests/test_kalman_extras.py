@@ -435,3 +435,116 @@ def test_mmae_does_not_leak_sliding_flag(spark):
     flt._set("multipleModelAdaptiveEstimationEnabled", False)
     out = flt.transform(df)
     assert "slidingLikelihood" not in out.columns
+
+
+def _glm_exp_fn(m, H):
+    m = np.asarray(m)
+    if m.ndim == 2:  # vectorized contract: (A, n) states
+        lin = np.einsum("aij,aj->ai", H, m) if H.ndim == 3 else m @ H.T
+        return np.exp(lin)
+    return np.exp(H @ m)
+
+
+def _glm_exp_jac(m, H):
+    m = np.asarray(m)
+    if m.ndim == 2:
+        lin = np.einsum("aij,aj->ai", H, m) if H.ndim == 3 else m @ H.T
+        return np.exp(lin)[:, :, None] * (H if H.ndim == 3 else H[None, :, :])
+    return np.exp(H @ m)[:, None] * H
+
+
+def _proc_sin_fn(m, Fm):
+    m = np.asarray(m)
+    lin = m @ Fm.T if m.ndim == 2 else Fm @ m
+    return lin + 0.05 * np.sin(lin)
+
+
+def _proc_sin_jac(m, Fm):
+    m = np.asarray(m)
+    lin = m @ Fm.T if m.ndim == 2 else Fm @ m
+    if m.ndim == 2:
+        return (1.0 + 0.05 * np.cos(lin))[:, :, None] * Fm[None, :, :]
+    return (1.0 + 0.05 * np.cos(lin))[:, None] * Fm
+
+
+def test_vectorized_ekf_glm_matches_sequential(spark):
+    """Batched EKF fold == sequential fold on an exp-GLM with measurement
+    fn + Jacobian under the vectorizedFunctions contract, per-row H,
+    ragged keys (round-1 verdict item 6)."""
+    from artan_spark.operators import ExtendedKalmanFilter
+    from artan_spark.types import np_to_mat
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in range(8):
+        for i in range(14 + k):
+            x = float(i) / 10.0
+            z = [float(np.exp(0.3 * x + 0.2) + rng.normal(0, 0.05))]
+            rows.append((f"key{k}", z, np_to_mat(np.array([[x, 1.0]]))))
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, "
+        "measurementModel struct<numRows:int,numCols:int,values:array<double>>",
+    )
+
+    def mk(vectorized):
+        return (
+            ExtendedKalmanFilter(2, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(0.5 * np.eye(2))
+            .setMeasurementModelCol("measurementModel")
+            .setProcessNoise(np.zeros((2, 2)))
+            .setMeasurementNoise(np.array([[0.01]]))
+            .setMeasurementFunction(_glm_exp_fn)
+            .setMeasurementStateJacobian(_glm_exp_jac)
+            .setCalculateLoglikelihood(True)
+            .setCalculateMahalanobis(True)
+            .setVectorizedBatch(vectorized)
+            .setVectorizedFunctions(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-8)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
+        np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, atol=1e-8)
+        np.testing.assert_allclose(rs.mahalanobis, rv.mahalanobis, atol=1e-8)
+
+
+def test_vectorized_ekf_process_fn_matches_sequential(spark):
+    """Batched EKF with a nonlinear PROCESS fn + state Jacobian matches the
+    sequential fold (Jacobians evaluated at the prior mean)."""
+    from artan_spark.operators import ExtendedKalmanFilter
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for k in range(6):
+        v = 0.0
+        for i in range(12 + k):
+            v = v + 0.3 + rng.normal(0, 0.1)
+            rows.append((f"key{k}", [float(v)]))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        return (
+            ExtendedKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(np.array([[1.0]]))
+            .setProcessNoise(np.array([[0.05]]))
+            .setMeasurementNoise(np.array([[0.2]]))
+            .setProcessFunction(_proc_sin_fn)
+            .setProcessStateJacobian(_proc_sin_jac)
+            .setVectorizedBatch(vectorized)
+            .setVectorizedFunctions(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-8)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
