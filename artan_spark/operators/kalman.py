@@ -511,9 +511,7 @@ class KalmanBase(StatefulTransformer):
             self._set("calculateSlidingLikelihood", True)
         try:
             if not df.isStreaming and self.get("vectorizedBatch"):
-                from artan_spark.operators.vectorized import supports_vectorized
-
-                if supports_vectorized(self._constants()):
+                if self._supportsVectorized(self._constants()):
                     out = self._vectorizedTransform(df)
                 else:
                     out = super().transform(df)
@@ -663,6 +661,32 @@ class KalmanBase(StatefulTransformer):
             "Qa": None if qa is None else np.asarray(qa, dtype=np.float64).reshape(n, n),
         }
 
+    def _supportsVectorized(self, c: dict) -> bool:
+        from artan_spark.operators.vectorized import supports_vectorized
+
+        return supports_vectorized(c)
+
+    def _saltedKeys(self, df: DataFrame, keyed: DataFrame) -> DataFrame:
+        """Salt keys into vectorized buckets.
+
+        Batch width matters more than task count: einsum overhead amortizes
+        past ~64 keys per bucket (measured 2.6x over sequential at 64 vs a
+        SLOWDOWN at 16). Auto mode counts distinct keys (one cheap
+        single-column job) and sizes buckets so width stays >= 64 where the
+        key count allows, with a floor of 4 buckets for task parallelism —
+        reproduces both measured hand-tunings (32 keys -> 4 buckets,
+        512 keys -> 8). setVectorizedBuckets overrides.
+        """
+        buckets = self.get("vectorizedBuckets")
+        if buckets is None:
+            par = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
+            n_keys = keyed.agg(F.approx_count_distinct(STATE_KEY).alias("k")).first()["k"]
+            buckets = max(min(4, par), min(par, int(n_keys) // 64))
+        buckets = int(buckets)
+        return keyed.withColumn(
+            "__salt__", F.pmod(F.crc32(F.col(STATE_KEY).cast("binary")), F.lit(buckets))
+        )
+
     def _vectorizedTransform(self, df: DataFrame) -> DataFrame:
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py). Batch only; falls back otherwise."""
@@ -692,20 +716,7 @@ class KalmanBase(StatefulTransformer):
             out, _ = factory_cell[0](pdf, None)
             return out
 
-        # batch width matters more than task count: einsum overhead amortizes
-        # past ~64 keys per bucket (measured 2.6x over sequential at 64 vs a
-        # SLOWDOWN at 16). Auto mode counts distinct keys (one cheap
-        # single-column job) and sizes buckets so width stays >= 64 where the
-        # key count allows, with a floor of 4 buckets for task parallelism —
-        # reproduces both measured hand-tunings (32 keys -> 4 buckets,
-        # 512 keys -> 8). setVectorizedBuckets overrides.
-        buckets = self.get("vectorizedBuckets")
-        if buckets is None:
-            par = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
-            n_keys = keyed.agg(F.approx_count_distinct(STATE_KEY).alias("k")).first()["k"]
-            buckets = max(min(4, par), min(par, int(n_keys) // 64))
-        buckets = int(buckets)
-        salted = keyed.withColumn("__salt__", F.pmod(F.crc32(F.col(STATE_KEY).cast("binary")), F.lit(buckets)))
+        salted = self._saltedKeys(df, keyed)
         res = salted.groupBy("__salt__").applyInPandas(fn, VFLAT_OUT_SCHEMA)
 
         n, mdim = self.get("stateSize"), self.get("measurementSize")

@@ -270,7 +270,37 @@ class LinearKalmanSmoother(KalmanBase):
     def _constants(self):
         c = super()._constants()
         c["fixedLag"] = int(self.get("fixedLag"))
+        c["hasInitDistCol"] = bool(self.get("initialStateDistributionCol"))
         return c
+
+    def _supportsVectorized(self, c: dict) -> bool:
+        from artan_spark.operators.vectorized import (
+            supports_vectorized,
+            supports_vectorized_smoother,
+        )
+
+        return supports_vectorized(c) and supports_vectorized_smoother(c)
+
+    def _vectorizedTransform(self, df):
+        """Salted multi-key smoother fold (vectorized.py): same flat output
+        schemas as the sequential smoother, so _shapeOutput is shared."""
+        from artan_spark.operators.vectorized import vectorized_smoother_fold_factory
+
+        keyed = self._keyed(df)
+        constants = self._constants()
+        cell: list = []
+
+        def fn(pdf):
+            if not cell:
+                cell.append(vectorized_smoother_fold_factory(constants))
+            cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
+            pdf = pdf.sort_values(cols, kind="stable", na_position="first")
+            out, _ = cell[0](pdf, None)
+            return out
+
+        salted = self._saltedKeys(df, keyed)
+        res = salted.groupBy("__salt__").applyInPandas(fn, self._outSchema())
+        return self._shapeOutput(res)
 
     def _scalarFold(self) -> bool:
         c = super()._constants()

@@ -495,3 +495,252 @@ def vectorized_lkf_fold_factory(c: dict):
         return out, None
 
     return fold
+
+
+def supports_vectorized_smoother(c: dict) -> bool:
+    """Vectorized fixed-lag RTS scope: constant models, no control, no
+    per-row initial state (the sequential smoother fold ignores
+    ``initialStateDistributionCol`` too, so parity holds)."""
+    return not c.get("perRowCols") and c.get("control") is None and not c.get("hasInitDistCol")
+
+
+def vectorized_smoother_fold_factory(c: dict):
+    """Time-synchronous multi-key fixed-lag RTS smoother.
+
+    Forward pass = the batched LKF filter recording every filtered (m, P);
+    the per-row RTS predicts/gains (which depend only on the row, not the
+    trigger) are then computed ONCE fully batched, and the backward
+    recursion walks (trigger t, window step j) emitting lag rows per
+    surviving row — same O(N*lag) output as the sequential queue fold
+    (smoother.py), but with O(T*lag) batched numpy calls instead of
+    O(N*lag) Python iterations. 1-D states take an elementwise (A,) scalar
+    path that is bit-exact with the sequential scalar fold; n-D uses
+    batched einsum/pinv (~ulp).
+    """
+    lag = c["fixedLag"]
+    n = c["stateSize"]
+    mdim = c["measurementSize"]
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    fad2 = float(c["fadingFactor"]) ** 2
+    scalar = n == 1 and mdim == 1
+    eye_n = np.eye(n)
+
+    def _layout(pdf):
+        N = len(pdf)
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        K = len(key_codes)
+        counts = np.bincount(key_idx, minlength=K)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(N) - first[key_idx]
+        order = np.lexsort((key_idx, pos))
+        return N, keys_arr, key_codes, key_idx, K, counts, first, pos, order
+
+    def _emit_frame(cols, names):
+        return pd.DataFrame(dict(zip(names, cols)), columns=names)
+
+    def fold_scalar(pdf: pd.DataFrame, _state):
+        names = [STATE_KEY, "stateIndex", "stepIndex", "mean", "cov", "gain", EVENT_TIME]
+        if len(pdf) == 0:
+            return _emit_frame([[] for _ in names], names), None
+        N, keys_arr, key_codes, key_idx, K, counts, first, pos, order = _layout(pdf)
+        f = float(F_[0, 0])
+        q = float(Q[0, 0])
+        h = float(H_const[0, 0])
+        rr = float(R[0, 0])
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros(N)
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = float(np.asarray(z_cells[i], dtype=np.float64).ravel()[0])
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.full(K, float(m0[0]))
+        P = np.full(K, float(P0[0, 0]))
+        filt_m = np.empty(N)
+        filt_P = np.empty(N)
+        T = int(counts.max())
+        row_at = np.full((K, T), -1, dtype=np.int64)
+
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+            # same elementwise op order as the sequential scalar fold
+            mb = f * m[ki]
+            Pb = fad2 * ((f * P[ki]) * f) + q
+            zi = has_z[block]
+            if zi.any():
+                z0 = Z[block[zi]]
+                m1, P1 = mb[zi], Pb[zi]
+                r = z0 - h * m1
+                S = (h * P1) * h + rr
+                Kg = (P1 * h) * (1.0 / S)
+                mb[zi] = m1 + Kg * r
+                ikh = 1.0 - Kg * h
+                Pb[zi] = (ikh * P1) * ikh + (Kg * rr) * Kg
+            m[ki] = mb
+            P[ki] = Pb
+            filt_m[block] = mb
+            filt_P[block] = Pb
+            row_at[ki, t] = block
+
+        # per-row backward predicts/gains, batched once
+        nm = f * filt_m
+        nc = (f * filt_P) * f + q
+        g = (filt_P * f) * (1.0 / nc)
+
+        M = int(np.sum(np.maximum(0, counts - (lag - 1))) * lag)
+        o_row = np.empty(M, dtype=np.int64)  # source row (for key/eventTime)
+        o_idx = np.empty(M, dtype=np.int64)
+        o_step = np.empty(M, dtype=np.int64)
+        o_mean = np.empty(M)
+        o_cov = np.empty(M)
+        o_gain = np.empty(M)
+        w = 0
+        for t in range(lag - 1, T):
+            alive = np.nonzero(counts > t)[0]
+            A = len(alive)
+            rt = row_at[alive, t]
+            sm_m = filt_m[rt]
+            sm_p = filt_P[rt]
+            o_row[w : w + A] = rt
+            o_idx[w : w + A] = t + 1
+            o_step[w : w + A] = 0
+            o_mean[w : w + A] = sm_m
+            o_cov[w : w + A] = sm_p
+            o_gain[w : w + A] = 0.0
+            w += A
+            for step, j in enumerate(range(t - 1, t - lag, -1), start=1):
+                rj = row_at[alive, j]
+                gj = g[rj]
+                sm_m = filt_m[rj] + gj * (sm_m - nm[rj])
+                sm_p = filt_P[rj] + (gj * (sm_p - nc[rj])) * gj
+                o_row[w : w + A] = rj
+                o_idx[w : w + A] = j + 1
+                o_step[w : w + A] = step
+                o_mean[w : w + A] = sm_m
+                o_cov[w : w + A] = sm_p
+                o_gain[w : w + A] = gj
+                w += A
+        cols = [
+            keys_arr[o_row],
+            o_idx,
+            o_step,
+            o_mean,
+            o_cov,
+            o_gain,
+            ev[o_row] if ev is not None else None,
+        ]
+        return _emit_frame(cols, names), None
+
+    def fold_general(pdf: pd.DataFrame, _state):
+        names = [STATE_KEY, "stateIndex", "stepIndex", "mean", "cov", "gainVals", EVENT_TIME]
+        if len(pdf) == 0:
+            return _emit_frame([[] for _ in names], names), None
+        N, keys_arr, key_codes, key_idx, K, counts, first, pos, order = _layout(pdf)
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros((N, mdim))
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.tile(m0, (K, 1))
+        P = np.tile(P0, (K, 1, 1))
+        filt_m = np.empty((N, n))
+        filt_P = np.empty((N, n, n))
+        T = int(counts.max())
+        row_at = np.full((K, T), -1, dtype=np.int64)
+
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+            mb = m[ki] @ F_.T
+            Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Q
+            zi = has_z[block]
+            if zi.any():
+                rows_u = block[zi]
+                Hb = np.broadcast_to(H_const, (len(rows_u), mdim, n))
+                P1 = Pb[zi]
+                m1 = mb[zi]
+                S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
+                S = (S + np.swapaxes(S, 1, 2)) * 0.5
+                pinvS = np.linalg.pinv(S)
+                Kg = np.einsum("aij,akj,akl->ail", P1, Hb, pinvS)
+                r = Z[rows_u] - np.einsum("aij,aj->ai", Hb, m1)
+                mb[zi] = m1 + np.einsum("aij,aj->ai", Kg, r)
+                ikh = eye_n - np.einsum("aij,ajk->aik", Kg, Hb)
+                P_new = np.einsum("aij,ajk,alk->ail", ikh, P1, ikh) + np.einsum(
+                    "aij,jk,alk->ail", Kg, R, Kg
+                )
+                Pb[zi] = (P_new + np.swapaxes(P_new, 1, 2)) * 0.5
+            m[ki] = mb
+            P[ki] = Pb
+            filt_m[block] = mb
+            filt_P[block] = Pb
+            row_at[ki, t] = block
+
+        # per-row RTS predict + gain, one batched shot over all N rows
+        nm = filt_m @ F_.T
+        nc = np.einsum("ij,ajk,lk->ail", F_, filt_P, F_) + Q
+        g = np.einsum("aij,kj,akl->ail", filt_P, F_, np.linalg.pinv(nc))
+
+        M = int(np.sum(np.maximum(0, counts - (lag - 1))) * lag)
+        o_row = np.empty(M, dtype=np.int64)
+        o_idx = np.empty(M, dtype=np.int64)
+        o_step = np.empty(M, dtype=np.int64)
+        o_mean = np.empty((M, n))
+        o_cov = np.empty((M, n, n))
+        o_gain = np.empty((M, n, n))
+        w = 0
+        zero_g = np.zeros((n, n))
+        for t in range(lag - 1, T):
+            alive = np.nonzero(counts > t)[0]
+            A = len(alive)
+            rt = row_at[alive, t]
+            sm_m = filt_m[rt]
+            sm_P = filt_P[rt]
+            o_row[w : w + A] = rt
+            o_idx[w : w + A] = t + 1
+            o_step[w : w + A] = 0
+            o_mean[w : w + A] = sm_m
+            o_cov[w : w + A] = sm_P
+            o_gain[w : w + A] = zero_g
+            w += A
+            for step, j in enumerate(range(t - 1, t - lag, -1), start=1):
+                rj = row_at[alive, j]
+                gj = g[rj]
+                sm_m = filt_m[rj] + np.einsum("aij,aj->ai", gj, sm_m - nm[rj])
+                sm_P = filt_P[rj] + np.einsum("aij,ajk,alk->ail", gj, sm_P - nc[rj], gj)
+                o_row[w : w + A] = rj
+                o_idx[w : w + A] = j + 1
+                o_step[w : w + A] = step
+                o_mean[w : w + A] = sm_m
+                o_cov[w : w + A] = sm_P
+                o_gain[w : w + A] = gj
+                w += A
+        cols = [
+            keys_arr[o_row],
+            o_idx,
+            o_step,
+            list(o_mean),
+            [cv.T.ravel() for cv in o_cov],
+            [gv.T.ravel() for gv in o_gain],
+            ev[o_row] if ev is not None else None,
+        ]
+        return _emit_frame(cols, names), None
+
+    return fold_scalar if scalar else fold_general

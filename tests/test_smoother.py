@@ -91,3 +91,80 @@ def test_smoother_beats_filter_mse(spark):
     filt_mse = np.mean([(ms[i][0] - truth[i]) ** 2 for i in range(n)])
     sm_mse = np.mean([(sm_means[i + 1] - truth[i]) ** 2 for i in range(n)])
     assert sm_mse < filt_mse
+
+
+def test_vectorized_smoother_scalar_bit_exact(spark):
+    """1-D vectorized multi-key smoother is BIT-EXACT with the sequential
+    scalar fold (same elementwise IEEE op order), incl. missing
+    measurements and ragged key lengths."""
+    import numpy as np
+
+    from artan_spark.operators import LinearKalmanSmoother
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for k in range(9):
+        for i in range(20 + k):
+            z = None if (i + k) % 11 == 0 else [float(np.sin(i / 4.0) + rng.normal(0, 0.2))]
+            rows.append((f"key{k}", z))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        return (
+            LinearKalmanSmoother(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(np.array([[50.0]]))
+            .setProcessNoise(np.array([[0.5]]))
+            .setMeasurementNoise(np.array([[4.0]]))
+            .setFixedLag(5)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) > 0
+    key_fn = lambda r: (r.stateKey, r.stateIndex, r.stepIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert key_fn(rs) == key_fn(rv)
+        assert rs.state.mean[0] == rv.state.mean[0]  # bit-exact
+        assert rs.state.covariance.values[0] == rv.state.covariance.values[0]
+        assert rs.rtsGain.values[0] == rv.rtsGain.values[0]
+
+
+def test_vectorized_smoother_general_matches_sequential(spark):
+    """n-D vectorized smoother == sequential queue fold (einsum ~ulp)."""
+    import numpy as np
+
+    from artan_spark.operators import LinearKalmanSmoother
+
+    rng = np.random.RandomState(8)
+    rows = []
+    for k in range(6):
+        v = np.zeros(2)
+        for i in range(16 + k):
+            v = np.array([[1.0, 0.1], [0.0, 1.0]]) @ v + rng.normal(0, 0.1, 2)
+            rows.append((f"key{k}", [float(v[0])]))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        return (
+            LinearKalmanSmoother(2, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(10.0 * np.eye(2))
+            .setProcessModel(np.array([[1.0, 0.1], [0.0, 1.0]]))
+            .setProcessNoise(0.01 * np.eye(2))
+            .setMeasurementModel(np.array([[1.0, 0.0]]))
+            .setMeasurementNoise(np.array([[1.0]]))
+            .setFixedLag(6)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) > 0
+    key_fn = lambda r: (r.stateKey, r.stateIndex, r.stepIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert key_fn(rs) == key_fn(rv)
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-8)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
+        np.testing.assert_allclose(rs.rtsGain.values, rv.rtsGain.values, atol=1e-8)
