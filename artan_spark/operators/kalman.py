@@ -666,27 +666,6 @@ class KalmanBase(StatefulTransformer):
 
         return supports_vectorized(c)
 
-    def _saltedKeys(self, df: DataFrame, keyed: DataFrame) -> DataFrame:
-        """Salt keys into vectorized buckets.
-
-        Batch width matters more than task count: einsum overhead amortizes
-        past ~64 keys per bucket (measured 2.6x over sequential at 64 vs a
-        SLOWDOWN at 16). Auto mode counts distinct keys (one cheap
-        single-column job) and sizes buckets so width stays >= 64 where the
-        key count allows, with a floor of 4 buckets for task parallelism —
-        reproduces both measured hand-tunings (32 keys -> 4 buckets,
-        512 keys -> 8). setVectorizedBuckets overrides.
-        """
-        buckets = self.get("vectorizedBuckets")
-        if buckets is None:
-            par = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
-            n_keys = keyed.agg(F.approx_count_distinct(STATE_KEY).alias("k")).first()["k"]
-            buckets = max(min(4, par), min(par, int(n_keys) // 64))
-        buckets = int(buckets)
-        return keyed.withColumn(
-            "__salt__", F.pmod(F.crc32(F.col(STATE_KEY).cast("binary")), F.lit(buckets))
-        )
-
     def _vectorizedTransform(self, df: DataFrame) -> DataFrame:
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py). Batch only; falls back otherwise."""

@@ -341,6 +341,9 @@ class FiniteMixtureBase(StatefulTransformer):
         # API-parity with the reference's setMixtureCount (validated against
         # the concrete initial params at transform time)
         "mixtureCount": None,
+        # multi-key batched fold (operators/vectorized.py); batch mode only
+        "vectorizedBatch": False,
+        "vectorizedBuckets": None,
     }
 
     # -- subclass hooks -----------------------------------------------------
@@ -391,6 +394,10 @@ class FiniteMixtureBase(StatefulTransformer):
             "minibatchSize": int(self.get("minibatchSize")),
             "updateHoldout": int(self.get("updateHoldout")),
             "outFields": [f.name for f in self._outSchema().fields],
+            "hasPerRowCols": any(
+                self.get(p)
+                for p in ("stepSizeCol", "minibatchSizeCol", "updateHoldoutCol", "initialMixtureModelCol")
+            ),
         }
 
     def _inputCols(self, df):
@@ -450,8 +457,35 @@ class FiniteMixtureBase(StatefulTransformer):
         self._packState, self._unpackState = self._mk_pack()
         if self.get("batchTrainEnabled") and not df.isStreaming:
             return self._batchEM(df)
+        if not df.isStreaming and self.get("vectorizedBatch"):
+            from artan_spark.operators.vectorized import supports_vectorized_mixture
+
+            if supports_vectorized_mixture(self._constants()):
+                out = self._vectorizedTransform(df)
+                return out if self.get("eventTimeCol") else out.drop(EVENT_TIME)
         out = super().transform(df)
         return out if self.get("eventTimeCol") else out.drop(EVENT_TIME)
+
+    def _vectorizedTransform(self, df: DataFrame) -> DataFrame:
+        """Salted multi-key batched stochastic-EM fold (vectorized.py);
+        same output schema as the sequential path."""
+        from artan_spark.operators.base import STATE_KEY
+        from artan_spark.operators.vectorized import vectorized_mixture_fold_factory
+
+        keyed = self._keyed(df)
+        constants = self._constants()
+        cell: list = []
+
+        def fn(pdf):
+            if not cell:
+                cell.append(vectorized_mixture_fold_factory(constants))
+            cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
+            pdf = pdf.sort_values(cols, kind="stable", na_position="first")
+            out, _ = cell[0](pdf, None)
+            return out
+
+        salted = self._saltedKeys(df, keyed)
+        return salted.groupBy("__salt__").applyInPandas(fn, self._outSchema())
 
     def _batchEM(self, df: DataFrame) -> DataFrame:
         """Driver-side EM loop (MixtureBase.scala:257-316): minibatch = per-key

@@ -744,3 +744,181 @@ def vectorized_smoother_fold_factory(c: dict):
         return _emit_frame(cols, names), None
 
     return fold_scalar if scalar else fold_general
+
+
+def supports_vectorized_mixture(c: dict) -> bool:
+    """Vectorized mixture scope: constant minibatch/stepSize/holdout and no
+    per-row initial model (batch mode walks all keys in lock-step, so the
+    schedule must be key-independent)."""
+    return not c.get("hasPerRowCols")
+
+
+def vectorized_mixture_fold_factory(c: dict):
+    """Time-synchronous multi-key stochastic-EM mixture fold.
+
+    Step t processes the t-th minibatch of EVERY key in one batched numpy
+    pass (E-step log-densities, responsibilities, sufficient-stat blends) —
+    the exact recursion of the sequential fold (mixture.py), restructured
+    so Python-loop overhead is O(minibatches per key), not O(rows). Keys
+    all start at idx 0 in batch mode, so the decay/holdout schedules stay
+    key-independent. Leftover rows short of a full minibatch never emit
+    (same as the sequential buffer)."""
+    family = c["family"]
+    mb = int(c["minibatchSize"])
+    holdout = int(c["updateHoldout"])
+    decay = c["decayRate"]
+    step = float(c["stepSize"])
+    w0 = c["initialWeights"]
+    p0 = c["initialParams"]
+    out_fields = list(c["outFields"])
+    kc = len(w0)
+
+    from artan_spark.types import np_to_mat, vec_to_np
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        out = {f: [] for f in out_fields}
+        if N == 0:
+            return pd.DataFrame(out, columns=out_fields), None
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        _codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        K = len(_codes)
+        counts = np.bincount(key_idx, minlength=K)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        steps = counts // mb
+        T = int(steps.max())
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        cells = pdf["sample"].values
+        if family == "gaussian":
+            X = np.stack([np.asarray(vec_to_np(v), dtype=np.float64).ravel() for v in cells])
+            d = X.shape[1]
+        else:
+            X = np.asarray(cells, dtype=np.float64)
+
+        weights = np.tile(w0, (K, 1))
+        sweights = weights.copy()
+        if family == "gaussian":
+            means = np.tile(p0["means"], (K, 1, 1))
+            covs = np.tile(p0["covs"], (K, 1, 1, 1))
+            smeans = means * weights[:, :, None]
+            scovs = covs * weights[:, :, None, None]
+        elif family == "poisson":
+            rates = np.tile(p0["rates"], (K, 1))
+            srates = rates * weights
+        else:
+            probs = np.tile(p0["probabilities"], (K, 1))
+            sprobs = probs * weights
+
+        def loglik(x, a):
+            """(A, mb, kc) log densities under the CURRENT per-key params
+            (gaussian version; scalar families rebind below)."""
+            llm = np.empty((len(a), x.shape[1], kc))
+            for j in range(kc):
+                L = np.linalg.cholesky(covs[a, j])
+                diff = x - means[a, j][:, None, :]
+                z = np.linalg.solve(L[:, None], diff[..., None])[..., 0]
+                logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+                llm[:, :, j] = -0.5 * (d * _LOG2PI + logdet[:, None] + np.sum(z * z, axis=2))
+            return llm
+
+        if family == "poisson":
+            from artan_spark.linalg import gammaln
+
+            def loglik(x, a):  # noqa: F811
+                r = rates[a]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    llm = x[:, :, None] * np.log(r)[:, None, :] - r[:, None, :] - gammaln(x + 1.0)[:, :, None]
+                    bad = r[:, None, :] <= 0.0
+                    if bad.any():
+                        llm = np.where(
+                            np.broadcast_to(bad, llm.shape),
+                            np.where(x[:, :, None] == 0.0, 0.0, -np.inf),
+                            llm,
+                        )
+                return llm
+
+        elif family == "bernoulli":
+            eps = 1e-300
+
+            def loglik(x, a):  # noqa: F811
+                p = probs[a]
+                lp = np.log(np.maximum(p, eps))[:, None, :]
+                lq = np.log(np.maximum(1.0 - p, eps))[:, None, :]
+                return x[:, :, None] * lp + (1.0 - x[:, :, None]) * lq
+
+        for t in range(T):
+            alive = np.nonzero(steps > t)[0]
+            A = len(alive)
+            idxs = first[alive][:, None] + t * mb + np.arange(mb)[None, :]
+            x = X[idxs]
+            alpha = float((2.0 + t) ** (-decay)) if decay is not None else step
+
+            llm = loglik(x, alive) + np.log(weights[alive])[:, None, :]
+            amax = np.max(llm, axis=2, keepdims=True)
+            amax = np.where(np.isfinite(amax), amax, 0.0)
+            norm = np.log(np.sum(np.exp(llm - amax), axis=2, keepdims=True)) + amax
+            resp = np.exp(llm - norm)
+
+            sw_new = resp.mean(axis=1)
+            sweights[alive] = (1 - alpha) * sweights[alive] + alpha * sw_new
+            if family == "gaussian":
+                mn = np.einsum("amj,amd->ajd", resp, x) / mb
+                cn = np.empty((A, kc, d, d))
+                for j in range(kc):
+                    dif = x - means[alive, j][:, None, :]
+                    cn[:, j] = np.einsum("am,amd,ame->ade", resp[:, :, j], dif, dif) / mb
+                smeans[alive] = (1 - alpha) * smeans[alive] + alpha * mn
+                scovs[alive] = (1 - alpha) * scovs[alive] + alpha * cn
+                if t >= holdout:
+                    weights[alive] = sweights[alive]
+                    means[alive] = smeans[alive] / sweights[alive][:, :, None]
+                    covs[alive] = scovs[alive] / sweights[alive][:, :, None, None]
+            elif family == "poisson":
+                rn = np.einsum("amj,am->aj", resp, x) / mb
+                srates[alive] = (1 - alpha) * srates[alive] + alpha * rn
+                if t >= holdout:
+                    weights[alive] = sweights[alive]
+                    rates[alive] = srates[alive] / sweights[alive]
+            else:
+                pn = np.einsum("amj,am->aj", resp, x) / mb
+                sprobs[alive] = (1 - alpha) * sprobs[alive] + alpha * pn
+                if t >= holdout:
+                    weights[alive] = sweights[alive]
+                    probs[alive] = sprobs[alive] / sweights[alive]
+
+            # loglikelihood of the NEW model on the minibatch
+            ll_new = loglik(x, alive) + np.log(np.maximum(weights[alive], 1e-300))[:, None, :]
+            amax = np.max(ll_new, axis=2, keepdims=True)
+            amax = np.where(np.isfinite(amax), amax, 0.0)
+            lls = np.sum(np.log(np.sum(np.exp(ll_new - amax), axis=2, keepdims=True)) + amax, axis=(1, 2))
+
+            trig = first[alive] + t * mb + mb - 1
+            for i, a in enumerate(alive):
+                out[STATE_KEY].append(keys_arr[first[a]])
+                out["stateIndex"].append(t + 1)
+                if family == "gaussian":
+                    model = {
+                        "weights": weights[a].tolist(),
+                        "distributions": [
+                            {"mean": means[a, j].tolist(), "covariance": np_to_mat(covs[a, j])}
+                            for j in range(kc)
+                        ],
+                    }
+                elif family == "poisson":
+                    model = {
+                        "weights": weights[a].tolist(),
+                        "distributions": [{"rate": float(r)} for r in rates[a]],
+                    }
+                else:
+                    model = {
+                        "weights": weights[a].tolist(),
+                        "distributions": [{"probability": float(p)} for p in probs[a]],
+                    }
+                out["mixtureModel"].append(model)
+                out[EVENT_TIME].append(ev[trig[i]] if ev is not None else None)
+                out["loglikelihood"].append(float(lls[i]))
+
+        return pd.DataFrame(out, columns=out_fields), None
+
+    return fold

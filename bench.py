@@ -102,7 +102,9 @@ def _operator_throughput(spark) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from artan_spark.operators import (
+        ExtendedKalmanFilter,
         LinearKalmanFilter,
+        LinearKalmanSmoother,
         MultivariateGaussianMixture,
         RecursiveLeastSquaresFilter,
     )
@@ -152,8 +154,62 @@ def _operator_throughput(spark) -> dict[str, int]:
         t0 = time.perf_counter()
         gmm.transform(df).count()
         out[f"gmm_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+
+        if n_keys >= 1000:
+            gmm_vec = gmm.copy().setVectorizedBatch(True)
+            t0 = time.perf_counter()
+            gmm_vec.transform(df).count()
+            out[f"gmm_{n_keys}keys_vectorized"] = int(n_rows / (time.perf_counter() - t0))
+
+            sm = (
+                LinearKalmanSmoother(1, 1)
+                .setStateKeyCol("key")
+                .setInitialStateCovariance(np.array([[100.0]]))
+                .setProcessNoise(np.array([[1.0]]))
+                .setMeasurementNoise(np.array([[10.0]]))
+                .setFixedLag(10)
+            )
+            df = e.select(key, F.array("value").alias("measurement"))
+            for vec, tag in ((False, ""), (True, "_vectorized")):
+                t0 = time.perf_counter()
+                sm.copy().setVectorizedBatch(vec).transform(df).count()
+                out[f"smoother_{n_keys}keys{tag}"] = int(n_rows / (time.perf_counter() - t0))
+
+            ekf = (
+                ExtendedKalmanFilter(1, 1)
+                .setStateKeyCol("key")
+                .setInitialStateCovariance(np.array([[10.0]]))
+                .setProcessNoise(np.array([[0.1]]))
+                .setMeasurementNoise(np.array([[5.0]]))
+                .setMeasurementFunction(_bench_exp_fn)
+                .setMeasurementStateJacobian(_bench_exp_jac)
+            )
+            for vec, tag in ((False, ""), (True, "_vectorized")):
+                t0 = time.perf_counter()
+                ekf.copy().setVectorizedBatch(vec).setVectorizedFunctions(vec).transform(df).count()
+                out[f"ekf_{n_keys}keys{tag}"] = int(n_rows / (time.perf_counter() - t0))
     e.unpersist()
     return out
+
+
+def _bench_exp_fn(m, H):
+    import numpy as np
+
+    m = np.asarray(m)
+    if m.ndim == 2:  # vectorizedFunctions contract
+        lin = np.einsum("aij,aj->ai", H, m) if H.ndim == 3 else m @ H.T
+        return np.exp(0.1 * lin)
+    return np.exp(0.1 * (H @ m))
+
+
+def _bench_exp_jac(m, H):
+    import numpy as np
+
+    m = np.asarray(m)
+    if m.ndim == 2:
+        lin = np.einsum("aij,aj->ai", H, m) if H.ndim == 3 else m @ H.T
+        return 0.1 * np.exp(0.1 * lin)[:, :, None] * (H if H.ndim == 3 else H[None, :, :])
+    return 0.1 * np.exp(0.1 * (H @ m))[:, None] * H
 
 
 if __name__ == "__main__":

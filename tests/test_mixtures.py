@@ -174,3 +174,69 @@ def test_gmm_resume_from_output_model(spark):
     # mixture (like the reference), so equality is approximate, not exact
     for d_full, d_res in zip(full.mixtureModel.distributions, resumed.mixtureModel.distributions):
         np.testing.assert_allclose(list(d_res.mean), list(d_full.mean), atol=1.0)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("family", ["gaussian", "poisson", "bernoulli"])
+def test_vectorized_mixture_matches_sequential(spark, family):
+    """Batched multi-key stochastic-EM fold == sequential fold across all
+    three families (ragged keys, leftover samples, decayed step size)."""
+    import numpy as np
+
+    from artan_spark.operators import (
+        BernoulliMixture,
+        MultivariateGaussianMixture,
+        PoissonMixture,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in range(7):
+        for i in range(43 + 5 * k):  # not a multiple of minibatch -> leftovers
+            if family == "gaussian":
+                v = [float(rng.normal(20 if i % 2 else 70, 8))]
+            elif family == "poisson":
+                v = float(rng.poisson(3 if i % 2 else 12))
+            else:
+                v = float(rng.binomial(1, 0.3))
+            rows.append((f"key{k}", v))
+    schema = "key string, sample array<double>" if family == "gaussian" else "key string, sample double"
+    df = spark.createDataFrame(rows, schema)
+
+    def mk(vectorized):
+        if family == "gaussian":
+            m = (
+                MultivariateGaussianMixture()
+                .setInitialMeans([[25.0], [75.0]])
+                .setInitialCovariances([[100.0], [100.0]])
+            )
+        elif family == "poisson":
+            m = PoissonMixture().setInitialRates([2.0, 9.0])
+        else:
+            m = BernoulliMixture().setInitialProbabilities([0.2, 0.8])
+        return (
+            m.setStateKeyCol("key")
+            .setMinibatchSize(10)
+            .setDecayRate(0.85)
+            .setUpdateHoldout(1)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) > 0
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert key_fn(rs) == key_fn(rv)
+        np.testing.assert_allclose(rs.mixtureModel.weights, rv.mixtureModel.weights, atol=1e-9)
+        np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, atol=1e-7)
+        for ds, dv in zip(rs.mixtureModel.distributions, rv.mixtureModel.distributions):
+            if family == "gaussian":
+                np.testing.assert_allclose(ds.mean, dv.mean, atol=1e-9)
+                np.testing.assert_allclose(ds.covariance.values, dv.covariance.values, atol=1e-9)
+            elif family == "poisson":
+                np.testing.assert_allclose(ds.rate, dv.rate, atol=1e-9)
+            else:
+                np.testing.assert_allclose(ds.probability, dv.probability, atol=1e-9)
