@@ -1,0 +1,55 @@
+"""Smoke test: every reference streaming example port under examples/ runs
+end-to-end (rate source -> operator -> console sink) without error.
+
+Runs all mains in ONE subprocess (each main stops its own SparkSession, so
+they cannot share the pytest session fixture); the JVM gateway is reused
+across mains, keeping total time bounded.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import sys
+
+sys.path.insert(0, ".")
+
+import examples.ekf_rate_source_glm_log as ekf
+import examples.gmm_rate_source as gmm
+import examples.lkf_rate_source_llt as llt
+import examples.lkf_rate_source_ols as ols
+import examples.lkf_stream_batch_init as sbi
+import examples.mmae_rate_source_ols as mmae
+import examples.rls_rate_source_ols as rls
+import examples.ukf_rate_source_glm_log as ukf
+
+for name, mod, args in [
+    ("lkf_rate_source_ols", ols, (2, 50, 6)),
+    ("lkf_rate_source_llt", llt, (2, 50, 6)),
+    ("rls_rate_source_ols", rls, (2, 50, 6)),
+    ("gmm_rate_source", gmm, (50, 6)),
+    ("ekf_rate_source_glm_log", ekf, (2, 50, 6)),
+    ("ukf_rate_source_glm_log", ukf, (2, 50, 6)),
+    ("lkf_stream_batch_init", sbi, (4, 50, 6)),
+    ("mmae_rate_source_ols", mmae, (4, 50, 8)),
+]:
+    print(f"### running {name}", flush=True)
+    mod.main(*args)
+    print(f"### ok {name}", flush=True)
+print("### ALL_EXAMPLES_OK", flush=True)
+"""
+
+
+def test_streaming_examples_run():
+    res = subprocess.run(
+        [sys.executable, "-c", _RUNNER],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert "### ALL_EXAMPLES_OK" in res.stdout
