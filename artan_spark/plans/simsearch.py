@@ -183,14 +183,15 @@ GROUP BY label
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label centroids (the inverted
-    lists); each query probes only its nearest centroid's list, then exact
-    cosine top-k inside that list.
+    lists); each query probes its ``nprobe`` nearest centroids' lists, then
+    exact cosine top-k over the probed candidates.
 
     At 100 TB: centroids are a broadcast table, list membership is a
-    partition key, so each query touches one partition's worth of vectors —
-    the classic IVF trade of recall for a ~K-fold candidate reduction.
+    partition key, so each query touches ``nprobe`` partitions' worth of
+    vectors — the classic IVF recall/candidate-count dial (recall test:
+    tests/test_simsearch_quality.py).
     """
     e = _emb(spark, sf_dir)
     lbl = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -216,7 +217,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
     probe = (
         qc.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "qv", "qn", F.col("label").alias("cell"))
     )
 
@@ -232,7 +233,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_IVF_SQL = f"""
+def _ann_ivf_sql(nprobe: int = 1) -> str:
+    return f"""
 WITH n AS ({_EMB_SQL}),
 e AS (SELECT n.vec_id, n.v, n.norm, emb.label
       FROM n JOIN embeddings emb ON n.vec_id = emb.vec_id),
@@ -248,7 +250,7 @@ probe AS (
                               ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cnorm) DESC,
                                        c.label ASC) AS crank
     FROM q CROSS JOIN centn c
-  ) WHERE crank = 1
+  ) WHERE crank <= {nprobe}
 )
 SELECT query_id, neighbor_id, cell, rank, ROUND(cosine, 6) AS cosine
 FROM (
@@ -263,16 +265,163 @@ WHERE rank <= {TOP_K}
 """
 
 
+# -- k-means IVF ------------------------------------------------------------
+
+KM_K = 16  # coarse-quantizer cells
+KM_ITERS = 2  # unrolled Lloyd iterations (also unrolled in the SQL oracle)
+KM_NPROBE = 2
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) -> DataFrame:
+    """IVF with a REAL coarse quantizer: spherical k-means over the
+    normalized embeddings (deterministic init = first KM_K vectors, KM_ITERS
+    Lloyd iterations), probe the ``nprobe`` nearest cells, exact cosine
+    re-rank inside them.
+
+    The label-cell variant above is oracle-simple but labels are
+    uncorrelated with cosine geometry on this corpus (recall 0.12 at
+    nprobe=1); k-means cells lift candidate recall to ~0.8+ at nprobe=2
+    (tests/test_simsearch_quality.py). Determinism contract with the DuckDB
+    oracle: centroids are ROUNDED to 6 decimals after every update, so both
+    engines assign cells from bit-identical inputs; dot products are
+    left-to-right in both engines (same contract the other ANN oracles rely
+    on). At 100 TB: centroids stay a broadcast table, assignment is a
+    map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
+    """
+    e = _emb(spark, sf_dir).withColumn(
+        "vn", F.transform("v", lambda x: x / F.col("norm"))
+    )
+
+    cent = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
+    )
+
+    def assign(cent_df):
+        scored = e.crossJoin(F.broadcast(cent_df)).withColumn("dot", _dot(F.col("vn"), F.col("cv")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+        return (
+            scored.withColumn("arank", F.row_number().over(w))
+            .filter(F.col("arank") == 1)
+            .select("vec_id", "cid")
+        )
+
+    for _ in range(KM_ITERS):
+        a = assign(cent)
+        pos = e.join(a, "vec_id").select("cid", F.posexplode(F.col("vn")).alias("pos", "x"))
+        cent = (
+            pos.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]).alias("cm"))
+            .withColumn("cn", F.sqrt(_dot(F.col("cm"), F.col("cm"))))
+            .select("cid", F.transform("cm", lambda x: F.round(x / F.col("cn"), 6)).alias("cv"))
+        )
+
+    cells = assign(cent)
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qdot", _dot(F.col("qvn"), F.col("cv")))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qvn", F.col("cid").alias("cell"))
+    )
+
+    member = e.join(cells, "vec_id")
+    scored = member.join(
+        F.broadcast(probe),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _ann_ivf_kmeans_sql(nprobe: int = KM_NPROBE) -> str:
+    # unrolled Lloyd iterations as CTE pairs (a{i} assignment, c{i} update)
+    sql = f"""
+WITH n0 AS ({_EMB_SQL}),
+n AS (SELECT vec_id, list_transform(v, x -> x / norm) AS vn FROM n0),
+c0 AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < {KM_K})"""
+    prev = "c0"
+    for i in range(1, KM_ITERS + 1):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid ASC) AS arank
+    FROM n CROSS JOIN {prev} c
+  ) WHERE arank = 1
+),
+m{i} AS (
+  SELECT a.cid, generate_subscripts(n.vn, 1) AS pos, unnest(n.vn) AS x
+  FROM n JOIN a{i} a ON n.vec_id = a.vec_id
+),
+d{i} AS (SELECT cid, pos, AVG(x) AS m FROM m{i} GROUP BY 1, 2),
+g{i} AS (SELECT cid, list(m ORDER BY pos) AS cm FROM d{i} GROUP BY cid),
+c{i} AS (
+  SELECT cid, list_transform(cm, x -> ROUND(x / sqrt(list_sum(list_transform(cm, y -> y * y))), 6)) AS cv
+  FROM g{i}
+)"""
+        prev = f"c{i}"
+    sql += f""",
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid ASC) AS arank
+    FROM n CROSS JOIN {prev} c
+  ) WHERE arank = 1
+),
+q AS (SELECT vec_id AS query_id, vn AS qvn FROM n WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT query_id, qvn, cid AS cell FROM (
+    SELECT q.query_id, q.qvn, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qvn, c.cv) DESC, c.cid ASC) AS crank
+    FROM q CROSS JOIN {prev} c
+  ) WHERE crank <= {nprobe}
+)
+SELECT query_id, neighbor_id, cell, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT p.query_id, n.vec_id AS neighbor_id, p.cell,
+         list_dot_product(n.vn, p.qvn) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY list_dot_product(n.vn, p.qvn) DESC, n.vec_id ASC) AS rank
+  FROM n JOIN cells ON n.vec_id = cells.vec_id
+  JOIN probe p ON cells.cid = p.cell AND n.vec_id != p.query_id
+)
+WHERE rank <= {TOP_K}
+"""
+    return sql
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_cosine": _ann_lsh_sql(),
-    "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_ivf_topk": _ann_ivf_sql(1),
+    "ann_ivf_kmeans": _ann_ivf_kmeans_sql(KM_NPROBE),
     "embedding_label_centroids": _CENTROID_SQL,
 }
