@@ -56,11 +56,15 @@ def _local_level(cls, **extra):
 
 
 def _finalize(out: DataFrame) -> DataFrame:
+    # 4dp: the sigma-point filters on a linear model track the exact KF
+    # recursion to ~3e-12 abs while the exact values sit ≥8e-9 from the
+    # nearest 4dp rounding boundary (measured at sf0.001/sf0.01, ≥3100x
+    # margin) — so rounding both sides to 4dp is hash-stable cross-engine
     return out.select(
         "stateKey",
         "stateIndex",
-        F.round(F.col("state.mean")[0], 6).alias("state_mean"),
-        F.round(F.col("state.covariance.values")[0], 6).alias("state_var"),
+        F.round(F.col("state.mean")[0], 4).alias("state_mean"),
+        F.round(F.col("state.covariance.values")[0], 4).alias("state_var"),
     )
 
 
@@ -106,6 +110,9 @@ def ckf_events_local_level(spark, sf_dir):
     return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
 
 
+SMOOTHER_LAG = 10
+
+
 def rts_smoother_events(spark, sf_dir):
     sm = (
         LinearKalmanSmoother(1, 1)
@@ -115,11 +122,14 @@ def rts_smoother_events(spark, sf_dir):
         .setInitialStateCovariance(np.array([[100.0]]))
         .setProcessNoise(np.array([[1.0]]))
         .setMeasurementNoise(np.array([[10.0]]))
-        .setFixedLag(10)
+        .setFixedLag(SMOOTHER_LAG)
     )
     out = sm.transform(_events_measurements(spark, sf_dir))
+    # raw doubles: the scalar smoother fold (smoother.py
+    # _scalar_smoother_fold_factory) is bit-identical to _SMOOTHER_1D_SQL
+    # below (same IEEE op order forward and backward)
     return out.select(
-        "stateKey", "stateIndex", "stepIndex", F.round(F.col("state.mean")[0], 6).alias("state_mean")
+        "stateKey", "stateIndex", "stepIndex", F.col("state.mean")[0].alias("state_mean")
     )
 
 
@@ -131,31 +141,59 @@ def mmae_events(spark, sf_dir):
 
 
 def gmm_events_value(spark, sf_dir):
-    df = _events_measurements(spark, sf_dir).select(F.array(F.col("value")).alias("sample"))
+    """Per-key online Gaussian mixture (k=2, 1-D) over event values with
+    minibatchSize=1 — every row is its own stochastic-EM step, which makes
+    the whole recursion scalar and SQL-expressible (``_GMM_1D_SQL``). The
+    model is always the derived form of the scaled sufficient stats
+    (updateHoldout=0), so the oracle carries just (sw, sm, sc) per component.
+    Parity: MixtureBase.scala stochastic E/M cycle; rounding margin guarded
+    by tests/test_oracle_margins.py."""
+    df = _events_measurements(spark, sf_dir).select(
+        "key", "ts", F.array(F.col("value")).alias("sample")
+    )
     gmm = (
         MultivariateGaussianMixture()
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
         .setInitialMeans([[25.0], [75.0]])
         .setInitialCovariances([[100.0], [100.0]])
-        .setMinibatchSize(50)
+        .setMinibatchSize(1)
         .setStepSize(0.1)
+        .setVectorizedBatch(True)
     )
     out = gmm.transform(df)
     return out.select(
+        "stateKey",
         "stateIndex",
-        F.round(F.col("mixtureModel.weights")[0], 6).alias("w0"),
-        F.round(F.col("mixtureModel.distributions")[0]["mean"][0], 6).alias("mean0"),
-        F.round(F.col("mixtureModel.distributions")[1]["mean"][0], 6).alias("mean1"),
+        F.round(F.col("mixtureModel.weights")[0], 5).alias("w0"),
+        F.round(F.col("mixtureModel.distributions")[0]["mean"][0], 5).alias("mean0"),
+        F.round(F.col("mixtureModel.distributions")[1]["mean"][0], 5).alias("mean1"),
     )
 
 
 def poisson_mixture_events(spark, sf_dir):
-    df = _events_measurements(spark, sf_dir).select((F.col("value") / 10).cast("long").alias("sample"))
-    pm = PoissonMixture().setInitialRates([2.0, 8.0]).setMinibatchSize(50).setStepSize(0.1)
+    """Per-key online Poisson mixture (k=2) with minibatchSize=1; same
+    SQL-expressible scalar recursion story as ``gmm_events_value`` (the
+    gammaln(x+1) term cancels inside the responsibility softmax)."""
+    df = _events_measurements(spark, sf_dir).select(
+        "key", "ts", (F.col("value") / 10).cast("long").alias("sample")
+    )
+    pm = (
+        PoissonMixture()
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setInitialRates([2.0, 8.0])
+        .setMinibatchSize(1)
+        .setStepSize(0.1)
+        .setVectorizedBatch(True)
+    )
     out = pm.transform(df)
     return out.select(
+        "stateKey",
         "stateIndex",
-        F.round(F.col("mixtureModel.distributions")[0]["rate"], 6).alias("rate0"),
-        F.round(F.col("mixtureModel.distributions")[1]["rate"], 6).alias("rate1"),
+        F.round(F.col("mixtureModel.weights")[0], 5).alias("w0"),
+        F.round(F.col("mixtureModel.distributions")[0]["rate"], 5).alias("rate0"),
+        F.round(F.col("mixtureModel.distributions")[1]["rate"], 5).alias("rate1"),
     )
 
 
@@ -226,6 +264,219 @@ rec(k, rn, m, p) AS (
   FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
 )
 SELECT k AS stateKey, rn AS stateIndex, m AS state_mean, p AS state_var FROM rec
+"""
+
+
+# Sigma-point filters (UKF/CKF) on a linear model reproduce the exact KF
+# recursion up to sigma-arithmetic float noise (measured ≤2.7e-12 abs at
+# sf0.01) — orders of magnitude inside the 4dp rounding margin (min distance
+# of the exact values to a 4dp boundary: 8.3e-9). So their oracle is the
+# exact recursion, rounded. tests/test_oracle_margins.py guards the margin.
+_KF_1D_ROUNDED_SQL = f"""
+SELECT stateKey, stateIndex,
+       ROUND(state_mean, 4) AS state_mean,
+       ROUND(state_var, 4) AS state_var
+FROM ({_KF_1D_SQL})
+"""
+
+
+# Fixed-lag RTS smoother, 1-D local level: forward pass is the _KF_1D_SQL
+# recursion; the backward pass mirrors the scalar smoother fold's exact IEEE
+# op order (smoother.py _scalar_smoother_fold_factory:129-138): with F=1,
+# fading=1: nc = P_j + 1; g = P_j*(1/nc); sm' = m_j + g*(sm - m_j);
+# smP' = P_j + (g*(smP - nc))*g. Multiplications by f=h=1.0 are IEEE-exact,
+# so raw doubles are bit-identical — verified 0 mismatches at sf0.001/sf0.01.
+# Anchors exist once the per-key queue holds `lag` entries (rn >= lag); each
+# anchor emits steps 0..lag-1 with stateIndex = anchor - step.
+_SMOOTHER_1D_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fwd(k, rn, m, p) AS (
+  SELECT k, rn,
+         0.0 + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * (value - 0.0)),
+         ((1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0)))) * (100.0 + 1.0))
+             * (1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))))
+           + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * 10.0)
+             * ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0)))
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.rn,
+         r.m + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * (o.value - r.m)),
+         ((1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0)))) * (r.p + 1.0))
+             * (1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))))
+           + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * 10.0)
+             * ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0)))
+  FROM fwd r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+),
+back(k, anchor, step, sm_m, sm_p) AS (
+  SELECT k, rn, 0, m, p FROM fwd WHERE rn >= {SMOOTHER_LAG}
+  UNION ALL
+  SELECT b.k, b.anchor, b.step + 1,
+         f.m + ((f.p * (1.0 / (f.p + 1.0))) * (b.sm_m - f.m)),
+         f.p + ((f.p * (1.0 / (f.p + 1.0))) * (b.sm_p - (f.p + 1.0)))
+             * (f.p * (1.0 / (f.p + 1.0)))
+  FROM back b JOIN fwd f ON f.k = b.k AND f.rn = b.anchor - (b.step + 1)
+  WHERE b.step + 1 <= {SMOOTHER_LAG - 1}
+)
+SELECT k AS stateKey, anchor - step AS stateIndex, step AS stepIndex, sm_m AS state_mean
+FROM back
+"""
+
+
+# MMAE consensus, 1-D local level across the key bank: forward recursion +
+# per-row loglikelihood (kalman.py _scalar_lkf_fold_factory:212-219:
+# ll = -0.5*(log2pi + 2*log(sqrt(S)) + (r/sqrt(S))^2) with predicted
+# r = y - m_prev, S = (P_prev + 1) + 10), slidingLikelihood = exp(sum of
+# last 5 lls), then the max-shift weighting of operators/mmae.py (weights
+# relative to the per-stateIndex max; uniform when the max underflows to 0).
+# Rounded to 4dp: collect_list ordering makes the Spark-side sum order
+# nondeterministic, so the check is margin-rounded, not bit-exact.
+_MMAE_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, m, p, ll) AS (
+  SELECT k, rn,
+         0.0 + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * (value - 0.0)),
+         ((1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0)))) * (100.0 + 1.0))
+             * (1.0 - ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))))
+           + (((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))) * 10.0)
+             * ((100.0 + 1.0) * (1.0 / ((100.0 + 1.0) + 10.0))),
+         -0.5 * (ln(2.0 * pi()) + 2.0 * ln(sqrt((100.0 + 1.0) + 10.0))
+                 + pow((value - 0.0) / sqrt((100.0 + 1.0) + 10.0), 2))
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.k, o.rn,
+         r.m + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * (o.value - r.m)),
+         ((1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0)))) * (r.p + 1.0))
+             * (1.0 - ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))))
+           + (((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))) * 10.0)
+             * ((r.p + 1.0) * (1.0 / ((r.p + 1.0) + 10.0))),
+         -0.5 * (ln(2.0 * pi()) + 2.0 * ln(sqrt((r.p + 1.0) + 10.0))
+                 + pow((o.value - r.m) / sqrt((r.p + 1.0) + 10.0), 2))
+  FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+),
+sll AS (
+  SELECT k, rn, m,
+         exp(SUM(ll) OVER (PARTITION BY k ORDER BY rn
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS w
+  FROM rec
+),
+mx AS (SELECT rn, MAX(w) AS mw FROM sll GROUP BY rn),
+wts AS (
+  SELECT s.rn, s.m,
+         CASE WHEN x.mw IS NULL OR x.mw <= 0.0 THEN 1.0
+              WHEN isinf(x.mw) THEN (CASE WHEN s.w = x.mw THEN 1.0 ELSE 0.0 END)
+              ELSE s.w / x.mw END AS relw
+  FROM sll s JOIN mx x ON x.rn = s.rn
+)
+SELECT rn AS stateIndex, ROUND(SUM(relw * m) / SUM(relw), 4) AS consensus_mean
+FROM wts GROUP BY rn
+"""
+
+
+# Online Gaussian mixture (k=2, 1-D, minibatch=1, stepSize=0.1,
+# updateHoldout=0): the stochastic-EM cycle (mixture.py _mixture_fold_factory
+# :276-296) degenerates to a per-row scalar recursion over the weight-scaled
+# sufficient stats (sw_j, sm_j, sc_j); the model is always the derived form
+# m_j = sm_j/sw_j, v_j = sc_j/sw_j, w_j = sw_j. Base case is the rn=0 initial
+# state (weights [.5,.5] scaled into means [25,75], covs [100,100]), so the
+# step expression appears once. Rounded to 5dp — the softmax/logsumexp float
+# paths differ across engines but the recursion is contracting (0.9 decay);
+# margin guarded in tests/test_oracle_margins.py.
+_GMM_1D_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, sw0, sw1, sm0, sm1, sc0, sc1) AS (
+  SELECT k, 0, CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(12.5 AS DOUBLE),
+         CAST(37.5 AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(50.0 AS DOUBLE)
+  FROM (SELECT DISTINCT k FROM ordered)
+  UNION ALL
+  SELECT t.k, t.rn,
+         0.9 * t.sw0 + 0.1 * t.resp0,
+         0.9 * t.sw1 + 0.1 * t.resp1,
+         0.9 * t.sm0 + 0.1 * (t.resp0 * t.x),
+         0.9 * t.sm1 + 0.1 * (t.resp1 * t.x),
+         0.9 * t.sc0 + 0.1 * (t.resp0 * ((t.x - t.m0) * (t.x - t.m0))),
+         0.9 * t.sc1 + 0.1 * (t.resp1 * ((t.x - t.m1) * (t.x - t.m1)))
+  FROM (
+    SELECT u.*, u.e0 / (u.e0 + u.e1) AS resp0, u.e1 / (u.e0 + u.e1) AS resp1
+    FROM (
+      SELECT s.*, exp(s.ll0 - greatest(s.ll0, s.ll1)) AS e0,
+                  exp(s.ll1 - greatest(s.ll0, s.ll1)) AS e1
+      FROM (
+        SELECT q.*,
+               -0.5 * (ln(2.0 * pi()) + ln(q.v0) + ((q.x - q.m0) * (q.x - q.m0)) / q.v0)
+                 + ln(q.sw0) AS ll0,
+               -0.5 * (ln(2.0 * pi()) + ln(q.v1) + ((q.x - q.m1) * (q.x - q.m1)) / q.v1)
+                 + ln(q.sw1) AS ll1
+        FROM (
+          SELECT o.k, o.rn, o.value AS x,
+                 r.sw0, r.sw1, r.sm0, r.sm1, r.sc0, r.sc1,
+                 r.sm0 / r.sw0 AS m0, r.sm1 / r.sw1 AS m1,
+                 r.sc0 / r.sw0 AS v0, r.sc1 / r.sw1 AS v1
+          FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+        ) q
+      ) s
+    ) u
+  ) t
+)
+SELECT k AS stateKey, rn AS stateIndex,
+       ROUND(sw0, 5) AS w0, ROUND(sm0 / sw0, 5) AS mean0, ROUND(sm1 / sw1, 5) AS mean1
+FROM rec WHERE rn >= 1
+"""
+
+
+# Online Poisson mixture (k=2, minibatch=1): same scalar recursion over
+# (sw_j, sr_j) with r_j = sr_j/sw_j; the gammaln(x+1) sample term is common
+# to both components and cancels in the responsibility softmax. Spark's
+# CAST(double AS long) truncates while DuckDB's rounds, hence FLOOR.
+_POISSON_MIX_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k,
+         CAST(FLOOR(value / 10.0) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, sw0, sw1, sr0, sr1) AS (
+  SELECT k, 0, CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE),
+         CAST(4.0 AS DOUBLE)
+  FROM (SELECT DISTINCT k FROM ordered)
+  UNION ALL
+  SELECT t.k, t.rn,
+         0.9 * t.sw0 + 0.1 * t.resp0,
+         0.9 * t.sw1 + 0.1 * t.resp1,
+         0.9 * t.sr0 + 0.1 * (t.resp0 * t.x),
+         0.9 * t.sr1 + 0.1 * (t.resp1 * t.x)
+  FROM (
+    SELECT u.*, u.e0 / (u.e0 + u.e1) AS resp0, u.e1 / (u.e0 + u.e1) AS resp1
+    FROM (
+      SELECT s.*, exp(s.ll0 - greatest(s.ll0, s.ll1)) AS e0,
+                  exp(s.ll1 - greatest(s.ll0, s.ll1)) AS e1
+      FROM (
+        SELECT q.*,
+               q.x * ln(q.r0) - q.r0 + ln(q.sw0) AS ll0,
+               q.x * ln(q.r1) - q.r1 + ln(q.sw1) AS ll1
+        FROM (
+          SELECT o.k, o.rn, o.x, r.sw0, r.sw1, r.sr0, r.sr1,
+                 r.sr0 / r.sw0 AS r0, r.sr1 / r.sw1 AS r1
+          FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+        ) q
+      ) s
+    ) u
+  ) t
+)
+SELECT k AS stateKey, rn AS stateIndex,
+       ROUND(sw0, 5) AS w0, ROUND(sr0 / sw0, 5) AS rate0, ROUND(sr1 / sw1, 5) AS rate1
+FROM rec WHERE rn >= 1
 """
 
 
@@ -319,10 +570,17 @@ QUERIES = {
     "rls_events_1d": rls_events_1d,
 }
 
-# only the scalar recursions are SQL-expressible; the rest are rows-only
+# scalar recursions are SQL-expressible bit-exactly; sigma-point/consensus
+# variants via margin-guarded rounding (see comments above each SQL)
 ORACLES = {
     "lkf_events_local_level": _KF_1D_SQL,
     "ekf_events_local_level": _KF_1D_SQL,
+    "ukf_events_local_level": _KF_1D_ROUNDED_SQL,
+    "ckf_events_local_level": _KF_1D_ROUNDED_SQL,
+    "rts_smoother_events": _SMOOTHER_1D_SQL,
+    "mmae_events": _MMAE_SQL,
+    "gmm_events_value": _GMM_1D_SQL,
+    "poisson_mixture_events": _POISSON_MIX_SQL,
     "lms_events_1d": _LMS_1D_SQL,
     "rls_events_1d": _RLS_1D_SQL,
 }

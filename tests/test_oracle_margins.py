@@ -1,0 +1,114 @@
+"""Guard the rounding margin behind the UKF/CKF 4dp oracles.
+
+The sigma-point filters on the linear local-level model are oracled against
+the *exact* KF recursion rounded to 4dp (plans/estimation.py
+``_KF_1D_ROUNDED_SQL``). That is only sound while two measured facts hold:
+
+1. the sigma-point arithmetic tracks the exact recursion to ~1e-12 abs, and
+2. no exact value sits close enough to a 4dp rounding boundary that the
+   sigma-point noise could flip the rounded digit.
+
+This test re-measures both on the test corpus and asserts a wide safety
+factor, so a testdata regeneration or a sigma-fold change that erodes the
+margin fails loudly instead of producing a flaky hash mismatch in the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from artan_spark.operators import CubatureKalmanFilter, UnscentedKalmanFilter
+from artan_spark.plans import estimation as est
+from artan_spark.plans.oracle import duckdb_frame
+
+from conftest import SF_DIR
+
+# measured at sf0.001/sf0.01: deviation ≤2.7e-12, boundary distance ≥8.3e-9
+MAX_DEVIATION = 1e-10
+MIN_SAFETY_FACTOR = 100.0
+
+
+def _raw_sigma_run(spark, cls):
+    flt = est._local_level(cls).setVectorizedBatch(True)
+    out = flt.transform(est._events_measurements(spark, SF_DIR))
+    import pyspark.sql.functions as F
+
+    return out.select(
+        "stateKey",
+        "stateIndex",
+        F.col("state.mean")[0].alias("state_mean"),
+        F.col("state.covariance.values")[0].alias("state_var"),
+    ).toPandas()
+
+
+@pytest.mark.parametrize(
+    "sql_name, repl",
+    [
+        (
+            "_GMM_1D_SQL",
+            [("ROUND(sw0, 5)", "sw0"), ("ROUND(sm0 / sw0, 5)", "sm0 / sw0"), ("ROUND(sm1 / sw1, 5)", "sm1 / sw1")],
+        ),
+        (
+            "_POISSON_MIX_SQL",
+            [("ROUND(sw0, 5)", "sw0"), ("ROUND(sr0 / sw0, 5)", "sr0 / sw0"), ("ROUND(sr1 / sw1, 5)", "sr1 / sw1")],
+        ),
+    ],
+)
+def test_mixture_oracle_margin(sql_name, repl):
+    """The mixture oracles round to 5dp because the engines' softmax float
+    paths differ (~1e-13 rel, contracting recursion). Guard that no raw value
+    sits near a 5dp boundary."""
+    raw_sql = getattr(est, sql_name)
+    for old, new in repl:
+        assert old in raw_sql
+        raw_sql = raw_sql.replace(old, new)
+    df = duckdb_frame(raw_sql, SF_DIR)
+    for col in df.columns:
+        if col in ("stateKey", "stateIndex"):
+            continue
+        v = df[col].to_numpy(dtype=float)
+        scaled = v * 1e5
+        dist = (np.abs(scaled - np.floor(scaled) - 0.5) * 1e-5).min()
+        assert dist > 1e-10, f"{sql_name}.{col}: 5dp boundary distance {dist:.3e}"
+
+
+def test_mmae_oracle_margin():
+    """MMAE's consensus sums 32 per-key contributions in collect_list order,
+    which Spark does not fix — the 4dp rounding must sit far from every
+    boundary so reordering noise (~1e-12 rel) cannot flip a rounded digit."""
+    raw_sql = est._MMAE_SQL.replace(
+        "ROUND(SUM(relw * m) / SUM(relw), 4)", "SUM(relw * m) / SUM(relw)"
+    )
+    v = duckdb_frame(raw_sql, SF_DIR)["consensus_mean"].to_numpy()
+    scaled = v * 1e4
+    dist = (np.abs(scaled - np.floor(scaled) - 0.5) * 1e-4).min()
+    assert dist > 1e-9, f"MMAE 4dp boundary distance {dist:.3e} too small"
+
+
+@pytest.mark.parametrize("cls", [UnscentedKalmanFilter, CubatureKalmanFilter])
+def test_sigma_oracle_margin(spark, cls):
+    exact = duckdb_frame(est._KF_1D_SQL, SF_DIR)
+    sigma = _raw_sigma_run(spark, cls)
+    merged = exact.merge(
+        sigma, on=["stateKey", "stateIndex"], suffixes=("_exact", "_sigma"), validate="1:1"
+    )
+    assert len(merged) == len(exact) == len(sigma)
+
+    for col in ("state_mean", "state_var"):
+        ex = merged[f"{col}_exact"].to_numpy()
+        sg = merged[f"{col}_sigma"].to_numpy()
+        deviation = np.abs(ex - sg).max()
+        assert deviation < MAX_DEVIATION, f"{col}: sigma deviation {deviation:.3e}"
+
+        # distance of each exact value to its nearest 4dp rounding boundary
+        scaled = ex * 1e4
+        frac = np.abs(scaled - np.floor(scaled) - 0.5) * 1e-4
+        margin = frac.min()
+        floor = max(deviation, 1e-15)
+        assert margin > MIN_SAFETY_FACTOR * floor, (
+            f"{col}: boundary margin {margin:.3e} < {MIN_SAFETY_FACTOR}x "
+            f"deviation {deviation:.3e} — 4dp oracle no longer safe"
+        )
