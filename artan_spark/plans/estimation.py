@@ -198,9 +198,17 @@ def poisson_mixture_events(spark, sf_dir):
 
 
 def lkf_ols_multikey(spark, sf_dir):
-    """3-D online OLS (value ~ hour + sqrt(hour) + 1) per user bucket with a
-    per-row measurement model — the n-D many-models workload. Runs the
-    vectorized time-synchronous batch fold (operators/vectorized.py)."""
+    """3-D online OLS (value ~ hour + sqrt(hour + 0.5) + 1) per user bucket
+    with a per-row measurement model — the n-D many-models workload. Runs the
+    vectorized time-synchronous batch fold (operators/vectorized.py).
+
+    The half-integer offset inside the sqrt keeps the regressor irrational
+    for every integer hour (b^2*(2h+1) = 2a^2 has no integer solutions), so
+    the Kalman gains are non-dyadic from step 1 and no recursion value lands
+    exactly on a decimal rounding boundary — with a plain sqrt(hour), hour-0
+    rows give K = 0.5 exactly and the 2-decimal `value` inputs produce
+    boundary-exact outputs where cross-engine ROUND() diverges. 4dp margin
+    measured >=2700x at sf0.01; guarded by tests/test_oracle_margins.py."""
     e = read_table(spark, sf_dir, "events")
     x = F.hour("ts").cast("double")
     df = e.select(
@@ -210,7 +218,7 @@ def lkf_ols_multikey(spark, sf_dir):
         F.struct(
             F.lit(1).alias("numRows"),
             F.lit(3).alias("numCols"),
-            F.array(x, F.sqrt(x), F.lit(1.0)).alias("values"),
+            F.array(x, F.sqrt(x + F.lit(0.5)), F.lit(1.0)).alias("values"),
         ).alias("measurementModel"),
     )
     flt = (
@@ -227,8 +235,8 @@ def lkf_ols_multikey(spark, sf_dir):
     return out.select(
         "stateKey",
         "stateIndex",
-        F.round(F.col("state.mean")[0], 6).alias("coef_hour"),
-        F.round(F.col("state.mean")[2], 6).alias("intercept"),
+        F.round(F.col("state.mean")[0], 4).alias("coef_hour"),
+        F.round(F.col("state.mean")[2], 4).alias("intercept"),
     )
 
 
@@ -480,6 +488,56 @@ FROM rec WHERE rn >= 1
 """
 
 
+# 3-D Kalman OLS (per-row measurement model h = [hour, sqrt(hour+0.5), 1],
+# F=I, Q=0, P0=100I, R=100): the update unrolls over the symmetric P — with
+# v = P·h, S = h·v + R, K = v/S, the Joseph form collapses to
+# P'_ij = P_ij − K_i·v_j − K_j·v_i + K_i·K_j·S. Engines differ only in
+# matmul op order/FMA (~1e-12 abs); rounded to 4dp (margin >=2700x,
+# guarded by tests/test_oracle_margins.py).
+_KF_3D_OLS_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % 512 AS VARCHAR) AS k,
+         CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS x, value AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 512 ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, m0, m1, m2, p00, p01, p02, p11, p12, p22) AS (
+  SELECT k, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         CAST(100 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         CAST(100 AS DOUBLE), CAST(0 AS DOUBLE), CAST(100 AS DOUBLE)
+  FROM (SELECT DISTINCT k FROM ordered)
+  UNION ALL
+  SELECT t.k, t.rn,
+         t.m0 + t.k0 * t.e, t.m1 + t.k1 * t.e, t.m2 + t.k2 * t.e,
+         t.p00 - t.k0*t.v0 - t.k0*t.v0 + t.k0*t.k0*t.s,
+         t.p01 - t.k0*t.v1 - t.k1*t.v0 + t.k0*t.k1*t.s,
+         t.p02 - t.k0*t.v2 - t.k2*t.v0 + t.k0*t.k2*t.s,
+         t.p11 - t.k1*t.v1 - t.k1*t.v1 + t.k1*t.k1*t.s,
+         t.p12 - t.k1*t.v2 - t.k2*t.v1 + t.k1*t.k2*t.s,
+         t.p22 - t.k2*t.v2 - t.k2*t.v2 + t.k2*t.k2*t.s
+  FROM (
+    SELECT w.*, w.v0 / w.s AS k0, w.v1 / w.s AS k1, w.v2 / w.s AS k2,
+           w.y - (w.h0*w.m0 + w.h1*w.m1 + w.h2*w.m2) AS e
+    FROM (
+      SELECT q.*, q.h0*q.v0 + q.h1*q.v1 + q.h2*q.v2 + 100.0 AS s
+      FROM (
+        SELECT o.k, o.rn, o.y, o.x AS h0, sqrt(o.x + 0.5) AS h1,
+               CAST(1 AS DOUBLE) AS h2,
+               r.m0, r.m1, r.m2, r.p00, r.p01, r.p02, r.p11, r.p12, r.p22,
+               r.p00*o.x + r.p01*sqrt(o.x + 0.5) + r.p02 AS v0,
+               r.p01*o.x + r.p11*sqrt(o.x + 0.5) + r.p12 AS v1,
+               r.p02*o.x + r.p12*sqrt(o.x + 0.5) + r.p22 AS v2
+        FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+      ) q
+    ) w
+  ) t
+)
+SELECT k AS stateKey, rn AS stateIndex,
+       ROUND(m0, 4) AS coef_hour, ROUND(m2, 4) AS intercept
+FROM rec WHERE rn >= 1
+"""
+
+
 # -- 1-D LMS / RLS with full recursive-CTE oracles --------------------------
 
 
@@ -581,6 +639,7 @@ ORACLES = {
     "mmae_events": _MMAE_SQL,
     "gmm_events_value": _GMM_1D_SQL,
     "poisson_mixture_events": _POISSON_MIX_SQL,
+    "lkf_ols_multikey": _KF_3D_OLS_SQL,
     "lms_events_1d": _LMS_1D_SQL,
     "rls_events_1d": _RLS_1D_SQL,
 }

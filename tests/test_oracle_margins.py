@@ -75,6 +75,61 @@ def test_mixture_oracle_margin(sql_name, repl):
         assert dist > 1e-10, f"{sql_name}.{col}: 5dp boundary distance {dist:.3e}"
 
 
+def test_kf3d_ols_oracle_margin(spark):
+    """The 3-D OLS oracle rounds to 4dp because engines disagree on matmul
+    op order/FMA (~1e-12 abs). Guard both the deviation and the boundary
+    distance; the sqrt(hour+0.5) basis keeps gains non-dyadic, which is what
+    bounds values away from boundaries (see lkf_ols_multikey docstring)."""
+    raw_sql = est._KF_3D_OLS_SQL.replace("ROUND(m0, 4)", "m0").replace("ROUND(m2, 4)", "m2")
+    ddf = duckdb_frame(raw_sql, SF_DIR)
+    import pyspark.sql.functions as F
+
+    # same transform as the inventory query, minus the output rounding
+    from artan_spark.operators import LinearKalmanFilter
+    from artan_spark.sources import read_table
+
+    e = read_table(spark, SF_DIR, "events")
+    x = F.hour("ts").cast("double")
+    df = e.select(
+        (F.col("user_id") % 512).cast("string").alias("key"),
+        F.col("ts"),
+        F.array(F.col("value")).alias("measurement"),
+        F.struct(
+            F.lit(1).alias("numRows"),
+            F.lit(3).alias("numCols"),
+            F.array(x, F.sqrt(x + F.lit(0.5)), F.lit(1.0)).alias("values"),
+        ).alias("measurementModel"),
+    )
+    flt = (
+        LinearKalmanFilter(3, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setInitialStateCovariance(100.0 * np.eye(3))
+        .setMeasurementModelCol("measurementModel")
+        .setProcessNoise(np.zeros((3, 3)))
+        .setMeasurementNoise(np.array([[100.0]]))
+        .setVectorizedBatch(True)
+    )
+    raw = flt.transform(df).select(
+        "stateKey",
+        "stateIndex",
+        F.col("state.mean")[0].alias("coef_hour"),
+        F.col("state.mean")[2].alias("intercept"),
+    ).toPandas()
+
+    merged = ddf.merge(raw, on=["stateKey", "stateIndex"], suffixes=("_d", "_s"), validate="1:1")
+    assert len(merged) == len(ddf) == len(raw)
+    for c in ("coef_hour", "intercept"):
+        dev = np.abs(merged[f"{c}_d"] - merged[f"{c}_s"]).max()
+        assert dev < 1e-10, f"{c}: engine deviation {dev:.3e}"
+        v = merged[f"{c}_d"].to_numpy()
+        scaled = v * 1e4
+        dist = (np.abs(scaled - np.floor(scaled) - 0.5) * 1e-4).min()
+        assert dist > MIN_SAFETY_FACTOR * max(dev, 1e-15), (
+            f"{c}: 4dp boundary distance {dist:.3e} vs deviation {dev:.3e}"
+        )
+
+
 def test_mmae_oracle_margin():
     """MMAE's consensus sums 32 per-key contributions in collect_list order,
     which Spark does not fix — the 4dp rounding must sit far from every
