@@ -466,6 +466,61 @@ class FiniteMixtureBase(StatefulTransformer):
         out = super().transform(df)
         return out if self.get("eventTimeCol") else out.drop(EVENT_TIME)
 
+    def _flatOutSchema(self):
+        return StructType(
+            [
+                StructField(STATE_KEY, StringType()),
+                StructField("stateIndex", LongType()),
+                StructField("weights", ArrayType(DoubleType())),
+                StructField("params", ArrayType(DoubleType())),
+                StructField(EVENT_TIME, TimestampType(), True),
+                StructField("loglikelihood", DoubleType(), True),
+            ]
+        )
+
+    def _shapeMixtureOutput(self, df: DataFrame) -> DataFrame:
+        """Reassemble the public mixtureModel struct JVM-side from the flat
+        (weights, params) arrays the vectorized fold emits — Catalyst
+        projection instead of the Python struct-serialization cliff."""
+        k = len(self._constants()["initialWeights"])
+        fam = self._family
+        if fam == "gaussian":
+            d = int(np.asarray(self._initialParams()["means"]).shape[1])
+            span = d + d * d
+
+            def dist(j):
+                base = j * span
+                return F.struct(
+                    F.slice("params", base + 1, d).alias("mean"),
+                    F.struct(
+                        F.lit(d).alias("numRows"),
+                        F.lit(d).alias("numCols"),
+                        F.slice("params", base + 1 + d, d * d).alias("values"),
+                    ).alias("covariance"),
+                )
+
+        elif fam == "poisson":
+
+            def dist(j):
+                return F.struct(F.col("params")[j].alias("rate"))
+
+        else:
+
+            def dist(j):
+                return F.struct(F.col("params")[j].alias("probability"))
+
+        model = F.struct(
+            F.col("weights").alias("weights"),
+            F.array(*[dist(j) for j in range(k)]).alias("distributions"),
+        )
+        return df.select(
+            STATE_KEY,
+            "stateIndex",
+            model.alias("mixtureModel"),
+            EVENT_TIME,
+            "loglikelihood",
+        )
+
     def _vectorizedTransform(self, df: DataFrame) -> DataFrame:
         """Salted multi-key batched stochastic-EM fold (vectorized.py);
         same output schema as the sequential path."""
@@ -485,7 +540,8 @@ class FiniteMixtureBase(StatefulTransformer):
             return out
 
         salted = self._saltedKeys(df, keyed)
-        return salted.groupBy("__salt__").applyInPandas(fn, self._outSchema())
+        flat = salted.groupBy("__salt__").applyInPandas(fn, self._flatOutSchema())
+        return self._shapeMixtureOutput(flat)
 
     def _batchEM(self, df: DataFrame) -> DataFrame:
         """Driver-side EM loop (MixtureBase.scala:257-316): minibatch = per-key

@@ -119,6 +119,9 @@ def _seed_initial_state(pdf: pd.DataFrame, first, m, P):
 
 def _batched_sqrt_spd(P):
     """Batched symmetric PSD square root via batched SVD ((A, n, n) input)."""
+    if P.shape[1] == 1:
+        # scalar sqrt — the batched LAPACK SVD dominates per-step cost at n=1
+        return np.sqrt(np.maximum(P, 0.0))
     Ps = (P + np.swapaxes(P, 1, 2)) * 0.5
     u, s, vt = np.linalg.svd(Ps)
     return (u * np.sqrt(np.maximum(s, 0.0))[:, None, :]) @ vt
@@ -770,10 +773,10 @@ def vectorized_mixture_fold_factory(c: dict):
     step = float(c["stepSize"])
     w0 = c["initialWeights"]
     p0 = c["initialParams"]
-    out_fields = list(c["outFields"])
+    out_fields = ["stateKey", "stateIndex", "weights", "params", "eventTime", "loglikelihood"]
     kc = len(w0)
 
-    from artan_spark.types import np_to_mat, vec_to_np
+    from artan_spark.types import vec_to_np
 
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
@@ -813,6 +816,13 @@ def vectorized_mixture_fold_factory(c: dict):
         def loglik(x, a):
             """(A, mb, kc) log densities under the CURRENT per-key params
             (gaussian version; scalar families rebind below)."""
+            if d == 1:
+                # elementwise normal logpdf — the batched Cholesky/solve
+                # LAPACK calls dominate the per-step cost for 1x1 covs
+                m1 = means[a, :, 0]  # (A, kc)
+                v1 = covs[a, :, 0, 0]  # (A, kc)
+                diff = x[:, :, 0][:, :, None] - m1[:, None, :]
+                return -0.5 * (_LOG2PI + np.log(v1)[:, None, :] + diff * diff / v1[:, None, :])
             llm = np.empty((len(a), x.shape[1], kc))
             for j in range(kc):
                 L = np.linalg.cholesky(covs[a, j])
@@ -893,31 +903,24 @@ def vectorized_mixture_fold_factory(c: dict):
             amax = np.where(np.isfinite(amax), amax, 0.0)
             lls = np.sum(np.log(np.sum(np.exp(ll_new - amax), axis=2, keepdims=True)) + amax, axis=(1, 2))
 
+            # flat primitive columns across the Python->JVM boundary (the
+            # struct-of-array emission was the 3x serialization cliff);
+            # mixture.py _shapeMixtureOutput reassembles the public struct.
             trig = first[alive] + t * mb + mb - 1
-            for i, a in enumerate(alive):
-                out[STATE_KEY].append(keys_arr[first[a]])
-                out["stateIndex"].append(t + 1)
-                if family == "gaussian":
-                    model = {
-                        "weights": weights[a].tolist(),
-                        "distributions": [
-                            {"mean": means[a, j].tolist(), "covariance": np_to_mat(covs[a, j])}
-                            for j in range(kc)
-                        ],
-                    }
-                elif family == "poisson":
-                    model = {
-                        "weights": weights[a].tolist(),
-                        "distributions": [{"rate": float(r)} for r in rates[a]],
-                    }
-                else:
-                    model = {
-                        "weights": weights[a].tolist(),
-                        "distributions": [{"probability": float(p)} for p in probs[a]],
-                    }
-                out["mixtureModel"].append(model)
-                out[EVENT_TIME].append(ev[trig[i]] if ev is not None else None)
-                out["loglikelihood"].append(float(lls[i]))
+            out[STATE_KEY].extend(keys_arr[first[alive]])
+            out["stateIndex"].extend([t + 1] * A)
+            out["weights"].extend(weights[alive].tolist())
+            if family == "gaussian":
+                flat = np.concatenate(
+                    [means[alive], covs[alive].reshape(A, kc, d * d)], axis=2
+                ).reshape(A, kc * (d + d * d))
+            elif family == "poisson":
+                flat = rates[alive]
+            else:
+                flat = probs[alive]
+            out["params"].extend(flat.tolist())
+            out[EVENT_TIME].extend(ev[trig] if ev is not None else [None] * A)
+            out["loglikelihood"].extend(lls.tolist())
 
         return pd.DataFrame(out, columns=out_fields), None
 
