@@ -9,9 +9,18 @@ double aggregates are rounded identically on both sides so the driver's
 order-insensitive value hash is stable across engines.
 """
 
-from artan_spark.plans import dedup, estimation, multimodal, relational, simsearch, textstats
+from artan_spark.plans import (
+    dedup,
+    estimation,
+    multimodal,
+    relational,
+    simsearch,
+    sketch,
+    temporal,
+    textstats,
+)
 
-MODULES = (relational, dedup, simsearch, textstats, estimation, multimodal)
+MODULES = (relational, dedup, simsearch, textstats, estimation, multimodal, temporal, sketch)
 
 QUERIES = {}
 ORACLES = {}

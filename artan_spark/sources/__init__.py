@@ -64,8 +64,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosecond parquet timestamps surfaced as long via nanosAsLong
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanosecond parquet timestamps surfaced as long via nanosAsLong.
+        # Integer division, NOT `/1000 cast long`: epoch-ns (~1.7e18) exceeds
+        # double's 53-bit mantissa, so float division rounds the microsecond
+        # while DuckDB/numpy ns->us conversion truncates — a 1us skew that
+        # shows up the moment a query emits raw timestamps.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -27,6 +27,7 @@ HEADLINE = [
     "q5_nation_revenue",
     "events_window_stats",
     "events_user_activity",
+    "events_asof_join",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
