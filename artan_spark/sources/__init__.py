@@ -73,6 +73,44 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink. ``partition_by`` becomes hive-style
+    directory partitioning, which downstream reads prune (the scan's
+    ``PartitionFilters``) — the cheap first-order data-skipping lever at
+    100 TB. Compression stays at Spark's zstd/snappy default."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (``bucketBy`` requires ``saveAsTable``).
+    Two tables bucketed the same way join/aggregate WITHOUT a shuffle —
+    pre-paying the exchange once at write time, the standard trick for a
+    fact table that is joined on the same key by every downstream job
+    (verified by a no-Exchange plan assertion in tests/test_sinks.py)."""
+    bcols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bcols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in names}
 
