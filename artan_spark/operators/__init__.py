@@ -1,3 +1,4 @@
+from artan_spark.operators.asof import StreamingAsofJoin
 from artan_spark.operators.kalman import (
     CubatureKalmanFilter,
     ExtendedKalmanFilter,
@@ -24,4 +25,5 @@ __all__ = [
     "MultivariateGaussianMixture",
     "PoissonMixture",
     "BernoulliMixture",
+    "StreamingAsofJoin",
 ]
