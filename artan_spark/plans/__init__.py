@@ -14,13 +14,24 @@ from artan_spark.plans import (
     estimation,
     multimodal,
     relational,
+    sampling,
     simsearch,
     sketch,
     temporal,
     textstats,
 )
 
-MODULES = (relational, dedup, simsearch, textstats, estimation, multimodal, temporal, sketch)
+MODULES = (
+    relational,
+    dedup,
+    simsearch,
+    textstats,
+    estimation,
+    multimodal,
+    temporal,
+    sketch,
+    sampling,
+)
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting over the ``documents`` table.
+
+Training pipelines need splits and subsamples that are (a) reproducible
+across runs and engines, (b) stable under repartitioning, and (c) free of
+coordination — which rules out ``df.sample`` (partition-order dependent
+RNG) and ``rand()`` seeds. The standard trick is hash-based assignment:
+bucket every row by a portable content hash, so membership is a pure
+function of the row. Both queries here are therefore bit-reproducible and
+carry full value-hash oracles, unlike anything built on Spark's RNG.
+
+Scale: split assignment is a stateless projection (no shuffle at all);
+stratified top-N is one hash shuffle on the stratum key + a per-group
+window — the same cost as any grouped top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from artan_spark.sources import read_table
+
+# portable 60-bit md5 prefix (verified Spark == DuckDB incl. empty string)
+_BUCKETS = 100
+_TRAIN, _VAL = 80, 90  # 80/10/10
+
+
+def _hash_bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long") % _BUCKETS
+    )
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment keyed on doc_id — a stateless
+    projection, then per-split yield stats (count + token volume)."""
+    d = read_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select(split.alias("split"), toks.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN b < {_TRAIN} THEN 'train' WHEN b < {_VAL} THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+FROM (
+  SELECT text,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} AS b
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+N_PER_LANG = 20
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota subsample: the N lowest-hash docs of each lang —
+    a deterministic 'balanced corpus' selection. One shuffle on lang, then
+    a bounded per-group top-k."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        d.select("lang", "doc_id", h.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PER_LANG)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT lang, doc_id, rn
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {N_PER_LANG}
+"""
+
+
+QUERIES = {
+    "docs_split_assign": docs_split_assign,
+    "docs_stratified_sample": docs_stratified_sample,
+}
+ORACLES = {
+    "docs_split_assign": _SPLIT_SQL,
+    "docs_stratified_sample": _STRATIFIED_SQL,
+}
