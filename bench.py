@@ -28,6 +28,9 @@ HEADLINE = [
     "events_window_stats",
     "events_user_activity",
     "events_asof_join",
+    "events_range_join",
+    "events_kmv_distinct",
+    "docs_split_assign",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
