@@ -123,11 +123,14 @@ def rts_smoother_events(spark, sf_dir):
         .setProcessNoise(np.array([[1.0]]))
         .setMeasurementNoise(np.array([[10.0]]))
         .setFixedLag(SMOOTHER_LAG)
+        .setVectorizedBatch(True)
     )
     out = sm.transform(_events_measurements(spark, sf_dir))
     # raw doubles: the scalar smoother fold (smoother.py
     # _scalar_smoother_fold_factory) is bit-identical to _SMOOTHER_1D_SQL
-    # below (same IEEE op order forward and backward)
+    # below (same IEEE op order forward and backward); the vectorized
+    # multi-key variant batches the SAME elementwise ops across keys, so it
+    # is bit-identical too (verified 0 mismatches over sf0.01, 97120 rows)
     return out.select(
         "stateKey", "stateIndex", "stepIndex", F.col("state.mean")[0].alias("state_mean")
     )
