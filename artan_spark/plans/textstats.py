@@ -246,8 +246,54 @@ GROUP BY lang
 """
 
 
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word 3-grams that are repeats
+    of an earlier 3-gram in the same doc — a standard LLM-corpus quality
+    signal (boilerplate/spam detectors threshold on it).
+
+    The ratio is emitted RAW, not rounded: it is one IEEE division of two
+    exact small ints, bit-identical across engines — while ROUND would be a
+    trap (n/d with d dividing a power of 10·2 lands exactly on rounding
+    boundaries, where engines' ROUND implementations diverge). Tokens are
+    materialized in their own projection first so Catalyst doesn't re-split
+    per 3-gram inside the HOF lambda."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks().alias("t"))
+    grams = t.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
+            ),
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        F.coalesce(F.size("g"), F.lit(0)).alias("n_ngrams"),
+        F.when(
+            F.size("g") > 0,
+            (F.size("g") - F.size(F.array_distinct("g"))) / F.size("g"),
+        ).alias("rep_ratio"),
+    )
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_ngrams,
+       CASE WHEN len(t) >= 3 THEN
+         CAST(((len(t) - 2) - len(list_distinct(
+             list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ))) AS DOUBLE) / (len(t) - 2)
+       END AS rep_ratio
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
 QUERIES = {
     "corpus_clean_stats": corpus_clean_stats,
+    "text_repetition_ratio": text_repetition_ratio,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_profile": text_lang_profile,
@@ -258,6 +304,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_clean_stats": _CORPUS_CLEAN_SQL,
+    "text_repetition_ratio": _REPETITION_SQL,
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
