@@ -291,9 +291,54 @@ FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documen
 """
 
 
+def docs_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality-score quartiles by explicit rank selection
+    (element at rank ceil(q*n), ties broken by doc_id) — NOT interpolated
+    percentiles: discrete selection carries an existing value through
+    untouched, so the result is engine-exact, while interpolation arithmetic
+    (a + frac*(b-a)) would differ in op order between engines. The ceil(q*n)
+    products are dyadic (0.25/0.5/0.75 × int), hence float-exact too.
+    One shuffle on lang; per-group sort is the quantile lower bound anyway."""
+    from pyspark.sql import Window
+
+    q = text_quality_score(spark, sf_dir).select("lang", "quality_score", "doc_id")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    nw = Window.partitionBy("lang")
+    r = q.select(
+        "lang",
+        "quality_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    def pick(p, name):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("quality_score"))).alias(name)
+
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"), pick(0.25, "p25"), pick(0.5, "p50"), pick(0.75, "p75")
+    )
+
+
+_QUANTILES_SQL = f"""
+WITH q AS ({{quality}}),
+r AS (
+  SELECT lang, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM q
+)
+SELECT lang, MAX(n) AS n_docs,
+       MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN quality_score END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN quality_score END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN quality_score END) AS p75
+FROM r GROUP BY lang
+"""
+
+
 QUERIES = {
     "corpus_clean_stats": corpus_clean_stats,
     "text_repetition_ratio": text_repetition_ratio,
+    "docs_quality_quantiles": docs_quality_quantiles,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_profile": text_lang_profile,
@@ -305,6 +350,7 @@ QUERIES = {
 ORACLES = {
     "corpus_clean_stats": _CORPUS_CLEAN_SQL,
     "text_repetition_ratio": _REPETITION_SQL,
+    "docs_quality_quantiles": _QUANTILES_SQL.format(quality=_QUALITY_SQL),
     "text_token_count": _TOKEN_COUNT_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
