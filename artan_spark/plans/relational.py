@@ -116,6 +116,37 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg, zero joins — every
+    predicate is scan-pushable (`PushedFilters` on date/discount/quantity),
+    the textbook data-skipping query."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast part dim into lineitem; top-5 part types by revenue."""
     p = read_table(spark, sf_dir, "part")
@@ -294,6 +325,7 @@ QUERIES = {
     "events_skew_safe_agg": events_skew_safe_agg,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "top_parts_by_revenue": top_parts_by_revenue,
     "orders_priority_rollup": orders_priority_rollup,
     "events_window_stats": events_window_stats,
@@ -302,6 +334,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q6_forecast_revenue": _Q6_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
