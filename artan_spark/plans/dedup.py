@@ -382,16 +382,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+                # carry the convergence flag instead of re-joining old labels
+                (F.coalesce("nmin", F.col("cluster")) < F.col("cluster")).alias("moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("moved").count()
+        labels = updated.drop("moved")
         if changed == 0:
             break
 
