@@ -147,6 +147,36 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass computes the rollup
+    across time granularities (day, day+hour) per event type via grouping
+    sets — the materialized-view shape a time-series store maintains
+    incrementally. Spark executes it as a single Expand + hash aggregate
+    (one shuffle for every granularity, partial agg map-side)."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        e.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+_HYPERTABLE_SQL = """
+SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY ROLLUP (day, hour)
+"""
+
+
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast part dim into lineitem; top-5 part types by revenue."""
     p = read_table(spark, sf_dir, "part")
@@ -326,6 +356,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "events_hypertable_rollup": events_hypertable_rollup,
     "top_parts_by_revenue": top_parts_by_revenue,
     "orders_priority_rollup": orders_priority_rollup,
     "events_window_stats": events_window_stats,
@@ -335,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": _Q6_SQL,
+    "events_hypertable_rollup": _HYPERTABLE_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
