@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "events_hypertable_rollup",
     "events_window_stats",
     "events_user_activity",
     "events_asof_join",
