@@ -177,6 +177,43 @@ GROUP BY ROLLUP (day, hour)
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: pull a typed field out of the JSON ``props``
+    column and aggregate it — `get_json_object` stays JVM-side (codegen), no
+    Python in the row path. All output aggregates are integers, so the
+    oracle is exact with no rounding concerns."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast part dim into lineitem; top-5 part types by revenue."""
     p = read_table(spark, sf_dir, "part")
@@ -357,6 +394,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_hypertable_rollup": events_hypertable_rollup,
+    "events_json_extract": events_json_extract,
     "top_parts_by_revenue": top_parts_by_revenue,
     "orders_priority_rollup": orders_priority_rollup,
     "events_window_stats": events_window_stats,
@@ -367,6 +405,7 @@ QUERIES = {
 ORACLES = {
     "q6_forecast_revenue": _Q6_SQL,
     "events_hypertable_rollup": _HYPERTABLE_SQL,
+    "events_json_extract": _JSON_EXTRACT_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
