@@ -96,11 +96,68 @@ WHERE rn <= {N_PER_LANG}
 """
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: test-split documents that share word 3-grams
+    with any train-split document — the overlap report you run before
+    trusting a held-out set. Composes the hash split (above) with the
+    shingle inverted index (plans/dedup.py): one equi-join on shingle, so
+    cost tracks shared-shingle volume, not |train| x |test|. On real text
+    apply the same df-cap as dedup_ngram_jaccard to bound hot-shingle
+    fanout; this corpus has shingle df ~= 2."""
+    from artan_spark.plans.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = sh.withColumn("split", split)
+    test_sh = tagged.filter(F.col("split") == "test").select("doc_id", "shingle")
+    train_sh = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        test_sh.join(train_sh, "shingle")
+        .groupBy(F.col("doc_id").alias("test_doc_id"))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc_id").alias("n_train_docs_hit"),
+        )
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+),
+tagged AS (
+  SELECT doc_id, shingle,
+         CASE WHEN b < {_TRAIN} THEN 'train' WHEN b < {_VAL} THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, shingle,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} AS b
+    FROM sh
+  )
+)
+SELECT t.doc_id AS test_doc_id,
+       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+       COUNT(DISTINCT tr.doc_id) AS n_train_docs_hit
+FROM tagged t JOIN tagged tr ON t.shingle = tr.shingle
+WHERE t.split = 'test' AND tr.split = 'train'
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_decontaminate": docs_decontaminate,
 }
 ORACLES = {
     "docs_split_assign": _SPLIT_SQL,
     "docs_stratified_sample": _STRATIFIED_SQL,
+    "docs_decontaminate": _DECONTAMINATE_SQL,
 }
