@@ -36,6 +36,31 @@ def test_q5_star_join_all_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = plan.split("FileScan")[1][:600]
+    # every filter column participates in scan-level DataFilters
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("DataFilters")[1][:400], col
+    # only the 4 needed columns are read
+    assert "l_orderkey" not in scan and "l_tax" not in scan
+
+
+def test_hypertable_rollup_single_expand(spark):
+    plan = _plan(spark, "events_hypertable_rollup")
+    # grouping sets = ONE Expand + hash aggregate, not one pass per grain
+    assert plan.count("Expand") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_range_join_stays_equi_join(spark):
+    plan = _plan(spark, "events_range_join")
+    # the time-bucket trick must produce a hash-based join, never a
+    # nested-loop / cartesian fallback
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_stateful_op_single_shuffle(spark):
     plan = _plan(spark, "lkf_events_local_level")
     # exactly one exchange: the groupBy(stateKey) hash partitioning
