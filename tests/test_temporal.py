@@ -38,6 +38,47 @@ def test_asof_join_semantics(spark):
     assert got == {"a": None, "b": 50.0, "c": 50.0, "d": 100.0, "e": 60.0, "f": None}
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof — a third
+    independent implementation (besides DuckDB ASOF JOIN and the stateful
+    fold). Right (key, ts) pairs are unique by construction so tie-breaking
+    conventions can't differ."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    lpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 400).astype(str),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 400), unit="s"),
+            "lid": np.arange(400),
+        }
+    )
+    pairs = rng.choice(7 * 10_000, 120, replace=False)
+    rpd = pd.DataFrame(
+        {
+            "k": (pairs // 10_000).astype(str),
+            "ts": base + pd.to_timedelta(pairs % 10_000, unit="s"),
+            "px": rng.normal(0, 1, 120).round(6),
+        }
+    )
+    out = (
+        asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd), on="ts", by="k", payload=["px"])
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpd.sort_values("ts", kind="stable"),
+        rpd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["px"], want["px"], check_names=False)
+
+
 def test_asof_join_single_shuffle(spark):
     left = spark.range(10).select(
         F.col("id").alias("k"), F.current_timestamp().alias("ts"), F.lit(1.0).alias("v")
