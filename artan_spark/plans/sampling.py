@@ -96,6 +96,49 @@ WHERE rn <= {N_PER_LANG}
 """
 
 
+K_WEIGHTED = 50
+_TWO60 = float(1 << 60)
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement: the classic
+    exponential-sort scheme (Efraimidis-Spirakis A-ES) with the hash as the
+    uniform — keep the top-k docs by ln(u)/w where w = n_chars, i.e. sample
+    probability proportional to document length, reproducible everywhere.
+
+    Scale shape: the priority is a stateless projection and the top-k runs
+    as TakeOrderedAndProject (per-partition heaps + tiny merge), NOT a
+    global sort or single-partition window. Priorities are distinct random
+    doubles, so cross-libm ln() noise (~1e-16 rel) cannot flip membership."""
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_TWO60)
+    prio = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", prio.alias("prio"))
+        .orderBy(F.desc("prio"), F.asc("doc_id"))
+        .limit(K_WEIGHTED)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_TWO60_SQL = float(1 << 60)
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+            / {_TWO60_SQL}) / n_chars AS prio
+  FROM documents
+)
+ORDER BY prio DESC, doc_id ASC
+LIMIT {K_WEIGHTED}
+"""
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval decontamination: test-split documents that share word 3-grams
     with any train-split document — the overlap report you run before
@@ -154,10 +197,12 @@ GROUP BY t.doc_id
 QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_decontaminate": docs_decontaminate,
 }
 ORACLES = {
     "docs_split_assign": _SPLIT_SQL,
     "docs_stratified_sample": _STRATIFIED_SQL,
+    "docs_weighted_sample": _WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
 }
