@@ -6,10 +6,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash -> CORRECTNESS_r{N}.json).
 
 The inventory lives in ``artan_spark.plans`` — relational delegations
-(SURVEY §2.6), dedup / similarity-search / text-analysis pipeline operators,
-and the SURVEY §2.1 estimation operators (two of which — 1-D LMS and RLS —
-carry full recursive-CTE SQL oracles; the rest are rows-only checks since a
-Kalman filter is not SQL-expressible).
+(SURVEY §2.6), dedup / similarity-search / text-analysis / temporal-join /
+sketch / sampling pipeline operators, and the SURVEY §2.1 estimation
+operators. Every estimation query carries a DuckDB recursive-CTE oracle
+(bit-exact for the scalar recursions, margin-guarded rounding for the
+sigma-point/consensus/3-D variants — see plans/estimation.py and
+tests/test_oracle_margins.py); the single rows-only entry is
+``multimodal_features`` (documented codec stub).
 """
 
 from __future__ import annotations
