@@ -271,7 +271,15 @@ def vectorized_sigma_fold_factory(c: dict):
                     zpts = np.asarray(mf(flat, Hrep), dtype=np.float64).reshape(A2, p2, mdim)
                 zmean, S = _batched_ut(zpts, wm2, wc2, R)
                 cross = np.einsum("p,apd,ape->ade", wc2, pts2 - m1[:, None, :], zpts - zmean[:, None, :])
-                pinvS = np.linalg.pinv(S)
+                if mdim == 1:
+                    # 1/S elementwise — batched SVD pinv on 1x1 matrices is
+                    # the per-step hot spot; identical result for S > 0
+                    s1 = S[:, 0, 0]
+                    pinvS = np.where(s1 != 0.0, 1.0 / np.where(s1 == 0.0, 1.0, s1), 0.0)[
+                        :, None, None
+                    ]
+                else:
+                    pinvS = np.linalg.pinv(S)
                 Kg = np.einsum("ade,aef->adf", cross, pinvS)
                 r = Z[rows_u] - zmean
                 m_new = m1 + np.einsum("adf,af->ad", Kg, r)
@@ -282,13 +290,18 @@ def vectorized_sigma_fold_factory(c: dict):
                 out_res[rows_u] = r
                 out_rescov[rows_u] = S
                 if compute_ll or compute_maha:
-                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
-                    w = np.linalg.solve(L, r[..., None])[..., 0]
-                    sq = np.sum(w * w, axis=1)
+                    if mdim == 1:
+                        L1 = np.sqrt(S[:, 0, 0] + 1e-300)
+                        sq = (r[:, 0] / L1) ** 2
+                        logdet = 2.0 * np.log(L1)
+                    else:
+                        L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                        w = np.linalg.solve(L, r[..., None])[..., 0]
+                        sq = np.sum(w * w, axis=1)
+                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
                     if compute_maha:
                         out_maha[rows_u] = np.sqrt(np.maximum(sq, 0.0))
                     if compute_ll:
-                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
                         out_ll[rows_u] = -0.5 * (mdim * _LOG2PI + logdet + sq)
 
             m[ki] = mb
