@@ -185,6 +185,57 @@ FROM votes GROUP BY doc_id
 """
 
 
+SIMHASH_HAMMING = 3
+_N_BANDS, _BAND_BITS = 4, 8
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS from SimHash: hamming distance <= 3 over the 32-bit
+    fingerprints, found via banded blocking — split the fingerprint into 4
+    bands of 8 bits; by pigeonhole any pair within hamming 3 shares at
+    least one identical band, so candidates come from an EQUI-join on
+    (band_id, band_value) and the exact bit_count(xor) refines them. This
+    is the standard sub-quadratic SimHash dedup at corpus scale: work
+    tracks per-band bucket sizes, never all-pairs. Blocking is EXACT here
+    (4 bands > 3 bit flips), not probabilistic like MinHash-LSH."""
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+    ).withColumn("band_val", F.expr(f"shiftright(simhash, band * {_BAND_BITS})") % (1 << _BAND_BITS))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
+"""
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.5
@@ -431,6 +482,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -440,6 +492,7 @@ ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _SIMHASH_SQL,
+    "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
 }
