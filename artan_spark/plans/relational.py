@@ -147,6 +147,44 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer from returned items —
+    selective lineitem filter (pushed to the scan), fact-fact join on
+    orderkey, broadcast customer+nation dims, top-20 via
+    TakeOrderedAndProject."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: one pass computes the rollup
     across time granularities (day, day+hour) per event type via grouping
@@ -393,6 +431,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "events_hypertable_rollup": events_hypertable_rollup,
     "events_json_extract": events_json_extract,
     "top_parts_by_revenue": top_parts_by_revenue,
@@ -404,6 +443,7 @@ QUERIES = {
 
 ORACLES = {
     "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_items": _Q10_SQL,
     "events_hypertable_rollup": _HYPERTABLE_SQL,
     "events_json_extract": _JSON_EXTRACT_SQL,
     "q1_pricing_summary": _Q1_SQL,
