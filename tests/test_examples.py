@@ -24,6 +24,7 @@ import examples.lkf_rate_source_ols as ols
 import examples.lkf_stream_batch_init as sbi
 import examples.mmae_rate_source_ols as mmae
 import examples.rls_rate_source_ols as rls
+import examples.streaming_asof as asof
 import examples.ukf_rate_source_glm_log as ukf
 
 for name, mod, args in [
@@ -35,6 +36,7 @@ for name, mod, args in [
     ("ukf_rate_source_glm_log", ukf, (2, 50, 6)),
     ("lkf_stream_batch_init", sbi, (4, 50, 6)),
     ("mmae_rate_source_ols", mmae, (4, 50, 8)),
+    ("streaming_asof", asof, (2, 50, 6)),
 ]:
     print(f"### running {name}", flush=True)
     mod.main(*args)
