@@ -116,15 +116,15 @@ class StatefulTransformer(HasParams):
         ``vectorizedBatch`` mode call this from their vectorized transform).
 
         Batch width matters more than task count: einsum overhead amortizes
-        past ~64 keys per bucket (measured 2.6x over sequential at 64 vs a
-        SLOWDOWN at 16). Auto mode estimates the distinct key count from a
-        bounded sample (a full-scan count job taxed the fold ~13% at sf0.1)
-        and sizes buckets so width stays >= 64 where the key count allows,
-        with a floor of 4 buckets for task parallelism — reproduces both
-        measured hand-tunings (32 keys -> 4 buckets, 512 keys -> 8). An
-        under-estimate (keys clustered late in the scan) just yields fewer,
-        wider buckets — the safe direction for throughput, at some task
-        parallelism. setVectorizedBuckets overrides.
+        with width, and a median-of-3 sweep over (keys, buckets) on the sf0.1
+        events table puts the sweet spot at ~128 keys per bucket — 512 keys:
+        4 buckets 57k rows/s vs 8 49k vs 16 38k; 1000 keys: 8 buckets 61k vs
+        15 53k vs 32 49k; 2000 keys: 16 buckets 58k. Auto mode estimates the
+        distinct key count from a bounded sample (a full-scan count job taxed
+        the fold ~13% at sf0.1) and sizes buckets for width ~128, with a
+        floor of 4 buckets for task parallelism. An under-estimate (keys
+        clustered late in the scan) just yields fewer, wider buckets — the
+        safe direction for throughput. setVectorizedBuckets overrides.
         """
         buckets = self.get("vectorizedBuckets")
         if buckets is None:
@@ -139,8 +139,8 @@ class StatefulTransformer(HasParams):
             n_keys = len({r[0] for r in head})
             if n_keys >= 1024:
                 # mostly-distinct sample => high cardinality; use all buckets
-                n_keys = 64 * par
-            buckets = max(min(4, par), min(par, int(n_keys) // 64))
+                n_keys = 128 * par
+            buckets = max(min(4, par), min(par, int(n_keys) // 128))
         buckets = int(buckets)
         return keyed.withColumn(
             "__salt__", F.pmod(F.crc32(F.col(STATE_KEY).cast("binary")), F.lit(buckets))
@@ -160,13 +160,22 @@ class StatefulTransformer(HasParams):
 
         out_schema = self._outSchema()
 
+        def rows_to_pdf(rows, columns) -> pd.DataFrame:
+            if isinstance(rows, pd.DataFrame):
+                return rows
+            if not rows:
+                # a group can legally emit nothing (e.g. fewer samples than a
+                # mixture minibatch). pd.DataFrame([]) defaults every column
+                # to float64, which Arrow refuses to map onto struct/array
+                # fields — build the empty frame with object dtype instead.
+                return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+            return pd.DataFrame(rows, columns=columns)
+
         if not df.isStreaming:
 
             def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
                 rows, _state = fold(sort_group(pdf), None)
-                if isinstance(rows, pd.DataFrame):
-                    return rows
-                return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                return rows_to_pdf(rows, [f.name for f in out_schema.fields])
 
             result = keyed.groupBy(STATE_KEY).applyInPandas(batch_fn, out_schema)
         else:
@@ -196,10 +205,7 @@ class StatefulTransformer(HasParams):
                     wm = group_state.getCurrentWatermarkMs()
                     if wm > 0:
                         group_state.setTimeoutTimestamp(wm + 1)
-                if isinstance(rows, pd.DataFrame):
-                    yield rows
-                else:
-                    yield pd.DataFrame(rows, columns=columns)
+                yield rows_to_pdf(rows, columns)
 
             result = keyed.groupBy(STATE_KEY).applyInPandasWithState(
                 stream_fn, out_schema, self._stateSchema(), "append", timeout_conf

@@ -70,6 +70,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # while DuckDB/numpy ns->us conversion truncates — a 1us skew that
         # shows up the moment a query emits raw timestamps.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize TIMESTAMP_NTZ columns (isAdjustedToUTC=false parquet) to the
+    # session-zoned TIMESTAMP type. NTZ rejects arithmetic casts (e.g.
+    # cast-to-double for session gaps) and NTZ-vs-LTZ comparisons; under the
+    # forced-UTC session the cast is wall-clock-identity, so DuckDB (whose
+    # TIMESTAMP is naive) keeps hashing the same values.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -5,12 +5,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
+
+Every number is a median of REPEATS (default 3) runs — single-run timings at
+these sub-second scales swing 1.3-1.8x with JVM/codegen/GC state (the round-2
+"regression" on untouched queries was exactly that), so one run is not a
+measurement. Override with SPARK_GRAFT_BENCH_REPEATS=1 for a quick pass.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,6 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+
+def _median_time(run) -> tuple[float, int]:
+    """Median wall-clock of REPEATS calls of run() (an action returning rowcount)."""
+    times, n = [], 0
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        n = run()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), n
 
 # representative slice: relational, windowed streaming-ish, dedup, simsearch,
 # text, and the stateful estimation operators
@@ -39,6 +56,7 @@ HEADLINE = [
     "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans",
     "text_quality_score",
     "text_fingerprint",
     "corpus_clean_stats",
@@ -78,9 +96,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        sec, n = _median_time(lambda: fn(spark, SF_DIR).count())
+        timings[name] = round(sec, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # per-operator throughput on the events table keyed into N models
@@ -119,6 +136,12 @@ def _operator_throughput(spark) -> dict[str, int]:
     e = read_table(spark, SF_DIR, "events").cache()
     n_rows = e.count()
     out: dict[str, int] = {}
+
+    def rate(name: str, op, df) -> None:
+        sec, _ = _median_time(lambda: op.transform(df).count())
+        out[name] = int(n_rows / sec)
+        print(f"# {name}: {out[name]} rows/s", file=sys.stderr)
+
     for n_keys in (10, 1000):
         key = (F.col("event_id") % n_keys).cast("string").alias("key")
 
@@ -130,23 +153,16 @@ def _operator_throughput(spark) -> dict[str, int]:
             .setMeasurementNoise(np.array([[10.0]]))
         )
         df = e.select(key, F.array("value").alias("measurement"))
-        t0 = time.perf_counter()
-        lkf.transform(df).count()
-        out[f"lkf_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+        rate(f"lkf_{n_keys}keys", lkf, df)
 
         if n_keys >= 1000:
             # the many-small-models shape: per-group call overhead dominates
             # at ~100 rows/group; the vectorized multi-key fold amortizes it
-            lkf_vec = lkf.copy().setVectorizedBatch(True)
-            t0 = time.perf_counter()
-            lkf_vec.transform(df).count()
-            out[f"lkf_{n_keys}keys_vectorized"] = int(n_rows / (time.perf_counter() - t0))
+            rate(f"lkf_{n_keys}keys_vectorized", lkf.copy().setVectorizedBatch(True), df)
 
         rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key")
         df = e.select(key, F.col("value").alias("label"), F.array(F.lit(1.0)).alias("features"))
-        t0 = time.perf_counter()
-        rls.transform(df).count()
-        out[f"rls_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+        rate(f"rls_{n_keys}keys", rls, df)
 
         gmm = (
             MultivariateGaussianMixture()
@@ -157,15 +173,10 @@ def _operator_throughput(spark) -> dict[str, int]:
             .setStepSize(0.1)
         )
         df = e.select(key, F.array("value").alias("sample"))
-        t0 = time.perf_counter()
-        gmm.transform(df).count()
-        out[f"gmm_{n_keys}keys"] = int(n_rows / (time.perf_counter() - t0))
+        rate(f"gmm_{n_keys}keys", gmm, df)
 
         if n_keys >= 1000:
-            gmm_vec = gmm.copy().setVectorizedBatch(True)
-            t0 = time.perf_counter()
-            gmm_vec.transform(df).count()
-            out[f"gmm_{n_keys}keys_vectorized"] = int(n_rows / (time.perf_counter() - t0))
+            rate(f"gmm_{n_keys}keys_vectorized", gmm.copy().setVectorizedBatch(True), df)
 
             sm = (
                 LinearKalmanSmoother(1, 1)
@@ -177,9 +188,7 @@ def _operator_throughput(spark) -> dict[str, int]:
             )
             df = e.select(key, F.array("value").alias("measurement"))
             for vec, tag in ((False, ""), (True, "_vectorized")):
-                t0 = time.perf_counter()
-                sm.copy().setVectorizedBatch(vec).transform(df).count()
-                out[f"smoother_{n_keys}keys{tag}"] = int(n_rows / (time.perf_counter() - t0))
+                rate(f"smoother_{n_keys}keys{tag}", sm.copy().setVectorizedBatch(vec), df)
 
             ekf = (
                 ExtendedKalmanFilter(1, 1)
@@ -191,9 +200,7 @@ def _operator_throughput(spark) -> dict[str, int]:
                 .setMeasurementStateJacobian(_bench_exp_jac)
             )
             for vec, tag in ((False, ""), (True, "_vectorized")):
-                t0 = time.perf_counter()
-                ekf.copy().setVectorizedBatch(vec).setVectorizedFunctions(vec).transform(df).count()
-                out[f"ekf_{n_keys}keys{tag}"] = int(n_rows / (time.perf_counter() - t0))
+                rate(f"ekf_{n_keys}keys{tag}", ekf.copy().setVectorizedBatch(vec).setVectorizedFunctions(vec), df)
     e.unpersist()
     return out
 
