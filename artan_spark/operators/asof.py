@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer, empty_pdf
 from artan_spark.types import (
     ArrayType,
     DoubleType,
@@ -55,7 +55,7 @@ def _asof_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, state):
         names = [f.name for f in _OUT_SCHEMA.fields]
         if len(pdf) == 0:
-            return pd.DataFrame({n: [] for n in names}, columns=names), state
+            return empty_pdf(names), state
         # base sorts by event time only; right-before-left at equal ts makes
         # the match inclusive (same tiebreak as the batch window's __side__)
         pdf = pdf.sort_values([EVENT_TIME, "side"], kind="stable", na_position="first")

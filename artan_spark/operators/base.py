@@ -41,6 +41,33 @@ STATE_KEY = "stateKey"
 EVENT_TIME = "eventTime"
 
 
+def empty_pdf(columns) -> pd.DataFrame:
+    """Zero-row frame with object-dtype columns.
+
+    pandas (2.x) types empty columns float64 — both ``pd.DataFrame([])`` and
+    ``pd.DataFrame({c: []})`` — and Arrow refuses to map a float64 column onto
+    a struct/array/timestamp/string field of the declared schema
+    (``ArrowTypeError: Cannot convert ... with type float64``). Every
+    zero-row emission from a fold must go through this helper.
+    """
+    return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+
+
+def rows_to_pdf(rows, columns) -> pd.DataFrame:
+    """Normalize a fold's emission (list-of-row-dicts or DataFrame) for Arrow.
+
+    Zero-row results are rebuilt with object dtype regardless of how the fold
+    constructed them — a returned ``pd.DataFrame(dict-of-empty-lists)`` is
+    float64-typed and would crash Arrow just like an empty list would
+    (e.g. a mixture group with fewer samples than one minibatch).
+    """
+    if isinstance(rows, pd.DataFrame):
+        return empty_pdf(columns) if len(rows) == 0 else rows
+    if not rows:
+        return empty_pdf(columns)
+    return pd.DataFrame(rows, columns=columns)
+
+
 def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Stable in-group ordering: by eventTime with nulls FIRST, matching the
     reference's buffered-row sort (StatefulTransformer.scala:415-422, 448)."""
@@ -159,17 +186,6 @@ class StatefulTransformer(HasParams):
             return cell[0](pdf, state)
 
         out_schema = self._outSchema()
-
-        def rows_to_pdf(rows, columns) -> pd.DataFrame:
-            if isinstance(rows, pd.DataFrame):
-                return rows
-            if not rows:
-                # a group can legally emit nothing (e.g. fewer samples than a
-                # mixture minibatch). pd.DataFrame([]) defaults every column
-                # to float64, which Arrow refuses to map onto struct/array
-                # fields — build the empty frame with object dtype instead.
-                return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
-            return pd.DataFrame(rows, columns=columns)
 
         if not df.isStreaming:
 

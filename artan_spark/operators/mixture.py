@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from artan_spark import linalg
-from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, StatefulTransformer, empty_pdf
 from artan_spark.types import (
     MATRIX,
     VECTOR,
@@ -301,6 +301,10 @@ def _mixture_fold_factory(c: dict):
             out[EVENT_TIME].append(ev[i] if ev is not None else None)
             out["loglikelihood"].append(state["ll"])
 
+        if not out[STATE_KEY]:
+            # zero emissions (e.g. group smaller than one minibatch) must not
+            # reach Arrow as a float64-typed empty frame
+            return empty_pdf(out_fields), state
         return pd.DataFrame(out, columns=out_fields), state
 
     return fold

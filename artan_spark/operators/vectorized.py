@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from artan_spark import linalg
-from artan_spark.operators.base import EVENT_TIME, STATE_KEY
+from artan_spark.operators.base import EVENT_TIME, STATE_KEY, empty_pdf
 from artan_spark.types import (
     VECTOR,
     ArrayType,
@@ -189,7 +189,7 @@ def vectorized_sigma_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
-            return pd.DataFrame({f.name: [] for f in VFLAT_OUT_SCHEMA.fields}), None
+            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
         keys_arr = pdf[STATE_KEY].to_numpy()
         key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
@@ -367,7 +367,7 @@ def vectorized_lkf_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
-            return pd.DataFrame({f.name: [] for f in VFLAT_OUT_SCHEMA.fields}), None
+            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
         keys_arr = pdf[STATE_KEY].to_numpy()
         key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
@@ -558,6 +558,8 @@ def vectorized_smoother_fold_factory(c: dict):
         return N, keys_arr, key_codes, key_idx, K, counts, first, pos, order
 
     def _emit_frame(cols, names):
+        if len(cols[0]) == 0:
+            return empty_pdf(names)
         return pd.DataFrame(dict(zip(names, cols)), columns=names)
 
     def fold_scalar(pdf: pd.DataFrame, _state):
@@ -795,7 +797,7 @@ def vectorized_mixture_fold_factory(c: dict):
         N = len(pdf)
         out = {f: [] for f in out_fields}
         if N == 0:
-            return pd.DataFrame(out, columns=out_fields), None
+            return empty_pdf(out_fields), None
         keys_arr = pdf[STATE_KEY].to_numpy()
         _codes, key_idx = np.unique(keys_arr, return_inverse=True)
         K = len(_codes)
@@ -935,6 +937,8 @@ def vectorized_mixture_fold_factory(c: dict):
             out[EVENT_TIME].extend(ev[trig] if ev is not None else [None] * A)
             out["loglikelihood"].extend(lls.tolist())
 
+        if not out[STATE_KEY]:
+            return empty_pdf(out_fields), None
         return pd.DataFrame(out, columns=out_fields), None
 
     return fold

@@ -240,3 +240,25 @@ def test_vectorized_mixture_matches_sequential(spark, family):
                 np.testing.assert_allclose(ds.rate, dv.rate, atol=1e-9)
             else:
                 np.testing.assert_allclose(ds.probability, dv.probability, atol=1e-9)
+
+
+@pytest.mark.parametrize("vectorized", [False, True])
+def test_gmm_minibatch_larger_than_group(spark, vectorized):
+    """A group with fewer samples than one minibatch emits zero rows.
+
+    Regression: the zero-emission frame used to reach Arrow with float64
+    columns (pandas types empty columns float64) and crash with
+    ArrowTypeError on the mixtureModel struct. Covers both the sequential
+    and the vectorized multi-key fold paths.
+    """
+    samples = _gaussian_samples(8)
+    df = spark.createDataFrame([(s.tolist(),) for s in samples], "sample array<double>")
+    eye = np.eye(2).ravel().tolist()
+    gmm = (
+        MultivariateGaussianMixture()
+        .setInitialMeans([[9.0, 9.0], [1.0, 1.0], [5.0, 5.0]])
+        .setInitialCovariances([eye, eye, eye])
+        .setMinibatchSize(50)
+        .setVectorizedBatch(vectorized)
+    )
+    assert gmm.transform(df).count() == 0
