@@ -67,22 +67,30 @@ def _asof_fold_factory(c: dict):
         ridx = np.where(side == 0, np.arange(len(pdf)), -1)
         last_right = np.maximum.accumulate(ridx)
 
+        # stored state is usable for a probe only when it does not come from
+        # the probe's future — a late probe the watermark admits must NOT
+        # attach a newer build row (as-of contract: build.ts <= probe.ts)
+        has_state = state is not None and state["ts"] is not None
+
         lpos = np.nonzero(side == 1)[0]
         asof_pay, asof_ts = [], []
         for i in lpos:
             j = last_right[i]
-            if j >= 0:
-                asof_pay.append(pay[j])
-                asof_ts.append(ev[j])
-            elif state is not None:
-                asof_pay.append(state["payload"])
-                asof_ts.append(state["ts"])
-            else:
-                asof_pay.append(None)
-                asof_ts.append(None)
+            cand_pay = pay[j] if j >= 0 else None
+            cand_ts = ev[j] if j >= 0 else None
+            if has_state and state["ts"] <= ev[i] and (cand_ts is None or state["ts"] > cand_ts):
+                # stored build row is admissible and later than any in-batch
+                # build row at or before the probe (in-batch rows can be
+                # late relative to previously stored state)
+                cand_pay, cand_ts = state["payload"], state["ts"]
+            asof_pay.append(cand_pay)
+            asof_ts.append(cand_ts)
 
         rpos = np.nonzero(side == 0)[0]
-        if len(rpos):
+        if len(rpos) and (not has_state or ev[rpos[-1]] >= state["ts"]):
+            # keep max-ts build row: a whole batch of late build rows must
+            # not regress the stored state (batch wins ties, matching the
+            # right-before-left in-batch ordering)
             state = {"payload": pay[rpos[-1]], "ts": ev[rpos[-1]]}
         elif state is None:
             # keep an explicit empty state: the streaming wrapper packs the

@@ -76,3 +76,82 @@ def test_asof_operator_batch_equals_stream(spark):
     batch = _norm(op.transform(u).toPandas())
     streamed = _norm(stream_transform(spark, u, op.transform, chunk_rows=7).toPandas())
     pd.testing.assert_frame_equal(batch, streamed)
+
+
+def _pdf(rows):
+    """rows: list of (side, ts_minutes, payload) for one key."""
+    import numpy as np
+
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame(
+        {
+            "stateKey": ["k"] * len(rows),
+            "eventTime": [np.datetime64(base + pd.Timedelta(minutes=m), "us") for _, m, _ in rows],
+            "side": [s for s, _, _ in rows],
+            "payload": [None if p is None else np.asarray(p, float) for _, _, p in rows],
+        }
+    )
+
+
+def test_asof_fold_out_of_order_semantics():
+    """Late rows the watermark admits must keep the as-of contract:
+    never attach a build row from the probe's future, never let a batch of
+    late build rows regress the stored state."""
+    from artan_spark.operators.asof import _asof_fold_factory
+
+    fold = _asof_fold_factory({})
+
+    # batch 1: build(t=10) only
+    out, state = fold(_pdf([(0, 10, [10.0])]), None)
+    assert len(out) == 0 and float(state["payload"][0]) == 10.0
+
+    # batch 2: late probe(t=5) — stored build is in its future => null attach
+    out, state = fold(_pdf([(1, 5, [1.0])]), state)
+    assert len(out) == 1 and out["asofPayload"].iloc[0] is None
+
+    # batch 3: late build(t=3) + probe(t=12) — stored build(10) beats the
+    # older in-batch build(3); state must NOT regress to t=3
+    out, state = fold(_pdf([(0, 3, [3.0]), (1, 12, [2.0])]), state)
+    assert float(out["asofPayload"].iloc[0][0]) == 10.0
+    assert float(state["payload"][0]) == 10.0
+
+    # batch 4: newer build(t=20) advances state; probe(t=25) sees it
+    out, state = fold(_pdf([(0, 20, [20.0]), (1, 25, [4.0])]), state)
+    assert float(out["asofPayload"].iloc[0][0]) == 20.0
+    assert float(state["payload"][0]) == 20.0
+
+
+def test_asof_operator_out_of_order_stream(spark):
+    """End-to-end: one row per micro-batch in shuffled event-time order; the
+    streamed result must match the hand-computed as-of attach."""
+    base = pd.Timestamp("2024-01-01")
+    arrival = [  # (side, minutes, payload)
+        (0, 10, [10.0]),
+        (1, 5, [1.0]),   # late probe -> null
+        (1, 12, [2.0]),  # -> build(10)
+        (0, 3, [3.0]),   # late build, must not regress state
+        (1, 15, [4.0]),  # -> build(10)
+        (0, 20, [20.0]),
+        (1, 25, [5.0]),  # -> build(20)
+    ]
+    rows = [("k", (base + pd.Timedelta(minutes=m)).to_pydatetime(), s, p) for s, m, p in arrival]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, side int, payload array<double>"
+    )
+    op = (
+        StreamingAsofJoin()
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setWatermarkDuration("1 day")
+    )
+    got = stream_transform(spark, df, op.transform, chunk_rows=1).toPandas()
+    got["m"] = got["eventTime"].map(lambda t: int((t - base).total_seconds() // 60))
+    got = got.sort_values("m").reset_index(drop=True)
+    expect = {5: None, 12: 10.0, 15: 10.0, 25: 20.0}
+    assert sorted(got["m"]) == sorted(expect)
+    for _, r in got.iterrows():
+        want = expect[r["m"]]
+        if want is None:
+            assert r["asofPayload"] is None
+        else:
+            assert float(r["asofPayload"][0]) == want
