@@ -179,7 +179,9 @@ def poisson_mixture_events(spark, sf_dir):
     SQL-expressible scalar recursion story as ``gmm_events_value`` (the
     gammaln(x+1) term cancels inside the responsibility softmax)."""
     df = _events_measurements(spark, sf_dir).select(
-        "key", "ts", (F.col("value") / 10).cast("long").alias("sample")
+        # F.floor (not a bare long cast, which truncates toward zero) so the
+        # sample agrees with the oracle's FLOOR for negative values too
+        "key", "ts", F.floor(F.col("value") / 10).cast("long").alias("sample")
     )
     pm = (
         PoissonMixture()

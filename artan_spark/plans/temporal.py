@@ -35,7 +35,10 @@ def asof_join(
 
     ``right`` must carry the ``by`` and ``on`` columns plus ``payload``
     columns whose names don't collide with ``left``'s (alias them first).
-    Left rows with no prior right row get nulls.
+    Left rows with no prior right row get nulls. If ``right`` can hold
+    several rows at the same (by, on), the pick among them is unspecified —
+    pre-aggregate to one row per (by, on) for a deterministic result
+    (``events_asof_join`` does this with a max() agg).
 
     Scale shape: ``unionByName`` is a zero-shuffle concat; the window is ONE
     hash exchange on ``by`` + a per-partition sort — the same cost as any
@@ -66,11 +69,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's most recent purchase at or before the event."""
     e = read_table(spark, sf_dir, "events")
     left = e.select("event_id", "user_id", "ts", "value")
-    right = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("last_purchase_value"),
-        F.col("ts").alias("last_purchase_ts"),
+    # Deduplicate the build side to one row per (user_id, ts): when two
+    # purchases share a timestamp, both Spark's running-last window and
+    # DuckDB's ASOF JOIN pick arbitrarily — a max(value) agg makes the pick
+    # deterministic on both sides (the oracle mirrors this GROUP BY).
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+        .select("user_id", "ts", "last_purchase_value", F.col("ts").alias("last_purchase_ts"))
     )
     out = asof_join(left, right, on="ts", by="user_id", payload=["last_purchase_value", "last_purchase_ts"])
     return out.select("event_id", "user_id", "ts", "value", "last_purchase_value", "last_purchase_ts")
@@ -81,7 +88,8 @@ SELECT e.event_id, e.user_id, e.ts, e.value,
        p.value AS last_purchase_value, p.ts AS last_purchase_ts
 FROM events e
 ASOF LEFT JOIN (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 ) p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 

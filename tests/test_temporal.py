@@ -90,3 +90,56 @@ def test_asof_join_single_shuffle(spark):
     # one hash exchange for the window partitioning; the union itself must
     # not introduce extra exchanges
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_events_asof_join_duplicate_right_ts_deterministic(spark, tmp_path):
+    """Two purchases at the same (user, ts) must give a deterministic attach:
+    both the Spark query and the DuckDB oracle pre-aggregate the build side
+    with max(value), so the corpus growing duplicate timestamps can't flip
+    the hash comparison."""
+    import duckdb
+    import pandas as pd
+
+    from artan_spark.plans.temporal import _ASOF_SQL, events_asof_join
+
+    rows = [
+        # duplicate purchase ts for user 1 — max(value)=30.0 must win
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 5), 10.0, "purchase"),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 0, 5), 30.0, "purchase"),
+        (3, 1, dt.datetime(2024, 1, 1, 0, 0, 9), 1.0, "view"),
+        (4, 2, dt.datetime(2024, 1, 1, 0, 0, 1), 7.0, "view"),
+    ]
+    cols = ["event_id", "user_id", "ts", "value", "event_type"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(sf + "/events.parquet")
+
+    got = events_asof_join(spark, sf).orderBy("event_id").toPandas()
+    assert float(got.loc[got.event_id == 3, "last_purchase_value"].iloc[0]) == 30.0
+    assert pd.isna(got.loc[got.event_id == 4, "last_purchase_value"].iloc[0])
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(_ASOF_SQL + " ORDER BY event_id").df()
+    assert list(want["last_purchase_value"].fillna(-1)) == list(
+        got["last_purchase_value"].fillna(-1)
+    )
+
+
+def test_poisson_sample_floor_matches_oracle_on_negatives(spark):
+    """The mixture sample expression and the oracle's FLOOR must agree for
+    negative values (a bare long cast truncates toward zero instead)."""
+    import duckdb
+    import pandas as pd
+
+    vals = [-25.0, -10.0, -0.5, 0.0, 0.5, 9.9, 10.0, 25.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = [r[0] for r in df.select(F.floor(F.col("value") / 10).cast("long")).collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(FLOOR(value / 10.0) AS BIGINT) FROM (SELECT unnest(?) AS value)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got == want
