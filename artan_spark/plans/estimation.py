@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from artan_spark.operators import (
+    BernoulliMixture,
     CubatureKalmanFilter,
     ExtendedKalmanFilter,
     LeastMeanSquaresFilter,
@@ -199,6 +200,33 @@ def poisson_mixture_events(spark, sf_dir):
         F.round(F.col("mixtureModel.weights")[0], 5).alias("w0"),
         F.round(F.col("mixtureModel.distributions")[0]["rate"], 5).alias("rate0"),
         F.round(F.col("mixtureModel.distributions")[1]["rate"], 5).alias("rate1"),
+    )
+
+
+def bernoulli_mixture_events(spark, sf_dir):
+    """Per-key online Bernoulli mixture (k=2) over the indicator
+    ``value > 5`` with minibatchSize=1 — the same scalar stochastic-EM
+    recursion as ``poisson_mixture_events``, so it is SQL-expressible
+    (``_BERNOULLI_MIX_SQL``). Parity: BernoulliMixture.scala:38-160."""
+    df = _events_measurements(spark, sf_dir).select(
+        "key", "ts", (F.col("value") > 5).cast("double").alias("sample")
+    )
+    bm = (
+        BernoulliMixture()
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setInitialProbabilities([0.2, 0.8])
+        .setMinibatchSize(1)
+        .setStepSize(0.1)
+        .setVectorizedBatch(True)
+    )
+    out = bm.transform(df)
+    return out.select(
+        "stateKey",
+        "stateIndex",
+        F.round(F.col("mixtureModel.weights")[0], 5).alias("w0"),
+        F.round(F.col("mixtureModel.distributions")[0]["probability"], 5).alias("p0"),
+        F.round(F.col("mixtureModel.distributions")[1]["probability"], 5).alias("p1"),
     )
 
 
@@ -493,6 +521,51 @@ FROM rec WHERE rn >= 1
 """
 
 
+# Online Bernoulli mixture (k=2, minibatch=1): scalar recursion over
+# (sw_j, sp_j) with p_j = sp_j/sw_j; logpmf = x*ln(p) + (1-x)*ln(1-p).
+# Initial suff stats are the initial params scaled by the uniform weights
+# (sp_j = p_j * 0.5), matching the fold's scal() initialization.
+_BERNOULLI_MIX_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT CAST(user_id % {N_KEYS} AS VARCHAR) AS k,
+         CASE WHEN value > 5 THEN 1.0 ELSE 0.0 END AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id % {N_KEYS} ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(k, rn, sw0, sw1, sp0, sp1) AS (
+  SELECT k, 0, CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.1 AS DOUBLE),
+         CAST(0.4 AS DOUBLE)
+  FROM (SELECT DISTINCT k FROM ordered)
+  UNION ALL
+  SELECT t.k, t.rn,
+         0.9 * t.sw0 + 0.1 * t.resp0,
+         0.9 * t.sw1 + 0.1 * t.resp1,
+         0.9 * t.sp0 + 0.1 * (t.resp0 * t.x),
+         0.9 * t.sp1 + 0.1 * (t.resp1 * t.x)
+  FROM (
+    SELECT u.*, u.e0 / (u.e0 + u.e1) AS resp0, u.e1 / (u.e0 + u.e1) AS resp1
+    FROM (
+      SELECT s.*, exp(s.ll0 - greatest(s.ll0, s.ll1)) AS e0,
+                  exp(s.ll1 - greatest(s.ll0, s.ll1)) AS e1
+      FROM (
+        SELECT q.*,
+               q.x * ln(q.p0) + (1.0 - q.x) * ln(1.0 - q.p0) + ln(q.sw0) AS ll0,
+               q.x * ln(q.p1) + (1.0 - q.x) * ln(1.0 - q.p1) + ln(q.sw1) AS ll1
+        FROM (
+          SELECT o.k, o.rn, o.x, r.sw0, r.sw1, r.sp0, r.sp1,
+                 r.sp0 / r.sw0 AS p0, r.sp1 / r.sw1 AS p1
+          FROM rec r JOIN ordered o ON o.k = r.k AND o.rn = r.rn + 1
+        ) q
+      ) s
+    ) u
+  ) t
+)
+SELECT k AS stateKey, rn AS stateIndex,
+       ROUND(sw0, 5) AS w0, ROUND(sp0 / sw0, 5) AS p0, ROUND(sp1 / sw1, 5) AS p1
+FROM rec WHERE rn >= 1
+"""
+
+
 # 3-D Kalman OLS (per-row measurement model h = [hour, sqrt(hour+0.5), 1],
 # F=I, Q=0, P0=100I, R=100): the update unrolls over the symmetric P — with
 # v = P·h, S = h·v + R, K = v/S, the Joseph form collapses to
@@ -629,6 +702,7 @@ QUERIES = {
     "lkf_ols_multikey": lkf_ols_multikey,
     "gmm_events_value": gmm_events_value,
     "poisson_mixture_events": poisson_mixture_events,
+    "bernoulli_mixture_events": bernoulli_mixture_events,
     "lms_events_1d": lms_events_1d,
     "rls_events_1d": rls_events_1d,
 }
@@ -644,6 +718,7 @@ ORACLES = {
     "mmae_events": _MMAE_SQL,
     "gmm_events_value": _GMM_1D_SQL,
     "poisson_mixture_events": _POISSON_MIX_SQL,
+    "bernoulli_mixture_events": _BERNOULLI_MIX_SQL,
     "lkf_ols_multikey": _KF_3D_OLS_SQL,
     "lms_events_1d": _LMS_1D_SQL,
     "rls_events_1d": _RLS_1D_SQL,

@@ -55,6 +55,10 @@ def _raw_sigma_run(spark, cls):
             "_POISSON_MIX_SQL",
             [("ROUND(sw0, 5)", "sw0"), ("ROUND(sr0 / sw0, 5)", "sr0 / sw0"), ("ROUND(sr1 / sw1, 5)", "sr1 / sw1")],
         ),
+        (
+            "_BERNOULLI_MIX_SQL",
+            [("ROUND(sw0, 5)", "sw0"), ("ROUND(sp0 / sw0, 5)", "sp0 / sw0"), ("ROUND(sp1 / sw1, 5)", "sp1 / sw1")],
+        ),
     ],
 )
 def test_mixture_oracle_margin(sql_name, repl):
