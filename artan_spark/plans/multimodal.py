@@ -119,5 +119,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake payload is a closed-form function of doc_id (attach_fake_media):
+# width = 16 + doc_id % 48, height = 16 + (doc_id*7) % 48, body byte i =
+# (doc_id*31 + i*17) % 256 for i in 0..63, payload = 8-byte header + body.
+# That makes the decoded per-type stats fully SQL-expressible: the oracle
+# rebuilds mean_intensity via generate_series over the 64 body byte indices.
+# mean_intensity = sum(body)/64 is an exact 6-binary-digit fraction, so the
+# 6dp ROUND is an identity on both engines.
+_MULTIMODAL_SQL = """
+WITH body AS (
+  SELECT d.doc_id,
+         SUM((d.doc_id * 31 + i.i * 17) % 256) AS body_sum
+  FROM documents d, generate_series(0, 63) AS i(i)
+  GROUP BY d.doc_id
+),
+per_doc AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS width,
+         16 + (doc_id * 7) % 48 AS height,
+         ROUND(body_sum / 64.0, 6) AS mean_intensity,
+         72 AS payload_len
+  FROM body
+)
+SELECT 'image/fake' AS media_type,
+       COUNT(*) AS n_items,
+       ROUND(AVG(width), 6) AS avg_width,
+       ROUND(AVG(height), 6) AS avg_height,
+       ROUND(AVG(mean_intensity), 6) AS avg_intensity,
+       CAST(SUM(payload_len) AS BIGINT) AS total_bytes
+FROM per_doc
+"""
+
 QUERIES = {"multimodal_features": multimodal_features}
-ORACLES: dict[str, str] = {}
+ORACLES = {"multimodal_features": _MULTIMODAL_SQL}
