@@ -8,11 +8,13 @@ value-hash -> CORRECTNESS_r{N}.json).
 The inventory lives in ``artan_spark.plans`` — relational delegations
 (SURVEY §2.6), dedup / similarity-search / text-analysis / temporal-join /
 sketch / sampling pipeline operators, and the SURVEY §2.1 estimation
-operators. Every estimation query carries a DuckDB recursive-CTE oracle
-(bit-exact for the scalar recursions, margin-guarded rounding for the
+operators. Every registry query (50 entries, sized to the driver's check
+window) carries a DuckDB oracle: recursive-CTE for the estimation
+recursions (bit-exact for the scalar ones, margin-guarded rounding for the
 sigma-point/consensus/3-D variants — see plans/estimation.py and
-tests/test_oracle_margins.py); the single rows-only entry is
-``multimodal_features`` (documented codec stub).
+tests/test_oracle_margins.py), generate_series reconstruction for the
+multimodal stub payload. Queries folded into compound entries keep
+pytest-only oracles (artan_spark.plans.PYTEST_ORACLES).
 """
 
 from __future__ import annotations

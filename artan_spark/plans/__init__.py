@@ -21,22 +21,31 @@ from artan_spark.plans import (
     textstats,
 )
 
+# Order matters: the driver's correctness harness checks a bounded prefix of
+# the registry (50 entries), so every oracle-bearing query must sit inside
+# that window — keep the registry at <=50 entries total and multimodal last.
 MODULES = (
     relational,
     dedup,
     simsearch,
     textstats,
     estimation,
-    multimodal,
     temporal,
     sketch,
     sampling,
+    multimodal,
 )
 
 QUERIES = {}
 ORACLES = {}
+# oracle-checked in pytest only; not part of the driver registry window
+# (their compute is covered there by compound entries)
+PYTEST_ORACLES = {}
 for _m in MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
+    PYTEST_ORACLES.update(getattr(_m, "PYTEST_ORACLES", {}))
 
-__all__ = ["QUERIES", "ORACLES"]
+assert len(QUERIES) <= 50, f"registry has {len(QUERIES)} entries; driver checks only 50"
+
+__all__ = ["QUERIES", "ORACLES", "PYTEST_ORACLES"]

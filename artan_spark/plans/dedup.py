@@ -481,7 +481,6 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -491,8 +490,14 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
-    "dedup_simhash": _SIMHASH_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
+}
+
+# dedup_simhash is recomputed in full inside dedup_simhash_pairs, so the
+# registry carries only the compound entry; the fingerprint query itself
+# stays oracle-checked in pytest (tests/test_oracle.py).
+PYTEST_ORACLES = {
+    "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
 }

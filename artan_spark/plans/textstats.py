@@ -246,6 +246,77 @@ GROUP BY lang
 """
 
 
+def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound per-document feature vector: whitespace-token counts,
+    BPE-ish subword counts, dedup fingerprints, and 3-gram repetition in
+    ONE scan + projection — the shape you want at 100 TB (running
+    ``text_token_count``/``text_bpe_tokens``/``text_fingerprint``/
+    ``text_repetition_ratio`` separately would scan the corpus four
+    times). Column semantics identical to the individual queries, which
+    remain available (and pytest-oracle-checked) for piecemeal use."""
+    d = read_table(spark, sf_dir, "documents")
+    bpe = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    base = d.select(
+        "doc_id", F.length("text").alias("n_chars_measured"), _toks().alias("t"), bpe.alias("b")
+    ).withColumn(
+        "g",
+        F.when(
+            F.size("t") >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]),
+            ),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        "n_chars_measured",
+        F.size(F.array_distinct("t")).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(F.transform(F.col("t"), lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+            / F.size("t"),
+            6,
+        ).alias("avg_token_len"),
+        F.size("b").alias("n_subword_tokens"),
+        F.size(F.array_distinct("b")).alias("n_unique_subwords"),
+        F.round(F.col("n_chars_measured") / F.size("b"), 6).alias("chars_per_token"),
+        F.substring(F.md5(F.concat_ws(" ", F.col("t"))), 1, 16).alias("content_md5_prefix"),
+        F.array_min(F.transform(F.col("t"), h)).alias("min_token_hash"),
+        F.array_max(F.transform(F.col("t"), h)).alias("max_token_hash"),
+        F.coalesce(F.size("g"), F.lit(0)).alias("n_ngrams"),
+        F.when(
+            F.size("g") > 0, (F.size("g") - F.size(F.array_distinct("g"))) / F.size("g")
+        ).alias("rep_ratio"),
+    )
+
+
+_DOC_FEATURES_SQL = r"""
+SELECT doc_id,
+       len(t) AS n_tokens,
+       length(text) AS n_chars_measured,
+       len(list_distinct(t)) AS n_unique_tokens,
+       ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS avg_token_len,
+       len(b) AS n_subword_tokens,
+       len(list_distinct(b)) AS n_unique_subwords,
+       ROUND(length(text) * 1.0 / len(b), 6) AS chars_per_token,
+       substring(md5(list_aggregate(t, 'string_agg', ' ')), 1, 16) AS content_md5_prefix,
+       list_min(list_transform(t, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS min_token_hash,
+       list_max(list_transform(t, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS max_token_hash,
+       CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_ngrams,
+       CASE WHEN len(t) >= 3 THEN
+         CAST(((len(t) - 2) - len(list_distinct(
+             list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ))) AS DOUBLE) / (len(t) - 2)
+       END AS rep_ratio
+FROM (SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS t,
+             regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS b
+      FROM documents)
+"""
+
+
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of word 3-grams that are repeats
     of an earlier 3-gram in the same doc — a standard LLM-corpus quality
@@ -337,24 +408,28 @@ FROM r GROUP BY lang
 
 QUERIES = {
     "corpus_clean_stats": corpus_clean_stats,
-    "text_repetition_ratio": text_repetition_ratio,
+    "text_doc_features": text_doc_features,
     "docs_quality_quantiles": docs_quality_quantiles,
-    "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_profile": text_lang_profile,
-    "text_fingerprint": text_fingerprint,
-    "text_bpe_tokens": text_bpe_tokens,
     "text_lang_id": text_lang_id,
 }
 
 ORACLES = {
     "corpus_clean_stats": _CORPUS_CLEAN_SQL,
-    "text_repetition_ratio": _REPETITION_SQL,
+    "text_doc_features": _DOC_FEATURES_SQL,
     "docs_quality_quantiles": _QUANTILES_SQL.format(quality=_QUALITY_SQL),
-    "text_token_count": _TOKEN_COUNT_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_profile": _LANG_PROFILE_SQL,
-    "text_fingerprint": _FINGERPRINT_SQL,
-    "text_bpe_tokens": _BPE_SQL,
     "text_lang_id": _lang_id_sql(),
+}
+
+# Folded into the registry's compound ``text_doc_features`` entry (the
+# driver correctness harness checks a bounded number of registry entries);
+# still oracle-checked individually by pytest (tests/test_oracle.py).
+PYTEST_ORACLES = {
+    "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),
+    "text_bpe_tokens": (text_bpe_tokens, _BPE_SQL),
+    "text_fingerprint": (text_fingerprint, _FINGERPRINT_SQL),
+    "text_repetition_ratio": (text_repetition_ratio, _REPETITION_SQL),
 }

@@ -58,7 +58,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_kmeans",
     "text_quality_score",
-    "text_fingerprint",
+    "text_doc_features",
     "corpus_clean_stats",
     "lkf_events_local_level",
     "lkf_ols_multikey",
