@@ -288,26 +288,47 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     on). At 100 TB: centroids stay a broadcast table, assignment is a
     map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
     """
-    e = _emb(spark, sf_dir).withColumn(
-        "vn", F.transform("v", lambda x: x / F.col("norm"))
+    # normalized vectors are read by every Lloyd pass + the final assignment
+    # + scoring: persist the narrow (vec_id, vn) projection once instead of
+    # re-deriving it per pass (the pattern Spark MLlib's KMeans uses for its
+    # iteration input; the HOF normalization is the expensive part here)
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .persist()
     )
 
     cent = e.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
 
-    def assign(cent_df):
-        scored = e.crossJoin(F.broadcast(cent_df)).withColumn("dot", _dot(F.col("vn"), F.col("cv")))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+    def with_cell(cent_df):
+        """Attach each vector's nearest-centroid id MAP-SIDE: the KM_K
+        centroids collapse to one broadcast row of array<struct<cid,cv>>
+        and the argmax is a higher-order-function reduce per row — no
+        Exchange on the embeddings side (the old formulation was a
+        crossJoin + row_number window, i.e. a full-corpus hash shuffle
+        per assignment pass). First occurrence of the max dot wins, and
+        the array is cid-sorted, so ties break to the smallest cid —
+        identical to the window's (dot DESC, cid ASC) and the oracle."""
+        carr = cent_df.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+        # one dot per centroid, computed once: argmax = array_max over
+        # struct(dot, -cid) (struct compare is lexicographic, so ties on
+        # dot resolve to the SMALLEST cid)
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(_dot(F.col("vn"), c["cv"]).alias("dot"), (-c["cid"]).alias("ncid")),
+            )
+        )
         return (
-            scored.withColumn("arank", F.row_number().over(w))
-            .filter(F.col("arank") == 1)
-            .select("vec_id", "cid")
+            e.crossJoin(F.broadcast(carr))
+            .withColumn("cid", -best["ncid"])
+            .drop("cents")
         )
 
     for _ in range(KM_ITERS):
-        a = assign(cent)
-        pos = e.join(a, "vec_id").select("cid", F.posexplode(F.col("vn")).alias("pos", "x"))
+        pos = with_cell(cent).select("cid", F.posexplode(F.col("vn")).alias("pos", "x"))
         cent = (
             pos.groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
@@ -315,9 +336,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
             .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]).alias("cm"))
             .withColumn("cn", F.sqrt(_dot(F.col("cm"), F.col("cm"))))
             .select("cid", F.transform("cm", lambda x: F.round(x / F.col("cn"), 6)).alias("cv"))
+            # KM_K rows; truncate lineage so each Lloyd pass (and the final
+            # assignment) scans the corpus once instead of replaying every
+            # earlier pass — the same driver-loop materialization pattern as
+            # the batch-EM reference loop (MixtureBase.scala:257-316)
+            .localCheckpoint()
         )
 
-    cells = assign(cent)
+    member = with_cell(cent)
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
@@ -331,7 +357,6 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
         .select("query_id", "qvn", F.col("cid").alias("cell"))
     )
 
-    member = e.join(cells, "vec_id")
     scored = member.join(
         F.broadcast(probe),
         (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),

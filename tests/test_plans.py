@@ -208,3 +208,12 @@ def test_jaccard_df_cap_bounds_hot_shingles(spark, tmp_path):
         .select("ra.doc_id", "rb.doc_id").distinct().count()
     )
     assert n_cand <= 5  # vs 40*39/2 hot-shingle pairs in the uncapped join
+
+
+def test_ann_ivf_kmeans_mapside_assignment(spark):
+    """k-means cell assignment must be a map-side argmax over the broadcast
+    centroid array: no hash shuffle of the corpus on vec_id anywhere (the
+    old crossJoin + row_number window shuffled the full corpus once per
+    assignment pass)."""
+    plan = _plan(spark, "ann_ivf_kmeans")
+    assert "hashpartitioning(vec_id" not in plan
