@@ -241,7 +241,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
 JACCARD_THRESHOLD = 0.5
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None = None) -> DataFrame:
+DEFAULT_DF_CAP = 256  # "hot" shingle threshold for the auto/capped paths
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | str | None = None
+) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.5 via the inverted-index self-join
     (pairs sharing >= 1 shingle; intersection counted in the same join).
 
@@ -249,14 +254,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None = N
     direct self-join quadratic in per-shingle document frequency. With a
     cap, candidate pairs are generated ONLY from shingles with df <= cap
     (bounding work per shingle at cap^2), then the exact intersection is
-    recounted from the full shingle sets of just those candidates. Near-dup
-    recall relies on dup pairs sharing >= 1 rare shingle (standard
-    prefix/df filtering). Default None keeps the direct plan — on this
-    corpus shingle df ~= 2, and the candidate+recount variant measured 6x
-    slower, so the cap is the 100x-scale escape hatch, not the default.
-    MinHash-LSH above is the sub-quadratic path either way.
+    recounted per candidate pair via array_intersect over the full per-doc
+    shingle sets. Near-dup recall relies on dup pairs sharing >= 1 rare
+    shingle (standard prefix/df filtering).
+
+    ``df_cap="auto"`` (what ``dedup_clusters`` uses): probe whether any
+    shingle exceeds DEFAULT_DF_CAP — one aggregate with an early-out
+    limit(1) — and engage the capped plan only then. Clean corpora (this
+    testdata: df ~= 2) pay one probe job and keep the direct plan; a real
+    stopword-heavy corpus flips to the bounded plan automatically instead
+    of hitting the df^2 blowup. Direct None stays the correctness
+    baseline; MinHash-LSH above is the sub-quadratic path either way.
     """
     sh = _shingles(spark, sf_dir)
+    if df_cap == "auto":
+        hot_exists = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > DEFAULT_DF_CAP)
+            .limit(1)
+            .count()
+        )
+        df_cap = DEFAULT_DF_CAP if hot_exists else None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     if df_cap is None:
@@ -276,12 +295,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, df_cap: int | None = N
             .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
             .distinct()
         )
-        # exact recount over the candidates' FULL shingle sets
+        # exact recount over the candidates' FULL shingle sets: join the
+        # per-doc shingle ARRAYS to the candidate list and intersect in-row
+        # (array_intersect) — a shingle-level equi-join here would re-explode
+        # the pair space the cap just bounded
+        docsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
         inter = (
-            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-            .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.shingle") == F.col("b.shingle")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+            cand.join(docsets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
+            .join(docsets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
+            .select("doc_a", "doc_b", F.size(F.array_intersect("sa", "sb")).alias("inter"))
         )
     sx, sy = sizes.alias("sx"), sizes.alias("sy")
     j = (
@@ -412,7 +434,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Converges in O(component diameter) rounds. Oracle: DuckDB recursive-CTE
     reachability with min-label aggregation — identical result.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir, df_cap="auto")
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
     edges = edges.localCheckpoint()
 

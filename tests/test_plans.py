@@ -217,3 +217,42 @@ def test_ann_ivf_kmeans_mapside_assignment(spark):
     assignment pass)."""
     plan = _plan(spark, "ann_ivf_kmeans")
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_jaccard_auto_cap_and_cluster_path(spark, tmp_path):
+    """df_cap='auto' (the dedup_clusters default) must engage the capped
+    plan when a shingle's document frequency exceeds DEFAULT_DF_CAP and
+    still produce the exact pair set; the cluster pipeline built on it
+    must find the true near-dup cluster."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.dedup import (
+        DEFAULT_DF_CAP,
+        dedup_clusters,
+        dedup_ngram_jaccard,
+    )
+
+    hot = "the quick brown fox"  # hot shingles in every doc, df > DEFAULT_DF_CAP
+    rows = []
+    for i in range(DEFAULT_DF_CAP + 20):
+        rows.append((i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d", "en", "synth", 0))
+    rows.append((1000, "alpha beta gamma delta epsilon zeta", "en", "synth", 0))
+    rows.append((1001, "alpha beta gamma delta epsilon eta", "en", "synth", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path), df_cap="auto").collect()
+    }
+    assert (1000, 1001) in exact and auto == exact
+
+    clusters = {
+        tuple(sorted(int(x) for x in r.members.split(",")))
+        for r in dedup_clusters(spark, str(tmp_path)).collect()
+    }
+    assert (1000, 1001) in clusters
