@@ -53,16 +53,19 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join customer (broadcast — tiny dim) x orders x lineitem; top-10
-    orders by revenue with deterministic tie-break. At 100 TB: customer
-    filter broadcast, orders-lineitem co-shuffled on orderkey; top-k via
-    TakeOrderedAndProject (no full sort)."""
+    """Join customer x orders x lineitem; top-10 orders by revenue with
+    deterministic tie-break. customer broadcast is left to the planner's
+    size threshold (AQE is on): it broadcasts at bench scale but degrades
+    gracefully to a shuffled join when the dimension outgrows the driver —
+    a hard hint would pin the broadcast at any size. orders-lineitem
+    co-shuffled on orderkey; top-k via TakeOrderedAndProject (no full
+    sort)."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -86,7 +89,10 @@ LIMIT 10
 
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join: all dims broadcast, one shuffle for the agg."""
+    """Multi-way star join. Fixed-cardinality dims (nation=25, region=5)
+    carry explicit broadcast hints; customer/supplier grow with scale
+    factor, so their broadcast is left to the planner's size threshold
+    (broadcast at bench scale, shuffled join beyond it)."""
     r = read_table(spark, sf_dir, "region")
     n = read_table(spark, sf_dir, "nation")
     c = read_table(spark, sf_dir, "customer")
@@ -95,8 +101,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
