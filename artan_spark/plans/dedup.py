@@ -268,10 +268,17 @@ def dedup_ngram_jaccard(
     """
     sh = _shingles(spark, sf_dir)
     if df_cap == "auto":
+        # probe a deterministic ~10% doc sample: a genuinely hot shingle
+        # (df > cap, the df^2 blowup risk) shows up in the sample with df
+        # around cap/10, so thresholding at cap/20 catches it with huge
+        # margin while scanning a tenth of the shingle table; a clean
+        # corpus (df ~= 2 here) can't false-positive. A borderline miss
+        # just keeps the exact direct plan — slower, never wrong.
+        sample = sh.filter(F.pmod(F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(10)) == 0)
         hot_exists = (
-            sh.groupBy("shingle")
+            sample.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > DEFAULT_DF_CAP)
+            .filter(F.col("df") > DEFAULT_DF_CAP // 20)
             .limit(1)
             .count()
         )
