@@ -95,6 +95,13 @@ class StatefulTransformer(HasParams):
         "watermarkDuration": None,
         "stateTimeoutMode": "none",  # none | process | event
         "stateTimeoutDuration": None,
+        # streaming execution backend:
+        #   "applyInPandasWithState"  - PySpark >=3.4 (default; any state store)
+        #   "transformWithState"      - PySpark >=4.0 arbitrary-state API
+        #     (requires the RocksDB state store provider; supports state
+        #     schema evolution and per-key timers engine-side). Both wrap
+        #     the SAME fold, so results are bit-identical across backends.
+        "streamingBackend": "applyInPandasWithState",
     }
 
     # -- subclass hooks -----------------------------------------------------
@@ -201,6 +208,10 @@ class StatefulTransformer(HasParams):
                 return rows_to_pdf(rows, [f.name for f in out_schema.fields])
 
             result = keyed.groupBy(STATE_KEY).applyInPandas(batch_fn, out_schema)
+        elif self.get("streamingBackend") == "transformWithState":
+            result = self._transformWithState(keyed, fold, out_schema)
+            if self.get("eventTimeCol") and self.get("watermarkDuration"):
+                result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
         else:
             pack, unpack = self._packState, self._unpackState
             columns = [f.name for f in out_schema.fields]
@@ -237,6 +248,63 @@ class StatefulTransformer(HasParams):
                 result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
 
         return self._shapeOutput(result)
+
+    def _transformWithState(self, keyed: DataFrame, fold, out_schema: StructType) -> DataFrame:
+        """Streaming execution on the PySpark >=4.0 arbitrary-state API.
+
+        Same fold, same packed state tuple — only the state-store plumbing
+        differs: the packed state lives in a named ValueState managed by
+        ``transformWithStateInPandas`` (RocksDB-backed, schema-evolvable)
+        instead of the ``applyInPandasWithState`` GroupState blob. Timeouts
+        map to engine timers; only the 'none' mode is wired so far (the
+        default backend covers process/event timeouts).
+        """
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        if self.get("stateTimeoutMode") != "none":
+            raise NotImplementedError(
+                "state timeouts on the transformWithState backend are not wired; "
+                "use the default applyInPandasWithState backend"
+            )
+
+        try:
+            # pyspark's transformWithState driver runner imports protobuf at
+            # query start and crashes the JVM-side query with an opaque
+            # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE when it's
+            # missing — probe here for a clear error instead
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "the transformWithState backend requires the protobuf package "
+                "(a pyspark streaming-runner dependency not present in this "
+                "environment); use the default applyInPandasWithState backend"
+            ) from exc
+
+        pack, unpack = self._packState, self._unpackState
+        state_schema = self._stateSchema()
+        columns = [f.name for f in out_schema.fields]
+
+        class _FoldProcessor(StatefulProcessor):
+            def init(self, handle):
+                self._vs = handle.getValueState("packed", state_schema)
+
+            def handleInputRows(self, key, rows, timer_values):
+                pdf = pd.concat(list(rows), ignore_index=True)
+                packed = self._vs.get() if self._vs.exists() else None
+                state = None if packed is None else unpack(tuple(packed))
+                out, state = fold(sort_group(pdf), state)
+                self._vs.update(tuple(pack(state)))
+                yield rows_to_pdf(out, columns)
+
+            def close(self):
+                pass
+
+        return keyed.groupBy(STATE_KEY).transformWithStateInPandas(
+            statefulProcessor=_FoldProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:
         """Rename/prune the raw fold output (subclasses may extend)."""

@@ -1,0 +1,126 @@
+"""transformWithState (PySpark >=4.0) streaming backend: the same fold on
+the arbitrary-state API must reproduce the batch result row-for-row, like
+the default applyInPandasWithState backend does."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from artan_spark.operators import LinearKalmanFilter, RecursiveLeastSquaresFilter
+from artan_spark.streaming import stream_transform
+
+
+def _tws_available() -> bool:
+    """pyspark's transformWithState streaming runner needs protobuf, which
+    this container lacks (no installs allowed) — the backend is gated
+    behind this probe exactly like the multimodal codec stub."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+needs_tws = pytest.mark.skipif(
+    not _tws_available(), reason="protobuf unavailable: transformWithState runner cannot start"
+)
+
+
+@pytest.fixture()
+def rocksdb(spark):
+    # transformWithState requires the RocksDB state store provider
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    yield spark
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def _lkf_df(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"k{i % 4}", [float(rng.normal(10.0 * (i % 4), 1.0))])
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+
+
+@needs_tws
+def test_lkf_tws_backend_equals_batch(rocksdb):
+    spark = rocksdb
+    df = _lkf_df(spark)
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+    )
+    batch = flt.transform(df).collect()
+    tws = flt.copy().setStreamingBackend("transformWithState")
+    stream = stream_transform(spark, df, tws.transform, chunk_rows=3).collect()
+    assert len(stream) == len(batch)
+    key = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rb, rs in zip(sorted(batch, key=key), sorted(stream, key=key)):
+        assert (rb.stateKey, rb.stateIndex) == (rs.stateKey, rs.stateIndex)
+        np.testing.assert_array_equal(np.array(rb.state.mean), np.array(rs.state.mean))
+        np.testing.assert_array_equal(
+            np.array(rb.state.covariance.values), np.array(rs.state.covariance.values)
+        )
+
+
+@needs_tws
+def test_rls_tws_backend_equals_default_backend(rocksdb):
+    spark = rocksdb
+    rng = np.random.RandomState(5)
+    rows = [
+        (f"g{i % 3}", float(1.5 + 0.5 * i + rng.normal(0, 0.1)), [float(i), 1.0])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "stateKey string, label double, features array<double>")
+    rls = RecursiveLeastSquaresFilter(2).setStateKeyCol("stateKey")
+    default = stream_transform(spark, df, rls.transform, chunk_rows=4).collect()
+    tws = rls.copy().setStreamingBackend("transformWithState")
+    got = stream_transform(spark, df, tws.transform, chunk_rows=4).collect()
+    key = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    assert len(got) == len(default)
+    for ra, rb in zip(sorted(default, key=key), sorted(got, key=key)):
+        assert (ra.stateKey, ra.stateIndex) == (rb.stateKey, rb.stateIndex)
+        np.testing.assert_array_equal(np.array(ra.state.mean), np.array(rb.state.mean))
+
+
+def test_tws_backend_clear_error_without_protobuf(spark):
+    """Without protobuf the backend must fail fast with a clear ImportError
+    at transform() time, not an opaque JVM query crash at start()."""
+    if _tws_available():
+        pytest.skip("protobuf present; the runtime path is covered by the B==S tests")
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setStreamingBackend("transformWithState")
+    )
+    df = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS stateKey", "array(CAST(value AS DOUBLE)) AS measurement"
+    )
+    with pytest.raises(ImportError, match="protobuf"):
+        flt.transform(df)
+
+
+def test_tws_backend_rejects_timeouts(spark):
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setStreamingBackend("transformWithState")
+        .setStateTimeoutMode("process")
+        .setStateTimeoutDuration("10 seconds")
+    )
+    df = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS stateKey", "array(CAST(value AS DOUBLE)) AS measurement"
+    )
+    with pytest.raises(NotImplementedError):
+        flt.transform(df)
