@@ -1,9 +1,17 @@
 """Multimodal binary-column plumbing: schema, mapInPandas batch shape,
-deterministic stub decode, and the NotImplementedError gate for real codecs."""
+deterministic stub decode for all three media types, and the
+NotImplementedError gate for real codecs."""
+
+import struct
 
 import pytest
 
-from artan_spark.plans.multimodal import attach_fake_media, decode_image, multimodal_features
+from artan_spark.plans.multimodal import (
+    attach_fake_media,
+    decode_image,
+    decode_media,
+    multimodal_features,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -11,28 +19,59 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_attach_media_schema_and_payloads(spark):
     media = attach_fake_media(spark, SF_DIR)
     assert [f.name for f in media.schema.fields] == ["doc_id", "media_type", "payload", "payload_len"]
-    rows = media.orderBy("doc_id").limit(3).collect()
+    rows = media.orderBy("doc_id").limit(6).collect()
     assert all(isinstance(r.payload, (bytes, bytearray)) for r in rows)
-    assert all(r.payload_len == len(r.payload) == 72 for r in rows)
+    assert all(r.payload_len == len(r.payload) for r in rows)
+    assert [r.media_type for r in rows] == [
+        "image/fake", "audio/fake", "video/fake",
+        "image/fake", "audio/fake", "video/fake",
+    ]
     # deterministic: same doc -> same payload
-    again = attach_fake_media(spark, SF_DIR).orderBy("doc_id").limit(3).collect()
+    again = attach_fake_media(spark, SF_DIR).orderBy("doc_id").limit(6).collect()
     assert [bytes(r.payload) for r in rows] == [bytes(r.payload) for r in again]
 
 
 def test_decode_stub_gate():
     with pytest.raises(NotImplementedError):
+        decode_media(None, fake=False)
+    with pytest.raises(NotImplementedError):
         decode_image(None, fake=False)
 
 
-def test_decode_features(spark):
+def test_decode_image_features(spark):
     feats = decode_image(attach_fake_media(spark, SF_DIR), fake=True)
-    row = feats.filter("doc_id = 5").collect()[0]
-    assert row.width == 16 + 5 % 48 and row.height == 16 + 35 % 48
+    row = feats.filter("doc_id = 6").collect()[0]  # 6 % 3 == 0 -> image
+    assert row.width == 16 + 6 % 48 and row.height == 16 + 42 % 48
+    assert row.n_units == 64
     assert 0.0 <= row.mean_intensity <= 255.0
 
 
+def test_decode_audio_and_video_features(spark):
+    feats = decode_media(attach_fake_media(spark, SF_DIR), fake=True)
+    aud = feats.filter("doc_id = 7").collect()[0]  # 7 % 3 == 1 -> audio
+    assert aud.media_type == "audio/fake"
+    assert aud.width is None and aud.height is None
+    assert aud.n_units == 32 + 7 % 32
+    vid = feats.filter("doc_id = 5").collect()[0]  # 5 % 3 == 2 -> video
+    assert vid.media_type == "video/fake"
+    assert vid.width == 4 and vid.height == 4
+    # n_frames = 4 + 5 % 4 = 5 -> frames 0, 2, 4 sampled
+    assert vid.n_units == 3
+    # decode reads the BYTES: recompute the sampled-frame mean directly
+    n_frames = 5
+    body = bytes((5 * 11 + i * 5) % 256 for i in range(n_frames * 16))
+    sampled = b"".join(body[f * 16 : (f + 1) * 16] for f in range(0, n_frames, 2))
+    assert vid.mean_intensity == round(sum(sampled) / len(sampled), 6)
+    assert vid.payload_len == 12 + 16 * n_frames
+    hdr = struct.pack("<III", n_frames, 4, 4)
+    assert len(hdr) == 12
+
+
 def test_multimodal_features_aggregate(spark):
-    out = multimodal_features(spark, SF_DIR).collect()
-    assert len(out) == 1
-    assert out[0].n_items == 500
-    assert out[0].total_bytes == 500 * 72
+    out = {r.media_type: r for r in multimodal_features(spark, SF_DIR).collect()}
+    assert set(out) == {"image/fake", "audio/fake", "video/fake"}
+    # 500 docs at sf0.001, cycled by doc_id % 3 (doc_ids 0..499)
+    assert out["image/fake"].n_items == 167
+    assert out["audio/fake"].n_items == 167
+    assert out["video/fake"].n_items == 166
+    assert out["image/fake"].total_bytes == 167 * 72
