@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus pipeline: the batch composition a 100 TB
+pretraining-data job runs, expressed entirely as artan_spark plan operators.
+
+    documents ──> quality score ──> filter ──> near-dup clusters ──> keep one
+                                                 per cluster ──────────┐
+    embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
+                                                                       v
+                          cleaned corpus written PARTITIONED BY (lang)
+
+Every stage is the same operator the driver registry verifies against
+DuckDB (text_quality_score, dedup_clusters, ann_ivf_kmeans); this example
+shows them composing into one lazy plan per output. Scale notes: the
+cluster step's candidate generation is df-capped ('auto'), the ANN
+assignment is a map-side argmax over broadcast centroids, and the sink is
+partitioned so downstream readers prune by language.
+
+Usage: python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from artan_spark.sources import session_builder
+
+
+def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
+    from artan_spark.plans.dedup import dedup_clusters
+    from artan_spark.plans.simsearch import ann_ivf_kmeans
+    from artan_spark.plans.textstats import text_quality_score
+    from artan_spark.sources import read_table
+
+    spark = session_builder("CorpusPipeline", master="local[4]", shuffle_partitions=4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    out_dir = out_dir or tempfile.mkdtemp(prefix="corpus_pipeline_")
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (pure Catalyst HOF expressions, no Python in row path)
+    quality = text_quality_score(spark, sf_dir)
+    kept = docs.join(quality.filter(F.col("quality_score") >= 0.3).select("doc_id"), "doc_id")
+
+    # 2. near-dup removal: keep the cluster representative (min doc_id)
+    clusters = dedup_clusters(spark, sf_dir)
+    losers = (
+        clusters.select(F.explode(F.split("members", ",")).alias("member"), "cluster")
+        .select(F.col("member").cast("long").alias("doc_id"), "cluster")
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+    )
+    cleaned = kept.join(losers, "doc_id", "left_anti")
+
+    # 3. similarity index: top-k cosine neighbors via the k-means IVF path
+    neighbors = ann_ivf_kmeans(spark, sf_dir)
+
+    # 4. partitioned sink: downstream jobs prune by lang at the scan
+    cleaned.write.mode("overwrite").partitionBy("lang").parquet(out_dir + "/cleaned")
+    neighbors.write.mode("overwrite").parquet(out_dir + "/neighbors")
+
+    n_in, n_out = docs.count(), spark.read.parquet(out_dir + "/cleaned").count()
+    n_nb = spark.read.parquet(out_dir + "/neighbors").count()
+    print(f"corpus: {n_in} docs -> {n_out} kept ({n_in - n_out} dropped); "
+          f"{n_nb} neighbor edges -> {out_dir}")
+    assert n_out > 0 and n_nb > 0
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])

@@ -24,6 +24,7 @@ import examples.lkf_rate_source_ols as ols
 import examples.lkf_stream_batch_init as sbi
 import examples.mmae_rate_source_ols as mmae
 import examples.rls_rate_source_ols as rls
+import examples.corpus_pipeline as corpus
 import examples.streaming_asof as asof
 import examples.ukf_rate_source_glm_log as ukf
 
@@ -37,6 +38,7 @@ for name, mod, args in [
     ("lkf_stream_batch_init", sbi, (4, 50, 6)),
     ("mmae_rate_source_ols", mmae, (4, 50, 8)),
     ("streaming_asof", asof, (2, 50, 6)),
+    ("corpus_pipeline", corpus, ()),
 ]:
     print(f"### running {name}", flush=True)
     mod.main(*args)
