@@ -155,3 +155,64 @@ def test_asof_operator_out_of_order_stream(spark):
             assert r["asofPayload"] is None
         else:
             assert float(r["asofPayload"][0]) == want
+
+
+def test_asof_fold_randomized_against_simulator():
+    """Randomized micro-batch replays vs an independent plain-Python
+    simulator of the documented contract: state holds the max-ts build row
+    seen so far; a probe attaches the max-ts admissible (<= probe.ts)
+    candidate among the in-batch builds and the pre-batch state, else null.
+    Also checks the invariant that an attach never comes from the future."""
+    import numpy as np
+
+    from artan_spark.operators.asof import _asof_fold_factory
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        fold = _asof_fold_factory({})
+        n = int(rng.randint(5, 40))
+        rows = [
+            (int(rng.randint(0, 2)), int(rng.randint(0, 500)), [float(i)])
+            for i in range(n)
+        ]
+        # random batch boundaries
+        cuts = sorted(set(rng.choice(range(1, n), size=min(5, n - 1), replace=False)))
+        batches, prev = [], 0
+        for c in list(cuts) + [n]:
+            batches.append(rows[prev:c])
+            prev = c
+
+        state = None
+        sim_state = None  # (ts, payload)
+        got, want = [], []
+        for batch in batches:
+            out, state = fold(_pdf(batch), state)
+            for _, r in out.iterrows():
+                ts = None if pd.isna(pd.Timestamp(r["asofTime"]) if r["asofTime"] is not None else pd.NaT) else int(
+                    (pd.Timestamp(r["asofTime"]) - pd.Timestamp("2024-01-01")).total_seconds() // 60
+                )
+                got.append((int(r["payload"][0]), ts))
+                if ts is not None:
+                    probe_m = int((pd.Timestamp(r["eventTime"]) - pd.Timestamp("2024-01-01")).total_seconds() // 60)
+                    assert ts <= probe_m, "attached a future build row"
+
+            # simulator: event-time order, builds before probes at equal ts,
+            # stable within the batch
+            ordered = sorted(batch, key=lambda x: (x[1], x[0]))
+            in_batch = []  # (ts, payload) builds seen so far, this batch
+            for side, m, payload in ordered:
+                if side == 0:
+                    in_batch.append((m, payload))
+                else:
+                    cands = [c for c in in_batch if c[0] <= m]
+                    best = max(cands, key=lambda c: c[0]) if cands else None
+                    if sim_state is not None and sim_state[0] <= m and (
+                        best is None or sim_state[0] > best[0]
+                    ):
+                        best = sim_state
+                    want.append((int(payload[0]), best[0] if best else None))
+            if in_batch:
+                mx = max(in_batch, key=lambda c: c[0])
+                if sim_state is None or mx[0] >= sim_state[0]:
+                    sim_state = mx
+        assert got == want, f"trial {trial}: {got} != {want}"
