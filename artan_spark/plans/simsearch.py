@@ -272,32 +272,12 @@ KM_ITERS = 2  # unrolled Lloyd iterations (also unrolled in the SQL oracle)
 KM_NPROBE = 2
 
 
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) -> DataFrame:
-    """IVF with a REAL coarse quantizer: spherical k-means over the
-    normalized embeddings (deterministic init = first KM_K vectors, KM_ITERS
-    Lloyd iterations), probe the ``nprobe`` nearest cells, exact cosine
-    re-rank inside them.
-
-    The label-cell variant above is oracle-simple but labels are
-    uncorrelated with cosine geometry on this corpus (recall 0.12 at
-    nprobe=1); k-means cells lift candidate recall to ~0.8+ at nprobe=2
-    (tests/test_simsearch_quality.py). Determinism contract with the DuckDB
-    oracle: centroids are ROUNDED to 6 decimals after every update, so both
-    engines assign cells from bit-identical inputs; dot products are
-    left-to-right in both engines (same contract the other ANN oracles rely
-    on). At 100 TB: centroids stay a broadcast table, assignment is a
-    map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
+def _fit_kmeans_cells(e: DataFrame):
+    """Deterministic spherical k-means fit over normalized vectors ``e``
+    (vec_id, vn): init = first KM_K vectors, KM_ITERS Lloyd iterations,
+    centroids rounded to 6 decimals after every update (the cross-engine
+    determinism contract). Returns (centroids(cid, cv), members = e + cid).
     """
-    # normalized vectors are read by every Lloyd pass + the final assignment
-    # + scoring: persist the narrow (vec_id, vn) projection once instead of
-    # re-deriving it per pass (the pattern Spark MLlib's KMeans uses for its
-    # iteration input; the HOF normalization is the expensive part here)
-    e = (
-        _emb(spark, sf_dir)
-        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
-        .persist()
-    )
-
     cent = e.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
@@ -343,7 +323,36 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
             .localCheckpoint()
         )
 
-    member = with_cell(cent)
+    return cent, with_cell(cent)
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) -> DataFrame:
+    """IVF with a REAL coarse quantizer: spherical k-means over the
+    normalized embeddings (deterministic init = first KM_K vectors, KM_ITERS
+    Lloyd iterations), probe the ``nprobe`` nearest cells, exact cosine
+    re-rank inside them.
+
+    The label-cell variant above is oracle-simple but labels are
+    uncorrelated with cosine geometry on this corpus (recall 0.12 at
+    nprobe=1); k-means cells lift candidate recall to ~0.8+ at nprobe=2
+    (tests/test_simsearch_quality.py). Determinism contract with the DuckDB
+    oracle: centroids are ROUNDED to 6 decimals after every update, so both
+    engines assign cells from bit-identical inputs; dot products are
+    left-to-right in both engines (same contract the other ANN oracles rely
+    on). At 100 TB: centroids stay a broadcast table, assignment is a
+    map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
+    """
+    # normalized vectors are read by every Lloyd pass + the final assignment
+    # + scoring: persist the narrow (vec_id, vn) projection once instead of
+    # re-deriving it per pass (the pattern Spark MLlib's KMeans uses for its
+    # iteration input; the HOF normalization is the expensive part here)
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .persist()
+    )
+
+    cent, member = _fit_kmeans_cells(e)
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
@@ -365,6 +374,74 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the spherical-k-means IVF index for build-once /
+    query-many serving: the same fit as ``ann_ivf_kmeans`` (identical
+    determinism contract), with centroids as one small parquet and the
+    cell members PARTITIONED BY cell id — a probe then reads only its
+    ``nprobe`` cells via partition pruning instead of re-fitting and
+    re-scanning the corpus per query batch. This is the production shape
+    at 100 TB: fit once on a sample/full pass, serve many query batches
+    against the pruned layout.
+    """
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .persist()
+    )
+    cent, member = _fit_kmeans_cells(e)
+    cent.write.mode("overwrite").parquet(out_dir + "/centroids")
+    member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
+        out_dir + "/cells"
+    )
+    e.unpersist()
+
+
+def ann_ivf_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = KM_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Serve ANN queries against a materialized ``build_ivf_index`` layout.
+
+    ``queries``: (query_id, qvn) with qvn already L2-normalized. Probe =
+    broadcast-centroid argtop-nprobe per query; candidates come from a join
+    against the cell-partitioned parquet on the PARTITION column, so
+    Spark's dynamic partition pruning restricts the scan to the probed
+    cells; exact cosine re-rank inside them (same rounding contract as
+    ``ann_ivf_kmeans``).
+    """
+    cent = spark.read.parquet(index_dir + "/centroids")
+    member = spark.read.parquet(index_dir + "/cells")
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("cid"))
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("qdot", _dot(F.col("qvn"), F.col("cv")))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qvn", F.col("cid").alias("cell"))
+    )
+    scored = member.join(
+        F.broadcast(probe),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

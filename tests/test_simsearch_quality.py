@@ -59,3 +59,38 @@ def test_ivf_kmeans_recall_and_nprobe_dial(spark):
     assert r2 >= 0.7, r2
     assert r2 >= r_label + 0.3, (r2, r_label)
     assert r6 >= max(r2, 0.85), (r6, r2)
+
+
+def test_ivf_index_build_and_query_matches_inline(spark, tmp_path):
+    """build_ivf_index + ann_ivf_query must reproduce ann_ivf_kmeans exactly
+    (same fit, same rounding contract), and the cell-partitioned layout must
+    let the probe join prune the scan (dynamic partition pruning on cid)."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import (
+        N_QUERIES,
+        _emb,
+        ann_ivf_kmeans,
+        ann_ivf_query,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_DIR, idx)
+
+    queries = (
+        _emb(spark, SF_DIR)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("v", lambda x: x / F.col("norm")).alias("qvn"),
+        )
+    )
+    got = ann_ivf_query(spark, idx, queries)
+    want = ann_ivf_kmeans(spark, SF_DIR)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    g, w = sorted(got.collect(), key=key), sorted(want.collect(), key=key)
+    assert [tuple(r) for r in g] == [tuple(r) for r in w]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
