@@ -77,5 +77,93 @@ FROM g JOIN x ON g.event_type = x.event_type
 """
 
 
+M_REG = 64  # HLL registers (b=6 bucket bits)
+_ALPHA_64 = 0.709  # HLL bias constant for m=64 (Flajolet et al. 2007)
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog distinct-user estimate (m=64 registers)
+    on the portable hash — like the KMV sketch, fully deterministic and
+    therefore value-hash checkable cross-engine (unlike Spark's built-in
+    HLL++ whose registers are engine-private).
+
+    Determinism details: bucket = top 6 hash bits, rank = leading-zero
+    count of the remaining 54 bits via ``length(bin(w))`` (integer string
+    length, no float log2); the register sum Σ2^-M is computed EXACTLY in
+    scaled integer arithmetic (Σ 2^(55-M) as BIGINT) so engine addition
+    order cannot change the rounding; the small-range correction
+    m·ln(m/V) is the one transcendental, absorbed by 4dp rounding.
+    """
+    e = read_table(spark, sf_dir, "events")
+    h = e.select("event_type", _portable_hash(F.col("user_id")).alias("hv")).distinct()
+    w = F.col("hv").bitwiseAND(F.lit((1 << 54) - 1))
+    rank = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    regs = (
+        h.select("event_type", F.shiftright("hv", 54).alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    g = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    sum_scaled = F.col("sum_scaled") + (F.lit(M_REG) - F.col("n_present")) * F.lit(1 << 55)
+    e_raw = F.lit(_ALPHA_64 * M_REG * M_REG) / (sum_scaled.cast("double") / F.lit(float(1 << 55)))
+    v = F.lit(M_REG) - F.col("n_present")  # zero registers
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M_REG)) & (v > 0),
+        F.lit(float(M_REG)) * F.log(F.lit(float(M_REG)) / v.cast("double")),
+    ).otherwise(e_raw)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        g.join(exact, "event_type")
+        .select("event_type", "n_exact", F.round(est, 4).alias("hll_estimate"))
+    )
+
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+regs AS (
+  SELECT event_type, hv >> 54 AS bucket,
+         MAX(CASE WHEN (hv & {(1 << 54) - 1}) = 0 THEN 55
+                  ELSE 55 - length(bin(hv & {(1 << 54) - 1})) END) AS m
+  FROM h GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << (55 - m)) AS sum_scaled,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY 1
+),
+x AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+),
+est AS (
+  SELECT g.event_type,
+         {_ALPHA_64 * M_REG * M_REG} /
+           (CAST(g.sum_scaled + ({M_REG} - g.n_present) * CAST({1 << 55} AS BIGINT) AS DOUBLE)
+            / {float(1 << 55)}) AS e_raw,
+         {M_REG} - g.n_present AS v
+  FROM g
+)
+SELECT e.event_type, x.n_exact,
+       ROUND(CASE WHEN e.e_raw <= {2.5 * M_REG} AND e.v > 0
+                  THEN {float(M_REG)} * ln({float(M_REG)} / e.v)
+                  ELSE e.e_raw END, 4) AS hll_estimate
+FROM est e JOIN x ON e.event_type = x.event_type
+"""
+
+
 QUERIES = {"events_kmv_distinct": events_kmv_distinct}
 ORACLES = {"events_kmv_distinct": _KMV_SQL}
+
+# registry is capped at the driver's 50-entry window; the HLL sketch is
+# oracle-checked in pytest (tests/test_oracle.py) like the other folded
+# queries
+PYTEST_ORACLES = {
+    "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
+}
