@@ -262,3 +262,36 @@ def test_gmm_minibatch_larger_than_group(spark, vectorized):
         .setVectorizedBatch(vectorized)
     )
     assert gmm.transform(df).count() == 0
+
+
+def test_batch_em_bernoulli(spark):
+    """Batch-EM driver loop on the Bernoulli family (Gaussian and Poisson
+    variants covered above). A 2-component Bernoulli mixture over single
+    binary draws is only identifiable up to its mixture mean (any (w, p)
+    with the same w1*p1 + w2*p2 has identical likelihood), so the
+    convergence assertion targets the identifiable quantity: the fitted
+    mixture mean must match the sample mean, from an init far away from
+    it."""
+    rng = np.random.RandomState(2)
+    probs, weights = [0.15, 0.85], [0.5, 0.5]
+    chunks = [rng.binomial(1, p, size=int(w * 3000)) for p, w in zip(probs, weights)]
+    samples = np.concatenate(chunks)
+    rng.shuffle(samples)
+    df = spark.createDataFrame([("k", bool(s)) for s in samples], "key string, sample boolean")
+    bm = (
+        BernoulliMixture()
+        .setStateKeyCol("key")
+        .setInitialProbabilities([0.05, 0.2])
+        .setStepSize(1.0)
+        .setBatchTrainEnabled(True)
+        .setBatchTrainMaxIter(15)
+        .setBatchTrainTol(0.001)
+    )
+    rows = bm.transform(df).collect()
+    assert len(rows) == 1
+    model = rows[0].mixtureModel
+    w = np.asarray(model.weights)
+    p = np.asarray([d.probability for d in model.distributions])
+    assert abs(w.sum() - 1.0) < 1e-9
+    fitted_mean = float((w * p).sum())
+    assert abs(fitted_mean - samples.mean()) < 0.01
