@@ -528,9 +528,61 @@ ORACLES = {
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
 }
 
+def docs_minhash_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup FLAGS from MinHash-LSH buckets: a doc is a
+    near-dup iff any of its band buckets contains a smaller doc_id;
+    ``dup_of`` = the smallest such owner. This is the batch window
+    formulation of ``streaming/neardup.streaming_near_dup`` — the
+    incremental operators must reproduce it row-for-row (tested in
+    tests/test_neardup.py), and the DuckDB oracle pins both."""
+    from pyspark.sql import Window
+
+    from artan_spark.streaming.neardup import minhash_bands
+
+    d = read_table(spark, sf_dir, "documents")
+    bands = minhash_bands(d)
+    own = bands.withColumn("owner", F.min("doc_id").over(Window.partitionBy("band", "sig")))
+    dup_of = F.min(F.when(F.col("owner") < F.col("doc_id"), F.col("owner")))
+    return (
+        own.groupBy("doc_id")
+        .agg(dup_of.alias("dup_of"))
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
+    )
+
+
+def _minhash_flags_sql() -> str:
+    min_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {P31}) AS mh{i}" for i, (a, b) in enumerate(PERMS)
+    )
+    n_bands = N_PERMS // ROWS_PER_BAND
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, ".format(band=band)
+        + " || ',' || ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS sig FROM mins"
+        for band in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {_H64_SQL.format(x='shingle')} % {P31} AS h FROM sh),
+mins AS (SELECT doc_id, {min_cols} FROM hashed GROUP BY doc_id),
+buckets AS ({band_selects}),
+own AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, sig) AS owner FROM buckets
+)
+SELECT doc_id,
+       (MIN(CASE WHEN owner < doc_id THEN owner END) IS NOT NULL) AS is_dup,
+       MIN(CASE WHEN owner < doc_id THEN owner END) AS dup_of
+FROM own GROUP BY doc_id
+"""
+
+
 # dedup_simhash is recomputed in full inside dedup_simhash_pairs, so the
 # registry carries only the compound entry; the fingerprint query itself
-# stays oracle-checked in pytest (tests/test_oracle.py).
+# stays oracle-checked in pytest (tests/test_oracle.py). The minhash flag
+# query is the batch anchor for the streaming near-dup operators.
 PYTEST_ORACLES = {
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
+    "docs_minhash_dedup_flags": (docs_minhash_dedup_flags, _minhash_flags_sql()),
 }

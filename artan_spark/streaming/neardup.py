@@ -1,0 +1,237 @@
+"""Streaming NEAR-duplicate filtering (MinHash-LSH) — the fuzzy counterpart
+of ``streaming_dedup_exact``.
+
+Semantics (shared by the batch window formulation and the streaming
+operators, and what the DuckDB oracle in ``plans/dedup.py`` checks): a
+document is a near-duplicate iff ANY of its MinHash LSH band buckets
+already contains a document with a smaller doc_id; ``dup_of`` is the
+smallest such bucket owner. This is the candidate-level LSH criterion —
+identical to ``dedup_minhash_lsh``'s pair generation, evaluated
+incrementally.
+
+Pipeline shape (both modes):
+
+    docs ─> minhash_bands (STATELESS row-wise array exprs: per-doc distinct
+            shingles, 8 permutation minima, banded signatures — no shuffle,
+            stream-safe)
+         ─> BucketFirstSeen   keyed by (band, sig): state = min doc_id seen,
+                              O(1) per bucket
+         ─> BandVote          keyed by doc_id: state = (votes, min owner),
+                              emits exactly when all bands have voted
+
+Two keyed stateful folds = two hash shuffles, the same composition shape as
+the reference's filter+smoother chaining (LinearKalmanSmoother.scala:87-94).
+At 100 TB: bucket state is bounded by #distinct buckets x 16 bytes, vote
+state by #in-flight docs; both are per-key O(1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from artan_spark.operators.base import STATE_KEY, StatefulTransformer, empty_pdf
+from artan_spark.plans.dedup import N_PERMS, P31, PERMS, ROWS_PER_BAND, _h64
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+N_BANDS = N_PERMS // ROWS_PER_BAND
+
+
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band, sig) LSH band signatures as pure row-wise array
+    expressions — per-doc distinct word-3-grams, the 8 affine-permutation
+    minima, then banded signature strings. No explode-then-groupBy, no
+    shuffle, so the same definition runs on batch frames and streams.
+    Documents with fewer than 3 tokens have no shingles and emit no bands
+    (matching ``dedup_minhash_lsh``, where they never enter the bucket
+    join)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            )
+        ),
+    )
+    h = F.transform(sh, lambda s: _h64(s) % P31)
+    mins = [
+        F.array_min(F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % P31))
+        for (a, b) in PERMS
+    ]
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[mins[band * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)],
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("__ntok__"), sigs.alias("__sigs__"))
+        # <3 tokens -> no shingles -> sh is null and every signature is the
+        # empty string; drop those docs rather than colliding them all in
+        # one degenerate bucket
+        .filter(F.col("__ntok__") >= 3)
+        .select("doc_id", F.posexplode("__sigs__").alias("band", "sig"))
+    )
+
+
+_OWNER_OUT = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("doc_id", LongType()),
+        StructField("owner", LongType(), True),
+    ]
+)
+
+
+class BucketFirstSeen(StatefulTransformer):
+    """Per LSH bucket: emit, for each arriving doc, the smallest doc_id
+    previously seen in the bucket (null for the bucket's first/lowest doc).
+    State is ONE long per bucket. Batch groups are processed in doc_id
+    order so the batch result equals the window formulation regardless of
+    partition layout; a stream replayed in doc_id order matches it
+    row-for-row."""
+
+    def _constants(self):
+        return {}
+
+    def _inputCols(self, df):
+        return [("doc_id", F.col("doc_id").cast("long"))]
+
+    def _outSchema(self):
+        return _OWNER_OUT
+
+    def _stateSchema(self):
+        return StructType([StructField("mn", LongType(), True)])
+
+    def _foldFactory(self):
+        def factory(_c):
+            def fold(pdf: pd.DataFrame, state):
+                names = [f.name for f in _OWNER_OUT.fields]
+                if len(pdf) == 0:
+                    return empty_pdf(names), state
+                key = pdf[STATE_KEY].iloc[0]
+                ids = np.sort(pdf["doc_id"].to_numpy(dtype=np.int64), kind="stable")
+                mn = state["mn"] if state is not None else None
+                owners = []
+                for d in ids:
+                    owners.append(int(mn) if mn is not None and mn < d else None)
+                    mn = int(d) if mn is None or d < mn else mn
+                out = pd.DataFrame(
+                    {STATE_KEY: [key] * len(ids), "doc_id": ids, "owner": owners},
+                    columns=names,
+                )
+                return out, {"mn": mn}
+
+            return fold
+
+        return factory
+
+    @staticmethod
+    def _packState(state):
+        return (state["mn"],)
+
+    @staticmethod
+    def _unpackState(packed):
+        return {"mn": packed[0]}
+
+
+_VOTE_OUT = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("is_dup", BooleanType()),
+        StructField("dup_of", LongType(), True),
+    ]
+)
+
+
+class BandVote(StatefulTransformer):
+    """Per doc: collect one vote per band; once all N_BANDS bands have
+    voted, emit (is_dup, dup_of=min non-null owner) exactly once. State is
+    (votes, min_owner) — two longs per in-flight doc."""
+
+    _defaults = {"nBands": N_BANDS}
+
+    def _constants(self):
+        return {"n_bands": int(self.get("nBands"))}
+
+    def _inputCols(self, df):
+        return [("owner", F.col("owner").cast("long"))]
+
+    def _outSchema(self):
+        return _VOTE_OUT
+
+    def _stateSchema(self):
+        return StructType(
+            [StructField("votes", LongType()), StructField("mn", LongType(), True)]
+        )
+
+    def _foldFactory(self):
+        def factory(c):
+            n_bands = c["n_bands"]
+
+            def fold(pdf: pd.DataFrame, state):
+                names = [f.name for f in _VOTE_OUT.fields]
+                if len(pdf) == 0:
+                    return empty_pdf(names), state
+                key = pdf[STATE_KEY].iloc[0]
+                votes = state["votes"] if state is not None else 0
+                mn = state["mn"] if state is not None else None
+                for owner in pdf["owner"]:
+                    votes += 1
+                    if owner is not None and not pd.isna(owner):
+                        owner = int(owner)
+                        mn = owner if mn is None or owner < mn else mn
+                state = {"votes": votes, "mn": mn}
+                if votes >= n_bands:
+                    out = pd.DataFrame(
+                        {STATE_KEY: [key], "is_dup": [mn is not None], "dup_of": [mn]},
+                        columns=names,
+                    )
+                    return out, state
+                return empty_pdf(names), state
+
+            return fold
+
+        return factory
+
+    @staticmethod
+    def _packState(state):
+        return (state["votes"], state["mn"])
+
+    @staticmethod
+    def _unpackState(packed):
+        return {"votes": packed[0], "mn": packed[1]}
+
+
+def streaming_near_dup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Compose the full near-dup filter: bands -> bucket owners -> band
+    votes. Returns (doc_id, is_dup, dup_of); one row per document with >=3
+    tokens. Works on batch frames and (operator-by-operator) on streams;
+    chaining two stateful operators in ONE streaming query needs
+    event-time mode on Spark, so streamed use typically materializes the
+    owner stage (see tests/test_neardup.py for the replay pattern)."""
+    bands = minhash_bands(docs, id_col, text_col).withColumn(
+        "bucket", F.concat_ws(":", F.col("band").cast("string"), "sig")
+    )
+    owners = BucketFirstSeen().setStateKeyCol("bucket").transform(bands)
+    votes = (
+        BandVote()
+        .setStateKeyCol("doc_id")
+        .transform(owners.select(F.col("doc_id"), "owner"))
+    )
+    return votes.select(
+        F.col(STATE_KEY).cast("long").alias("doc_id"), "is_dup", "dup_of"
+    )

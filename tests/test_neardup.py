@@ -1,0 +1,64 @@
+"""Streaming MinHash near-dup filter: the incremental operators must
+reproduce the batch window formulation (which is itself DuckDB-oracled via
+plans.PYTEST_ORACLES['docs_minhash_dedup_flags'])."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from artan_spark.plans.dedup import docs_minhash_dedup_flags
+from artan_spark.sources import read_table
+from artan_spark.streaming import stream_transform
+from artan_spark.streaming.neardup import (
+    BandVote,
+    BucketFirstSeen,
+    minhash_bands,
+    streaming_near_dup,
+)
+
+from conftest import SF_DIR
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_batch_composition_matches_window_formulation(spark):
+    want = _norm(docs_minhash_dedup_flags(spark, SF_DIR).toPandas())
+    got = _norm(streaming_near_dup(read_table(spark, SF_DIR, "documents")).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["is_dup"].sum() > 0  # the corpus has real near-dups
+
+
+def test_streamed_stagewise_replay_matches_batch(spark):
+    """Replay each stateful stage as a stream (docs fed in doc_id order,
+    several per micro-batch) and compare the final flags to the batch
+    window formulation."""
+    docs = read_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    bands = (
+        minhash_bands(docs)
+        .withColumn("bucket", F.concat_ws(":", F.col("band").cast("string"), "sig"))
+        .orderBy("doc_id", "band")
+    )
+    op1 = BucketFirstSeen().setStateKeyCol("bucket")
+    owners = stream_transform(spark, bands, op1.transform, chunk_rows=16)
+    votes_in = owners.select(F.col("doc_id"), "owner").orderBy("doc_id")
+    op2 = BandVote().setStateKeyCol("doc_id")
+    flags = stream_transform(spark, votes_in, op2.transform, chunk_rows=16).select(
+        F.col("stateKey").cast("long").alias("doc_id"), "is_dup", "dup_of"
+    )
+    got = _norm(flags.toPandas())
+
+    sub_flags = docs_minhash_dedup_flags(spark, SF_DIR)
+    want = _norm(sub_flags.filter(F.col("doc_id") < 120).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_short_docs_emit_no_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three words here now"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = streaming_near_dup(docs).toPandas()
+    assert sorted(out["doc_id"]) == [2]  # <3-token docs excluded
