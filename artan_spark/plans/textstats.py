@@ -424,12 +424,64 @@ ORACLES = {
     "text_lang_id": _lang_id_sql(),
 }
 
+TFIDF_TOP_K = 3
+
+
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic vocabulary/keyword
+    extraction pass of a corpus pipeline. Deterministic contract: scores
+    rounded to 6dp BEFORE ranking and ties broken on the token string, so
+    both engines rank identical values. Scale shape: two hash aggregates
+    (tf, df) + a broadcast 1-row corpus count + one per-doc window."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfx, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "score", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfx.df), 6) AS score
+  FROM tf JOIN dfx USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, score, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank FROM s)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 # Folded into the registry's compound ``text_doc_features`` entry (the
 # driver correctness harness checks a bounded number of registry entries);
 # still oracle-checked individually by pytest (tests/test_oracle.py).
+# docs_tfidf_topterms is an extra beyond the registry's 50-entry cap.
 PYTEST_ORACLES = {
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),
     "text_bpe_tokens": (text_bpe_tokens, _BPE_SQL),
     "text_fingerprint": (text_fingerprint, _FINGERPRINT_SQL),
     "text_repetition_ratio": (text_repetition_ratio, _REPETITION_SQL),
+    "docs_tfidf_topterms": (docs_tfidf_topterms, _TFIDF_SQL),
 }
