@@ -210,7 +210,11 @@ class StatefulTransformer(HasParams):
             result = keyed.groupBy(STATE_KEY).applyInPandas(batch_fn, out_schema)
         elif self.get("streamingBackend") == "transformWithState":
             result = self._transformWithState(keyed, fold, out_schema)
-            if self.get("eventTimeCol") and self.get("watermarkDuration"):
+            if (
+                self.get("eventTimeCol")
+                and self.get("watermarkDuration")
+                and EVENT_TIME in result.columns
+            ):
                 result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
         else:
             pack, unpack = self._packState, self._unpackState
@@ -244,7 +248,15 @@ class StatefulTransformer(HasParams):
             result = keyed.groupBy(STATE_KEY).applyInPandasWithState(
                 stream_fn, out_schema, self._stateSchema(), "append", timeout_conf
             )
-            if self.get("eventTimeCol") and self.get("watermarkDuration"):
+            if (
+                self.get("eventTimeCol")
+                and self.get("watermarkDuration")
+                # re-apply the watermark only when the fold's output schema
+                # carries the event-time column (operators like
+                # BucketFirstSeen emit none — their output needs no
+                # downstream event-time semantics)
+                and EVENT_TIME in result.columns
+            ):
                 result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
 
         return self._shapeOutput(result)

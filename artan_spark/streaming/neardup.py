@@ -45,7 +45,12 @@ from pyspark.sql.types import (
 N_BANDS = N_PERMS // ROWS_PER_BAND
 
 
-def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+) -> DataFrame:
     """(id, band, sig) LSH band signatures as pure row-wise array
     expressions — per-doc distinct word-3-grams, the 8 affine-permutation
     minima, then banded signature strings. No explode-then-groupBy, no
@@ -77,14 +82,18 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             for band in range(N_BANDS)
         ]
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("__ntok__"), sigs.alias("__sigs__"))
+    extra = [F.col(event_time_col).alias("ts")] if event_time_col else []
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.size(toks).alias("__ntok__"), sigs.alias("__sigs__"), *extra
+        )
         # <3 tokens -> no shingles -> sh is null and every signature is the
         # empty string; drop those docs rather than colliding them all in
         # one degenerate bucket
         .filter(F.col("__ntok__") >= 3)
-        .select("doc_id", F.posexplode("__sigs__").alias("band", "sig"))
     )
+    keep = ["doc_id"] + (["ts"] if event_time_col else [])
+    return out.select(*keep, F.posexplode("__sigs__").alias("band", "sig"))
 
 
 _OWNER_OUT = StructType(
@@ -216,17 +225,38 @@ class BandVote(StatefulTransformer):
         return {"votes": packed[0], "mn": packed[1]}
 
 
-def streaming_near_dup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def streaming_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    horizon: str | None = None,
+) -> DataFrame:
     """Compose the full near-dup filter: bands -> bucket owners -> band
     votes. Returns (doc_id, is_dup, dup_of); one row per document with >=3
     tokens. Works on batch frames and (operator-by-operator) on streams;
     chaining two stateful operators in ONE streaming query needs
     event-time mode on Spark, so streamed use typically materializes the
-    owner stage (see tests/test_neardup.py for the replay pattern)."""
-    bands = minhash_bands(docs, id_col, text_col).withColumn(
+    owner stage (see tests/test_neardup.py for the replay pattern).
+
+    ``event_time_col`` + ``horizon`` bound the bucket state on unbounded
+    streams (the same contract as ``streaming_dedup_exact``): a bucket
+    whose owner has seen no traffic for ``horizon`` of event time is
+    evicted, so a later near-duplicate outside the horizon is treated as
+    fresh — O(horizon-volume) state instead of O(stream) state. Omit both
+    for exact full-history semantics (batch, or bounded replays).
+    """
+    bands = minhash_bands(docs, id_col, text_col, event_time_col).withColumn(
         "bucket", F.concat_ws(":", F.col("band").cast("string"), "sig")
     )
-    owners = BucketFirstSeen().setStateKeyCol("bucket").transform(bands)
+    op1 = BucketFirstSeen().setStateKeyCol("bucket")
+    if event_time_col and horizon:
+        op1 = (
+            op1.setEventTimeCol("ts")
+            .setWatermarkDuration(horizon)
+            .setStateTimeoutMode("event")
+        )
+    owners = op1.transform(bands)
     votes = (
         BandVote()
         .setStateKeyCol("doc_id")

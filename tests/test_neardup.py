@@ -62,3 +62,46 @@ def test_short_docs_emit_no_bands(spark):
     )
     out = streaming_near_dup(docs).toPandas()
     assert sorted(out["doc_id"]) == [2]  # <3-token docs excluded
+
+
+def test_bucket_state_expires_past_horizon(spark):
+    """With event_time + horizon, a bucket idle past the watermark horizon
+    is evicted: a near-duplicate arriving later is treated as fresh
+    (bounded state on unbounded streams); without a horizon it is flagged."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, "warmup words completely unrelated to anything else", t0),
+        (2, dup_text, t0 + dt.timedelta(hours=1)),
+        (3, "another unrelated document with different words entirely", t0 + dt.timedelta(hours=3)),
+        (4, dup_text, t0 + dt.timedelta(hours=3, minutes=30)),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string, ts timestamp")
+
+    def run(horizon):
+        bands = minhash_bands(ddf, event_time_col="ts").withColumn(
+            "bucket", F.concat_ws(":", F.col("band").cast("string"), "sig")
+        ).orderBy("ts", "doc_id", "band")
+        op1 = BucketFirstSeen().setStateKeyCol("bucket")
+        if horizon:
+            op1 = (
+                op1.setEventTimeCol("ts")
+                .setWatermarkDuration(horizon)
+                .setStateTimeoutMode("event")
+            )
+        owners = stream_transform(spark, bands, op1.transform, chunk_rows=4)
+        flags = BandVote().setStateKeyCol("doc_id").transform(
+            owners.select(F.col("doc_id"), "owner")
+        )
+        return {
+            int(r["stateKey"]): (r["is_dup"], r["dup_of"]) for r in flags.collect()
+        }
+
+    full = run(None)
+    assert full[4] == (True, 2)  # full history: doc 4 is a near-dup of doc 2
+
+    bounded = run("1 hour")
+    assert bounded[4] == (False, None)  # bucket for doc 2 expired before doc 4
+    assert bounded[2] == (False, None)
