@@ -105,3 +105,28 @@ def test_bucket_state_expires_past_horizon(spark):
     bounded = run("1 hour")
     assert bounded[4] == (False, None)  # bucket for doc 2 expired before doc 4
     assert bounded[2] == (False, None)
+
+
+def test_neardup_operator_persistence_roundtrip(tmp_path):
+    from artan_spark.operators import StreamingAsofJoin
+
+    op1 = (
+        BucketFirstSeen()
+        .setStateKeyCol("bucket")
+        .setEventTimeCol("ts")
+        .setWatermarkDuration("2 hours")
+        .setStateTimeoutMode("event")
+    )
+    op1.save(str(tmp_path / "b"))
+    l1 = BucketFirstSeen.load(str(tmp_path / "b"))
+    for k in ("stateKeyCol", "eventTimeCol", "watermarkDuration", "stateTimeoutMode"):
+        assert l1.get(k) == op1.get(k)
+
+    op2 = BandVote().setStateKeyCol("doc_id").setNBands(6)
+    op2.save(str(tmp_path / "v"))
+    assert BandVote.load(str(tmp_path / "v")).get("nBands") == 6
+
+    op3 = StreamingAsofJoin().setStateKeyCol("k").setSideCol("s").setPayloadCol("p")
+    op3.save(str(tmp_path / "a"))
+    l3 = StreamingAsofJoin.load(str(tmp_path / "a"))
+    assert (l3.get("sideCol"), l3.get("payloadCol")) == ("s", "p")
