@@ -46,6 +46,12 @@ for _m in MODULES:
     ORACLES.update(getattr(_m, "ORACLES", {}))
     PYTEST_ORACLES.update(getattr(_m, "PYTEST_ORACLES", {}))
 
-assert len(QUERIES) <= 50, f"registry has {len(QUERIES)} entries; driver checks only 50"
+# Not an assert: the guard must survive `python -O`, and a clear error beats
+# an AssertionError raised from every `import artan_spark.plans`.
+if len(QUERIES) > 50:
+    raise RuntimeError(
+        f"query registry has {len(QUERIES)} entries but the driver's correctness "
+        "harness checks only the first 50 — move the extras to PYTEST_ORACLES"
+    )
 
 __all__ = ["QUERIES", "ORACLES", "PYTEST_ORACLES"]

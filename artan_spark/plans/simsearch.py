@@ -343,13 +343,17 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
     """
     # normalized vectors are read by every Lloyd pass + the final assignment
-    # + scoring: persist the narrow (vec_id, vn) projection once instead of
-    # re-deriving it per pass (the pattern Spark MLlib's KMeans uses for its
-    # iteration input; the HOF normalization is the expensive part here)
+    # + scoring: materialize the narrow (vec_id, vn) projection once instead
+    # of re-deriving it per pass (the pattern Spark MLlib's KMeans uses for
+    # its iteration input; the HOF normalization is the expensive part here).
+    # localCheckpoint, not persist: blocks are released when the plan is
+    # garbage-collected, so repeated invocations in a long session don't
+    # accumulate cached partitions with no unpersist site (the returned
+    # DataFrame outlives this function, so there is no safe explicit one).
     e = (
         _emb(spark, sf_dir)
         .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
-        .persist()
+        .localCheckpoint()
     )
 
     cent, member = _fit_kmeans_cells(e)

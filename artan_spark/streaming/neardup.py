@@ -167,8 +167,11 @@ _VOTE_OUT = StructType(
 
 
 class BandVote(StatefulTransformer):
-    """Per doc: collect one vote per band; once all N_BANDS bands have
-    voted, emit (is_dup, dup_of=min non-null owner) exactly once. State is
+    """Per doc: collect one vote per band; emit (is_dup, dup_of=min
+    non-null owner) exactly once, on the batch where the vote count CROSSES
+    n_bands. The edge check (prev < n_bands <= now), not a level check,
+    keeps the contract under at-least-once replay: duplicate band rows
+    arriving after the emission add votes but never re-emit. State is
     (votes, min_owner) — two longs per in-flight doc."""
 
     _defaults = {"nBands": N_BANDS}
@@ -196,7 +199,8 @@ class BandVote(StatefulTransformer):
                 if len(pdf) == 0:
                     return empty_pdf(names), state
                 key = pdf[STATE_KEY].iloc[0]
-                votes = state["votes"] if state is not None else 0
+                prev_votes = state["votes"] if state is not None else 0
+                votes = prev_votes
                 mn = state["mn"] if state is not None else None
                 for owner in pdf["owner"]:
                     votes += 1
@@ -204,7 +208,7 @@ class BandVote(StatefulTransformer):
                         owner = int(owner)
                         mn = owner if mn is None or owner < mn else mn
                 state = {"votes": votes, "mn": mn}
-                if votes >= n_bands:
+                if prev_votes < n_bands <= votes:
                     out = pd.DataFrame(
                         {STATE_KEY: [key], "is_dup": [mn is not None], "dup_of": [mn]},
                         columns=names,

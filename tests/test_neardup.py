@@ -64,6 +64,22 @@ def test_short_docs_emit_no_bands(spark):
     assert sorted(out["doc_id"]) == [2]  # <3-token docs excluded
 
 
+def test_band_vote_emits_once_under_replay(spark):
+    """At-least-once replay: duplicate band rows arriving AFTER the doc's
+    flag was emitted must not re-emit it — the emission is edge-triggered
+    (prev < n_bands <= now), not a level check on the running count."""
+    rows = [(1, 5 if i < 2 else None) for i in range(6)]  # 4 real bands + 2 replayed
+    votes_in = spark.createDataFrame(rows, "doc_id long, owner long")
+    flags = stream_transform(
+        spark,
+        votes_in,
+        BandVote().setStateKeyCol("doc_id").transform,
+        chunk_rows=4,  # batch 1: all 4 bands (emits); batch 2: 2 replayed rows
+    ).toPandas()
+    assert len(flags) == 1
+    assert bool(flags["is_dup"].iloc[0]) and int(flags["dup_of"].iloc[0]) == 5
+
+
 def test_bucket_state_expires_past_horizon(spark):
     """With event_time + horizon, a bucket idle past the watermark horizon
     is evicted: a near-duplicate arriving later is treated as fresh
