@@ -226,6 +226,26 @@ class StatefulTransformer(HasParams):
                 "process": "ProcessingTimeTimeout",
                 "event": "EventTimeTimeout",
             }[timeout_mode]
+            # Event-mode horizon: a key idle for more than this much EVENT
+            # time restarts from the initial state. Enforced two ways, both
+            # needed: (a) the engine timer set to lastEvent+1 fires once the
+            # watermark passes the key's last event — i.e. after >= horizon
+            # of silence, since the watermark lags max event time by the
+            # watermark delay — reclaiming memory for keys that never
+            # return; (b) an access-time gap check below, because a timer
+            # can only fire in a batch where the key is SILENT — a key
+            # whose next row arrives beyond the horizon would otherwise be
+            # folded against state the contract says is expired.
+            event_mode = timeout_mode == "event"
+            horizon_ms = None
+            if event_mode:
+                dur = timeout_duration or self.get("watermarkDuration")
+                if not dur:
+                    raise ValueError(
+                        "event-time state timeout needs stateTimeoutDuration "
+                        "or watermarkDuration as the idleness horizon"
+                    )
+                horizon_ms = int(pd.Timedelta(dur).total_seconds() * 1000)
 
             def stream_fn(key, pdf_iter: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
                 if group_state.hasTimedOut:
@@ -233,20 +253,47 @@ class StatefulTransformer(HasParams):
                     # state on its next row (StatefulTransformer.scala:439-441)
                     group_state.remove()
                     return
-                state = unpack(group_state.get) if group_state.exists else None
+                last_ev = None
+                if group_state.exists:
+                    packed = group_state.get
+                    if event_mode:
+                        last_ev, packed = packed[-1], packed[:-1]
+                    state = unpack(packed)
+                else:
+                    state = None
                 pdf = pd.concat(list(pdf_iter), ignore_index=True)
+                if event_mode:
+                    ev = pdf[EVENT_TIME].dropna()
+                    if len(ev):
+                        mn_ms = pd.Timestamp(ev.min()).value // 1_000_000
+                        mx_ms = pd.Timestamp(ev.max()).value // 1_000_000
+                        if last_ev is not None and mn_ms - last_ev > horizon_ms:
+                            # idle past the horizon: expired at access time
+                            state, last_ev = None, None
+                        last_ev = mx_ms if last_ev is None else max(last_ev, mx_ms)
                 rows, state = fold(sort_group(pdf), state)
-                group_state.update(pack(state))
+                group_state.update(pack(state) + ((last_ev,) if event_mode else ()))
                 if timeout_mode == "process" and timeout_duration:
                     group_state.setTimeoutDuration(timeout_duration)
-                elif timeout_mode == "event":
+                elif event_mode:
                     wm = group_state.getCurrentWatermarkMs()
-                    if wm > 0:
-                        group_state.setTimeoutTimestamp(wm + 1)
+                    base_ts = wm if last_ev is None else last_ev
+                    # armed at lastEvent+horizon so the timer NEVER fires
+                    # before the key has truly been idle for the horizon
+                    # (wm itself already lags by the watermark delay); the
+                    # max keeps it beyond the watermark as Spark requires
+                    group_state.setTimeoutTimestamp(max(base_ts + horizon_ms, wm + 1))
                 yield rows_to_pdf(rows, columns)
 
+            state_schema = self._stateSchema()
+            if event_mode:
+                from pyspark.sql.types import LongType, StructField
+
+                state_schema = StructType(
+                    state_schema.fields + [StructField("__lastEv__", LongType(), True)]
+                )
             result = keyed.groupBy(STATE_KEY).applyInPandasWithState(
-                stream_fn, out_schema, self._stateSchema(), "append", timeout_conf
+                stream_fn, out_schema, state_schema, "append", timeout_conf
             )
             if (
                 self.get("eventTimeCol")

@@ -245,27 +245,45 @@ DEFAULT_DF_CAP = 256  # "hot" shingle threshold for the auto/capped paths
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, df_cap: int | str | None = None
+    spark: SparkSession, sf_dir: str, df_cap: int | str | None = "auto"
 ) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.5 via the inverted-index self-join
     (pairs sharing >= 1 shingle; intersection counted in the same join).
 
-    ``df_cap``: on real text, hot shingles (stopword n-grams) make the
-    direct self-join quadratic in per-shingle document frequency. With a
-    cap, candidate pairs are generated ONLY from shingles with df <= cap
-    (bounding work per shingle at cap^2), then the exact intersection is
-    recounted per candidate pair via array_intersect over the full per-doc
-    shingle sets. Near-dup recall relies on dup pairs sharing >= 1 rare
-    shingle (standard prefix/df filtering).
+    Candidate-generation modes (all but the numeric cap are EXACT — same
+    result set, same oracle):
 
-    ``df_cap="auto"`` (what ``dedup_clusters`` uses): probe whether any
-    shingle exceeds DEFAULT_DF_CAP — one aggregate with an early-out
-    limit(1) — and engage the capped plan only then. Clean corpora (this
-    testdata: df ~= 2) pay one probe job and keep the direct plan; a real
-    stopword-heavy corpus flips to the bounded plan automatically instead
-    of hitting the df^2 blowup. Direct None stays the correctness
-    baseline; MinHash-LSH above is the sub-quadratic path either way.
+    - ``None``: direct self-join on every shingle — the correctness
+      baseline. On real text, hot shingles (stopword n-grams) make it
+      quadratic in per-shingle document frequency.
+    - ``"prefix"``: AllPairs/PPJoin prefix filtering. Shingles get a
+      GLOBAL total order by (document frequency, shingle); each doc
+      contributes only its first ``n - ceil(t*n) + 1`` shingles in that
+      order to the candidate join; the exact intersection is then
+      recounted per candidate via array_intersect over the full per-doc
+      shingle sets. EXACT for Jaccard >= t: a qualifying pair's overlap
+      is ``o >= t*max(|A|,|B|)``, so the pair's smallest shared shingle
+      sits at position ``<= |X| - o + 1 <= |X| - ceil(t*|X|) + 1`` in
+      both docs — inside both prefixes. Prefixes hold each doc's RAREST
+      shingles, so hot stopword shingles generate candidates only for
+      docs made (almost) entirely of them — work tracks rare-shingle df,
+      not stopword df.
+    - ``"auto"`` (default; also what ``dedup_clusters`` uses): probe
+      whether any shingle is hot — one aggregate over a ~10% doc sample
+      with an early-out limit(1) — and engage the prefix plan only then.
+      Clean corpora (this testdata: df ~= 2) pay one probe job and keep
+      the direct plan; a stopword-heavy corpus flips to the bounded
+      prefix plan automatically. Either way the result is exact.
+    - numeric ``df_cap``: candidates only from shingles with df <= cap
+      (bounding work per shingle at cap^2). NOT exact in general — a pair
+      whose shared shingles are ALL hot is missed; kept as an explicit
+      recall-trading mode for corpora where that tradeoff is measured and
+      acceptable. The exact modes above make it unnecessary by default.
+
+    MinHash-LSH above is the probabilistic sub-quadratic path either way.
     """
+    from pyspark.sql import Window
+
     sh = _shingles(spark, sf_dir)
     if df_cap == "auto":
         # probe a deterministic ~10% doc sample: a genuinely hot shingle
@@ -273,7 +291,9 @@ def dedup_ngram_jaccard(
         # around cap/10, so thresholding at cap/20 catches it with huge
         # margin while scanning a tenth of the shingle table; a clean
         # corpus (df ~= 2 here) can't false-positive. A borderline miss
-        # just keeps the exact direct plan — slower, never wrong.
+        # just keeps the exact direct plan — slower, never wrong (and the
+        # engaged plan is the exact prefix one, so a false POSITIVE only
+        # costs plan shape, never result rows).
         sample = sh.filter(F.pmod(F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(10)) == 0)
         hot_exists = (
             sample.groupBy("shingle")
@@ -282,7 +302,7 @@ def dedup_ngram_jaccard(
             .limit(1)
             .count()
         )
-        df_cap = DEFAULT_DF_CAP if hot_exists else None
+        df_cap = "prefix" if hot_exists else None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     if df_cap is None:
@@ -292,11 +312,22 @@ def dedup_ngram_jaccard(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
-        rare = sh.join(
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
-            "shingle",
-        ).select("doc_id", "shingle")
-        ra, rb = rare.alias("ra"), rare.alias("rb")
+        if df_cap == "prefix":
+            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+            pool = (
+                sh.join(dfreq, "shingle")
+                .withColumn("rn", rn)
+                .join(sizes, "doc_id")
+                .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1)
+                .select("doc_id", "shingle")
+            )
+        else:
+            pool = sh.join(
+                sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap),
+                "shingle",
+            ).select("doc_id", "shingle")
+        ra, rb = pool.alias("ra"), pool.alias("rb")
         cand = (
             ra.join(rb, (F.col("ra.shingle") == F.col("rb.shingle")) & (F.col("ra.doc_id") < F.col("rb.doc_id")))
             .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
@@ -305,7 +336,7 @@ def dedup_ngram_jaccard(
         # exact recount over the candidates' FULL shingle sets: join the
         # per-doc shingle ARRAYS to the candidate list and intersect in-row
         # (array_intersect) — a shingle-level equi-join here would re-explode
-        # the pair space the cap just bounded
+        # the pair space the prefix/cap just bounded
         docsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
         inter = (
             cand.join(docsets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
@@ -430,14 +461,41 @@ WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {COSINE_THRESHOLD}
 """
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _propagation_join(edges: DataFrame, labels: DataFrame, small_enough: bool) -> DataFrame:
+    """One min-label propagation round: each node's minimum neighbor label.
+    The label side is broadcast only when the caller has verified it is
+    small enough — otherwise a plain (shuffled) join, which Spark executes
+    as sort-merge/shuffled-hash at scale."""
+    return (
+        edges.join(
+            F.broadcast(labels) if small_enough else labels,
+            edges["doc_b"] == labels["doc_id"],
+        )
+        .groupBy("doc_a")
+        .agg(F.min("cluster").alias("nmin"))
+    )
+
+
+# above this many pair-graph nodes the per-round label broadcast would tax
+# the driver (~16 bytes/row plus JVM object overhead => ~hundreds of MB at
+# 5M); past it the propagation join falls back to a shuffled join
+BROADCAST_NODE_LIMIT = 5_000_000
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, broadcast_limit: int = BROADCAST_NODE_LIMIT
+) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the Jaccard>=0.5
     pair graph, cluster id = min doc_id in the component.
 
-    Spark side: iterative min-label propagation (broadcast the label table —
-    it only contains docs that appear in ANY pair, a tiny fraction of the
-    corpus), localCheckpoint per iteration to cut lineage (same driver-loop
-    pattern as batch EM / the reference's MixtureBase.scala:257-316).
+    Spark side: iterative min-label propagation, localCheckpoint per
+    iteration to cut lineage (same driver-loop pattern as batch EM / the
+    reference's MixtureBase.scala:257-316). The label table only contains
+    docs that appear in ANY pair — normally a tiny fraction of the corpus —
+    so each round's propagation join BROADCASTS it; but a pathological
+    corpus (everything near-dup) would blow the driver, so the broadcast is
+    gated on the node count (known for free from the materialized label
+    table) and falls back to a shuffled join past ``broadcast_limit``.
     Converges in O(component diameter) rounds. Oracle: DuckDB recursive-CTE
     reachability with min-label aggregation — identical result.
     """
@@ -455,12 +513,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster", F.col("doc_id"))
         .localCheckpoint()
     )
+    small_enough = labels.count() <= broadcast_limit
     for _ in range(20):  # diameter bound; dup clusters are tiny
-        neighbor_min = (
-            edges.join(F.broadcast(labels), edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster").alias("nmin"))
-        )
+        neighbor_min = _propagation_join(edges, labels, small_enough)
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(

@@ -247,8 +247,12 @@ def streaming_near_dup(
     streams (the same contract as ``streaming_dedup_exact``): a bucket
     whose owner has seen no traffic for ``horizon`` of event time is
     evicted, so a later near-duplicate outside the horizon is treated as
-    fresh — O(horizon-volume) state instead of O(stream) state. Omit both
-    for exact full-history semantics (batch, or bounded replays).
+    fresh — O(horizon-volume) state instead of O(stream) state. The
+    horizon is exact in EVENT time on both sides (base.py enforces it with
+    an engine timer for memory reclamation plus an access-time gap check):
+    a duplicate arriving within the horizon is always flagged, one beyond
+    it never is, regardless of micro-batch layout. Omit both for exact
+    full-history semantics (batch, or bounded replays).
     """
     bands = minhash_bands(docs, id_col, text_col, event_time_col).withColumn(
         "bucket", F.concat_ws(":", F.col("band").cast("string"), "sig")

@@ -157,6 +157,49 @@ def test_asof_operator_out_of_order_stream(spark):
             assert float(r["asofPayload"][0]) == want
 
 
+def test_asof_state_expires_past_horizon(spark):
+    """Keys are unbounded in an as-of stream, so state must be evictable:
+    with an event-time timeout, a key idle past the horizon restarts from
+    null — its next probe attaches nothing — while a probe within the
+    horizon still attaches the stored build row. Without a timeout the
+    build row attaches indefinitely (full-history semantics)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("a", 0, 0, [10.0]),     # build for key a
+        ("a", 30, 1, [1.0]),     # probe within horizon -> attaches 10.0
+        ("b", 180, 1, [0.5]),    # other-key traffic advances the watermark
+        ("a", 210, 1, [2.0]),    # probe 3h after key a's last row
+    ]
+    df = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(minutes=m)).to_pydatetime(), s, p) for k, m, s, p in rows],
+        "key string, ts timestamp, side int, payload array<double>",
+    )
+
+    def run(timeout):
+        op = (
+            StreamingAsofJoin()
+            .setStateKeyCol("key")
+            .setEventTimeCol("ts")
+            .setWatermarkDuration("1 hour")
+        )
+        if timeout:
+            op = op.setStateTimeoutMode("event")
+        out = stream_transform(spark, df, op.transform, chunk_rows=1).toPandas()
+        out["m"] = out["eventTime"].map(lambda t: int((t - base).total_seconds() // 60))
+        return {
+            (r["stateKey"], r["m"]): None if r["asofPayload"] is None else float(r["asofPayload"][0])
+            for _, r in out.iterrows()
+        }
+
+    full = run(False)
+    assert full[("a", 30)] == 10.0
+    assert full[("a", 210)] == 10.0  # no timeout: state lives forever
+
+    bounded = run(True)
+    assert bounded[("a", 30)] == 10.0   # within the horizon: still attached
+    assert bounded[("a", 210)] is None  # idle 3h > 1h horizon: state evicted
+
+
 def test_asof_fold_randomized_against_simulator():
     """Randomized micro-batch replays vs an independent plain-Python
     simulator of the documented contract: state holds the max-ts build row

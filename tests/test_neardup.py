@@ -122,6 +122,13 @@ def test_bucket_state_expires_past_horizon(spark):
     assert bounded[4] == (False, None)  # bucket for doc 2 expired before doc 4
     assert bounded[2] == (False, None)
 
+    # the horizon is exact in event time: with a horizon that still covers
+    # the 2h30 gap, the duplicate IS flagged even though other traffic
+    # advanced the watermark in between (the old wm+1 timer evicted on any
+    # watermark advance during key silence — a within-horizon recall hole)
+    within = run("3 hours")
+    assert within[4] == (True, 2)
+
 
 def test_neardup_operator_persistence_roundtrip(tmp_path):
     from artan_spark.operators import StreamingAsofJoin

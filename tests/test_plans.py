@@ -36,6 +36,27 @@ def test_q5_star_join_all_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q3_q5_broadcast_degrades_past_threshold(spark):
+    """customer/supplier broadcasts in q3/q5 are size-gated to the planner,
+    not hinted: shrinking the auto-broadcast threshold (standing in for the
+    dimensions outgrowing the driver at high SF) must flip them to shuffled
+    joins, while the fixed-cardinality nation/region dims — explicitly
+    hinted, 25/5 rows at ANY scale factor — stay broadcast."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p3 = _plan(spark, "q3_shipping_priority")
+        assert "BroadcastHashJoin" not in p3
+        assert "SortMergeJoin" in p3 or "ShuffledHashJoin" in p3
+
+        p5 = _plan(spark, "q5_nation_revenue")
+        # exactly the two hinted joins (nation, region) survive
+        assert p5.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" in p5 or "ShuffledHashJoin" in p5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_q6_all_predicates_pushed(spark):
     plan = _plan(spark, "q6_forecast_revenue")
     scan = plan.split("FileScan")[1][:600]
@@ -220,10 +241,11 @@ def test_ann_ivf_kmeans_mapside_assignment(spark):
 
 
 def test_jaccard_auto_cap_and_cluster_path(spark, tmp_path):
-    """df_cap='auto' (the dedup_clusters default) must engage the capped
-    plan when a shingle's document frequency exceeds DEFAULT_DF_CAP and
-    still produce the exact pair set; the cluster pipeline built on it
-    must find the true near-dup cluster."""
+    """df_cap='auto' (the default for both the registry entry and
+    dedup_clusters) must engage the exact PREFIX plan when a shingle's
+    document frequency exceeds DEFAULT_DF_CAP and still produce the exact
+    pair set; the cluster pipeline built on it must find the true near-dup
+    cluster."""
     from pyspark.sql import functions as F
 
     from artan_spark.plans.dedup import (
@@ -256,3 +278,112 @@ def test_jaccard_auto_cap_and_cluster_path(spark, tmp_path):
         for r in dedup_clusters(spark, str(tmp_path)).collect()
     }
     assert (1000, 1001) in clusters
+
+
+def test_jaccard_prefix_exact_on_all_hot_pair(spark, tmp_path):
+    """A dup pair whose shared shingles are ALL hot (every shingle above any
+    df cap) is the case the numeric-capped candidate phase provably misses;
+    the prefix plan must still find it EXACTLY — prefixes keep each doc's
+    rarest shingles, and for all-hot docs that IS the hot shingles — while
+    still excluding hot shingles from the prefixes of docs that have rarer
+    ones (boundedness)."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.dedup import dedup_ngram_jaccard
+
+    hot = "the quick brown fox"  # -> 2 shingles, hot in every doc
+    rows = [
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d", "en", "synth", 0)
+        for i in range(40)
+    ]
+    # the dup pair is the bare hot phrase: its ONLY shingles are hot ones
+    rows.append((1000, hot, "en", "synth", 0))
+    rows.append((1001, hot, "en", "synth", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    direct = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path), df_cap=None).collect()
+    }
+    assert direct[(1000, 1001)] == 1.0
+
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path), df_cap="prefix").collect()
+    }
+    assert prefix == direct  # exact, including the all-hot pair
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(tmp_path), df_cap=5).collect()
+    }
+    assert (1000, 1001) not in capped  # the documented recall trade of a numeric cap
+
+    # boundedness: docs 0..39 have 4 rare shingles each, so their prefix
+    # (len 6 - 3 + 1 = 4) holds ONLY rare shingles; the hot shingles enter
+    # the candidate join solely via the all-hot pair -> 1 hot-pair candidate
+    # instead of 42*41/2
+    from artan_spark.plans.dedup import _shingles
+
+    sh = _shingles(spark, str(tmp_path))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+    pool = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", rn)
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1)
+        .select("doc_id", "shingle")
+    )
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    n_cand = (
+        pa.join(pb, (F.col("pa.shingle") == F.col("pb.shingle")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select("pa.doc_id", "pb.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand == 1  # exactly the (1000, 1001) candidate
+
+
+def test_clusters_broadcast_size_gate(spark, tmp_path):
+    """The per-round label broadcast in dedup_clusters is size-gated: under
+    the limit the propagation join is a BroadcastHashJoin; past it (forced
+    with broadcast_limit=0) it degrades to a shuffled join and the cluster
+    result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.dedup import _propagation_join, dedup_clusters
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "doc_a long, doc_b long")
+    labels = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, cluster long")
+    # drop the size-based auto-broadcast so the plan shows only what the
+    # gate itself chose (mimics a label table too big for the planner too)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast_plan = _propagation_join(edges, labels, True)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bcast_plan  # explicit hint survives the gate
+        shuffled_plan = _propagation_join(edges, labels, False)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in shuffled_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "synth", 0),
+        (1, "alpha beta gamma delta epsilon eta", "en", "synth", 0),
+        (2, "totally different words in this document here", "en", "synth", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def result(limit):
+        return {
+            (r.cluster, r.cluster_size, r.members)
+            for r in dedup_clusters(spark, str(tmp_path), broadcast_limit=limit).collect()
+        }
+
+    assert result(0) == result(5_000_000) == {(0, 2, "0,1")}

@@ -96,9 +96,11 @@ def test_lkf_checkpoint_recovery(spark):
 
 @pytest.mark.slow
 def test_event_time_state_timeout(spark):
-    """'event' timeout mode: a key whose timeout timestamp falls behind the
-    advancing watermark has its state cleared and restarts from the initial
-    state on its next row (StatefulTransformer.scala:49-68 semantics)."""
+    """'event' timeout mode: a key idle for more than the horizon of EVENT
+    time (stateTimeoutDuration, falling back to the watermark duration)
+    restarts from the initial state on its next row — exact in event time
+    regardless of micro-batch layout (StatefulTransformer.scala:49-68
+    semantics). A gap under the horizon keeps the state."""
     import datetime as dt
 
     from artan_spark.operators import LinearKalmanFilter
@@ -111,8 +113,8 @@ def test_event_time_state_timeout(spark):
 
     schema = "key string, ts timestamp, measurement array<double>"
     # chunk layout (chunk_rows=1 -> one row per micro-batch):
-    #   a@0, a@10 (timeout armed at wm+1), b@60 (watermark advances past it,
-    #   a times out), a@120 (restarts)
+    #   a@0, a@10 (10m gap < 30m horizon: state kept), b@60 (watermark
+    #   advances), a@120 (110m idle > 30m horizon: restarts)
     rows = [
         ("a", ts(0), [1.0]),
         ("a", ts(10), [2.0]),
@@ -126,12 +128,13 @@ def test_event_time_state_timeout(spark):
         .setEventTimeCol("ts")
         .setWatermarkDuration("1 minute")
         .setStateTimeoutMode("event")
+        .setStateTimeoutDuration("30 minutes")
         .setProcessNoise(np.array([[1.0]]))
     )
     out = stream_transform(spark, df, flt.transform, chunk_rows=1).collect()
     a_idx = [r.stateIndex for r in sorted((r for r in out if r.stateKey == "a"), key=lambda r: r.eventTime)]
-    # without timeout this would be [1, 2, 3]; the reset makes the last row
-    # restart at stateIndex 1
+    # without timeout this would be [1, 2, 3]; the horizon reset makes the
+    # last row restart at stateIndex 1
     assert a_idx == [1, 2, 1]
     b_idx = [r.stateIndex for r in out if r.stateKey == "b"]
     assert b_idx == [1]
