@@ -149,20 +149,23 @@ class StatefulTransformer(HasParams):
         """Salt keys into vectorized multi-key buckets (subclasses with a
         ``vectorizedBatch`` mode call this from their vectorized transform).
 
-        Batch width matters more than task count: einsum overhead amortizes
-        with width. Quiet-machine median-of-5 sweeps on the sf0.1 events
-        table (1000 keys, 100k rows, local[32]): LKF 1 bucket 54k rows/s,
-        2: 54k, 4: 65-70k, 8: 63k, 16: 61k, 32: 55k; GMM 4: 116k, 8: 125k,
+        Batch width matters more than task count for LAPACK-heavy folds
+        (einsum overhead amortizes with width), while cheap elementwise
+        folds want task parallelism. Quiet-machine median-of-5 sweeps on
+        the sf0.1 events table (1000 keys, 100k rows, local[32]): the
+        general n-D LKF fold peaked at 4 buckets (65-70k rows/s; 8: 63k,
+        16: 61k); after the scalar 1-D fast path landed
+        (vectorized.py vectorized_scalar_lkf_fold_factory) the same shape
+        re-sweeps 2: 119k, 4: 86k, 8: 132k, 16: 114k — the fold is now
+        cheap enough that 8 tasks beat 4 wide ones. GMM 4: 116k, 8: 125k,
         16: 117k; smoother 4: 115k, 8: 119k, 16: 105k. Width ~128 (8
         buckets at 1000 keys) is the balanced target across operator
-        families (LKF alone peaks at width 250, within ~8%); the round-3
-        bench's 47.7k LKF reading was machine contention, not a code
-        regression — the same build re-measures 63k steady-state. Auto
-        mode estimates the distinct key count from a bounded sample (a
-        full-scan count job taxed the fold ~13% at sf0.1) and sizes
-        buckets for width ~128, floor 4 buckets for task parallelism. An
-        under-estimate (keys clustered late in the scan) just yields
-        fewer, wider buckets — the safe direction for throughput.
+        families. Auto mode estimates the distinct key count from a
+        bounded sample (a full-scan count job taxed the fold ~13% at
+        sf0.1) and sizes buckets for width ~128, floor 4 buckets for task
+        parallelism. An under-estimate (keys clustered late in the scan)
+        just yields fewer, wider buckets — the safe direction for
+        throughput.
         setVectorizedBuckets overrides (bench.py pins the LKF row to its
         sweep optimum so the recorded number measures the fold, not the
         heuristic).

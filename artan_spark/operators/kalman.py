@@ -673,8 +673,11 @@ class KalmanBase(StatefulTransformer):
 
         from artan_spark.operators.vectorized import (
             VFLAT_OUT_SCHEMA,
+            VFLAT_SCALAR_OUT_SCHEMA,
+            supports_scalar_vectorized,
             vectorized_ekf_fold_factory,
             vectorized_lkf_fold_factory,
+            vectorized_scalar_lkf_fold_factory,
             vectorized_sigma_fold_factory,
         )
 
@@ -682,10 +685,14 @@ class KalmanBase(StatefulTransformer):
         constants = self._constants()
         factory_cell: list = []
 
-        factory = {
-            "lkf": vectorized_lkf_fold_factory,
-            "ekf": vectorized_ekf_fold_factory,
-        }.get(self._kind, vectorized_sigma_fold_factory)
+        scalar = self._kind == "lkf" and supports_scalar_vectorized(constants)
+        if scalar:
+            factory = vectorized_scalar_lkf_fold_factory
+        else:
+            factory = {
+                "lkf": vectorized_lkf_fold_factory,
+                "ekf": vectorized_ekf_fold_factory,
+            }.get(self._kind, vectorized_sigma_fold_factory)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not factory_cell:
@@ -696,7 +703,29 @@ class KalmanBase(StatefulTransformer):
             return out
 
         salted = self._saltedKeys(df, keyed)
-        res = salted.groupBy("__salt__").applyInPandas(fn, VFLAT_OUT_SCHEMA)
+        res = salted.groupBy("__salt__").applyInPandas(
+            fn, VFLAT_SCALAR_OUT_SCHEMA if scalar else VFLAT_OUT_SCHEMA
+        )
+
+        if scalar:
+            # flat primitives back to the public struct schema, JVM-side
+            shaped = res.select(
+                STATE_KEY,
+                "stateIndex",
+                "stepIndex",
+                _scalar_gaussian("mean", "cov").alias("state"),
+                F.when(
+                    F.col("resCov").isNotNull() & ~F.isnan(F.col("resCov")),
+                    _scalar_gaussian("res", "resCov"),
+                ).alias("residual"),
+                EVENT_TIME,
+                F.when(~F.isnan("loglikelihood"), F.col("loglikelihood")).alias("loglikelihood"),
+                F.when(~F.isnan("mahalanobis"), F.col("mahalanobis")).alias("mahalanobis"),
+                F.when(~F.isnan("slidingLikelihood"), F.col("slidingLikelihood")).alias(
+                    "slidingLikelihood"
+                ),
+            )
+            return self._dropDisabled(shaped)
 
         n, mdim = self.get("stateSize"), self.get("measurementSize")
 
@@ -730,7 +759,13 @@ class KalmanBase(StatefulTransformer):
                 "stateIndex",
                 "stepIndex",
                 _scalar_gaussian("mean", "cov").alias("state"),
-                F.when(~F.isnan(F.col("resCov")), _scalar_gaussian("res", "resCov")).alias("residual"),
+                # NaN crosses the Arrow boundary as null, and Spark's
+                # isnan(NULL) is false — guard both so missing-measurement
+                # rows get a null residual, matching the general path
+                F.when(
+                    F.col("resCov").isNotNull() & ~F.isnan(F.col("resCov")),
+                    _scalar_gaussian("res", "resCov"),
+                ).alias("residual"),
                 EVENT_TIME,
                 F.when(~F.isnan(F.col("loglikelihood")), F.col("loglikelihood")).alias("loglikelihood"),
                 F.when(~F.isnan(F.col("mahalanobis")), F.col("mahalanobis")).alias("mahalanobis"),

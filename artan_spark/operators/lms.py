@@ -80,10 +80,44 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         "regularizationConstant": 1.0,
         "initialState": None,
         "initialStateCol": None,
+        "vectorizedBatch": False,
+        "vectorizedBuckets": None,
     }
 
     def setInitialEstimate(self, value):
         return self._set("initialState", np.asarray(value, dtype=np.float64))
+
+    def transform(self, df):
+        if (
+            not df.isStreaming
+            and self.get("vectorizedBatch")
+            and not self.get("initialStateCol")
+        ):
+            return self._vectorizedTransform(df)
+        return super().transform(df)
+
+    def _vectorizedTransform(self, df):
+        """Salted multi-key grouped fold, time-synchronous across keys
+        (operators/vectorized.py vectorized_lms_fold_factory). Batch only.
+        The fold already emits the public (state VECTOR) schema — no
+        JVM-side reassembly needed."""
+        from artan_spark.operators.vectorized import vectorized_lms_fold_factory
+
+        keyed = self._keyed(df)
+        constants = self._constants()
+        factory_cell: list = []
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not factory_cell:
+                factory_cell.append(vectorized_lms_fold_factory(constants))
+            cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
+            pdf = pdf.sort_values(cols, kind="stable", na_position="first")
+            out, _ = factory_cell[0](pdf, None)
+            return out
+
+        salted = self._saltedKeys(df, keyed)
+        res = salted.groupBy("__salt__").applyInPandas(fn, _OUT_SCHEMA)
+        return res if self.get("eventTimeCol") else res.drop(EVENT_TIME)
 
     def _constants(self):
         init = self.get("initialState")

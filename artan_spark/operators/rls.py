@@ -164,7 +164,70 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         "initialStateMeanCol": None,
         "regularizationMatrix": None,
         "regularizationMatrixCol": None,
+        "vectorizedBatch": False,
+        "vectorizedBuckets": None,
     }
+
+    def transform(self, df):
+        if (
+            not df.isStreaming
+            and self.get("vectorizedBatch")
+            and not self._constants()["hasPerRowCols"]
+            and self.get("stateSize")
+        ):
+            return self._vectorizedTransform(df)
+        return super().transform(df)
+
+    def _vectorizedTransform(self, df):
+        """Salted multi-key grouped fold, time-synchronous across keys
+        (operators/vectorized.py vectorized_rls_fold_factory). Batch only."""
+        from artan_spark.operators.vectorized import vectorized_rls_fold_factory
+
+        keyed = self._keyed(df)
+        constants = self._constants()
+        factory_cell: list = []
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not factory_cell:
+                factory_cell.append(vectorized_rls_fold_factory(constants))
+            cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
+            pdf = pdf.sort_values(cols, kind="stable", na_position="first")
+            out, _ = factory_cell[0](pdf, None)
+            return out
+
+        n = int(constants["stateSize"])
+        scalar = n == 1
+        schema = (
+            _FLAT_OUT_SCHEMA
+            if scalar
+            else StructType(
+                [
+                    StructField(STATE_KEY, StringType()),
+                    StructField("stateIndex", LongType()),
+                    StructField("mean", VECTOR),
+                    StructField("cov", ArrayType(DoubleType())),
+                    StructField(EVENT_TIME, TimestampType(), True),
+                ]
+            )
+        )
+        salted = self._saltedKeys(df, keyed)
+        res = salted.groupBy("__salt__").applyInPandas(fn, schema)
+        if scalar:
+            return self._shapeOutput(res)  # flat -> GAUSSIAN struct, JVM-side
+        shaped = res.select(
+            STATE_KEY,
+            "stateIndex",
+            F.struct(
+                F.col("mean").alias("mean"),
+                F.struct(
+                    F.lit(n).alias("numRows"),
+                    F.lit(n).alias("numCols"),
+                    F.col("cov").alias("values"),
+                ).alias("covariance"),
+            ).alias("state"),
+            EVENT_TIME,
+        )
+        return shaped if self.get("eventTimeCol") else shaped.drop(EVENT_TIME)
 
     def __init__(self, stateSize: int | None = None, **kwargs):
         super().__init__(**kwargs)

@@ -60,6 +60,40 @@ VFLAT_OUT_SCHEMA = StructType(
 )
 
 
+# 1-D flat-primitive boundary schema for the scalar LKF fast path: doubles
+# instead of 1-element arrays kill the per-cell Arrow list overhead (the same
+# trick as the sequential scalar fold's _FLAT_OUT_SCHEMA, kalman.py:84)
+VFLAT_SCALAR_OUT_SCHEMA = StructType(
+    [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("cov", DoubleType()),
+        StructField("res", DoubleType(), True),
+        StructField("resCov", DoubleType(), True),
+        StructField(EVENT_TIME, TimestampType(), True),
+        StructField("loglikelihood", DoubleType(), True),
+        StructField("mahalanobis", DoubleType(), True),
+        StructField("slidingLikelihood", DoubleType(), True),
+    ]
+)
+
+
+def supports_scalar_vectorized(c: dict) -> bool:
+    """Scope of the scalar vectorized LKF fold: the 1-D constant-model shape
+    (same as the sequential scalar fast path, kalman.py _is_scalar_lkf) minus
+    anything per-row. Checked AFTER supports_vectorized. EKF stays on the
+    general fold even with all-None callables so its vectorized-vs-sequential
+    parity keeps a single op order."""
+    return (
+        c["kind"] == "lkf"
+        and c["stateSize"] == 1
+        and c["measurementSize"] == 1
+        and not c.get("perRowCols")
+    )
+
+
 def supports_vectorized(c: dict) -> bool:
     per_row = set(c.get("perRowCols") or ())
     base_ok = (
@@ -98,6 +132,187 @@ def supports_vectorized(c: dict) -> bool:
         )
         return fns_ok and not c.get("adaptiveProcessNoise") and c.get("sigmaPointLowerBound") is None and c.get("sigmaPointUpperBound") is None
     return False
+
+
+def multi_key_layout(pdf: pd.DataFrame):
+    """Shared step-major layout for the time-synchronous folds: returns
+    (keys_arr, key_idx, K, counts, first, order) where ``order`` walks all
+    rows at per-key position 0, then all at position 1, ... (the caller has
+    key+eventTime sorted the frame, so a key's rows are contiguous)."""
+    N = len(pdf)
+    keys_arr = pdf[STATE_KEY].to_numpy()
+    key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+    K = len(key_codes)
+    counts = np.bincount(key_idx, minlength=K)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(N) - first[key_idx]
+    order = np.lexsort((key_idx, pos))
+    return keys_arr, key_idx, K, counts, first, order
+
+
+def vectorized_rls_fold_factory(c: dict):
+    """Time-synchronous multi-key RLS fold. The 1-D shape runs pure
+    elementwise arithmetic in the EXACT op order of the sequential scalar
+    fold (rls.py _scalar_rls_fold_factory) — bit-identical results; n-D
+    batches the linalg.rls_update rank-1 recursion with einsum (~ulp).
+    Emits the flat scalar columns for 1-D (rls.py _FLAT_OUT_SCHEMA) and
+    (mean, cov) arrays for n-D (rls.py reassembles the GAUSSIAN struct
+    JVM-side)."""
+    lam = float(c["forgettingFactor"])
+    n = c["stateSize"]
+    scalar = n == 1
+    if scalar:
+        m0 = 0.0 if c["initialStateMean"] is None else float(np.ravel(c["initialStateMean"])[0])
+        p0 = (
+            1.0
+            if c["regularizationMatrix"] is None
+            else float(np.ravel(c["regularizationMatrix"])[0])
+        )
+    else:
+        m0v = (
+            np.zeros(n)
+            if c["initialStateMean"] is None
+            else np.asarray(c["initialStateMean"], dtype=np.float64).ravel()
+        )
+        P0m = (
+            np.eye(n)
+            if c["regularizationMatrix"] is None
+            else np.asarray(c["regularizationMatrix"], dtype=np.float64)
+        )
+    names = [STATE_KEY, "stateIndex", "mean", "cov", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        feats = pdf["features"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        out_idx = np.empty(N, dtype=np.int64)
+        T = int(counts.max())
+
+        if scalar:
+            X = np.empty(N)
+            for i in range(N):
+                X[i] = float(feats[i][0])
+            m = np.full(K, m0)
+            P = np.full(K, p0)
+            out_mean = np.empty(N)
+            out_cov = np.empty(N)
+            ptr = 0
+            for t in range(T):
+                a = int(np.sum(counts > t))
+                block = order[ptr : ptr + a]
+                ptr += a
+                ki = key_idx[block]
+                x = X[block]
+                # same elementwise op order as the sequential scalar fold
+                Px = P[ki] * x
+                denom = lam + x * Px
+                g = Px / denom
+                err = y[block] - x * m[ki]
+                m[ki] = m[ki] + g * err
+                P[ki] = (P[ki] - g * Px) / lam
+                out_idx[block] = t + 1
+                out_mean[block] = m[ki]
+                out_cov[block] = P[ki]
+            mean_col, cov_col = out_mean, out_cov
+        else:
+            X = np.empty((N, n))
+            for i in range(N):
+                X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+            m = np.tile(m0v, (K, 1))
+            P = np.tile(P0m, (K, 1, 1))
+            out_mean = np.empty((N, n))
+            out_cov = np.empty((N, n, n))
+            ptr = 0
+            for t in range(T):
+                a = int(np.sum(counts > t))
+                block = order[ptr : ptr + a]
+                ptr += a
+                ki = key_idx[block]
+                x = X[block]
+                Pk = P[ki]
+                Px = np.einsum("aij,aj->ai", Pk, x)
+                denom = lam + np.einsum("aj,aj->a", x, Px)
+                g = Px / denom[:, None]
+                err = y[block] - np.einsum("aj,aj->a", x, m[ki])
+                m[ki] = m[ki] + g * err[:, None]
+                P1 = (Pk - g[:, :, None] * Px[:, None, :]) / lam
+                P[ki] = (P1 + np.swapaxes(P1, 1, 2)) * 0.5  # linalg.sym
+                out_idx[block] = t + 1
+                out_mean[block] = m[ki]
+                out_cov[block] = P[ki]
+            mean_col = list(out_mean)
+            cov_col = [cv.T.ravel() for cv in out_cov]
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "mean": mean_col,
+                "cov": cov_col,
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            columns=names,
+        )
+        return out, None
+
+    return fold
+
+
+def vectorized_lms_fold_factory(c: dict):
+    """Time-synchronous multi-key normalized-LMS fold: batched
+    linalg.lms_update steps (elementwise-exact scale factor, then the
+    rank-1 state move). 1-D features reduce to pure elementwise ops in the
+    sequential op order."""
+    lr = float(c["learningRate"])
+    reg = float(c["regularizationConstant"])
+    init = c["initialState"]
+    names = [STATE_KEY, "stateIndex", "state", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        feats = pdf["features"].values
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        n = len(np.asarray(feats[0], dtype=np.float64).ravel()) if init is None else len(init)
+        X = np.empty((N, n))
+        for i in range(N):
+            X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+        m = np.tile(np.zeros(n) if init is None else init, (K, 1))
+        out_idx = np.empty(N, dtype=np.int64)
+        out_state = np.empty((N, n))
+        T = int(counts.max())
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+            x = X[block]
+            # linalg.lms_update op order: err, denom, m + (lr*err/denom)*x
+            err = y[block] - np.einsum("aj,aj->a", x, m[ki])
+            denom = reg + np.einsum("aj,aj->a", x, x)
+            m[ki] = m[ki] + (lr * err / denom)[:, None] * x
+            out_idx[block] = t + 1
+            out_state[block] = m[ki]
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "state": list(out_state),
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            columns=names,
+        )
+        return out, None
+
+    return fold
 
 
 def _seed_initial_state(pdf: pd.DataFrame, first, m, P):
@@ -331,6 +546,127 @@ def vectorized_sigma_fold_factory(c: dict):
     return fold
 
 
+def vectorized_scalar_lkf_fold_factory(c: dict):
+    """Time-synchronous multi-key fold for the dominant 1-D local-level
+    shape: pure elementwise (A,) float64 arithmetic in the EXACT op order of
+    the sequential scalar fold (kalman.py _scalar_lkf_fold_factory), so the
+    per-row results are bit-identical to it — no batched LAPACK (the general
+    fold's batched SVD pinv on (A,1,1) matrices was the per-step hot spot
+    for this shape) and flat primitive columns across the Python->JVM
+    boundary (VFLAT_SCALAR_OUT_SCHEMA)."""
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    fad2 = float(c["fadingFactor"]) ** 2
+    compute_ll = c["calculateLoglikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    names = [fld.name for fld in VFLAT_SCALAR_OUT_SCHEMA.fields]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        K = len(key_codes)
+        counts = np.bincount(key_idx, minlength=K)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(N) - first[key_idx]
+        order = np.lexsort((key_idx, pos))
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros(N)
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = float(np.asarray(z_cells[i], dtype=np.float64).ravel()[0])
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.full(K, m0)
+        P = np.full(K, p0)
+        if "initialStateDistribution" in pdf.columns:
+            cells = pdf["initialStateDistribution"].values
+            for k, f0 in enumerate(first):
+                d = cells[f0]
+                if d is None:
+                    continue
+                if isinstance(d, dict):
+                    m[k] = float(d["mean"][0])
+                    P[k] = float(d["covariance"]["values"][0])
+                else:
+                    m[k] = float(d.mean[0])
+                    P[k] = float(d.covariance.values[0])
+
+        out_mean = np.empty(N)
+        out_cov = np.empty(N)
+        out_res = np.full(N, np.nan)
+        out_rescov = np.full(N, np.nan)
+        out_ll = np.full(N, np.nan)
+        out_maha = np.full(N, np.nan)
+        out_idx = np.empty(N, dtype=np.int64)
+
+        T = int(counts.max())
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+
+            # same elementwise op order as the sequential scalar fold
+            mb = f * m[ki]
+            Pb = fad2 * ((f * P[ki]) * f) + q
+
+            zi = has_z[block]
+            if zi.any():
+                rows_u = block[zi]
+                m1 = mb[zi]
+                P1 = Pb[zi]
+                z0 = Z[rows_u]
+                r = z0 - h * m1
+                S = (h * P1) * h + rr
+                Kg = (P1 * h) * (1.0 / S)
+                mb[zi] = m1 + Kg * r
+                ikh = 1.0 - Kg * h
+                Pb[zi] = (ikh * P1) * ikh + (Kg * rr) * Kg
+                out_res[rows_u] = r
+                out_rescov[rows_u] = S
+                if compute_ll:
+                    ell = np.sqrt(S)
+                    out_ll[rows_u] = -0.5 * (_LOG2PI + 2.0 * np.log(ell) + (r / ell) ** 2)
+                if compute_maha:
+                    out_maha[rows_u] = np.sqrt(np.maximum((r * r) / S, 0.0))
+
+            m[ki] = mb
+            P[ki] = Pb
+            out_idx[block] = t + 1
+            out_mean[block] = mb
+            out_cov[block] = Pb
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "stepIndex": 0,
+                "mean": out_mean,
+                "cov": out_cov,
+                "res": out_res,
+                "resCov": out_rescov,
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": out_ll,
+                "mahalanobis": out_maha,
+                "slidingLikelihood": np.nan,
+            },
+            columns=names,
+        )
+        return out, None
+
+    return fold
+
+
 def vectorized_ekf_fold_factory(c: dict):
     """EKF variant of the linear multi-key fold: user fns/Jacobians are
     called ONCE per time step on the whole (A, n) key batch instead of per
@@ -461,7 +797,17 @@ def vectorized_lkf_fold_factory(c: dict):
                     Re = None
                     S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
                 S = (S + np.swapaxes(S, 1, 2)) * 0.5
-                pinvS = np.linalg.pinv(S)
+                if mdim == 1:
+                    # elementwise 1/S — bit-identical to pinv on 1x1 stacks
+                    # (SVD of [[s]] reciprocates the lone singular value, one
+                    # IEEE division either way; s==0 -> 0 in both), without
+                    # the batched-SVD per-step hot spot
+                    s1 = S[:, 0, 0]
+                    pinvS = np.where(s1 != 0.0, 1.0 / np.where(s1 == 0.0, 1.0, s1), 0.0)[
+                        :, None, None
+                    ]
+                else:
+                    pinvS = np.linalg.pinv(S)
                 Kg = np.einsum("aij,akj,akl->ail", P1, Hb, pinvS)
                 r = Z[rows_u] - zhat
                 m_new = m1 + np.einsum("aij,aj->ai", Kg, r)
@@ -477,13 +823,20 @@ def vectorized_lkf_fold_factory(c: dict):
                 out_res[rows_u] = r
                 out_rescov[rows_u] = S
                 if compute_ll or compute_maha:
-                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
-                    w = np.linalg.solve(L, r[..., None])[..., 0]
-                    sq = np.sum(w * w, axis=1)
+                    if mdim == 1:
+                        # cholesky/solve on 1x1 stacks reduce to sqrt and a
+                        # division — bit-identical, no batched LAPACK
+                        L1 = np.sqrt(S[:, 0, 0] + 1e-300)
+                        sq = (r[:, 0] / L1) ** 2
+                        logdet = 2.0 * np.log(L1)
+                    else:
+                        L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                        w = np.linalg.solve(L, r[..., None])[..., 0]
+                        sq = np.sum(w * w, axis=1)
+                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
                     if compute_maha:
                         out_maha[rows_u] = np.sqrt(np.maximum(sq, 0.0))
                     if compute_ll:
-                        logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
                         out_ll[rows_u] = -0.5 * (mdim * _LOG2PI + logdet + sq)
 
             m[ki] = mb
@@ -696,7 +1049,17 @@ def vectorized_smoother_fold_factory(c: dict):
                 m1 = mb[zi]
                 S = np.einsum("aij,ajk,alk->ail", Hb, P1, Hb) + R
                 S = (S + np.swapaxes(S, 1, 2)) * 0.5
-                pinvS = np.linalg.pinv(S)
+                if mdim == 1:
+                    # elementwise 1/S — bit-identical to pinv on 1x1 stacks
+                    # (SVD of [[s]] reciprocates the lone singular value, one
+                    # IEEE division either way; s==0 -> 0 in both), without
+                    # the batched-SVD per-step hot spot
+                    s1 = S[:, 0, 0]
+                    pinvS = np.where(s1 != 0.0, 1.0 / np.where(s1 == 0.0, 1.0, s1), 0.0)[
+                        :, None, None
+                    ]
+                else:
+                    pinvS = np.linalg.pinv(S)
                 Kg = np.einsum("aij,akj,akl->ail", P1, Hb, pinvS)
                 r = Z[rows_u] - np.einsum("aij,aj->ai", Hb, m1)
                 mb[zi] = m1 + np.einsum("aij,aj->ai", Kg, r)

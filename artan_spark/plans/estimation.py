@@ -82,7 +82,11 @@ def _finalize_raw(out: DataFrame) -> DataFrame:
 
 
 def lkf_events_local_level(spark, sf_dir):
-    return _finalize_raw(_local_level(LinearKalmanFilter).transform(_events_measurements(spark, sf_dir)))
+    # the scalar vectorized fold is bit-identical to the sequential scalar
+    # fold (test_vectorized_scalar_lkf_bit_exact) so the raw-double
+    # recursive-CTE oracle hash is unchanged
+    flt = _local_level(LinearKalmanFilter).setVectorizedBatch(True)
+    return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
 
 
 def _ident_fn(m, H):
@@ -625,7 +629,14 @@ def lms_events_1d(spark, sf_dir):
     df = _events_measurements(spark, sf_dir).select(
         "key", "ts", F.col("value").alias("label"), F.array(F.lit(1.0)).alias("features")
     )
-    lms = LeastMeanSquaresFilter().setStateKeyCol("key").setEventTimeCol("ts")
+    # vectorized multi-key fold: the 1-D normalized-LMS step is elementwise,
+    # so it is bit-identical to the sequential fold (test_filters.py)
+    lms = (
+        LeastMeanSquaresFilter()
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setVectorizedBatch(True)
+    )
     out = lms.transform(df)
     # no rounding: the scalar recursion is bit-identical across engines,
     # and ROUND() implementations disagree exactly at dyadic boundaries
@@ -660,6 +671,10 @@ def rls_events_1d(spark, sf_dir):
         .setEventTimeCol("ts")
         .setInitialEstimate(np.zeros(1))
         .setRegularizationMatrix(np.eye(1))
+        # scalar vectorized fold is bit-identical to the sequential one
+        # (test_vectorized_rls_scalar_bit_exact), so the raw-double oracle
+        # hash is unchanged
+        .setVectorizedBatch(True)
     )
     out = rls.transform(df)
     return out.select(

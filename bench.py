@@ -206,16 +206,26 @@ def _operator_throughput(spark) -> dict[str, int]:
             # the many-small-models shape: per-group call overhead dominates
             # at ~100 rows/group; the vectorized multi-key fold amortizes it.
             # Buckets PINNED to the sweep optimum (base.py:_saltedKeys) so the
-            # recorded number measures the fold, not the auto heuristic.
+            # recorded number measures the fold, not the auto heuristic. With
+            # the scalar 1-D fast path (vectorized.py
+            # vectorized_scalar_lkf_fold_factory) the fold is cheap enough
+            # that task parallelism wins: sweep (median-of-5, quiet machine)
+            # 2: 119k, 4: 86k, 8: 132k, 16: 114k rows/s -> pin 8.
             rate(
                 f"lkf_{n_keys}keys_vectorized",
-                lkf.copy().setVectorizedBatch(True).setVectorizedBuckets(4),
+                lkf.copy().setVectorizedBatch(True).setVectorizedBuckets(8),
                 df,
             )
 
         rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key")
         df = e.select(key, F.col("value").alias("label"), F.array(F.lit(1.0)).alias("features"))
         rate(f"rls_{n_keys}keys", rls, df)
+        if n_keys >= 1000:
+            rate(
+                f"rls_{n_keys}keys_vectorized",
+                rls.copy().setVectorizedBatch(True).setVectorizedBuckets(8),
+                df,
+            )
 
         gmm = (
             MultivariateGaussianMixture()

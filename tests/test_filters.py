@@ -141,6 +141,95 @@ def test_lms_filter_trend(spark):
     np.testing.assert_array_almost_equal(np.array(state), [0.2], decimal=2)
 
 
+def test_vectorized_rls_scalar_bit_exact(spark):
+    """The scalar vectorized RLS fold (vectorized.py
+    vectorized_rls_fold_factory) reproduces the sequential scalar fold
+    BIT-exactly across ragged multi-key data."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in range(7):
+        for i in range(15 + k):
+            rows.append((f"key{k}", float(2.0 + 0.5 * k + rng.normal()), [1.0]))
+    df = spark.createDataFrame(rows, "key string, label double, features array<double>")
+
+    def mk(vectorized):
+        return (
+            RecursiveLeastSquaresFilter(1)
+            .setStateKeyCol("key")
+            .setForgettingFactor(0.95)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        assert rs.state.mean[0] == rv.state.mean[0]
+        assert rs.state.covariance.values[0] == rv.state.covariance.values[0]
+
+
+def test_vectorized_rls_general_matches_sequential(spark):
+    """n-D vectorized RLS (batched rank-1 einsum recursion) == sequential
+    numpy fold to ~ulp (2-D OLS shape, ragged keys, forgetting)."""
+    rng = np.random.RandomState(4)
+    rows = []
+    for k in range(6):
+        for i in range(12 + k):
+            x = [float(i), 1.0]
+            rows.append((f"key{k}", float(0.3 * i + k + rng.normal(0, 0.5)), x))
+    df = spark.createDataFrame(rows, "key string, label double, features array<double>")
+
+    def mk(vectorized):
+        return (
+            RecursiveLeastSquaresFilter(2)
+            .setStateKeyCol("key")
+            .setInitialEstimate(np.array([1.0, -1.0]))
+            .setRegularizationMatrixFactor(100.0)
+            .setForgettingFactor(0.99)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-9)
+        np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-9)
+
+
+def test_vectorized_lms_matches_sequential(spark):
+    """Vectorized multi-key LMS == sequential fold (2-D features; the
+    normalized-LMS scale factor is elementwise so 1-D is bit-exact, n-D
+    ~ulp)."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for k in range(6):
+        for i in range(10 + k):
+            rows.append((f"key{k}", float(0.2 * i - k + rng.normal(0, 0.3)), [float(i), 1.0]))
+    df = spark.createDataFrame(rows, "key string, label double, features array<double>")
+
+    def mk(vectorized):
+        return (
+            LeastMeanSquaresFilter()
+            .setStateKeyCol("key")
+            .setInitialEstimate(np.array([0.5, 0.0]))
+            .setLearningRate(0.8)
+            .setRegularizationConstant(2.0)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        np.testing.assert_allclose(rs.state, rv.state, atol=1e-12)
+
+
 def _glm_filter(cls, f, jac, **kw):
     flt = (
         cls(3, 1)

@@ -123,6 +123,64 @@ def test_sigma_point_bounds(spark):
     assert all(-0.25 <= m <= 1.25 for m in means)
 
 
+def test_vectorized_scalar_lkf_bit_exact(spark):
+    """The scalar vectorized fold (vectorized.py
+    vectorized_scalar_lkf_fold_factory) reproduces the sequential scalar fold
+    BIT-exactly on the 1-D constant-model shape — same IEEE op order, just
+    batched elementwise across keys. Covers missing measurements, fading,
+    per-key initialStateDistribution seeding, and ll/mahalanobis."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for k in range(9):
+        init = (
+            ([float(k) * 0.5], {"numRows": 1, "numCols": 1, "values": [1.0 + k]})
+            if k % 2
+            else None
+        )
+        for i in range(17 + k):  # ragged
+            z = None if (k + i) % 7 == 2 else [float(np.sin(i / 4.0) + k + rng.normal(0, 0.3))]
+            rows.append((f"key{k}", z, init if i == 0 else None))
+    df = spark.createDataFrame(
+        rows,
+        "key string, measurement array<double>, "
+        "initState struct<mean:array<double>,covariance:struct<numRows:int,numCols:int,values:array<double>>>",
+    )
+
+    def mk(vectorized):
+        return (
+            LinearKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateDistributionCol("initState")
+            .setInitialStateCovariance(np.array([[50.0]]))
+            .setProcessModel(np.array([[0.97]]))
+            .setProcessNoise(np.array([[0.5]]))
+            .setMeasurementNoise(np.array([[2.0]]))
+            .setFadingFactor(1.02)
+            .setCalculateLoglikelihood(True)
+            .setCalculateMahalanobis(True)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        # bit-exact: identical elementwise IEEE op order
+        assert rs.state.mean[0] == rv.state.mean[0]
+        assert rs.state.covariance.values[0] == rv.state.covariance.values[0]
+        assert (rs.residual is None) == (rv.residual is None)
+        if rs.residual is not None:
+            assert rs.residual.mean[0] == rv.residual.mean[0]
+            assert rs.residual.covariance.values[0] == rv.residual.covariance.values[0]
+            # np.log vs math.log may differ in the last ulp
+            np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, rtol=1e-14)
+            np.testing.assert_allclose(rs.mahalanobis, rv.mahalanobis, rtol=1e-14)
+        else:
+            assert rv.loglikelihood is None and rv.mahalanobis is None
+
+
 def test_vectorized_batch_matches_sequential(spark):
     """Time-synchronous multi-key fold == sequential per-key fold (3-D OLS
     with per-row measurement model across 12 keys, missing measurements)."""
