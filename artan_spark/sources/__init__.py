@@ -42,6 +42,11 @@ def session_builder(app_name: str = "artan_spark", master: str | None = None, sh
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.ui.enabled", "false")
+        # local mode defaults the driver JVM (which hosts all executor
+        # threads) to 1g — 32 concurrent tasks OOM under that the moment a
+        # bench point caches anything sizable. Applies only when this
+        # builder creates the JVM; a pre-existing session keeps its heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if master:
         b = b.master(master)

@@ -144,18 +144,36 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     }))
 
     n_doc = int(50_000 * sf)
+    # Zipfian vocabulary with a realistic size: the first 30 ranks are real
+    # (stop)words that go genuinely hot, the tail is rare — real-text
+    # document-frequency shape. A tiny uniform vocab (the v1 generator used
+    # 30 words) makes EVERY 3-gram shingle hot, which turns the exact
+    # shingle-join dedup queries adversarially quadratic and measures the
+    # corpus, not the engine (observed: 37x time at 5x scale; with this
+    # vocabulary the same plans scale near-linearly).
+    vocab_full = VOCAB + [f"tok{i}" for i in range(len(VOCAB), 2000)]
+    zipf_p = 1.0 / np.arange(1, len(vocab_full) + 1) ** 1.05
+    zipf_p /= zipf_p.sum()
+    # one bulk draw consumed via a cursor (25k+ per-doc rng.choice calls
+    # rebuild the sampler each time and dominate generation)
+    pool = rng.choice(len(vocab_full), int(120 * n_doc * 1.2) + 1000, p=zipf_p)
+    cursor = 0
     texts: list[str] = []
     for d in range(n_doc):
         if d > 0 and rng.rand() < 0.05:
             # near-dup tail: mutate ~10% of an earlier doc's tokens
             toks = texts[rng.randint(0, d)].split()
             idx = rng.rand(len(toks)) < 0.1
-            for i in np.nonzero(idx)[0]:
-                toks[i] = VOCAB[rng.randint(0, len(VOCAB))]
+            for k, i in enumerate(np.nonzero(idx)[0]):
+                toks[i] = vocab_full[pool[(cursor + k) % len(pool)]]
+            cursor = (cursor + int(idx.sum())) % len(pool)
             texts.append(" ".join(toks))
         else:
-            n_tok = rng.randint(15, 101)
-            texts.append(" ".join(VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tok)))
+            n_tok = int(rng.randint(15, 101))
+            if cursor + n_tok > len(pool):
+                cursor = 0
+            texts.append(" ".join(vocab_full[i] for i in pool[cursor : cursor + n_tok]))
+            cursor += n_tok
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
         "text": texts,
@@ -179,7 +197,7 @@ def ensure_generated(sf: float, out_dir: str, seed: int = 42) -> str:
     """Generate once, reuse across rounds: the marker file pins (sf, seed)
     so a changed request regenerates instead of silently reusing."""
     marker = os.path.join(out_dir, ".generated")
-    tag = f"sf={sf} seed={seed} v1"
+    tag = f"sf={sf} seed={seed} v2"  # v2: Zipfian document vocabulary
     if os.path.exists(marker) and open(marker).read().strip() == tag:
         return out_dir
     generate(sf, out_dir, seed)
