@@ -5,10 +5,12 @@ The Spark-side machinery (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. Codec status:
 
 - **REAL, dependency-free**: ``audio/wav`` (RIFF PCM — pure ``struct``
-  chunk walk, 8/16-bit samples) and ``image/bmp`` (BITMAPINFOHEADER,
-  uncompressed BI_RGB 8/24/32 bpp, row padding honored). These decode
-  actual file bytes; round-trip encoders live alongside for tests and
-  pipeline fixtures.
+  chunk walk, 8/16-bit samples), ``image/bmp`` (BITMAPINFOHEADER,
+  uncompressed BI_RGB 8/24/32 bpp, row padding honored), ``image/
+  x-portable-graymap`` / ``x-portable-pixmap`` (binary netpbm P5/P6), and
+  ``video/x-yuv4mpeg`` (YUV4MPEG2 — the raw-video interchange format, with
+  every-2nd-frame luma sampling). These decode actual file bytes;
+  round-trip encoders live alongside for tests and pipeline fixtures.
 - **Stub**: compressed formats (JPEG/PNG/MP3/MP4/...) need codec libs
   (Pillow/libsndfile/ffmpeg) absent in this container — those media types
   raise ``NotImplementedError``. The deterministic ``*/fake`` types
@@ -261,10 +263,155 @@ def _bmp_features(doc_id: int, payload: bytes) -> tuple:
     return (int(w), int(abs_h), int(w * abs_h), round(mean_i, 6))
 
 
+def encode_y4m(frames, fps=(30, 1), colorspace: str = "C420jpeg") -> bytes:
+    """Encode a sequence of 2-D uint8 luma arrays as YUV4MPEG2 (Y4M).
+
+    Y4M is the uncompressed interchange format every raw-video tool speaks
+    (ffmpeg/x264/mjpegtools): a plain-text stream header, then per frame a
+    ``FRAME\\n`` marker followed by raw planar YUV. For 4:2:0 the chroma
+    planes are (w/2)x(h/2); we write neutral chroma (128) since the feature
+    extractor only reads luma.
+    """
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    if colorspace.startswith("C420"):
+        chroma = bytes([128]) * ((w // 2) * (h // 2)) * 2
+    elif colorspace == "C444":
+        chroma = bytes([128]) * (w * h) * 2
+    elif colorspace == "Cmono":
+        chroma = b""
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode())
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one geometry")
+        out += b"FRAME\n" + f.tobytes() + chroma
+    return bytes(out)
+
+
+def _y4m_features(doc_id: int, payload: bytes) -> tuple:
+    """REAL YUV4MPEG2 parse — pure text-header + offset arithmetic.
+
+    Reads the stream header for geometry and colorspace (C420*/C422/C444/
+    Cmono all supported — they only change the chroma-plane size), walks the
+    ``FRAME`` markers (per-frame parameter strings allowed), and SAMPLES
+    every 2nd frame — the same decimation pattern as the ``video/fake``
+    extractor. Features: (width, height, n sampled frames, mean LUMA of the
+    sampled frames). Only the Y plane contributes to intensity; chroma is
+    skipped by offset, never copied.
+    """
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420"  # the spec's default when no C tag is present
+    for tag in payload[9:nl].split():
+        tag = tag.decode("ascii", "replace")
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            colorspace = tag
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("C420"):
+        chroma_len = (w // 2) * (h // 2) * 2
+    elif colorspace.startswith("C422"):
+        chroma_len = (w // 2) * h * 2
+    elif colorspace.startswith("C444"):
+        chroma_len = w * h * 2
+    elif colorspace == "Cmono":
+        chroma_len = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace} not supported")
+    y_len = w * h
+    pos, frame_idx = nl + 1, 0
+    total, count, n_sampled = 0.0, 0, 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at offset {pos}")
+        fnl = payload.find(b"\n", pos)  # frames may carry parameter strings
+        y0 = fnl + 1
+        if frame_idx % 2 == 0:  # sample every 2nd frame
+            plane = np.frombuffer(payload[y0 : y0 + y_len], dtype=np.uint8)
+            if len(plane) < y_len:
+                raise ValueError("truncated Y4M frame")
+            total += float(plane.sum())
+            count += y_len
+            n_sampled += 1
+        pos = y0 + y_len + chroma_len
+        frame_idx += 1
+    mean_i = round(total / count, 6) if count else 0.0
+    return (int(w), int(h), int(n_sampled), mean_i)
+
+
+def encode_pnm(pixels, ppm: bool = False) -> bytes:
+    """Encode a uint8 array as binary netpbm: P5 (PGM grayscale) from a 2-D
+    array, or P6 (PPM RGB) from an (h, w, 3) array when ``ppm=True``."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if ppm:
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _pnm_features(doc_id: int, payload: bytes) -> tuple:
+    """REAL netpbm parse (binary P5/P6, the format PGM/PPM tools emit).
+
+    Header is whitespace-separated ASCII tokens (``#`` comments honored, as
+    the spec requires): magic, width, height, maxval; then one raster of
+    1 (P5) or 3 (P6) bytes per pixel for maxval <= 255. Features: (width,
+    height, n_pixels, mean intensity) — P6 averages the R,G,B channels,
+    mirroring the BMP extractor.
+    """
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # token scan: numbers separated by whitespace; '#' starts a comment
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            pos = payload.find(b"\n", pos) + 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end] not in b" \t\r\n":
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not supported by the built-in parser")
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    n_chan = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload[pos : pos + w * h * n_chan], dtype=np.uint8)
+    if len(raster) < w * h * n_chan:
+        raise ValueError("truncated netpbm raster")
+    arr = raster.astype(np.float64).reshape(h, w, n_chan)
+    mean_i = float(arr.mean(axis=2).mean()) if w and h else 0.0
+    return (int(w), int(h), int(w * h), round(mean_i, 6))
+
+
 # real codecs dispatch regardless of the ``fake`` flag
 _REAL_EXTRACTORS = {
     "audio/wav": _wav_features,
     "image/bmp": _bmp_features,
+    "image/x-portable-graymap": _pnm_features,
+    "image/x-portable-pixmap": _pnm_features,
+    "video/x-yuv4mpeg": _y4m_features,
 }
 
 

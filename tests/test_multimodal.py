@@ -140,3 +140,70 @@ def test_multimodal_features_aggregate(spark):
     assert out["audio/fake"].n_items == 167
     assert out["video/fake"].n_items == 166
     assert out["image/fake"].total_bytes == 167 * 72
+
+
+def test_y4m_codec_real_bytes(spark):
+    """The video/x-yuv4mpeg path decodes REAL YUV4MPEG2 bytes: text stream
+    header, FRAME markers, planar YUV offsets — sampling every 2nd frame's
+    luma, exactly like the fake-video extractor's decimation pattern."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import _y4m_features, encode_y4m
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(6, 8), dtype=np.uint8) for _ in range(5)]
+    payload = encode_y4m(frames, fps=(25, 1), colorspace="C420jpeg")
+    assert payload.startswith(b"YUV4MPEG2 W8 H6 F25:1")
+    w, h, n, mean_i = _y4m_features(0, payload)
+    assert (w, h, n) == (8, 6, 3)  # frames 0, 2, 4 sampled
+    expect = np.stack([frames[0], frames[2], frames[4]]).astype(np.float64).mean()
+    assert mean_i == round(float(expect), 6)
+
+    # mono (no chroma planes) exercises the other plane-size branch
+    mono = encode_y4m(frames[:4], colorspace="Cmono")
+    _, _, n_m, mean_m = _y4m_features(0, mono)
+    assert n_m == 2
+    assert mean_m == round(float(np.stack([frames[0], frames[2]]).astype(np.float64).mean()), 6)
+
+    # end-to-end through the Spark mapInPandas pipeline — NO fake flag
+    media = spark.createDataFrame(
+        [(12, "video/x-yuv4mpeg", payload, len(payload))],
+        "doc_id long, media_type string, payload binary, payload_len int",
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.width, row.height, row.n_units) == (8, 6, 3)
+    assert row.mean_intensity == round(float(expect), 6)
+
+
+def test_pnm_codec_real_bytes(spark):
+    """image/x-portable-graymap (P5) and -pixmap (P6) decode real binary
+    netpbm bytes, including header comments the spec allows."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import _pnm_features, encode_pnm
+
+    gray = np.array([[0, 100, 200], [50, 150, 250]], dtype=np.uint8)
+    p5 = encode_pnm(gray)
+    assert p5.startswith(b"P5\n3 2\n255\n")
+    assert _pnm_features(0, p5) == (3, 2, 6, round(float(gray.astype(np.float64).mean()), 6))
+
+    # comment lines between header tokens must be skipped
+    commented = b"P5\n# made by a netpbm tool\n3 2\n# maxval next\n255\n" + gray.tobytes()
+    assert _pnm_features(0, commented) == _pnm_features(0, p5)
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3) * 10
+    p6 = encode_pnm(rgb, ppm=True)
+    w, h, n, mean_i = _pnm_features(0, p6)
+    assert (w, h, n) == (2, 2, 4)
+    assert mean_i == round(float(rgb.astype(np.float64).mean(axis=2).mean()), 6)
+
+    media = spark.createDataFrame(
+        [
+            (13, "image/x-portable-graymap", p5, len(p5)),
+            (14, "image/x-portable-pixmap", p6, len(p6)),
+        ],
+        "doc_id long, media_type string, payload binary, payload_len int",
+    )
+    rows = {r.doc_id: r for r in decode_media(media).collect()}
+    assert (rows[13].width, rows[13].height, rows[13].n_units) == (3, 2, 6)
+    assert (rows[14].width, rows[14].height, rows[14].n_units) == (2, 2, 4)
