@@ -415,6 +415,55 @@ _REAL_EXTRACTORS = {
 }
 
 
+# (prefix-at-offset checks, media type). Order matters only for readability;
+# the signatures are mutually exclusive.
+_MAGIC_SIGNATURES = [
+    ([(0, b"RIFF"), (8, b"WAVE")], "audio/wav"),
+    ([(0, b"RIFF"), (8, b"AVI ")], "video/x-msvideo"),
+    ([(0, b"BM")], "image/bmp"),
+    ([(0, b"P5")], "image/x-portable-graymap"),
+    ([(0, b"P6")], "image/x-portable-pixmap"),
+    ([(0, b"YUV4MPEG2")], "video/x-yuv4mpeg"),
+    ([(0, b"\xff\xd8\xff")], "image/jpeg"),
+    ([(0, b"\x89PNG\r\n\x1a\n")], "image/png"),
+    ([(0, b"GIF8")], "image/gif"),
+    ([(4, b"ftyp")], "video/mp4"),
+    ([(0, b"ID3")], "audio/mpeg"),
+    ([(0, b"fLaC")], "audio/flac"),
+    ([(0, b"OggS")], "application/ogg"),
+]
+
+
+def detect_media_type(payload: bytes):
+    """Identify a blob's media type from its magic bytes (driver-side
+    helper; the distributed path is ``sniff_media_type``). Returns None for
+    unrecognized payloads."""
+    for checks, mtype in _MAGIC_SIGNATURES:
+        if all(payload[off : off + len(sig)] == sig for off, sig in checks):
+            return mtype
+    return None
+
+
+def sniff_media_type(payload_col):
+    """Magic-byte media-type sniffing as a PURE CATALYST column expression —
+    no Python in the row path, so a 100-TB lake of untrusted blobs can be
+    typed at scan speed inside whole-stage codegen. Spark's ``substring``
+    slices BinaryType natively; each signature is a byte-literal equality on
+    the relevant prefix/offset. NULL for unrecognized payloads.
+
+    Usage: ``df.withColumn("media_type", sniff_media_type(F.col("payload")))``
+    then ``decode_media`` dispatches per row as usual.
+    """
+    expr = F.lit(None).cast("string")
+    for checks, mtype in reversed(_MAGIC_SIGNATURES):
+        cond = None
+        for off, sig in checks:
+            c = F.substring(payload_col, off + 1, len(sig)) == F.lit(sig)
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(mtype)).otherwise(expr)
+    return expr
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads -> typed features per media type.
 

@@ -207,3 +207,60 @@ def test_pnm_codec_real_bytes(spark):
     rows = {r.doc_id: r for r in decode_media(media).collect()}
     assert (rows[13].width, rows[13].height, rows[13].n_units) == (3, 2, 6)
     assert (rows[14].width, rows[14].height, rows[14].n_units) == (2, 2, 4)
+
+
+def test_media_type_sniffing(spark):
+    """Magic-byte sniffing: the Catalyst column expression and the
+    driver-side helper agree, recognize every built-in codec's output, and
+    return NULL/None for junk. The sniff column must stay inside
+    whole-stage codegen (no Python eval in the plan)."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import (
+        decode_media,
+        detect_media_type,
+        encode_bmp,
+        encode_pnm,
+        encode_wav_pcm,
+        encode_y4m,
+        sniff_media_type,
+    )
+    from pyspark.sql import functions as F
+
+    wav = encode_wav_pcm(np.array([1, -1], dtype=np.int16))
+    bmp = encode_bmp(np.zeros((2, 2), dtype=np.uint8))
+    pgm = encode_pnm(np.zeros((2, 2), dtype=np.uint8))
+    ppm = encode_pnm(np.zeros((2, 2, 3), dtype=np.uint8), ppm=True)
+    y4m = encode_y4m([np.zeros((2, 2), dtype=np.uint8)])
+    cases = {
+        1: (wav, "audio/wav"),
+        2: (bmp, "image/bmp"),
+        3: (pgm, "image/x-portable-graymap"),
+        4: (ppm, "image/x-portable-pixmap"),
+        5: (y4m, "video/x-yuv4mpeg"),
+        6: (b"\xff\xd8\xff\xe0junk", "image/jpeg"),
+        7: (b"\x89PNG\r\n\x1a\njunk", "image/png"),
+        8: (b"\x00\x00\x00 ftypisom", "video/mp4"),
+        9: (b"totally not media", None),
+    }
+    for payload, want in cases.values():
+        assert detect_media_type(payload) == want
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, (v, _) in cases.items()],
+        "doc_id long, payload binary",
+    )
+    typed = df.withColumn("media_type", sniff_media_type(F.col("payload")))
+    got = {r.doc_id: r.media_type for r in typed.collect()}
+    assert got == {k: want for k, (_, want) in cases.items()}
+    plan = typed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # sniff -> decode end-to-end: untyped blobs to typed features
+    feats = decode_media(
+        typed.filter("media_type IS NOT NULL AND doc_id <= 5")
+             .withColumn("payload_len", F.length("payload"))
+             .select("doc_id", "media_type", "payload", "payload_len")
+    )
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].n_units == 2 and rows[2].width == 2 and rows[5].n_units == 1
