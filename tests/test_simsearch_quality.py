@@ -94,3 +94,29 @@ def test_ivf_index_build_and_query_matches_inline(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_quantized_ann_matches_exact(spark):
+    """int8-quantize + rescore equals exact brute force row-for-row: the
+    rescoring stage recomputes full-precision cosines, so only candidate
+    membership could differ — and at rerank=4k the |error| <= scale/2
+    quantization bound keeps every true top-k inside the rerank horizon."""
+    from artan_spark.plans.simsearch import _emb, ann_quantized_topk, quantize_embeddings
+
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_quantized_topk(spark, SF_DIR).collect()
+    }
+    assert quant == exact
+
+    # quantization invariants: |q_i| <= 127 and |v_i - q_i*scale| <= scale/2
+    e = _emb(spark, SF_DIR)
+    joined = quantize_embeddings(e).join(e.select("vec_id", "v"), "vec_id").limit(50).collect()
+    for r in joined:
+        assert max(abs(q) for q in r.q) <= 127
+        worst = max(abs(v - q * r.scale) for v, q in zip(r.v, r.q))
+        assert worst <= r.scale / 2 + 1e-12
