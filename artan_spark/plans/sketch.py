@@ -158,6 +158,91 @@ FROM est e JOIN x ON e.event_type = x.event_type
 """
 
 
+MG_CAPACITY = 256  # >= distinct user_ids at test SFs -> sketch is EXACT there
+HH_K = 10
+
+
+def events_heavy_hitters(
+    spark: SparkSession, sf_dir: str, capacity: int = MG_CAPACITY, k: int = HH_K
+) -> DataFrame:
+    """Top-k heaviest users via a weighted Misra-Gries (space-saving)
+    summary — THE bounded-memory heavy-hitters pattern for cardinalities
+    where a full groupBy would shuffle billions of distinct keys.
+
+    Per partition, ``mapInPandas`` folds the partition's Arrow batches into
+    at most ``capacity`` counters (each batch pre-reduced by a VECTORIZED
+    ``value_counts`` — the Python loop is over the batch's distinct items,
+    never rows; overflow subtracts the minimum counter from all, the
+    weighted MG step). Each counter satisfies ``f_p - D_p <= c <= f_p``
+    where ``D_p`` is that partition's total decrement, and
+    ``D_p <= partition_rows / (capacity + 1)``. Summaries then merge with a
+    plain hash agg — counts add, error bounds add — so the global estimate
+    obeys ``f - err_bound <= est <= f``: a one-pass, shuffle-light top-k
+    with a DETERMINISTIC error certificate carried in the output.
+
+    With ``capacity`` >= the true distinct count no decrement ever fires,
+    every ``D_p`` is 0, and the sketch is EXACT — which is what the oracle
+    checks at the test scale factors; the bounded-capacity error property
+    is unit-tested separately.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def mg(batches):
+        counters: dict = {}
+        dec_total = 0
+        for pdf in batches:
+            for item, w in pdf["item"].value_counts().items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                    continue
+                counters[item] = w
+                if len(counters) > capacity:
+                    m = min(counters.values())
+                    dec_total += m
+                    counters = {i: c - m for i, c in counters.items() if c > m}
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(counters),
+                "item": list(counters.keys()),
+                "cnt": list(counters.values()),
+                "dec": [dec_total] * len(counters),
+            }
+        )
+
+    ev = read_table(spark, sf_dir, "events")
+    summ = ev.select(F.col("user_id").cast("string").alias("item")).mapInPandas(
+        mg, "pid int, item string, cnt long, dec long"
+    )
+    merged = summ.groupBy("item").agg(F.sum("cnt").alias("est"))
+    # one decrement total per partition; their sum is the global error bound
+    err = summ.select("pid", "dec").distinct().agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("err_bound")
+    )
+    w = Window.orderBy(F.desc("est"), F.asc("item"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(err))
+        .select(F.col("item").alias("user_id"), "est", "rank", "err_bound")
+    )
+
+
+# at the test SFs capacity >= distinct users, so the sketch output is the
+# exact top-k with a zero error bound
+_HH_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_id, est, rank, CAST(0 AS BIGINT) AS err_bound
+FROM (
+  SELECT user_id, COUNT(*) AS est,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC) AS rank
+  FROM events GROUP BY user_id
+)
+WHERE rank <= {HH_K}
+"""
+
+
 QUERIES = {"events_kmv_distinct": events_kmv_distinct}
 ORACLES = {"events_kmv_distinct": _KMV_SQL}
 
@@ -166,4 +251,5 @@ ORACLES = {"events_kmv_distinct": _KMV_SQL}
 # queries
 PYTEST_ORACLES = {
     "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
+    "events_heavy_hitters": (events_heavy_hitters, _HH_SQL),
 }
