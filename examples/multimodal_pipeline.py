@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Multimodal ingestion pipeline: untrusted binary blobs -> typed features.
+
+    raw blobs ──> sniff_media_type (magic bytes, pure Catalyst) ──┐
+                                                                  v
+                 decode_media (mapInPandas, Arrow-batched) ──> per-type stats
+
+The sniff stage types every blob inside whole-stage codegen — no Python in
+the row path — so a 100 TB media lake is classified at scan speed; only the
+rows that reach the decoders cross into Python, in Arrow batches whose size
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``. The real
+dependency-free codecs (WAV/BMP/PGM/PPM/Y4M) decode actual file bytes;
+unrecognized or compressed payloads are quarantined, not guessed at.
+
+Usage: python examples/multimodal_pipeline.py
+"""
+
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from artan_spark.sources import session_builder
+
+
+def make_blob_corpus(spark, n=120):
+    """A synthetic lake of mixed raw-media blobs with NO type column."""
+    from artan_spark.plans.multimodal import (
+        encode_bmp,
+        encode_pnm,
+        encode_wav_pcm,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(n):
+        kind = i % 5
+        if kind == 0:
+            blob = encode_wav_pcm((rng.normal(0, 3000, 50 + i % 40)).astype(np.int16))
+        elif kind == 1:
+            blob = encode_bmp(rng.integers(0, 256, (8 + i % 8, 8), dtype=np.uint8))
+        elif kind == 2:
+            blob = encode_pnm(rng.integers(0, 256, (6, 6 + i % 6), dtype=np.uint8))
+        elif kind == 3:
+            blob = encode_y4m([rng.integers(0, 256, (4, 6), dtype=np.uint8) for _ in range(3 + i % 4)])
+        else:
+            blob = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 32, dtype=np.uint8))  # JPEG: no codec here
+        rows.append((i, bytearray(blob)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def main():
+    from artan_spark.plans.multimodal import decode_media, sniff_media_type
+
+    spark = session_builder("MultimodalPipeline", master="local[4]", shuffle_partitions=4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    blobs = make_blob_corpus(spark)
+    typed = blobs.withColumn("media_type", sniff_media_type(F.col("payload")))
+
+    decodable = {"audio/wav", "image/bmp", "image/x-portable-graymap",
+                 "image/x-portable-pixmap", "video/x-yuv4mpeg"}
+    ready = typed.filter(F.col("media_type").isin(*decodable))
+    quarantine = typed.filter(~F.col("media_type").isin(*decodable) | F.col("media_type").isNull())
+
+    feats = decode_media(
+        ready.withColumn("payload_len", F.length("payload"))
+             .select("doc_id", "media_type", "payload", "payload_len")
+    )
+    stats = feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_units"), 2).alias("avg_units"),
+        F.round(F.avg("mean_intensity"), 2).alias("avg_intensity"),
+        F.sum("payload_len").alias("bytes"),
+    )
+    print("== decoded feature stats ==")
+    stats.orderBy("media_type").show(truncate=False)
+    print("== quarantined (no built-in codec) ==")
+    quarantine.groupBy("media_type").count().show(truncate=False)
+    n_q = quarantine.count()
+    assert n_q == 24, n_q  # the JPEG fifth of the corpus
+    spark.stop()
+    print("multimodal pipeline OK")
+
+
+if __name__ == "__main__":
+    main()

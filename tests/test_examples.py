@@ -25,6 +25,7 @@ import examples.lkf_stream_batch_init as sbi
 import examples.mmae_rate_source_ols as mmae
 import examples.rls_rate_source_ols as rls
 import examples.corpus_pipeline as corpus
+import examples.multimodal_pipeline as mm
 import examples.streaming_asof as asof
 import examples.ukf_rate_source_glm_log as ukf
 
@@ -39,6 +40,7 @@ for name, mod, args in [
     ("mmae_rate_source_ols", mmae, (4, 50, 8)),
     ("streaming_asof", asof, (2, 50, 6)),
     ("corpus_pipeline", corpus, ()),
+    ("multimodal_pipeline", mm, ()),
 ]:
     print(f"### running {name}", flush=True)
     mod.main(*args)
