@@ -97,3 +97,92 @@ def test_poisson_logpmf_normalizes(seed):
     ks = np.arange(0, 200)
     total = np.exp(linalg.poisson_logpmf(ks, rate)).sum()
     np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 200), st.sampled_from([8, 16]))
+def test_wav_roundtrip_any_signal(seed, n, bits):
+    """encode_wav_pcm -> _wav_features is exact for any PCM signal: frame
+    count preserved, mean |amplitude| matches the closed form."""
+    from artan_spark.plans.multimodal import _wav_features, encode_wav_pcm
+
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        s = rng.integers(0, 256, n).astype(np.uint8)
+        expected = np.abs(s.astype(np.float64) - 128.0).mean()
+    else:
+        s = rng.integers(-(2**15), 2**15, n).astype(np.int16)
+        expected = np.abs(s.astype(np.float64)).mean()
+    w, h, frames, mean_abs = _wav_features(0, encode_wav_pcm(s, bits=bits))
+    assert (w, h, frames) == (None, None, n)
+    assert mean_abs == round(float(expected), 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24), st.integers(1, 24))
+def test_bmp_roundtrip_any_geometry(seed, w, h):
+    """encode_bmp -> _bmp_features is exact across geometries, including
+    widths whose 3-byte rows need 4-byte padding."""
+    from artan_spark.plans.multimodal import _bmp_features, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    gw, gh, n, mean_i = _bmp_features(0, encode_bmp(px))
+    assert (gw, gh, n) == (w, h, w * h)
+    assert mean_i == round(float(px.astype(np.float64).mean()), 6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 8),
+    st.integers(1, 10),
+    st.integers(1, 10),
+    st.sampled_from(["C420jpeg", "C444", "Cmono"]),
+)
+def test_y4m_roundtrip_any_stream(seed, n_frames, w2, h2, colorspace):
+    """encode_y4m -> _y4m_features recovers geometry and the sampled-frame
+    luma mean for every colorspace branch (even dims: 4:2:0 requires them)."""
+    from artan_spark.plans.multimodal import _y4m_features, encode_y4m
+
+    w, h = 2 * w2, 2 * h2
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(n_frames)]
+    gw, gh, n, mean_i = _y4m_features(0, encode_y4m(frames, colorspace=colorspace))
+    sampled = frames[::2]
+    assert (gw, gh, n) == (w, h, len(sampled))
+    assert mean_i == round(float(np.stack(sampled).astype(np.float64).mean()), 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24), st.integers(1, 24), st.booleans())
+def test_pnm_roundtrip_any_raster(seed, w, h, ppm):
+    from artan_spark.plans.multimodal import _pnm_features, encode_pnm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if ppm else (h, w)
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    gw, gh, n, mean_i = _pnm_features(0, encode_pnm(px, ppm=ppm))
+    assert (gw, gh, n) == (w, h, w * h)
+    expected = px.astype(np.float64).mean(axis=2).mean() if ppm else px.astype(np.float64).mean()
+    assert mean_i == round(float(expected), 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_sniffer_identifies_every_encoder_output(seed):
+    """detect_media_type assigns the right type to every built-in encoder's
+    bytes — the encode/sniff/decode triangle closes for any payload."""
+    from artan_spark.plans.multimodal import (
+        detect_media_type,
+        encode_bmp,
+        encode_pnm,
+        encode_wav_pcm,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, (4, 4)).astype(np.uint8)
+    assert detect_media_type(encode_wav_pcm(rng.integers(-100, 100, 7).astype(np.int16))) == "audio/wav"
+    assert detect_media_type(encode_bmp(gray)) == "image/bmp"
+    assert detect_media_type(encode_pnm(gray)) == "image/x-portable-graymap"
+    assert detect_media_type(encode_y4m([gray])) == "video/x-yuv4mpeg"
