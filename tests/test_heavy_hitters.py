@@ -48,3 +48,75 @@ def test_full_capacity_is_exact_and_certified_zero(spark):
         .collect()
     )
     assert [(r.user_id, r.est) for r in out] == [(t.user_id, t.c) for t in truth]
+
+
+def _final_snapshot(rows):
+    """Latest (max-seq) emission per key -> {(key, rank): (item, est, err)}."""
+    last = {}
+    for r in rows:
+        last.setdefault(r.stateKey, 0)
+        last[r.stateKey] = max(last[r.stateKey], r.seq)
+    return {
+        (r.stateKey, r.rank): (r.item, r.est, r.err_bound)
+        for r in rows
+        if r.seq == last[r.stateKey]
+    }
+
+
+def test_streaming_heavy_hitters_batch_equals_stream(spark):
+    """At full capacity no decrement fires, so ANY chunking of the stream
+    must converge to the same final top-k snapshot as one batch fold."""
+    from artan_spark.streaming import StreamingHeavyHitters, stream_transform
+
+    ev = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select(F.col("event_type").alias("grp"), F.col("user_id").alias("item"))
+    )
+    op = (
+        StreamingHeavyHitters()
+        .setStateKeyCol("grp")
+        .setItemCol("item")
+        .setCapacity(512)
+        .setK(5)
+    )
+    batch = _final_snapshot(op.transform(ev).collect())
+    streamed = _final_snapshot(
+        stream_transform(spark, ev, op.transform, chunk_rows=137).collect()
+    )
+    assert streamed == batch
+
+    # cross-check against exact groupBy truth (err_bound must be 0)
+    truth = {
+        (r.grp, r.item): r.c
+        for r in ev.groupBy("grp", F.col("item").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for (grp, _rank), (item, est, err) in batch.items():
+        assert err == 0
+        assert est == truth[(grp, item)]
+
+
+def test_streaming_heavy_hitters_certificate_under_truncation(spark):
+    """capacity far below the distinct-item count: every estimate must
+    still satisfy f - err_bound <= est <= f per key."""
+    from artan_spark.streaming import StreamingHeavyHitters
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select(F.col("event_type").alias("grp"), F.col("user_id").alias("item"))
+    )
+    op = (
+        StreamingHeavyHitters().setStateKeyCol("grp").setItemCol("item").setCapacity(8).setK(5)
+    )
+    snap = _final_snapshot(op.transform(ev).collect())
+    truth = {
+        (r.grp, r.item): r.c
+        for r in ev.groupBy("grp", F.col("item").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert any(err > 0 for (_, (_, _, err)) in snap.items())
+    for (grp, _rank), (item, est, err) in snap.items():
+        f = truth[(grp, item)]
+        assert est <= f <= est + err
