@@ -194,6 +194,72 @@ GROUP BY t.doc_id
 """
 
 
+SEQ_LEN = 2048  # token budget per packed training sequence
+N_STREAMS = 8  # parallel packing streams (cluster: one per writer task)
+
+
+def docs_pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """Concat-and-cut sequence packing — the standard step that turns a
+    cleaned document corpus into fixed-token training sequences: documents
+    are concatenated in a deterministic order and cut every ``seq_len``
+    tokens, so each doc lands in sequence ``floor(start_offset/seq_len)``
+    of its stream.
+
+    Spark-first shape: docs hash into ``n_streams`` independent packing
+    streams (pure projection — at 100 TB each stream is one writer's
+    worth of work and no stream needs to see another's rows), then ONE
+    window per stream computes the running token offset (exclusive
+    cumsum). Everything after the hash is order-deterministic (doc_id
+    within stream), so the assignment is bit-reproducible across engines
+    — full value-hash oracle. ``n_seqs`` per doc records straddling: a
+    doc whose span crosses a cut belongs to multiple sequences
+    (attention-mask bookkeeping downstream).
+
+    Token counts use the whitespace tokenizer (``size(split(text,
+    '\\\\s+'))``) so the packing layer composes with textstats' counts.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (_hash_bucket(F.col("doc_id")) % n_streams).alias("stream"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("stream").orderBy("doc_id")
+    offs = d.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    )
+    return offs.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / seq_len).alias("seq_id"),
+        # number of seq_len windows the doc's [offset, offset+n_tokens) span touches
+        (F.floor((F.col("start_off") + F.col("n_tokens") - 1) / seq_len) - F.floor(F.col("start_off") / seq_len) + 1).alias("n_seqs"),
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} % {N_STREAMS} AS stream,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, stream, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM d
+)
+SELECT doc_id, stream, n_tokens, start_off,
+       start_off // {SEQ_LEN} AS seq_id,
+       (start_off + n_tokens - 1) // {SEQ_LEN} - start_off // {SEQ_LEN} + 1 AS n_seqs
+FROM o
+"""
+
+
 QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_stratified_sample": docs_stratified_sample,
@@ -205,4 +271,8 @@ ORACLES = {
     "docs_stratified_sample": _STRATIFIED_SQL,
     "docs_weighted_sample": _WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
+}
+# registry is at the driver's 50-entry cap; packing keeps a pytest oracle
+PYTEST_ORACLES = {
+    "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
 }

@@ -120,3 +120,25 @@ def test_streaming_heavy_hitters_certificate_under_truncation(spark):
     for (grp, _rank), (item, est, err) in snap.items():
         f = truth[(grp, item)]
         assert est <= f <= est + err
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-cut packing: per stream, offsets are the exclusive cumsum
+    in doc_id order (no gaps, no overlap), seq assignment is offset//len,
+    and straddle counts match the spans they claim."""
+    from artan_spark.plans.sampling import docs_pack_sequences
+
+    out = docs_pack_sequences(spark, "/root/testdata/sf0.001", seq_len=256).collect()
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert len(by_stream) > 1
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rows:
+            assert r.start_off == expect_off
+            assert r.seq_id == r.start_off // 256
+            span_end = r.start_off + r.n_tokens - 1
+            assert r.n_seqs == span_end // 256 - r.seq_id + 1
+            expect_off += r.n_tokens
