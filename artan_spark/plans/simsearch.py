@@ -388,7 +388,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bool = False) -> None:
     """Materialize the spherical-k-means IVF index for build-once /
     query-many serving: the same fit as ``ann_ivf_kmeans`` (identical
     determinism contract), with centroids as one small parquet and the
@@ -397,6 +397,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     re-scanning the corpus per query batch. This is the production shape
     at 100 TB: fit once on a sample/full pass, serve many query batches
     against the pruned layout.
+
+    ``quantize=True`` additionally writes ``cells_q`` — the int8 projection
+    of the same members (``quantize_embeddings``), also cell-partitioned.
+    Serving can then generate candidates from the ~4×-smaller quantized
+    layout and touch the full-precision cells only for the rerank rows
+    (both scans partition-pruned) — composing the two scale levers.
     """
     e = (
         _emb(spark, sf_dir)
@@ -408,6 +414,17 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
         out_dir + "/cells"
     )
+    if quantize:
+        # vn is unit-norm already, so norms need not be stored; same
+        # symmetric int8 scheme as quantize_embeddings
+        scale = F.array_max(F.transform("vn", F.abs)) / F.lit(127.0)
+        scale = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+        member.select(
+            "vec_id",
+            "cid",
+            scale.alias("scale"),
+            F.transform("vn", lambda x: F.round(x / scale).cast("int")).alias("q"),
+        ).write.mode("overwrite").partitionBy("cid").parquet(out_dir + "/cells_q")
     e.unpersist()
 
 
@@ -417,6 +434,7 @@ def ann_ivf_query(
     queries: DataFrame,
     nprobe: int = KM_NPROBE,
     top_k: int = TOP_K,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Serve ANN queries against a materialized ``build_ivf_index`` layout.
 
@@ -426,6 +444,14 @@ def ann_ivf_query(
     Spark's dynamic partition pruning restricts the scan to the probed
     cells; exact cosine re-rank inside them (same rounding contract as
     ``ann_ivf_kmeans``).
+
+    With ``rerank`` set (index built with ``quantize=True``), candidate
+    scoring reads the int8 ``cells_q`` layout instead — ~4× less scan I/O —
+    keeps the top ``rerank`` per query by approximate score, and touches
+    the full-precision cells only for those rows (joined on the partition
+    column + vec_id, so that scan is pruned too). Emitted cosines are
+    exact either way; with ``rerank`` comfortably above ``top_k`` the
+    results match the full-precision serve row-for-row (tested).
     """
     cent = spark.read.parquet(index_dir + "/centroids")
     member = spark.read.parquet(index_dir + "/cells")
@@ -438,10 +464,32 @@ def ann_ivf_query(
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "qvn", F.col("cid").alias("cell"))
     )
-    scored = member.join(
-        F.broadcast(probe),
-        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
+    if rerank is not None:
+        memq = spark.read.parquet(index_dir + "/cells_q")
+        approx = memq.join(
+            F.broadcast(probe),
+            (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        ).withColumn(
+            "acos",
+            F.col("scale") * _dot(F.transform("q", lambda x: x.cast("double")), F.col("qvn")),
+        )
+        wa = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+        cand = (
+            approx.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= rerank)
+            .select("query_id", "qvn", "vec_id", "cell")
+        )
+        scored = member.join(
+            F.broadcast(cand),
+            (F.col("cid") == F.col("cell")) & (member["vec_id"] == cand["vec_id"]),
+        ).select(
+            "query_id", "qvn", member["vec_id"].alias("vec_id"), "cell", "vn"
+        ).withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
+    else:
+        scored = member.join(
+            F.broadcast(probe),
+            (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        ).withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -120,3 +120,49 @@ def test_quantized_ann_matches_exact(spark):
         assert max(abs(q) for q in r.q) <= 127
         worst = max(abs(v - q * r.scale) for v, q in zip(r.v, r.q))
         assert worst <= r.scale / 2 + 1e-12
+
+
+def test_quantized_ivf_index_serve_matches_full_precision(spark, tmp_path):
+    """An index built with quantize=True serves candidate generation from
+    the int8 cells_q layout; with a rerank horizon the exact-rescored
+    results must equal the full-precision serve row-for-row."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import (
+        N_QUERIES,
+        _emb,
+        ann_ivf_query,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_q")
+    build_ivf_index(spark, SF_DIR, idx, quantize=True)
+    q = (
+        _emb(spark, SF_DIR)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("v", lambda x: x / F.col("norm")).alias("qvn"),
+        )
+    )
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, idx, q, nprobe=2).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, idx, q, nprobe=2, rerank=20).collect()
+    }
+    assert quant == full
+    # the quantized layout really is the smaller scan
+    import os
+
+    def tree_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert tree_bytes(idx + "/cells_q") < 0.55 * tree_bytes(idx + "/cells")
