@@ -431,6 +431,46 @@ FROM events GROUP BY event_type
 """
 
 
+def skew_safe_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Salted equi-join for a skewed big-side key: the standard fix when a
+    hot key would pin one join task at 100 TB. The big side gets a
+    deterministic salt in [0, n_salts); the SMALL side is exploded
+    ``n_salts``-fold (fine — it's the small side) so every (key, salt)
+    shard finds its match; the join runs on (key, salt), spreading a hot
+    key over ``n_salts`` tasks. Row-identical to the plain equi-join for
+    any salt count. AQE's skew-join split handles moderate skew on its
+    own; this is the explicit form for the pathological single-key case
+    (AQE cannot split one key's rows across tasks in a sort-merge join).
+    """
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt__")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn("__salt__", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)))
+    return big_salted.join(small_rep, [key, "__salt__"]).drop("__salt__")
+
+
+def events_skew_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment event revenue via the salted join: events
+    (big, skewed side) against customer (small dim) on user_id=custkey,
+    then a per-segment rollup. The oracle is the PLAIN join — salting
+    must be invisible in the result."""
+    e = read_table(spark, sf_dir, "events")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew_safe_join(e, c, "user_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SKEW_JOIN_SQL = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -461,4 +501,10 @@ ORACLES = {
     "events_window_stats": _EVENTS_WINDOW_SQL,
     "events_user_activity": _EVENTS_SESSIONS_SQL,
     "customer_order_balance": _CUST_BALANCE_SQL,
+}
+
+# registry is at the driver's 50-entry cap; the salted-join demo keeps a
+# pytest oracle (the plain join — salting must be invisible in the result)
+PYTEST_ORACLES = {
+    "events_skew_safe_join": (events_skew_safe_join, _SKEW_JOIN_SQL),
 }

@@ -387,3 +387,34 @@ def test_clusters_broadcast_size_gate(spark, tmp_path):
         }
 
     assert result(0) == result(5_000_000) == {(0, 2, "0,1")}
+
+
+def test_skew_safe_join_spreads_hot_key(spark):
+    """The salted join must (a) be row-identical to the plain join even
+    when EVERY big-side row shares one key, and (b) actually shuffle on
+    (key, salt) — the property that spreads the hot key over tasks."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.relational import skew_safe_join
+
+    # 990 of 1000 rows share key 1 (hot); keys must not be literals or
+    # Catalyst constant-folds the salt away
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 990, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (995, "cold")], "k long, tag string")
+    out = skew_safe_join(big, small, "k", n_salts=4)
+    assert out.count() == 991
+    assert out.filter("tag = 'cold'").collect()[0].v == 995
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = skew_safe_join(big, small, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt__" in p for p in parts), parts
