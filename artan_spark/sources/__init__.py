@@ -124,6 +124,32 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_sorted_table(
+    df: DataFrame,
+    path: str,
+    sort_by: str | list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet sink: ``repartitionByRange`` on the sort
+    key(s), then ``sortWithinPartitions`` before writing.
+
+    Partition pruning (``write_table``) is the first-order skipping lever;
+    this is the second: every parquet row group carries min/max statistics
+    per column, and range-clustering makes those ranges TIGHT and DISJOINT
+    across files/row groups, so an engine reading ``WHERE ts BETWEEN ..``
+    skips whole row groups instead of scanning them. On an unsorted write
+    every row group spans nearly the full value range and the stats prune
+    nothing (tests/test_sinks.py measures exactly this with pyarrow).
+    Range partitioning also bounds file-size spread — each output file owns
+    one contiguous key range. The classic layout for time-series facts
+    queried by time window at 100 TB.
+    """
+    scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    out = df.repartitionByRange(*([n_files] if n_files else []), *scols)
+    out.sortWithinPartitions(*scols).write.mode(mode).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in names}
 
