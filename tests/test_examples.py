@@ -25,6 +25,7 @@ import examples.lkf_stream_batch_init as sbi
 import examples.mmae_rate_source_ols as mmae
 import examples.rls_rate_source_ols as rls
 import examples.corpus_pipeline as corpus
+import examples.heavy_hitters_rate_source as hh
 import examples.multimodal_pipeline as mm
 import examples.streaming_asof as asof
 import examples.ukf_rate_source_glm_log as ukf
@@ -41,6 +42,7 @@ for name, mod, args in [
     ("streaming_asof", asof, (2, 50, 6)),
     ("corpus_pipeline", corpus, ()),
     ("multimodal_pipeline", mm, ()),
+    ("heavy_hitters_rate_source", hh, (100, 6)),
 ]:
     print(f"### running {name}", flush=True)
     mod.main(*args)
