@@ -193,9 +193,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame
     vectors — the classic IVF recall/candidate-count dial (recall test:
     tests/test_simsearch_quality.py).
     """
-    e = _emb(spark, sf_dir)
-    lbl = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    e = e.join(lbl, "vec_id")
+    # label lives in the same parquet row as the embedding — project it in
+    # the base scan instead of re-joining the table to itself (the join was
+    # a full-corpus shuffle at scale for a column the scan already has)
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
     pos = e.select("label", F.posexplode(F.col("v")).alias("pos", "x"))
     cent = (
