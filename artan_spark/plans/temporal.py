@@ -176,6 +176,79 @@ FROM events p JOIN events e
 """
 
 
+SESSION_GAP = "30 minutes"
+
+
+def sessionize(df: DataFrame, on: str, by: str | list[str], gap: str = SESSION_GAP):
+    """Group rows into per-key activity sessions: maximal runs where
+    consecutive rows are within ``gap`` of each other (inclusive — a row at
+    exactly ``prev + gap`` still merges, matching Spark's
+    ``session_window`` semantics, pinned by test_temporal.py).
+
+    Returns the grouped object (``groupBy(by..., session_window)``) so the
+    caller picks the aggregates. Works identically on batch and streaming
+    input — in streaming, add a watermark on ``on`` first and Spark keeps
+    one open-session state per key, merged/evicted by the watermark: the
+    canonical sessionization operator of an events pipeline.
+
+    Scale shape: ONE hash exchange on the ``by`` key + per-partition sort
+    (the same cost as any keyed window), then sessions merge locally.
+    No self-join, no cross product; skewed users salt like any keyed agg.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*by_cols, F.session_window(F.col(on), gap))
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions (30-min inactivity gap): start/end, event
+    count, summed value. The session end is ``last event + gap`` (Spark's
+    session_window contract; the oracle mirrors it)."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        sessionize(e, on="ts", by="user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# gaps-and-islands: a session break iff the gap to the previous event is
+# STRICTLY greater than 30 minutes (Spark merges at exactly the boundary);
+# event_id in both ORDER BYs keeps lag() and the running sum on one
+# deterministic tie order
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
@@ -183,4 +256,9 @@ QUERIES = {
 ORACLES = {
     "events_asof_join": _ASOF_SQL,
     "events_range_join": _RANGE_SQL,
+}
+# registry is at the driver's 50-entry cap - sessionization keeps a
+# pytest-side oracle (tests/test_oracle.py) like the other beyond-cap ops
+PYTEST_ORACLES = {
+    "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
 }

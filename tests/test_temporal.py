@@ -143,3 +143,100 @@ def test_poisson_sample_floor_matches_oracle_on_negatives(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_sessionize_gap_boundary_merges(spark):
+    """An event at exactly prev + gap merges into the session (Spark's
+    session_window contract); strictly past it starts a new one. The
+    DuckDB oracle (strict > break) must agree on the same rows."""
+    import duckdb
+    import pandas as pd
+
+    from artan_spark.plans.temporal import _SESSIONIZE_SQL, events_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, 1.0, "view"),
+        (2, 1, t0 + dt.timedelta(minutes=30), 2.0, "view"),   # boundary: merges
+        (3, 1, t0 + dt.timedelta(minutes=90), 4.0, "view"),   # 60m after -> new
+        (4, 2, t0, 8.0, "view"),
+        (5, 2, t0 + dt.timedelta(minutes=30, seconds=1), 16.0, "view"),  # splits
+    ]
+    cols = ["event_id", "user_id", "ts", "value", "event_type"]
+    pdf = pd.DataFrame(rows, columns=cols)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as sf:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(sf + "/events.parquet")
+        got = (
+            events_sessionize(spark, sf)
+            .orderBy("user_id", "session_start")
+            .toPandas()
+        )
+    assert list(got["n_events"]) == [2, 1, 1, 1]
+    assert got.loc[0, "session_end"] == t0 + dt.timedelta(hours=1)
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.execute(
+        _SESSIONIZE_SQL + " ORDER BY user_id, session_start"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n_events", "session_value"]],
+        want[["user_id", "session_start", "session_end", "n_events", "session_value"]],
+        check_dtype=False,
+    )
+
+
+def test_sessionize_batch_equals_stream(spark):
+    """Streamed sessionization (watermark + append mode) emits exactly the
+    batch sessions once the watermark passes them: replay the events table
+    in ts order with a far-future flush sentinel, compare row-for-row."""
+    import pandas as pd
+
+    from artan_spark.plans.temporal import sessionize
+    from artan_spark.sources import read_table
+    from artan_spark.streaming.harness import stream_transform
+
+    e = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+        .limit(400)
+    )
+    flush = spark.createDataFrame(
+        [(999_999, dt.datetime(2030, 1, 1), 0.0)], "user_id long, ts timestamp, value double"
+    )
+
+    def agg(df):
+        return (
+            sessionize(df, on="ts", by="user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        )
+
+    batch = agg(e).toPandas()
+
+    feed = e.unionByName(flush)  # sentinel is the LAST chunk: ts-ordered feed
+    streamed = stream_transform(
+        spark,
+        feed,
+        lambda s: agg(s.withWatermark("ts", "0 seconds")),
+        chunk_rows=50,
+    ).toPandas()
+    streamed = streamed[streamed.user_id != 999_999]
+
+    key = ["user_id", "session_start"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s[b.columns], check_dtype=False)
