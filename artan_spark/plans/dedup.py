@@ -281,10 +281,28 @@ def dedup_ngram_jaccard(
       acceptable. The exact modes above make it unnecessary by default.
 
     MinHash-LSH above is the probabilistic sub-quadratic path either way.
+
+    Plan shape: the per-doc shingle SET table is materialized ONCE
+    (one scan + one shuffle, localCheckpoint — the driver-loop pattern
+    dedup_clusters already uses) and every downstream consumer — sizes,
+    the hot-shingle probe, the inverted index, document frequencies, the
+    exact recount — derives from it NARROWLY. The naive formulation
+    re-scanned the documents parquet and re-ran the explode+distinct
+    shuffle 4x per invocation (measured: no exchange reuse across the
+    self-join/sizes/docsets subtrees); at 100 TB those are 4 full corpus
+    passes the checkpoint removes, at the cost of storing the shingle
+    table once across executors (the same bytes one shuffle writes).
     """
     from pyspark.sql import Window
 
-    sh = _shingles(spark, sf_dir)
+    docsets = (
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+        .localCheckpoint()
+    )
+    sh = docsets.select("doc_id", F.explode("sset").alias("shingle"))
+    sizes = docsets.select("doc_id", F.size("sset").alias("n"))
     if df_cap == "auto":
         # probe a deterministic ~10% doc sample: a genuinely hot shingle
         # (df > cap, the df^2 blowup risk) shows up in the sample with df
@@ -303,7 +321,6 @@ def dedup_ngram_jaccard(
             .count()
         )
         df_cap = "prefix" if hot_exists else None
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     if df_cap is None:
         inter = (
@@ -337,7 +354,6 @@ def dedup_ngram_jaccard(
         # per-doc shingle ARRAYS to the candidate list and intersect in-row
         # (array_intersect) — a shingle-level equi-join here would re-explode
         # the pair space the prefix/cap just bounded
-        docsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
         inter = (
             cand.join(docsets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
             .join(docsets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
