@@ -260,6 +260,78 @@ FROM o
 """
 
 
+BUDGET_FRAC = 0.5  # corpus-mixing token budget: half the corpus volume
+
+
+def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: rebalance the corpus toward EQUAL token
+    volume per language under a global budget of ``BUDGET_FRAC`` of all
+    tokens — the sampling step of a training-data mixture recipe
+    (down-weight over-represented languages, keep scarce ones whole).
+
+    Per-language acceptance rate ``r_l = min(1, budget_share / tokens_l)``
+    where ``budget_share = BUDGET_FRAC * total_tokens / n_langs``; a doc is
+    kept iff its hash-uniform ``u < r_l`` — deterministic doc-level
+    Bernoulli, so the kept set is a pure function of the data (no RNG) and
+    the kept token volume matches the target in expectation. Languages
+    below their share keep rate 1 (never upsampled).
+
+    Scale shape: one hash agg for the per-lang token totals (a few rows,
+    broadcast back), then a stateless filter projection — no shuffle of
+    the corpus itself, which is exactly how a 100-TB mixing job should
+    look. Output is the per-lang yield report (rate, kept docs/tokens).
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    totals = d.groupBy("lang").agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
+    w = Window.partitionBy()
+    rates = totals.select(
+        "lang",
+        "lang_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(BUDGET_FRAC)
+            * F.sum("lang_tokens").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+            / F.col("lang_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_TWO60)
+    kept = d.join(F.broadcast(rates), "lang").filter(u < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
+_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+t AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM d GROUP BY lang),
+r AS (
+  SELECT lang, lang_tokens,
+         LEAST(1.0, {BUDGET_FRAC} * (SUM(lang_tokens) OVER ()) / (COUNT(*) OVER ())
+                      / CAST(lang_tokens AS DOUBLE)) AS rate
+  FROM t
+)
+SELECT d.lang,
+       ROUND(MIN(r.rate), 6) AS rate,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_kept
+FROM d JOIN r ON d.lang = r.lang
+WHERE (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        / {_TWO60_SQL} < r.rate
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_stratified_sample": docs_stratified_sample,
@@ -272,7 +344,8 @@ ORACLES = {
     "docs_weighted_sample": _WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
 }
-# registry is at the driver's 50-entry cap; packing keeps a pytest oracle
+# registry is at the driver's 50-entry cap; these keep pytest oracles
 PYTEST_ORACLES = {
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
+    "docs_mix_sample": (docs_mix_sample, _MIX_SQL),
 }

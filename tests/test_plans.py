@@ -418,3 +418,33 @@ def test_skew_safe_join_spreads_hot_key(spark):
 
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt__" in p for p in parts), parts
+
+
+def test_mix_sample_budget_semantics(spark):
+    """Corpus mixing: over-represented languages get rate < 1, languages at
+    or below their equal share keep rate 1 (never upsampled), and the kept
+    token volume lands near the budget in expectation."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.sampling import BUDGET_FRAC, docs_mix_sample
+    from artan_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.01"
+    d = read_table(spark, sf, "documents").select(
+        "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    totals = {r["lang"]: r["t"] for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    total = sum(totals.values())
+    share = BUDGET_FRAC * total / len(totals)
+
+    out = {r["lang"]: r.asDict() for r in docs_mix_sample(spark, sf).collect()}
+    for lang, row in out.items():
+        if totals[lang] > share:
+            assert row["rate"] < 1.0
+            # kept volume ~ equal share (doc-level Bernoulli: tolerate 30%)
+            assert abs(row["n_tokens_kept"] - share) / share < 0.3
+        else:
+            assert row["rate"] == 1.0
+            assert row["n_tokens_kept"] == totals[lang]
+    kept_total = sum(r["n_tokens_kept"] for r in out.values())
+    assert kept_total <= total
