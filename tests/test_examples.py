@@ -28,6 +28,7 @@ import examples.corpus_pipeline as corpus
 import examples.heavy_hitters_rate_source as hh
 import examples.multimodal_pipeline as mm
 import examples.streaming_asof as asof
+import examples.sessionize_rate_source as sess
 import examples.ukf_rate_source_glm_log as ukf
 
 for name, mod, args in [
@@ -40,6 +41,7 @@ for name, mod, args in [
     ("lkf_stream_batch_init", sbi, (4, 50, 6)),
     ("mmae_rate_source_ols", mmae, (4, 50, 8)),
     ("streaming_asof", asof, (2, 50, 6)),
+    ("sessionize_rate_source", sess, (50, 6)),
     ("corpus_pipeline", corpus, ()),
     ("multimodal_pipeline", mm, ()),
     ("heavy_hitters_rate_source", hh, (100, 6)),
