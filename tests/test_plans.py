@@ -448,3 +448,17 @@ def test_mix_sample_budget_semantics(spark):
             assert row["n_tokens_kept"] == totals[lang]
     kept_total = sum(r["n_tokens_kept"] for r in out.values())
     assert kept_total <= total
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization is one hash exchange on the key (+ the session-window
+    sort/merge) — no self-join, no extra corpus shuffle."""
+    from artan_spark.plans.temporal import events_sessionize
+
+    plan = (
+        events_sessionize(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
