@@ -93,3 +93,42 @@ def test_sorted_sink_yields_prunable_row_groups(spark, tmp_path):
 
     # semantics unchanged: same rows back
     assert spark.read.parquet(sorted_dir).count() == e.count()
+
+
+def test_bucketed_stateful_fold_no_exchange(spark):
+    """A key-bucketed table feeds the stateful fold SHUFFLE-FREE: the
+    FlatMapGroupsInPandas distribution requirement is satisfied by the
+    storage bucketing, so model-parallel estimation over pre-bucketed
+    event storage scans straight into the fold (the 100-TB layout: bucket
+    the fact table by model key once, run every filter pass exchange-free).
+    Output must equal the plain (shuffled) fold row-for-row."""
+    import numpy as np
+
+    from artan_spark.operators import LinearKalmanFilter
+
+    e = read_table(spark, SF_DIR, "events").select(
+        (F.col("user_id") % 8).cast("string").alias("key"),
+        "ts",
+        F.array("value").alias("measurement"),
+    )
+    write_bucketed_table(e, "t_ev_fold_bucketed", bucket_by="key", n_buckets=4)
+    try:
+        lkf = (
+            LinearKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setEventTimeCol("ts")
+            .setProcessNoise(np.array([[0.1]]))
+            .setMeasurementNoise(np.array([[1.0]]))
+        )
+        bucketed = lkf.transform(spark.table("t_ev_fold_bucketed"))
+        plan = _plan(bucketed)
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+
+        plain = lkf.transform(e)
+        key = ["stateKey", "stateIndex"]
+        b = bucketed.select("stateKey", "stateIndex", "state.mean").orderBy(*key).collect()
+        p = plain.select("stateKey", "stateIndex", "state.mean").orderBy(*key).collect()
+        assert b == p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_fold_bucketed")
