@@ -243,6 +243,124 @@ WHERE rank <= {HH_K}
 """
 
 
+QS_CAPACITY = 4096  # summary points per (partition, group); >= partition-group rows at test SFs -> exact
+QS_QUANTILES = (0.25, 0.5, 0.9)
+
+
+def events_quantile_sketch(
+    spark: SparkSession, sf_dir: str, capacity: int = QS_CAPACITY, quantiles=QS_QUANTILES
+) -> DataFrame:
+    """Per-event-type quantiles of ``value`` from a bounded-memory mergeable
+    summary — the quantile member of the sketch family (KMV/HLL count
+    distinct, Misra-Gries counts heavy keys, this ranks): a full sort at
+    100 TB is a global shuffle; the summary shuffles ≤ ``capacity`` weighted
+    points per (partition, group).
+
+    Per partition+group, ``mapInPandas`` folds Arrow batches into at most
+    ``4*capacity`` (value, weight) points, compacting by CUM-PRESERVING
+    sampling: kept points' cumulative weights equal their ORIGINAL
+    cumulative weights, so each kept point's upper rank inside its
+    partition stays EXACT through any number of compaction rounds, and the
+    only uncertainty is the gap to the previous kept point. The global
+    estimate for quantile q is the first merged point whose cumulative
+    weight reaches ``ceil(q*n)``; its true rank is off by at most
+    ``err_bound = Σ_p (max_gap_p - 1)`` — a deterministic certificate
+    carried in the output, same contract as the Misra-Gries sketch above.
+
+    With ``capacity`` >= partition rows nothing compacts, every gap is 1,
+    ``err_bound`` is 0 and the output is the exact rank-``ceil(q*n)``
+    element — what the pytest oracle checks at the test scale factors; the
+    bounded-capacity certificate is property-tested separately.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def compress(vals, wts):
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = int(cum[-1])
+        step = -(-total // capacity)
+        targets = np.append(np.arange(step, total, step), total)
+        idx = np.unique(np.searchsorted(cum, targets, side="left"))
+        new_cum = cum[idx]
+        return vals[idx], np.diff(np.concatenate(([0], new_cum)))
+
+    def summarize(batches):
+        store: dict = {}
+        for pdf in batches:
+            for et, grp in pdf.groupby("event_type"):
+                v = grp["value"].to_numpy(dtype=float)
+                w = np.ones(len(v), dtype=np.int64)
+                if et in store:
+                    v = np.concatenate([store[et][0], v])
+                    w = np.concatenate([store[et][1], w])
+                if len(v) > 4 * capacity:
+                    v, w = compress(v, w)
+                store[et] = (v, w)
+        pid = TaskContext.get().partitionId()
+        frames = []
+        for et, (v, w) in store.items():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "event_type": et,
+                        "value": v,
+                        "weight": w,
+                        "gap": int(w.max()),
+                    }
+                )
+            )
+        empty = pd.DataFrame(
+            {"pid": [], "event_type": [], "value": [], "weight": [], "gap": []}
+        ).astype({"pid": "int64", "event_type": "object", "value": "float64", "weight": "int64", "gap": "int64"})
+        yield pd.concat(frames) if frames else empty
+
+    ev = read_table(spark, sf_dir, "events")
+    summ = ev.select("event_type", "value").mapInPandas(
+        summarize, "pid int, event_type string, value double, weight long, gap long"
+    )
+    n = summ.groupBy("event_type").agg(F.sum("weight").alias("n"))
+    err = (
+        summ.select("pid", "event_type", "gap")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.sum(F.col("gap") - 1).cast("long").alias("err_bound"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = summ.withColumn("cum", F.sum("weight").over(wc))
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    return (
+        cum.join(F.broadcast(qs))
+        .join(F.broadcast(n), "event_type")
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q")
+        .agg(F.min("value").alias("est"))
+        .join(F.broadcast(err), "event_type")
+        .select("event_type", "q", "est", "err_bound")
+    )
+
+
+_QS_SQL = f"""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in QS_QUANTILES)}]) AS q)
+SELECT r.event_type, qs.q AS q, MIN(r.value) AS est, CAST(0 AS BIGINT) AS err_bound
+FROM r JOIN qs ON r.rn >= CEIL(qs.q * r.n)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {"events_kmv_distinct": events_kmv_distinct}
 ORACLES = {"events_kmv_distinct": _KMV_SQL}
 
@@ -252,4 +370,5 @@ ORACLES = {"events_kmv_distinct": _KMV_SQL}
 PYTEST_ORACLES = {
     "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
     "events_heavy_hitters": (events_heavy_hitters, _HH_SQL),
+    "events_quantile_sketch": (events_quantile_sketch, _QS_SQL),
 }

@@ -142,3 +142,33 @@ def test_pack_sequences_invariants(spark):
             span_end = r.start_off + r.n_tokens - 1
             assert r.n_seqs == span_end // 256 - r.seq_id + 1
             expect_off += r.n_tokens
+
+
+def test_quantile_sketch_certificate_under_compaction(spark):
+    """Bounded-capacity quantile summary: the reported value's true rank is
+    within err_bound of the target rank, and the bound is non-trivial
+    (< group size). Cum-preserving compaction keeps upper ranks exact, so
+    the certificate is Σ_p (max_gap_p - 1)."""
+    import bisect
+    import math
+
+    from artan_spark.plans.sketch import events_quantile_sketch
+    from artan_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.01"
+    out = events_quantile_sketch(spark, sf, capacity=8).collect()
+    ev = (
+        read_table(spark, sf, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    assert len(out) == 15  # 5 types x 3 quantiles
+    for row in out:
+        vals = sorted(ev[ev.event_type == row.event_type].value)
+        n = len(vals)
+        r = math.ceil(row.q * n)
+        lo = bisect.bisect_left(vals, row.est) + 1
+        hi = bisect.bisect_right(vals, row.est)
+        dist = 0 if lo <= r <= hi else min(abs(r - lo), abs(r - hi))
+        assert dist <= row.err_bound, (row, dist)
+        assert 0 < row.err_bound < n
