@@ -172,3 +172,74 @@ def test_quantile_sketch_certificate_under_compaction(spark):
         dist = 0 if lo <= r <= hi else min(abs(r - lo), abs(r - hi))
         assert dist <= row.err_bound, (row, dist)
         assert 0 < row.err_bound < n
+
+
+def test_streaming_quantiles_batch_equals_stream(spark):
+    """At full capacity nothing compacts, so ANY chunking of the stream
+    must converge to the same final snapshot as one batch fold — and the
+    snapshot is the exact rank-ceil(q*n) element with a zero certificate."""
+    import math
+
+    from artan_spark.streaming import StreamingQuantiles, stream_transform
+
+    ev = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select(F.col("event_type").alias("grp"), "value")
+    )
+    op = (
+        StreamingQuantiles().setStateKeyCol("grp").setValueCol("value").setCapacity(4096)
+    )
+
+    def final(rows):
+        last = {}
+        for r in rows:
+            key = (r.stateKey, r.q)
+            if key not in last or r.seq > last[key].seq:
+                last[key] = r
+        return {k: (v.est, v.n, v.err_bound) for k, v in last.items()}
+
+    batch = final(op.transform(ev).collect())
+    streamed = final(stream_transform(spark, ev, op.transform, chunk_rows=137).collect())
+    assert streamed == batch
+
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r.grp, []).append(r.value)
+    for (grp, q), (est, n, err) in batch.items():
+        sv = sorted(vals[grp])
+        assert err == 0 and n == len(sv)
+        assert est == sv[math.ceil(q * n) - 1]
+
+
+def test_streaming_quantiles_certificate_under_compaction(spark):
+    """capacity far below the per-key row count: the reported value's true
+    rank stays within err_bound of the target."""
+    import bisect
+    import math
+
+    from artan_spark.streaming import StreamingQuantiles
+
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select(F.col("event_type").alias("grp"), "value")
+    )
+    op = StreamingQuantiles().setStateKeyCol("grp").setValueCol("value").setCapacity(8)
+    rows = op.transform(ev).collect()
+    last = {}
+    for r in rows:
+        key = (r.stateKey, r.q)
+        if key not in last or r.seq > last[key].seq:
+            last[key] = r
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r.grp, []).append(r.value)
+    assert any(v.err_bound > 0 for v in last.values())
+    for (grp, q), v in last.items():
+        sv = sorted(vals[grp])
+        n = len(sv)
+        assert v.n == n
+        r_target = math.ceil(q * n)
+        lo = bisect.bisect_left(sv, v.est) + 1
+        hi = bisect.bisect_right(sv, v.est)
+        dist = 0 if lo <= r_target <= hi else min(abs(r_target - lo), abs(r_target - hi))
+        assert dist <= v.err_bound, (grp, q, dist, v.err_bound)
