@@ -243,3 +243,26 @@ def test_streaming_quantiles_certificate_under_compaction(spark):
         hi = bisect.bisect_right(sv, v.est)
         dist = 0 if lo <= r_target <= hi else min(abs(r_target - lo), abs(r_target - hi))
         assert dist <= v.err_bound, (grp, q, dist, v.err_bound)
+
+
+def test_sketch_operator_persistence_roundtrip(tmp_path):
+    from artan_spark.streaming import StreamingHeavyHitters, StreamingQuantiles
+
+    op1 = StreamingHeavyHitters().setStateKeyCol("grp").setItemCol("u").setCapacity(64).setK(3)
+    op1.save(str(tmp_path / "hh"))
+    l1 = StreamingHeavyHitters.load(str(tmp_path / "hh"))
+    for k in ("stateKeyCol", "itemCol", "capacity", "k"):
+        assert l1.get(k) == op1.get(k)
+
+    op2 = (
+        StreamingQuantiles()
+        .setStateKeyCol("grp")
+        .setValueCol("v")
+        .setCapacity(128)
+        .setQuantiles([0.1, 0.99])
+    )
+    op2.save(str(tmp_path / "qs"))
+    l2 = StreamingQuantiles.load(str(tmp_path / "qs"))
+    # JSON persistence lists the tuple; _constants() re-tuples it
+    assert tuple(l2.get("quantiles")) == (0.1, 0.99)
+    assert l2.get("capacity") == 128
