@@ -266,3 +266,52 @@ def test_sketch_operator_persistence_roundtrip(tmp_path):
     # JSON persistence lists the tuple; _constants() re-tuples it
     assert tuple(l2.get("quantiles")) == (0.1, 0.99)
     assert l2.get("capacity") == 128
+
+
+def test_streaming_quantiles_idle_key_state_evicts(spark):
+    """Unbounded key spaces need evictable sketch state: with an event-time
+    timeout, a key idle past the watermark horizon restarts its summary
+    from empty (n resets), while without a timeout the summary keeps
+    accumulating across the idle gap."""
+    import pandas as pd
+
+    from artan_spark.streaming import StreamingQuantiles, stream_transform
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("a", 0, 1.0),
+        ("a", 10, 2.0),
+        ("b", 180, 9.0),   # other-key traffic advances the watermark
+        ("a", 210, 3.0),   # 3h20 after key a's last row
+    ]
+    df = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(minutes=m)).to_pydatetime(), v) for k, m, v in rows],
+        "key string, ts timestamp, value double",
+    )
+
+    def run(timeout):
+        op = (
+            StreamingQuantiles()
+            .setStateKeyCol("key")
+            .setEventTimeCol("ts")
+            .setWatermarkDuration("1 hour")
+            .setQuantiles([0.5])
+        )
+        if timeout:
+            op = op.setStateTimeoutMode("event")
+        out = stream_transform(spark, df, op.transform, chunk_rows=1).collect()
+        # (n, est) emissions per key; seq restarts with the state, so
+        # existence checks, not a max-seq snapshot
+        return {r.stateKey: set() for r in out} | {
+            k: {(r.n, r.est) for r in out if r.stateKey == k}
+            for k in {r.stateKey for r in out}
+        }
+
+    full = run(False)
+    # no timeout: key a's third row folds into the same summary (n=3)
+    assert (3, 2.0) in full["a"]
+
+    bounded = run(True)
+    # idle 3h20 > 1h horizon: the summary restarted from empty (n=1, est=3.0)
+    assert (1, 3.0) in bounded["a"]
+    assert not any(n == 3 for n, _ in bounded["a"])

@@ -186,3 +186,31 @@ def test_sniffer_identifies_every_encoder_output(seed):
     assert detect_media_type(encode_bmp(gray)) == "image/bmp"
     assert detect_media_type(encode_pnm(gray)) == "image/x-portable-graymap"
     assert detect_media_type(encode_y4m([gray])) == "video/x-yuv4mpeg"
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 400), st.integers(2, 32))
+@settings(max_examples=40, deadline=None)
+def test_quantile_compress_preserves_upper_ranks(seed, n, capacity):
+    """Cum-preserving compaction invariants: total weight preserved, at most
+    ~capacity points kept, and every kept point's cumulative weight equals
+    its ORIGINAL cumulative weight (exact upper rank survives compaction —
+    the property the rank-error certificate rests on)."""
+    from artan_spark.streaming.quantiles import _compress
+
+    rng = np.random.RandomState(seed)
+    vals = rng.normal(0, 10, n)
+    wts = rng.randint(1, 5, n).astype(np.int64)
+
+    order = np.argsort(vals, kind="mergesort")
+    sv, sw = vals[order], wts[order]
+    orig_cum_by_value = dict(zip(sv, np.cumsum(sw)))
+
+    cv, cw = _compress(vals, wts, capacity)
+    assert cw.sum() == wts.sum()
+    assert len(cv) <= capacity + 1
+    assert np.all(np.diff(cv) >= 0)
+    cum = np.cumsum(cw)
+    for v, c in zip(cv, cum):
+        assert orig_cum_by_value[v] == c
+    # the last point is the maximum (q=1.0 stays exact)
+    assert cv[-1] == sv[-1]
