@@ -478,7 +478,46 @@ WHERE rank <= {TFIDF_TOP_K}
 # driver correctness harness checks a bounded number of registry entries);
 # still oracle-checked individually by pytest (tests/test_oracle.py).
 # docs_tfidf_topterms is an extra beyond the registry's 50-entry cap.
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-doc mean log-probability of
+    its tokens under the corpus's own unigram distribution — the classic
+    LM-based quality filter (low scores = rare-token noise / gibberish;
+    high = stopword soup), next to perplexity's log.
+
+    Scale shape: the unigram table is VOCABULARY-sized, so the scoring join
+    broadcasts it against the token stream — one corpus-frequency aggregate
+    + one broadcast join, no corpus self-shuffle. Both engines compute
+    ``ln(c/N)`` on identical (long, long) operands; the 6dp rounding
+    absorbs any last-ulp libm drift (same contract as the HLL oracle).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+_UNIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT SUM(c) AS n_total FROM f)
+SELECT doc_id,
+       ROUND(AVG(ln(c / n_total)), 6) AS avg_logprob,
+       COUNT(*) AS n_tokens
+FROM t JOIN f USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 PYTEST_ORACLES = {
+    "text_unigram_logprob": (text_unigram_logprob, _UNIGRAM_SQL),
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),
     "text_bpe_tokens": (text_bpe_tokens, _BPE_SQL),
     "text_fingerprint": (text_fingerprint, _FINGERPRINT_SQL),
