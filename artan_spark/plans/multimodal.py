@@ -583,3 +583,155 @@ GROUP BY media_type
 
 QUERIES = {"multimodal_features": multimodal_features}
 ORACLES = {"multimodal_features": _MULTIMODAL_SQL}
+
+
+# -- image perceptual-hash near-dup ------------------------------------------
+
+DHASH_BANDS = 8  # 8 bands x 8 bits over the 64-bit dHash
+DHASH_BAND_BITS = 8
+DHASH_HAMMING = 6  # exact by pigeonhole: 8 bands > 6 bit flips
+
+
+def _bmp_gray(payload: bytes):
+    """Grayscale pixel array from an uncompressed BI_RGB BMP (per-pixel
+    channel mean — the same intensity `_bmp_features` reports the mean of)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported by the built-in parser")
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError("compressed BMP needs a codec library")
+    abs_h = abs(h)
+    bytes_per_px = bpp // 8
+    row_size = (w * bytes_per_px + 3) & ~3
+    pix = payload[data_offset : data_offset + row_size * abs_h]
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(abs_h, row_size)[:, : w * bytes_per_px]
+    arr = arr.reshape(abs_h, w, bytes_per_px).astype(np.float64)
+    gray = arr[:, :, : min(3, bytes_per_px)].mean(axis=2)
+    if struct.unpack("<i", payload[22:26])[0] > 0:
+        gray = gray[::-1]  # bottom-up rows -> top-down
+    return gray
+
+
+def _pnm_gray(payload: bytes):
+    """Grayscale pixel array from a binary P5/P6 netpbm payload."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            pos = payload.find(b"\n", pos) + 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end] not in b" \t\r\n":
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not supported")
+    pos += 1
+    n_chan = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload[pos : pos + w * h * n_chan], dtype=np.uint8)
+    return raster.astype(np.float64).reshape(h, w, n_chan).mean(axis=2)
+
+
+_GRAY_DECODERS = {
+    "image/bmp": _bmp_gray,
+    "image/x-portable-graymap": _pnm_gray,
+    "image/x-portable-pixmap": _pnm_gray,
+}
+
+
+def image_dhash(gray, hash_size: int = 8) -> int:
+    """64-bit difference hash: block-mean downsample to
+    (hash_size, hash_size+1), bit = left pixel brighter than its right
+    neighbor. Deterministic pure numpy (block means via reduceat), robust
+    to small pixel noise and codec round-trips — the standard cheap
+    perceptual fingerprint for image near-dup detection."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    if h < hash_size or w < hash_size + 1:
+        raise ValueError(f"image too small for a {hash_size}-bit-row dHash")
+    rb = (np.arange(hash_size) * h) // hash_size
+    cb = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+    small = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
+    small = small / counts
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
+    """Image near-duplicate PAIRS over (doc_id, media_type, payload) rows:
+    decode -> 64-bit dHash (mapInPandas, the only Python step) -> banded
+    blocking -> exact ``bit_count(xor)`` refine — the SimHash pair-join
+    pattern (plans/dedup.py) applied to pixels instead of shingles. With 8
+    bands of 8 bits any pair within hamming ``max_hamming`` <= 7 shares a
+    band by pigeonhole, so candidates come from an EQUI-join on
+    (band, band_val): sub-quadratic, no all-pairs scan, and at 100 TB the
+    join work tracks per-band bucket sizes exactly like text SimHash."""
+    import numpy as np
+
+    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                dec = _GRAY_DECODERS.get(mtype)
+                if dec is None:
+                    raise NotImplementedError(f"no built-in grayscale decoder for {mtype!r}")
+                ids.append(int(doc_id))
+                hv = image_dhash(dec(bytes(payload)))
+                # wrap to signed 64-bit for the long column (bit 63 set)
+                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    hashed = media.mapInPandas(hash_rows, "doc_id long, dhash long")
+    bands = hashed.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        # unsigned shift + mask: dhash is a signed 64-bit container, so an
+        # arithmetic shift would smear the sign bit across high bands
+        "band_val",
+        F.expr(
+            f"shiftrightunsigned(dhash, band * {DHASH_BAND_BITS}) & {(1 << DHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -264,3 +264,61 @@ def test_media_type_sniffing(spark):
     )
     rows = {r.doc_id: r for r in feats.collect()}
     assert rows[1].n_units == 2 and rows[2].width == 2 and rows[5].n_units == 1
+
+
+def test_image_dhash_codec_invariance_and_noise_robustness():
+    """The perceptual hash is a function of the PIXELS: identical images
+    through BMP and PGM round-trips hash identically, and a few-pixel
+    perturbation moves the hash by at most a few bits while an independent
+    image is far away."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import (
+        _bmp_gray,
+        _pnm_gray,
+        encode_bmp,
+        encode_pnm,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+
+    h_bmp = image_dhash(_bmp_gray(encode_bmp(img)))
+    h_pgm = image_dhash(_pnm_gray(encode_pnm(img)))
+    assert h_bmp == h_pgm
+
+    noisy = img.copy()
+    noisy[5, 7] = 255 - noisy[5, 7]
+    noisy[20, 13] = 255 - noisy[20, 13]
+    h_noisy = image_dhash(_pnm_gray(encode_pnm(noisy)))
+    assert bin(h_bmp ^ h_noisy).count("1") <= 6
+
+    other = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    h_other = image_dhash(_pnm_gray(encode_pnm(other)))
+    assert bin(h_bmp ^ h_other).count("1") > 6
+
+
+def test_image_near_dup_pairs_banded_join(spark):
+    """End-to-end image near-dup: a noisy copy pairs with its original via
+    the banded hamming join (exact by pigeonhole at <= 6 flips), an
+    unrelated image does not, and mixed codecs (BMP vs PGM) interoperate."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import encode_bmp, encode_pnm, image_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    noisy = base.copy()
+    noisy[3, 4] = 255 - noisy[3, 4]
+    other = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(base))),
+        (2, "image/x-portable-graymap", bytearray(encode_pnm(noisy))),
+        (3, "image/bmp", bytearray(encode_bmp(other))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
