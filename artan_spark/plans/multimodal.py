@@ -229,38 +229,13 @@ def encode_bmp(pixels) -> bytes:
 
 
 def _bmp_features(doc_id: int, payload: bytes) -> tuple:
-    """REAL BMP parse (BITMAPINFOHEADER, uncompressed BI_RGB, 8/24/32 bpp).
-
-    Pure struct/numpy: honors the pixel-data offset, 4-byte row padding,
-    and negative (top-down) heights. Intensity = mean over B,G,R channels
-    (alpha ignored at 32 bpp; palette index taken as intensity at 8 bpp —
-    correct for grayscale palettes). Features: (width, height, n_pixels,
-    mean intensity).
-    """
-    import numpy as np
-
-    if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    data_offset = struct.unpack("<I", payload[10:14])[0]
-    hdr_size = struct.unpack("<I", payload[14:18])[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported by the built-in parser")
-    w, h = struct.unpack("<ii", payload[18:26])
-    bpp = struct.unpack("<H", payload[28:30])[0]
-    compression = struct.unpack("<I", payload[30:34])[0]
-    if compression != 0 or bpp not in (8, 24, 32):
-        raise NotImplementedError(
-            f"compressed or {bpp}-bpp BMP needs a codec library (only BI_RGB 8/24/32 built in)"
-        )
-    abs_h = abs(h)
-    bytes_per_px = bpp // 8
-    row_size = (w * bytes_per_px + 3) & ~3
-    pix = payload[data_offset : data_offset + row_size * abs_h]
-    arr = np.frombuffer(pix, dtype=np.uint8).reshape(abs_h, row_size)[:, : w * bytes_per_px]
-    arr = arr.reshape(abs_h, w, bytes_per_px).astype(np.float64)
-    chans = arr[:, :, : min(3, bytes_per_px)]  # B,G,R; drop alpha; 8bpp = index
-    mean_i = float(chans.mean(axis=2).mean()) if w and abs_h else 0.0
-    return (int(w), int(abs_h), int(w * abs_h), round(mean_i, 6))
+    """REAL BMP parse (BITMAPINFOHEADER, uncompressed BI_RGB, 8/24/32 bpp):
+    decode to grayscale (``_bmp_gray`` below — per-pixel channel mean) and
+    report (width, height, n_pixels, mean intensity)."""
+    gray = _bmp_gray(payload)
+    h, w = gray.shape
+    mean_i = float(gray.mean()) if gray.size else 0.0
+    return (int(w), int(h), int(w * h), round(mean_i, 6))
 
 
 def encode_y4m(frames, fps=(30, 1), colorspace: str = "C420jpeg") -> bytes:
@@ -365,43 +340,13 @@ def encode_pnm(pixels, ppm: bool = False) -> bytes:
 
 
 def _pnm_features(doc_id: int, payload: bytes) -> tuple:
-    """REAL netpbm parse (binary P5/P6, the format PGM/PPM tools emit).
-
-    Header is whitespace-separated ASCII tokens (``#`` comments honored, as
-    the spec requires): magic, width, height, maxval; then one raster of
-    1 (P5) or 3 (P6) bytes per pixel for maxval <= 255. Features: (width,
-    height, n_pixels, mean intensity) — P6 averages the R,G,B channels,
-    mirroring the BMP extractor.
-    """
-    import numpy as np
-
-    magic = payload[:2]
-    if magic not in (b"P5", b"P6"):
-        raise ValueError("not a binary PGM/PPM payload")
-    # token scan: numbers separated by whitespace; '#' starts a comment
-    tokens, pos = [], 2
-    while len(tokens) < 3 and pos < len(payload):
-        c = payload[pos]
-        if c in b" \t\r\n":
-            pos += 1
-        elif c == ord("#"):
-            pos = payload.find(b"\n", pos) + 1
-        else:
-            end = pos
-            while end < len(payload) and payload[end] not in b" \t\r\n":
-                end += 1
-            tokens.append(int(payload[pos:end]))
-            pos = end
-    w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm rasters not supported by the built-in parser")
-    pos += 1  # exactly one whitespace byte separates maxval from the raster
-    n_chan = 3 if magic == b"P6" else 1
-    raster = np.frombuffer(payload[pos : pos + w * h * n_chan], dtype=np.uint8)
-    if len(raster) < w * h * n_chan:
-        raise ValueError("truncated netpbm raster")
-    arr = raster.astype(np.float64).reshape(h, w, n_chan)
-    mean_i = float(arr.mean(axis=2).mean()) if w and h else 0.0
+    """REAL netpbm parse (binary P5/P6, the format PGM/PPM tools emit):
+    decode to grayscale (``_pnm_gray`` below — P6 averages R,G,B, honoring
+    ``#`` comments in the header) and report (width, height, n_pixels,
+    mean intensity)."""
+    gray = _pnm_gray(payload)
+    h, w = gray.shape
+    mean_i = float(gray.mean()) if gray.size else 0.0
     return (int(w), int(h), int(w * h), round(mean_i, 6))
 
 
@@ -607,15 +552,18 @@ def _bmp_gray(payload: bytes):
     bpp = struct.unpack("<H", payload[28:30])[0]
     compression = struct.unpack("<I", payload[30:34])[0]
     if compression != 0 or bpp not in (8, 24, 32):
-        raise NotImplementedError("compressed BMP needs a codec library")
+        raise NotImplementedError(
+            f"compressed or {bpp}-bpp BMP needs a codec library (only BI_RGB 8/24/32 built in)"
+        )
     abs_h = abs(h)
     bytes_per_px = bpp // 8
     row_size = (w * bytes_per_px + 3) & ~3
     pix = payload[data_offset : data_offset + row_size * abs_h]
     arr = np.frombuffer(pix, dtype=np.uint8).reshape(abs_h, row_size)[:, : w * bytes_per_px]
     arr = arr.reshape(abs_h, w, bytes_per_px).astype(np.float64)
+    # B,G,R channel mean; alpha dropped at 32 bpp; 8 bpp = palette index
     gray = arr[:, :, : min(3, bytes_per_px)].mean(axis=2)
-    if struct.unpack("<i", payload[22:26])[0] > 0:
+    if h > 0:
         gray = gray[::-1]  # bottom-up rows -> top-down
     return gray
 
@@ -643,9 +591,11 @@ def _pnm_gray(payload: bytes):
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm rasters not supported")
-    pos += 1
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
     n_chan = 3 if magic == b"P6" else 1
     raster = np.frombuffer(payload[pos : pos + w * h * n_chan], dtype=np.uint8)
+    if len(raster) < w * h * n_chan:
+        raise ValueError("truncated netpbm raster")
     return raster.astype(np.float64).reshape(h, w, n_chan).mean(axis=2)
 
 
@@ -688,20 +638,27 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     join work tracks per-band bucket sizes exactly like text SimHash."""
     import numpy as np
 
+    if not (0 <= max_hamming < DHASH_BANDS):
+        # the pigeonhole exactness claim needs more bands than bit flips
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banding guarantee "
+            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
+        )
+
     def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                dec = _GRAY_DECODERS.get(mtype)
-                if dec is None:
-                    raise NotImplementedError(f"no built-in grayscale decoder for {mtype!r}")
                 ids.append(int(doc_id))
-                hv = image_dhash(dec(bytes(payload)))
+                hv = image_dhash(_GRAY_DECODERS[mtype](bytes(payload)))
                 # wrap to signed 64-bit for the long column (bit 63 set)
                 hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
-    hashed = media.mapInPandas(hash_rows, "doc_id long, dhash long")
+    # scope to decodable image rows: mixed media tables (audio/video rows
+    # alongside images) are the normal input shape, not an error
+    images = media.filter(F.col("media_type").isin(*_GRAY_DECODERS))
+    hashed = images.mapInPandas(hash_rows, "doc_id long, dhash long")
     bands = hashed.select(
         "doc_id",
         "dhash",

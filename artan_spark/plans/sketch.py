@@ -276,16 +276,10 @@ def events_quantile_sketch(
     import pandas as pd
     from pyspark import TaskContext
 
+    from artan_spark.streaming.quantiles import _compress
+
     def compress(vals, wts):
-        order = np.argsort(vals, kind="mergesort")
-        vals, wts = vals[order], wts[order]
-        cum = np.cumsum(wts)
-        total = int(cum[-1])
-        step = -(-total // capacity)
-        targets = np.append(np.arange(step, total, step), total)
-        idx = np.unique(np.searchsorted(cum, targets, side="left"))
-        new_cum = cum[idx]
-        return vals[idx], np.diff(np.concatenate(([0], new_cum)))
+        return _compress(vals, wts, capacity)
 
     def summarize(batches):
         store: dict = {}
@@ -319,9 +313,12 @@ def events_quantile_sketch(
         yield pd.concat(frames) if frames else empty
 
     ev = read_table(spark, sf_dir, "events")
+    # the summary is tiny (<= 4*capacity points per partition-group) but
+    # feeds three subtrees (totals, error bound, cumulative window) — one
+    # materialization instead of three full summarize passes over the corpus
     summ = ev.select("event_type", "value").mapInPandas(
         summarize, "pid int, event_type string, value double, weight long, gap long"
-    )
+    ).localCheckpoint()
     n = summ.groupBy("event_type").agg(F.sum("weight").alias("n"))
     err = (
         summ.select("pid", "event_type", "gap")

@@ -484,17 +484,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM-based quality filter (low scores = rare-token noise / gibberish;
     high = stopword soup), next to perplexity's log.
 
-    Scale shape: the unigram table is VOCABULARY-sized, so the scoring join
-    broadcasts it against the token stream — one corpus-frequency aggregate
-    + one broadcast join, no corpus self-shuffle. Both engines compute
+    Scale shape: the token stream is materialized once and feeds both the
+    frequency aggregate and the scoring join; the unigram table is
+    vocabulary-sized, so size-based planning broadcasts it when it fits
+    and falls back to a shuffled join when it does not. Both engines compute
     ``ln(c/N)`` on identical (long, long) operands; the 6dp rounding
     absorbs any last-ulp libm drift (same contract as the HLL oracle).
     """
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    # the token stream feeds both the frequency aggregate and the scoring
+    # join: materialize it once (the dedup.py shingle-set pattern) instead
+    # of scanning + re-exploding the corpus twice
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok")).localCheckpoint()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n_total"))
-    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    # no broadcast hint on freq: the vocabulary grows with the corpus, so
+    # leave broadcast-vs-shuffle to size-based planning (q3/q5 precedent)
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
         F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 6).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),

@@ -88,7 +88,10 @@ class StreamingQuantiles(StatefulTransformer):
         return self._set("capacity", int(value))
 
     def setQuantiles(self, value):
-        return self._set("quantiles", tuple(float(q) for q in value))
+        qs = tuple(float(q) for q in value)
+        if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+            raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+        return self._set("quantiles", qs)
 
     def setValueCol(self, value):
         return self._set("valueCol", value)
