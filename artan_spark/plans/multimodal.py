@@ -181,6 +181,13 @@ def _wav_features(doc_id: int, payload: bytes) -> tuple:
     """
     import numpy as np
 
+    samples, n_frames = _pcm_samples(*_wav_chunks(payload))
+    mean_abs = float(np.abs(samples).mean()) if len(samples) else 0.0
+    return (None, None, int(n_frames), round(mean_abs, 6))
+
+
+def _wav_chunks(payload: bytes):
+    """Walk the word-aligned RIFF chunk list; return the fmt/data bodies."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = data = None
@@ -196,6 +203,14 @@ def _wav_features(doc_id: int, payload: bytes) -> tuple:
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
+    return fmt, data
+
+
+def _pcm_samples(fmt: bytes, data: bytes):
+    """Decode a PCM data chunk to centered float64 samples (8-bit unsigned
+    re-centered to -128..127; 16-bit signed LE). Returns (samples, n_frames)."""
+    import numpy as np
+
     audio_format, n_channels, _rate, _brate, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format != 1:
         raise NotImplementedError(f"non-PCM WAV (format tag {audio_format}) needs a codec library")
@@ -207,8 +222,12 @@ def _wav_features(doc_id: int, payload: bytes) -> tuple:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
     else:
         raise NotImplementedError(f"{bits}-bit WAV not supported by the built-in PCM parser")
-    mean_abs = float(np.abs(samples).mean()) if len(samples) else 0.0
-    return (None, None, int(n_frames), round(mean_abs, 6))
+    return samples, n_frames
+
+
+def _wav_samples(payload: bytes):
+    """Centered float64 sample stream from a RIFF/PCM WAV payload."""
+    return _pcm_samples(*_wav_chunks(payload))[0]
 
 
 def encode_bmp(pixels) -> bytes:
@@ -659,16 +678,24 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     # alongside images) are the normal input shape, not an error
     images = media.filter(F.col("media_type").isin(*_GRAY_DECODERS))
     hashed = images.mapInPandas(hash_rows, "doc_id long, dhash long")
+    return _banded_hamming_pairs(hashed, "dhash", max_hamming)
+
+
+def _banded_hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
+    """Sub-quadratic hamming pair join over 64-bit fingerprints: split into
+    DHASH_BANDS bands, equi-join on (band, band_val), refine with exact
+    bit_count(xor). Exact by pigeonhole for max_hamming < DHASH_BANDS
+    (validated by the callers)."""
     bands = hashed.select(
         "doc_id",
-        "dhash",
+        hash_col,
         F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias("band"),
     ).withColumn(
-        # unsigned shift + mask: dhash is a signed 64-bit container, so an
-        # arithmetic shift would smear the sign bit across high bands
+        # unsigned shift + mask: the hash is a signed 64-bit container, so
+        # an arithmetic shift would smear the sign bit across high bands
         "band_val",
         F.expr(
-            f"shiftrightunsigned(dhash, band * {DHASH_BAND_BITS}) & {(1 << DHASH_BAND_BITS) - 1}"
+            f"shiftrightunsigned({hash_col}, band * {DHASH_BAND_BITS}) & {(1 << DHASH_BAND_BITS) - 1}"
         ),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -682,8 +709,8 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
         )
         .distinct()
     )
@@ -692,3 +719,51 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def audio_fingerprint(samples, n_bits: int = 64) -> int:
+    """64-bit audio fingerprint: split the sample stream into ``n_bits+1``
+    equal frames, bit = frame mean-absolute-energy greater than its right
+    neighbor — the energy-delta analogue of the image dHash (a coarse,
+    deterministic cousin of spectral fingerprints, dependency-free).
+    Robust to low-amplitude noise (frame means average it out) and to the
+    encode/decode round-trip."""
+    import numpy as np
+
+    x = np.abs(np.asarray(samples, dtype=np.float64))
+    n = len(x)
+    if n < n_bits + 1:
+        raise ValueError(f"need at least {n_bits + 1} samples for a {n_bits}-bit fingerprint")
+    fb = (np.arange(n_bits + 1) * n) // (n_bits + 1)
+    sums = np.add.reduceat(x, fb)
+    counts = np.diff(np.append(fb, n))
+    e = sums / counts
+    bits = e[:-1] > e[1:]
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
+    """Audio near-duplicate PAIRS over (doc_id, media_type, payload) rows
+    with RIFF/PCM payloads: decode -> energy-delta fingerprint
+    (mapInPandas) -> the same banded hamming equi-join as the image path —
+    one shared sub-quadratic blocking kernel across modalities."""
+    import numpy as np
+
+    if not (0 <= max_hamming < DHASH_BANDS):
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banding guarantee "
+            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
+        )
+
+    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(int(doc_id))
+                hv = audio_fingerprint(_wav_samples(bytes(payload)))
+                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+            yield pd.DataFrame({"doc_id": ids, "afp": hashes})
+
+    audio = media.filter(F.col("media_type") == "audio/wav")
+    hashed = audio.mapInPandas(hash_rows, "doc_id long, afp long")
+    return _banded_hamming_pairs(hashed, "afp", max_hamming)

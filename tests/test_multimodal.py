@@ -322,3 +322,40 @@ def test_image_near_dup_pairs_banded_join(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(media).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_noise_robust_and_near_dup_pairs(spark):
+    """Audio energy-delta fingerprints: a low-amplitude-noise copy of a
+    signal pairs with its original via the shared banded hamming join, an
+    unrelated signal does not, and the fingerprint survives the WAV
+    encode/decode round-trip."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import (
+        _wav_samples,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(5)
+    t = np.arange(16000)
+    base = (3000 * np.sin(t / 50.0) + 1500 * np.sin(t / 7.0)).astype(np.int16)
+    noisy = (base + rng.randint(-30, 31, len(base))).astype(np.int16)
+    other = (3000 * np.sin(t / 11.0) * np.exp(-t / 8000.0)).astype(np.int16)
+
+    # round-trip invariance: fingerprint of encoded+decoded == of the raw signal
+    assert audio_fingerprint(_wav_samples(encode_wav_pcm(base))) == audio_fingerprint(
+        base.astype(np.float64)
+    )
+
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav_pcm(base))),
+        (2, "audio/wav", bytearray(encode_wav_pcm(noisy))),
+        (3, "audio/wav", bytearray(encode_wav_pcm(other))),
+        (4, "image/bmp", bytearray(b"BM....")),  # non-audio rows are scoped out
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_near_dup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
