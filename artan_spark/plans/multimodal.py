@@ -324,25 +324,65 @@ def _y4m_features(doc_id: int, payload: bytes) -> tuple:
         chroma_len = 0
     else:
         raise NotImplementedError(f"Y4M colorspace {colorspace} not supported")
+    total, count, n_sampled = 0.0, 0, 0
+    for plane in _y4m_luma_planes(payload, w, h, chroma_len, nl):
+        total += float(plane.sum())
+        count += w * h
+        n_sampled += 1
+    mean_i = round(total / count, 6) if count else 0.0
+    return (int(w), int(h), int(n_sampled), mean_i)
+
+
+def _y4m_luma_planes(payload: bytes, w: int, h: int, chroma_len: int, nl: int):
+    """Yield every-2nd-frame luma planes as (h, w) uint8 arrays — the frame
+    walk shared by the feature extractor and the video fingerprint (frames
+    may carry per-frame parameter strings; chroma is skipped by offset)."""
+    import numpy as np
+
     y_len = w * h
     pos, frame_idx = nl + 1, 0
-    total, count, n_sampled = 0.0, 0, 0
     while pos < len(payload):
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"missing FRAME marker at offset {pos}")
-        fnl = payload.find(b"\n", pos)  # frames may carry parameter strings
+        fnl = payload.find(b"\n", pos)
         y0 = fnl + 1
         if frame_idx % 2 == 0:  # sample every 2nd frame
             plane = np.frombuffer(payload[y0 : y0 + y_len], dtype=np.uint8)
             if len(plane) < y_len:
                 raise ValueError("truncated Y4M frame")
-            total += float(plane.sum())
-            count += y_len
-            n_sampled += 1
+            yield plane.reshape(h, w)
         pos = y0 + y_len + chroma_len
         frame_idx += 1
-    mean_i = round(total / count, 6) if count else 0.0
-    return (int(w), int(h), int(n_sampled), mean_i)
+
+
+def _y4m_header(payload: bytes):
+    """Parse the stream header; return (w, h, chroma_len, header_end)."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    colorspace = "C420"
+    for tag in payload[9:nl].split():
+        tag = tag.decode("ascii", "replace")
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("C"):
+            colorspace = tag
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("C420"):
+        chroma_len = (w // 2) * (h // 2) * 2
+    elif colorspace.startswith("C422"):
+        chroma_len = (w // 2) * h * 2
+    elif colorspace.startswith("C444"):
+        chroma_len = w * h * 2
+    elif colorspace == "Cmono":
+        chroma_len = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace} not supported")
+    return w, h, chroma_len, nl
 
 
 def encode_pnm(pixels, ppm: bool = False) -> bytes:
@@ -767,3 +807,50 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     audio = media.filter(F.col("media_type") == "audio/wav")
     hashed = audio.mapInPandas(hash_rows, "doc_id long, afp long")
     return _banded_hamming_pairs(hashed, "afp", max_hamming)
+
+
+# -- video perceptual near-dup (shares the dHash space + banded kernel) ------
+
+
+def video_fingerprint(payload: bytes) -> int:
+    """64-bit video fingerprint: dHash of the MEAN sampled luma frame —
+    temporal average first (robust to per-frame noise and to dropping odd
+    frames), then the same spatial difference hash as images, so all three
+    modalities share one fingerprint space and one banded join kernel."""
+    import numpy as np
+
+    w, h, chroma_len, nl = _y4m_header(payload)
+    acc = np.zeros((h, w), dtype=np.float64)
+    n = 0
+    for plane in _y4m_luma_planes(payload, w, h, chroma_len, nl):
+        acc += plane
+        n += 1
+    if n == 0:
+        raise ValueError("Y4M payload has no sampled frames")
+    return image_dhash(acc / n)
+
+
+def video_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
+    """Video near-duplicate PAIRS over (doc_id, media_type, payload) rows
+    with YUV4MPEG2 payloads: mean-luma-frame dHash (mapInPandas) -> the
+    shared banded hamming equi-join."""
+    import numpy as np
+
+    if not (0 <= max_hamming < DHASH_BANDS):
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banding guarantee "
+            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
+        )
+
+    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(int(doc_id))
+                hv = video_fingerprint(bytes(payload))
+                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+            yield pd.DataFrame({"doc_id": ids, "vfp": hashes})
+
+    video = media.filter(F.col("media_type") == "video/x-yuv4mpeg")
+    hashed = video.mapInPandas(hash_rows, "doc_id long, vfp long")
+    return _banded_hamming_pairs(hashed, "vfp", max_hamming)

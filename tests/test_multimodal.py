@@ -359,3 +359,39 @@ def test_audio_fingerprint_noise_robust_and_near_dup_pairs(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_near_dup_pairs(media).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_fingerprint_near_dup_pairs(spark):
+    """Video near-dup: a noisy copy of a clip pairs with the original via
+    the mean-luma dHash + shared banded join; an unrelated clip does not;
+    the Y4M feature extractor still agrees with the shared frame walk."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import (
+        _y4m_features,
+        encode_y4m,
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(9)
+    base = [rng.randint(0, 256, (24, 32)).astype(np.uint8) for _ in range(6)]
+    noisy = [
+        np.clip(f.astype(int) + rng.randint(-8, 9, f.shape), 0, 255).astype(np.uint8)
+        for f in base
+    ]
+    other = [rng.randint(0, 256, (24, 32)).astype(np.uint8) for _ in range(6)]
+
+    pay_base = encode_y4m(base)
+    assert _y4m_features(0, pay_base)[2] == 3  # every-2nd-frame sampling intact
+    assert isinstance(video_fingerprint(pay_base), int)
+
+    rows = [
+        (1, "video/x-yuv4mpeg", bytearray(pay_base)),
+        (2, "video/x-yuv4mpeg", bytearray(encode_y4m(noisy))),
+        (3, "video/x-yuv4mpeg", bytearray(encode_y4m(other))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in video_near_dup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
