@@ -150,6 +150,59 @@ def write_sorted_table(
     out.sortWithinPartitions(*scols).write.mode(mode).parquet(path)
 
 
+def zorder_code(c1, c2, bits: int = 12):
+    """Morton-interleave two longs already scaled to [0, 2^bits) into one
+    z-code column — pure Catalyst shifts/masks, stays in codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+            + F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cols: tuple,
+    bits: int = 12,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """TWO-dimensional clustered parquet sink: Z-order (Morton) curve.
+
+    ``write_sorted_table`` makes row-group min/max stats tight on ONE
+    column; queries filtering a second dimension still scan everything.
+    Z-ordering scales both columns to ``bits``-bit grid cells (min/max from
+    one aggregate), interleaves the bits, and range-partitions + sorts on
+    the resulting curve position — each row group then owns a compact
+    RECTANGLE of the 2-D key space, so min/max stats prune row groups for
+    predicates on EITHER column (or both). The standard multi-dimension
+    layout lever (Delta/Iceberg OPTIMIZE ZORDER BY) for 100-TB facts
+    queried along two axes; measured against the single-column control in
+    tests/test_sinks.py. The z column is dropped before writing — the
+    layout is the artifact, not the code."""
+    ca, cb = cols
+    lo_a, hi_a, lo_b, hi_b = [
+        float(x)
+        for x in df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
+    ]
+
+    def scaled(c, lo, hi):
+        span = (hi - lo) or 1.0
+        cell = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(1 << bits))
+        ).cast("long")
+        return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << bits) - 1).cast("long"), cell))
+
+    z = zorder_code(scaled(ca, lo_a, hi_a), scaled(cb, lo_b, hi_b), bits)
+    out = df.withColumn("__z__", z)
+    out = out.repartitionByRange(*([n_files] if n_files else []), "__z__")
+    out.sortWithinPartitions("__z__").drop("__z__").write.mode(mode).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in names}
 

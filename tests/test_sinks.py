@@ -132,3 +132,48 @@ def test_bucketed_stateful_fold_no_exchange(spark):
         assert b == p
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ev_fold_bucketed")
+
+
+def test_zordered_sink_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering makes row-group min/max stats tight on BOTH
+    columns: against a single-column-sorted control of the same data, the
+    second dimension's per-row-group span shrinks from ~the full domain to
+    a fraction, while the first dimension stays prunable too."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from artan_spark.sources import write_sorted_table, write_zordered_table
+
+    e = read_table(spark, "/root/testdata/sf0.01", "events").select("user_id", "value")
+    z_dir, s_dir = str(tmp_path / "zorder"), str(tmp_path / "single")
+    write_zordered_table(e, z_dir, cols=("user_id", "value"), n_files=16)
+    write_sorted_table(e, s_dir, sort_by="user_id", n_files=16)
+
+    def mean_span(d, col_idx, lo, hi):
+        spans = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                spans.append((st.max - st.min) / (hi - lo))
+        assert len(spans) >= 8
+        return sum(spans) / len(spans)
+
+    stats = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    ulo, uhi, vlo, vhi = [float(x) for x in stats]
+
+    # control: user_id tight, value wide (the skewed value distribution
+    # keeps the mean span ~0.67 rather than ~1.0)
+    ctl_value = mean_span(s_dir, 1, vlo, vhi)
+    assert mean_span(s_dir, 0, ulo, uhi) < 0.25
+    assert ctl_value > 0.5
+    # z-order: BOTH dimensions materially narrower — the second dimension
+    # at least 2x tighter than the single-column control
+    assert mean_span(z_dir, 0, ulo, uhi) < 0.5
+    assert mean_span(z_dir, 1, vlo, vhi) < 0.5 * ctl_value
+
+    # semantics unchanged: same rows back
+    assert spark.read.parquet(z_dir).count() == e.count()
