@@ -220,7 +220,16 @@ def docs_pack_sequences(
     Token counts use the whitespace tokenizer (``size(split(text,
     '\\\\s+'))``) so the packing layer composes with textstats' counts.
     """
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=seq_len, n_streams=n_streams)
+
+
+def pack_sequences(
+    d: DataFrame, seq_len: int = SEQ_LEN, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """DataFrame-core of ``docs_pack_sequences``: pack any (doc_id, text)
+    frame (e.g. a cleaned/filtered corpus mid-pipeline)."""
+    d = d.select(
         "doc_id",
         (_hash_bucket(F.col("doc_id")) % n_streams).alias("stream"),
         F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
@@ -281,7 +290,14 @@ def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus itself, which is exactly how a 100-TB mixing job should
     look. Output is the per-lang yield report (rate, kept docs/tokens).
     """
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_table(spark, sf_dir, "documents")
+    return mix_sample(d)
+
+
+def mix_sample(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
+    """DataFrame-core of ``docs_mix_sample``: rebalance any (doc_id, lang,
+    text) frame toward equal per-language token volume under the budget."""
+    d = docs.select(
         "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
     totals = d.groupBy("lang").agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
@@ -291,7 +307,7 @@ def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_tokens",
         F.least(
             F.lit(1.0),
-            F.lit(BUDGET_FRAC)
+            F.lit(budget_frac)
             * F.sum("lang_tokens").over(w).cast("double")
             / F.count(F.lit(1)).over(w).cast("double")
             / F.col("lang_tokens").cast("double"),

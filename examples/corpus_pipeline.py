@@ -3,10 +3,11 @@
 pretraining-data job runs, expressed entirely as artan_spark plan operators.
 
     documents ──> quality score ──> filter ──> near-dup clusters ──> keep one
-                                                 per cluster ──────────┐
+                  per cluster ──> token-budget language mixing ──> concat-and-
+                  cut sequence packing ────────────────────────────────┐
     embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
                                                                        v
-                          cleaned corpus written PARTITIONED BY (lang)
+              cleaned + packed corpus written PARTITIONED BY (lang/stream)
 
 Every stage is the same operator the driver registry verifies against
 DuckDB (text_quality_score, dedup_clusters, ann_ivf_kmeans); this example
@@ -53,18 +54,35 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     )
     cleaned = kept.join(losers, "doc_id", "left_anti")
 
-    # 3. similarity index: top-k cosine neighbors via the k-means IVF path
+    # 3. token-budget mixing: rebalance the CLEANED corpus toward equal
+    #    per-language token volume (deterministic hash-Bernoulli keep)
+    from artan_spark.plans.sampling import mix_sample, pack_sequences
+
+    rates = mix_sample(cleaned).select("lang", "rate")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    mixed = cleaned.join(F.broadcast(rates), "lang").filter(u < F.col("rate")).drop("rate")
+
+    # 4. sequence packing: concat-and-cut the mixed docs into fixed-token
+    #    training sequences (8 independent hash streams, one window each)
+    packed = pack_sequences(mixed, seq_len=512)
+
+    # 5. similarity index: top-k cosine neighbors via the k-means IVF path
     neighbors = ann_ivf_kmeans(spark, sf_dir)
 
-    # 4. partitioned sink: downstream jobs prune by lang at the scan
-    cleaned.write.mode("overwrite").partitionBy("lang").parquet(out_dir + "/cleaned")
+    # 6. partitioned sinks: downstream jobs prune by lang / stream at the scan
+    mixed.write.mode("overwrite").partitionBy("lang").parquet(out_dir + "/cleaned")
+    packed.write.mode("overwrite").partitionBy("stream").parquet(out_dir + "/packed")
     neighbors.write.mode("overwrite").parquet(out_dir + "/neighbors")
 
     n_in, n_out = docs.count(), spark.read.parquet(out_dir + "/cleaned").count()
+    n_seq = spark.read.parquet(out_dir + "/packed").agg(F.max("seq_id")).first()[0]
     n_nb = spark.read.parquet(out_dir + "/neighbors").count()
-    print(f"corpus: {n_in} docs -> {n_out} kept ({n_in - n_out} dropped); "
-          f"{n_nb} neighbor edges -> {out_dir}")
-    assert n_out > 0 and n_nb > 0
+    print(f"corpus: {n_in} docs -> {n_out} kept+mixed ({n_in - n_out} dropped); "
+          f"packed into <= {n_seq + 1} seqs/stream; {n_nb} neighbor edges -> {out_dir}")
+    assert n_out > 0 and n_nb > 0 and n_seq is not None
     spark.stop()
 
 
