@@ -297,33 +297,7 @@ def _y4m_features(doc_id: int, payload: bytes) -> tuple:
     sampled frames). Only the Y plane contributes to intensity; chroma is
     skipped by offset, never copied.
     """
-    import numpy as np
-
-    nl = payload.find(b"\n")
-    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
-        raise ValueError("not a YUV4MPEG2 payload")
-    w = h = None
-    colorspace = "C420"  # the spec's default when no C tag is present
-    for tag in payload[9:nl].split():
-        tag = tag.decode("ascii", "replace")
-        if tag.startswith("W"):
-            w = int(tag[1:])
-        elif tag.startswith("H"):
-            h = int(tag[1:])
-        elif tag.startswith("C"):
-            colorspace = tag
-    if not w or not h:
-        raise ValueError("Y4M header missing W/H")
-    if colorspace.startswith("C420"):
-        chroma_len = (w // 2) * (h // 2) * 2
-    elif colorspace.startswith("C422"):
-        chroma_len = (w // 2) * h * 2
-    elif colorspace.startswith("C444"):
-        chroma_len = w * h * 2
-    elif colorspace == "Cmono":
-        chroma_len = 0
-    else:
-        raise NotImplementedError(f"Y4M colorspace {colorspace} not supported")
+    w, h, chroma_len, nl = _y4m_header(payload)
     total, count, n_sampled = 0.0, 0, 0
     for plane in _y4m_luma_planes(payload, w, h, chroma_len, nl):
         total += float(plane.sum())
@@ -356,7 +330,9 @@ def _y4m_luma_planes(payload: bytes, w: int, h: int, chroma_len: int, nl: int):
 
 
 def _y4m_header(payload: bytes):
-    """Parse the stream header; return (w, h, chroma_len, header_end)."""
+    """Parse the stream header; return (w, h, chroma_len, header_end).
+    C420*/C422/C444/Cmono supported — they only change the chroma-plane
+    size; C420 is the spec's default when no C tag is present."""
     nl = payload.find(b"\n")
     if not payload.startswith(b"YUV4MPEG2") or nl < 0:
         raise ValueError("not a YUV4MPEG2 payload")
@@ -695,23 +671,12 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     band by pigeonhole, so candidates come from an EQUI-join on
     (band, band_val): sub-quadratic, no all-pairs scan, and at 100 TB the
     join work tracks per-band bucket sizes exactly like text SimHash."""
-    import numpy as np
-
-    if not (0 <= max_hamming < DHASH_BANDS):
-        # the pigeonhole exactness claim needs more bands than bit flips
-        raise ValueError(
-            f"max_hamming={max_hamming} breaks the banding guarantee "
-            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
-        )
-
     def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 ids.append(int(doc_id))
-                hv = image_dhash(_GRAY_DECODERS[mtype](bytes(payload)))
-                # wrap to signed 64-bit for the long column (bit 63 set)
-                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+                hashes.append(_signed64(image_dhash(_GRAY_DECODERS[mtype](bytes(payload)))))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
     # scope to decodable image rows: mixed media tables (audio/video rows
@@ -721,11 +686,24 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     return _banded_hamming_pairs(hashed, "dhash", max_hamming)
 
 
+def _signed64(hv: int):
+    """Wrap an unsigned 64-bit fingerprint into the signed range a Spark
+    long column holds (bit 63 set would overflow otherwise)."""
+    import numpy as np
+
+    return np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv)
+
+
 def _banded_hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
     """Sub-quadratic hamming pair join over 64-bit fingerprints: split into
     DHASH_BANDS bands, equi-join on (band, band_val), refine with exact
-    bit_count(xor). Exact by pigeonhole for max_hamming < DHASH_BANDS
-    (validated by the callers)."""
+    bit_count(xor). Exact by pigeonhole — enforced here — for
+    max_hamming < DHASH_BANDS."""
+    if not (0 <= max_hamming < DHASH_BANDS):
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banding guarantee "
+            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
+        )
     bands = hashed.select(
         "doc_id",
         hash_col,
@@ -787,21 +765,12 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     with RIFF/PCM payloads: decode -> energy-delta fingerprint
     (mapInPandas) -> the same banded hamming equi-join as the image path —
     one shared sub-quadratic blocking kernel across modalities."""
-    import numpy as np
-
-    if not (0 <= max_hamming < DHASH_BANDS):
-        raise ValueError(
-            f"max_hamming={max_hamming} breaks the banding guarantee "
-            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
-        )
-
     def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 ids.append(int(doc_id))
-                hv = audio_fingerprint(_wav_samples(bytes(payload)))
-                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+                hashes.append(_signed64(audio_fingerprint(_wav_samples(bytes(payload)))))
             yield pd.DataFrame({"doc_id": ids, "afp": hashes})
 
     audio = media.filter(F.col("media_type") == "audio/wav")
@@ -834,21 +803,12 @@ def video_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     """Video near-duplicate PAIRS over (doc_id, media_type, payload) rows
     with YUV4MPEG2 payloads: mean-luma-frame dHash (mapInPandas) -> the
     shared banded hamming equi-join."""
-    import numpy as np
-
-    if not (0 <= max_hamming < DHASH_BANDS):
-        raise ValueError(
-            f"max_hamming={max_hamming} breaks the banding guarantee "
-            f"(needs < {DHASH_BANDS} bands); raise DHASH_BANDS or lower the threshold"
-        )
-
     def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 ids.append(int(doc_id))
-                hv = video_fingerprint(bytes(payload))
-                hashes.append(np.int64(hv - (1 << 64) if hv >= (1 << 63) else hv))
+                hashes.append(_signed64(video_fingerprint(bytes(payload))))
             yield pd.DataFrame({"doc_id": ids, "vfp": hashes})
 
     video = media.filter(F.col("media_type") == "video/x-yuv4mpeg")

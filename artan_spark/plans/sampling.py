@@ -31,6 +31,15 @@ def _hash_bucket(col):
     )
 
 
+def _hash_uniform(col):
+    """Deterministic uniform in (0, 1) from the portable 60-bit md5 prefix
+    — the shared hash-uniform every sampler keys membership on."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+
+
 def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test assignment keyed on doc_id — a stateless
     projection, then per-split yield stats (count + token volume)."""
@@ -111,11 +120,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort or single-partition window. Priorities are distinct random
     doubles, so cross-libm ln() noise (~1e-16 rel) cannot flip membership."""
     d = read_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(_TWO60)
-    prio = F.log(u) / F.col("n_chars")
+    prio = F.log(_hash_uniform(F.col("doc_id"))) / F.col("n_chars")
     return (
         d.select("doc_id", "lang", "n_chars", prio.alias("prio"))
         .orderBy(F.desc("prio"), F.asc("doc_id"))
@@ -294,17 +299,18 @@ def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sample(d)
 
 
-def mix_sample(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
-    """DataFrame-core of ``docs_mix_sample``: rebalance any (doc_id, lang,
-    text) frame toward equal per-language token volume under the budget."""
+def mix_rates(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
+    """Per-language acceptance rates (lang, rate) — UNROUNDED, so callers
+    that re-apply the hash-Bernoulli keep (corpus_pipeline example) select
+    exactly the set the ``mix_sample`` report accounts for; the report
+    rounds only for display/oracle stability."""
     d = docs.select(
         "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
     totals = d.groupBy("lang").agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
     w = Window.partitionBy()
-    rates = totals.select(
+    return totals.select(
         "lang",
-        "lang_tokens",
         F.least(
             F.lit(1.0),
             F.lit(budget_frac)
@@ -313,11 +319,17 @@ def mix_sample(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
             / F.col("lang_tokens").cast("double"),
         ).alias("rate"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(_TWO60)
-    kept = d.join(F.broadcast(rates), "lang").filter(u < F.col("rate"))
+
+
+def mix_sample(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
+    """DataFrame-core of ``docs_mix_sample``: rebalance any (doc_id, lang,
+    text) frame toward equal per-language token volume under the budget."""
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    kept = d.join(F.broadcast(mix_rates(docs, budget_frac)), "lang").filter(
+        _hash_uniform(F.col("doc_id")) < F.col("rate")
+    )
     return kept.groupBy("lang").agg(
         F.round(F.first("rate"), 6).alias("rate"),
         F.count(F.lit(1)).alias("n_docs_kept"),

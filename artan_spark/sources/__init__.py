@@ -185,10 +185,11 @@ def write_zordered_table(
     tests/test_sinks.py. The z column is dropped before writing — the
     layout is the artifact, not the code."""
     ca, cb = cols
-    lo_a, hi_a, lo_b, hi_b = [
-        float(x)
-        for x in df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
-    ]
+    stats = df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
+    if stats[0] is None:  # empty input: write the (empty) frame as-is
+        df.write.mode(mode).parquet(path)
+        return
+    lo_a, hi_a, lo_b, hi_b = [float(x) for x in stats]
 
     def scaled(c, lo, hi):
         span = (hi - lo) or 1.0

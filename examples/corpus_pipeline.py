@@ -52,18 +52,21 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
         .filter(F.col("doc_id") != F.col("cluster"))
         .select("doc_id")
     )
-    cleaned = kept.join(losers, "doc_id", "left_anti")
+    # materialize: the quality+dedup lineage feeds the rates aggregate AND
+    # both sinks — one computation instead of one per downstream action
+    cleaned = kept.join(losers, "doc_id", "left_anti").localCheckpoint()
 
     # 3. token-budget mixing: rebalance the CLEANED corpus toward equal
-    #    per-language token volume (deterministic hash-Bernoulli keep)
-    from artan_spark.plans.sampling import mix_sample, pack_sequences
+    #    per-language token volume (deterministic hash-Bernoulli keep on
+    #    the UNROUNDED rates, so the selection matches mix_sample's report)
+    from artan_spark.plans.sampling import _hash_uniform, mix_rates, pack_sequences
 
-    rates = mix_sample(cleaned).select("lang", "rate")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 60))
-    mixed = cleaned.join(F.broadcast(rates), "lang").filter(u < F.col("rate")).drop("rate")
+    rates = mix_rates(cleaned)
+    mixed = (
+        cleaned.join(F.broadcast(rates), "lang")
+        .filter(_hash_uniform(F.col("doc_id")) < F.col("rate"))
+        .drop("rate")
+    )
 
     # 4. sequence packing: concat-and-cut the mixed docs into fixed-token
     #    training sequences (8 independent hash streams, one window each)
@@ -80,9 +83,9 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     n_in, n_out = docs.count(), spark.read.parquet(out_dir + "/cleaned").count()
     n_seq = spark.read.parquet(out_dir + "/packed").agg(F.max("seq_id")).first()[0]
     n_nb = spark.read.parquet(out_dir + "/neighbors").count()
+    assert n_out > 0 and n_nb > 0 and n_seq is not None
     print(f"corpus: {n_in} docs -> {n_out} kept+mixed ({n_in - n_out} dropped); "
           f"packed into <= {n_seq + 1} seqs/stream; {n_nb} neighbor edges -> {out_dir}")
-    assert n_out > 0 and n_nb > 0 and n_seq is not None
     spark.stop()
 
 
