@@ -2,11 +2,13 @@ from artan_spark.streaming.dedup import streaming_dedup_exact
 from artan_spark.streaming.harness import stream_transform
 from artan_spark.streaming.heavyhitters import StreamingHeavyHitters
 from artan_spark.streaming.neardup import minhash_bands, streaming_near_dup
+from artan_spark.streaming.packer import StreamingPacker
 from artan_spark.streaming.quantiles import StreamingQuantiles
 
 __all__ = [
     "stream_transform",
     "StreamingHeavyHitters",
+    "StreamingPacker",
     "StreamingQuantiles",
     "streaming_dedup_exact",
     "minhash_bands",

@@ -315,3 +315,49 @@ def test_streaming_quantiles_idle_key_state_evicts(spark):
     # idle 3h20 > 1h horizon: the summary restarted from empty (n=1, est=3.0)
     assert (1, 3.0) in bounded["a"]
     assert not any(n == 3 for n, _ in bounded["a"])
+
+
+def test_streaming_packer_matches_batch_packer(spark):
+    """The streaming packer's incremental offsets reproduce the batch
+    pack_sequences assignment row-for-row — in one batch fold AND under
+    chunked doc_id-ordered replay (O(1) state per stream either way)."""
+    import pandas as pd
+
+    from artan_spark.plans.sampling import SEQ_LEN, docs_pack_sequences
+    from artan_spark.streaming import StreamingPacker, stream_transform
+
+    sf = "/root/testdata/sf0.001"
+    want = docs_pack_sequences(spark, sf).toPandas()
+
+    # same input shape the batch packer derives: (stream, doc_id, n_tokens)
+    from artan_spark.plans.sampling import N_STREAMS, _hash_bucket
+
+    d = (
+        read_table(spark, sf, "documents")
+        .select(
+            (_hash_bucket(F.col("doc_id")) % N_STREAMS).cast("string").alias("stream"),
+            "doc_id",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+    op = StreamingPacker().setStateKeyCol("stream").setSeqLen(SEQ_LEN)
+
+    def norm(df):
+        p = df.toPandas()
+        p["stream"] = p["stream"].astype(int)
+        return p[["doc_id", "stream", "n_tokens", "start_off", "seq_id", "n_seqs"]].sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+
+    batch = norm(op.transform(d).withColumnRenamed("stateKey", "stream"))
+    pd.testing.assert_frame_equal(
+        batch, want.sort_values("doc_id").reset_index(drop=True)[batch.columns], check_dtype=False
+    )
+
+    streamed = norm(
+        stream_transform(spark, d, op.transform, chunk_rows=37).withColumnRenamed(
+            "stateKey", "stream"
+        )
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
