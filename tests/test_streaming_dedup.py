@@ -32,3 +32,72 @@ def test_streaming_dedup_matches_batch(spark):
     a = {r["text"] for r in batch.select("text").collect()}
     b = {r["text"] for r in streamed.select("text").collect()}
     assert a == b
+
+
+def test_streaming_decontamination_stream_static_join(spark):
+    """Live-ingest eval decontamination: streaming documents joined against
+    a STATIC train-split shingle index (a stream-static equi-join — no
+    state, the index is just a table Spark re-reads per micro-batch). The
+    streamed flags must equal the batch docs_decontaminate report."""
+    from artan_spark.plans.dedup import _shingles
+    from artan_spark.plans.sampling import _BUCKETS, _TRAIN, _VAL, _hash_bucket
+
+    sf = SF_DIR
+    sh = _shingles(spark, sf)
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = sh.withColumn("split", split)
+    train_index = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.col("doc_id").alias("train_doc_id"), "shingle")
+        .localCheckpoint()  # the static side: built once, joined per batch
+    )
+    test_docs = (
+        read_table(spark, sf, "documents")
+        .withColumn("split", split)
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
+    )
+
+    from artan_spark.plans.sampling import docs_decontaminate
+
+    want = {
+        r.test_doc_id: (r.n_shared_shingles, r.n_train_docs_hit)
+        for r in docs_decontaminate(spark, sf).collect()
+    }
+
+    # the streaming piece is the stateless stream-static JOIN (shingle
+    # explode + equi-join against the static index, one pass per
+    # micro-batch); the final count aggregate runs on the materialized
+    # join output, where append mode would otherwise hold rows back
+    joined_stream = stream_transform(
+        spark,
+        test_docs,
+        lambda df: df.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .join(train_index, "shingle"),
+        chunk_rows=17,
+    )
+    got = {
+        r.test_doc_id: (r.n_shared_shingles, r.n_train_docs_hit)
+        for r in joined_stream.groupBy(F.col("doc_id").alias("test_doc_id"))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc_id").alias("n_train_docs_hit"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
