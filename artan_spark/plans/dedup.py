@@ -45,14 +45,15 @@ def _h64(col):
 _H64_SQL = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs.
+def shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs of any (doc_id, text)
+    frame — THE shingle definition every dedup/decontamination consumer
+    shares (batch and streaming sides must agree bit-for-bit).
 
     Tokens are materialized in their own projection first — referencing the
     split() expression inside the shingle lambda would make Catalyst
     re-split the text for every array access (~150x per doc).
     """
-    d = read_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     toks = F.col("toks")
     sh = F.transform(
@@ -60,6 +61,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
     )
     return toked.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(read_table(spark, sf_dir, "documents"))
 
 
 _SHINGLES_SQL = """

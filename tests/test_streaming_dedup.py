@@ -40,7 +40,7 @@ def test_streaming_decontamination_stream_static_join(spark):
     state, the index is just a table Spark re-reads per micro-batch). The
     streamed flags must equal the batch docs_decontaminate report."""
     from artan_spark.plans.dedup import _shingles
-    from artan_spark.plans.sampling import _BUCKETS, _TRAIN, _VAL, _hash_bucket
+    from artan_spark.plans.sampling import _TRAIN, _VAL, _hash_bucket
 
     sf = SF_DIR
     sh = _shingles(spark, sf)
@@ -72,23 +72,17 @@ def test_streaming_decontamination_stream_static_join(spark):
     # explode + equi-join against the static index, one pass per
     # micro-batch); the final count aggregate runs on the materialized
     # join output, where append mode would otherwise hold rows back
+    from artan_spark.plans.dedup import shingles_of
+
+    # shingles_of is the SHARED shingle definition (stateless projections —
+    # no streaming dedup state; the countDistinct aggregates below absorb
+    # duplicate (doc, shingle) join rows), so the streamed side cannot
+    # drift from the batch report's shingling. distinct() is dropped on the
+    # stream: it would compile to an unwatermarked stateful dedup.
     joined_stream = stream_transform(
         spark,
         test_docs,
-        lambda df: df.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-        .join(train_index, "shingle"),
+        lambda df: shingles_of(df.select("doc_id", "text")).join(train_index, "shingle"),
         chunk_rows=17,
     )
     got = {
