@@ -48,7 +48,7 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
     )
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = n_tokens_expr()
     return (
         d.select(split.alias("split"), toks.alias("n_tokens"))
         .groupBy("split")
@@ -222,8 +222,9 @@ def docs_pack_sequences(
     doc whose span crosses a cut belongs to multiple sequences
     (attention-mask bookkeeping downstream).
 
-    Token counts use the whitespace tokenizer (``size(split(text,
-    '\\\\s+'))``) so the packing layer composes with textstats' counts.
+    Token counts use the shared whitespace tokenizer (``n_tokens_expr``,
+    trim+split — same convention as textstats' counts and the mixing
+    report that feeds this step).
     """
     d = read_table(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=seq_len, n_streams=n_streams)
@@ -237,7 +238,7 @@ def pack_sequences(
     d = d.select(
         "doc_id",
         (_hash_bucket(F.col("doc_id")) % n_streams).alias("stream"),
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        n_tokens_expr().alias("n_tokens"),
     )
     w = Window.partitionBy("stream").orderBy("doc_id")
     offs = d.withColumn(
@@ -258,7 +259,7 @@ _PACK_SQL = f"""
 WITH d AS (
   SELECT doc_id,
          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} % {N_STREAMS} AS stream,
-         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
   FROM documents
 ),
 o AS (
@@ -299,14 +300,21 @@ def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sample(d)
 
 
+def n_tokens_expr(col: str = "text"):
+    """THE whitespace token count — ``size(split(trim(col), '\\s+'))``,
+    matching ``textstats._toks``. Every token-volume consumer in this
+    module (split stats, mixing, packing) uses this one expression so a
+    doc with leading/trailing whitespace is counted identically by the
+    mixing report and by the packer it feeds."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
 def mix_rates(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
     """Per-language acceptance rates (lang, rate) — UNROUNDED, so callers
     that re-apply the hash-Bernoulli keep (corpus_pipeline example) select
     exactly the set the ``mix_sample`` report accounts for; the report
     rounds only for display/oracle stability."""
-    d = docs.select(
-        "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
-    )
+    d = docs.select("doc_id", "lang", n_tokens_expr().alias("n_tokens"))
     totals = d.groupBy("lang").agg(F.sum("n_tokens").cast("long").alias("lang_tokens"))
     w = Window.partitionBy()
     return totals.select(
@@ -324,9 +332,7 @@ def mix_rates(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
 def mix_sample(docs: DataFrame, budget_frac: float = BUDGET_FRAC) -> DataFrame:
     """DataFrame-core of ``docs_mix_sample``: rebalance any (doc_id, lang,
     text) frame toward equal per-language token volume under the budget."""
-    d = docs.select(
-        "doc_id", "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
-    )
+    d = docs.select("doc_id", "lang", n_tokens_expr().alias("n_tokens"))
     kept = d.join(F.broadcast(mix_rates(docs, budget_frac)), "lang").filter(
         _hash_uniform(F.col("doc_id")) < F.col("rate")
     )

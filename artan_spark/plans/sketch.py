@@ -278,6 +278,13 @@ def events_quantile_sketch(
 
     from artan_spark.streaming.quantiles import _compress
 
+    capacity = int(capacity)
+    if capacity <= 0:
+        raise ValueError(f"capacity must be > 0, got {capacity}")
+    quantiles = tuple(float(q) for q in quantiles)
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+
     def compress(vals, wts):
         return _compress(vals, wts, capacity)
 

@@ -492,11 +492,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs any last-ulp libm drift (same contract as the HLL oracle).
     """
     d = read_table(spark, sf_dir, "documents")
-    # the token stream feeds both the frequency aggregate and the scoring
-    # join: materialize it once (the dedup.py shingle-set pattern) instead
-    # of scanning + re-exploding the corpus twice
-    toks = d.select("doc_id", F.explode(_toks()).alias("tok")).localCheckpoint()
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Re-deriving tokens from the (column-pruned) scan is cheap; pinning
+    # the fully-exploded token stream in executor storage is not — at
+    # 100 TB that checkpoint would be larger than the corpus itself. Only
+    # the vocabulary-sized frequency aggregate is worth materializing, and
+    # it is the output of a shuffle, so Spark's shuffle-reuse already
+    # caches it for the scoring join.
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = freq.agg(F.sum("c").alias("n_total"))
     # no broadcast hint on freq: the vocabulary grows with the corpus, so
     # leave broadcast-vs-shuffle to size-based planning (q3/q5 precedent)

@@ -186,7 +186,9 @@ def write_zordered_table(
     layout is the artifact, not the code."""
     ca, cb = cols
     stats = df.agg(F.min(ca), F.max(ca), F.min(cb), F.max(cb)).first()
-    if stats[0] is None:  # empty input: write the (empty) frame as-is
+    if any(s is None for s in stats):
+        # Empty input, or a z column that is entirely NULL: no 2-D layout
+        # is derivable, so write the frame as-is rather than crash.
         df.write.mode(mode).parquet(path)
         return
     lo_a, hi_a, lo_b, hi_b = [float(x) for x in stats]
@@ -194,7 +196,11 @@ def write_zordered_table(
     def scaled(c, lo, hi):
         span = (hi - lo) or 1.0
         cell = F.floor(
-            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(1 << bits))
+            # NULL key values carry no position on the curve: pin them to the
+            # domain's low edge so they land in one deterministic range
+            # partition instead of producing a NULL z-code.
+            (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+            / F.lit(span) * F.lit(float(1 << bits))
         ).cast("long")
         return F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << bits) - 1).cast("long"), cell))
 

@@ -85,7 +85,10 @@ class StreamingQuantiles(StatefulTransformer):
     }
 
     def setCapacity(self, value):
-        return self._set("capacity", int(value))
+        cap = int(value)
+        if cap <= 0:
+            raise ValueError(f"capacity must be > 0, got {cap}")
+        return self._set("capacity", cap)
 
     def setQuantiles(self, value):
         qs = tuple(float(q) for q in value)

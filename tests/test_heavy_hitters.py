@@ -3,6 +3,7 @@ by the PYTEST_ORACLES harness (test_oracle.py); here the BOUNDED-capacity
 regime — where decrements actually fire — must still honor the MG error
 certificate and never miss a sufficiently heavy item."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from artan_spark.plans.sketch import events_heavy_hitters
@@ -361,3 +362,23 @@ def test_streaming_packer_matches_batch_packer(spark):
         )
     )
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_sketch_parameter_validation():
+    """Non-positive capacity and out-of-range quantiles fail loudly at set
+    time, batch and streaming alike — capacity=0 would otherwise surface
+    as a ZeroDivisionError deep inside _compress, and q>1 would silently
+    drop the (group, q) row from the output."""
+    from artan_spark.plans.sketch import events_quantile_sketch
+    from artan_spark.streaming.quantiles import StreamingQuantiles
+
+    with pytest.raises(ValueError, match="capacity"):
+        StreamingQuantiles().setCapacity(0)
+    with pytest.raises(ValueError, match="capacity"):
+        StreamingQuantiles().setCapacity(-5)
+    with pytest.raises(ValueError, match="quantiles"):
+        StreamingQuantiles().setQuantiles((0.5, 1.5))
+    with pytest.raises(ValueError, match="capacity"):
+        events_quantile_sketch(None, "", capacity=0)
+    with pytest.raises(ValueError, match="quantiles"):
+        events_quantile_sketch(None, "", quantiles=(1.5,))

@@ -177,3 +177,30 @@ def test_zordered_sink_prunes_both_dimensions(spark, tmp_path):
 
     # semantics unchanged: same rows back
     assert spark.read.parquet(z_dir).count() == e.count()
+
+
+def test_zordered_sink_null_and_all_null_columns(spark, tmp_path):
+    """Degenerate z-column inputs must not crash or silently mis-cluster:
+    an all-NULL second dimension falls back to a plain write, and rows
+    with a NULL in either key are pinned to the domain's low edge (one
+    deterministic partition) instead of getting a NULL z-code."""
+    from artan_spark.sources import write_zordered_table
+
+    # all-NULL second column: no layout derivable -> plain write, rows intact
+    d1 = spark.range(100).select(
+        F.col("id").alias("a"), F.lit(None).cast("double").alias("b")
+    )
+    p1 = str(tmp_path / "all_null")
+    write_zordered_table(d1, p1, cols=("a", "b"), n_files=4)
+    assert spark.read.parquet(p1).count() == 100
+
+    # sparse NULLs in one key: every row survives the clustered write
+    d2 = spark.range(1000).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("b"),
+    )
+    p2 = str(tmp_path / "sparse_null")
+    write_zordered_table(d2, p2, cols=("a", "b"), n_files=4)
+    back = spark.read.parquet(p2)
+    assert back.count() == 1000
+    assert back.filter(F.col("b").isNull()).count() == 100
