@@ -9,9 +9,11 @@ shapes) is real and tested. Codec status:
   uncompressed BI_RGB 8/24/32 bpp, row padding honored), ``image/
   x-portable-graymap`` / ``x-portable-pixmap`` (binary netpbm P5/P6), and
   ``video/x-yuv4mpeg`` (YUV4MPEG2 — the raw-video interchange format, with
-  every-2nd-frame luma sampling). These decode actual file bytes;
-  round-trip encoders live alongside for tests and pipeline fixtures.
-- **Stub**: compressed formats (JPEG/PNG/MP3/MP4/...) need codec libs
+  every-2nd-frame luma sampling), and ``image/png`` (8-bit non-interlaced
+  gray/RGB/+alpha — stdlib ``zlib`` IDAT inflate + all 5 scanline
+  unfilters). These decode actual file bytes; round-trip encoders live
+  alongside for tests and pipeline fixtures.
+- **Stub**: the remaining compressed formats (JPEG/MP3/MP4/...) need codec libs
   (Pillow/libsndfile/ffmpeg) absent in this container — those media types
   raise ``NotImplementedError``. The deterministic ``*/fake`` types
   exercise the identical pipeline with synthetic payloads and are gated
@@ -385,10 +387,172 @@ def _pnm_features(doc_id: int, payload: bytes) -> tuple:
     return (int(w), int(h), int(w * h), round(mean_i, 6))
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, filters: str = "mixed", level: int = 6) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG using nothing but stdlib
+    ``zlib``: a 2-D array becomes color type 0 (grayscale), an (h, w, 3)
+    array color type 2 (RGB). ``filters="mixed"`` cycles scanline filters
+    0..4 (None/Sub/Up/Average/Paeth) so a round-trip exercises every
+    unfilter branch of ``_png_gray``; ``filters="none"`` emits filter 0
+    rows only (what many minimal writers produce)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = px.shape
+    else:
+        color_type, channels = 2, 3
+        h, w, _ = px.shape
+    bpp = channels  # bytes per pixel at bit depth 8
+    raw = px.reshape(h, w * channels).astype(np.int32)
+    zeros = np.zeros(w * channels, dtype=np.int32)
+    body = bytearray()
+    for r in range(h):
+        line, prev = raw[r], (raw[r - 1] if r else zeros)
+        ft = (r % 5) if filters == "mixed" else 0
+        if ft == 0:
+            flt = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            flt = line - left
+        elif ft == 2:  # Up
+            flt = line - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            flt = line - (left + prev) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            flt = line - _paeth_vec(left, prev, upleft)
+        body += bytes([ft]) + (flt & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int32 arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_gray(payload: bytes):
+    """Grayscale pixel array from an 8-bit non-interlaced PNG (color types
+    0 gray / 2 RGB / 4 gray+alpha / 6 RGBA) — stdlib ``zlib`` inflate of
+    the concatenated IDAT stream, then per-scanline unfiltering of all 5
+    PNG filter types. Palette (type 3), 1/2/4/16-bit depths, and Adam7
+    interlacing raise clearly — they are rare in ML-corpus crawls, where
+    8-bit truecolor/grayscale dominates. Per-row work is vectorized
+    (filters 0/2 fully; Sub via a wrapping uint8 accumulate; Average/Paeth
+    via the vectorized predictor with a per-pixel carry loop only across
+    the ``bpp`` phase boundary); the decode runs inside Arrow-batched
+    ``mapInPandas`` so rows parallelize across executors regardless."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported by the built-in decoder")
+    if color_type == 3:
+        raise NotImplementedError("palette PNGs not supported by the built-in decoder")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNGs not supported by the built-in decoder")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp, stride = channels, w * channels
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("truncated or oversized PNG pixel stream")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, lines = rows[:, 0], rows[:, 1:]
+    raw = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, line = int(ftypes[r]), lines[r]
+        prev = raw[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            raw[r] = line
+        elif ft == 1:  # Sub: per-phase wrapping prefix sum
+            rec = line.reshape(-1, bpp)
+            raw[r] = np.add.accumulate(rec, axis=0, dtype=np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            raw[r] = line + prev  # uint8 wraps
+        elif ft in (3, 4):  # Average / Paeth: left-carry across pixels
+            rec = np.zeros(stride, dtype=np.int32)
+            li, pv = line.astype(np.int32), prev.astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for px0 in range(0, stride, bpp):
+                sl = slice(px0, px0 + bpp)
+                if ft == 3:
+                    rec[sl] = (li[sl] + (left + pv[sl]) // 2) & 0xFF
+                else:
+                    rec[sl] = (li[sl] + _paeth_vec(left, pv[sl], upleft)) & 0xFF
+                left, upleft = rec[sl], pv[sl]
+            raw[r] = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+    arr = raw.reshape(h, w, channels).astype(np.float64)
+    # channel mean over color channels; alpha (types 4/6) dropped — same
+    # intensity convention as _bmp_gray/_pnm_gray
+    return arr[:, :, : min(3, channels)].mean(axis=2)
+
+
+def _png_features(doc_id: int, payload: bytes) -> tuple:
+    """REAL PNG parse (stdlib zlib IDAT inflate + scanline unfilter):
+    decode to grayscale and report (width, height, n_pixels, mean
+    intensity) — the same contract as ``_bmp_features``."""
+    gray = _png_gray(payload)
+    h, w = gray.shape
+    mean_i = float(gray.mean()) if gray.size else 0.0
+    return (int(w), int(h), int(w * h), round(mean_i, 6))
+
+
 # real codecs dispatch regardless of the ``fake`` flag
 _REAL_EXTRACTORS = {
     "audio/wav": _wav_features,
     "image/bmp": _bmp_features,
+    "image/png": _png_features,
     "image/x-portable-graymap": _pnm_features,
     "image/x-portable-pixmap": _pnm_features,
     "video/x-yuv4mpeg": _y4m_features,
@@ -452,13 +616,14 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     video -> (frame dims, n SAMPLED frames (every 2nd), their mean
     intensity).
 
-    Dispatch per ``media_type``: ``audio/wav`` and ``image/bmp`` use the
-    REAL built-in parsers above (no ``fake`` flag needed); the ``*/fake``
-    types parse the deterministic synthetic payloads through the same
-    mapInPandas pipeline but require ``fake=True`` (so production callers
-    can't silently consume stub features); any other type (JPEG/PNG/MP3/
-    MP4/...) raises ``NotImplementedError`` — those genuinely need codec
-    libraries absent in this container.
+    Dispatch per ``media_type``: ``audio/wav``, ``image/bmp``,
+    ``image/png``, netpbm, and Y4M use the REAL built-in parsers above (no
+    ``fake`` flag needed); the ``*/fake`` types parse the deterministic
+    synthetic payloads through the same mapInPandas pipeline but require
+    ``fake=True`` (so production callers can't silently consume stub
+    features); any other type (JPEG/MP3/MP4/...) raises
+    ``NotImplementedError`` — those genuinely need codec libraries absent
+    in this container.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -636,6 +801,7 @@ def _pnm_gray(payload: bytes):
 
 _GRAY_DECODERS = {
     "image/bmp": _bmp_gray,
+    "image/png": _png_gray,
     "image/x-portable-graymap": _pnm_gray,
     "image/x-portable-pixmap": _pnm_gray,
 }
