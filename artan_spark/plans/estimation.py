@@ -98,7 +98,11 @@ def _ident_jac(m, H):
 
 
 def ekf_events_local_level(spark, sf_dir):
-    flt = _local_level(ExtendedKalmanFilter)
+    # the vectorized EKF fold calls the user fns once per TIME STEP on the
+    # whole key batch (batched-callable contract) and is bit-identical to
+    # the sequential fold on this 1-D shape (test_vectorized_ekf_bit_exact),
+    # so the raw-double recursive-CTE oracle hash is unchanged
+    flt = _local_level(ExtendedKalmanFilter).setVectorizedBatch(True)
     flt.setMeasurementFunction(_ident_fn).setMeasurementStateJacobian(_ident_jac)
     return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
 

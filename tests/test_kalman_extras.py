@@ -5,7 +5,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from artan_spark.operators import LinearKalmanFilter, UnscentedKalmanFilter
+from artan_spark.operators import (
+    ExtendedKalmanFilter,
+    LinearKalmanFilter,
+    UnscentedKalmanFilter,
+)
 from artan_spark.operators.kalman import (
     KalmanBase,
     _is_scalar_lkf,
@@ -606,3 +610,62 @@ def test_vectorized_ekf_process_fn_matches_sequential(spark):
     for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
         np.testing.assert_allclose(rs.state.mean, rv.state.mean, atol=1e-8)
         np.testing.assert_allclose(rs.state.covariance.values, rv.state.covariance.values, atol=1e-8)
+
+
+def _bitexact_mfn(m, H):
+    return H @ m
+
+
+def _bitexact_mjac(m, H):
+    return H
+
+
+def test_vectorized_ekf_bit_exact(spark):
+    """The vectorized EKF fold (batched-callable contract: user fns called
+    once per time step on the whole key batch) reproduces the sequential
+    EKF fold BIT-exactly on the 1-D local-level shape — the contract that
+    lets the ekf_events_local_level driver query run vectorized under its
+    raw-double recursive-CTE oracle. Ragged keys and missing measurements
+    included."""
+    rng = np.random.RandomState(13)
+    rows = []
+    for k in range(7):
+        for i in range(11 + 2 * k):  # ragged
+            z = None if (k + i) % 5 == 3 else [float(np.cos(i / 3.0) * 4 + k + rng.normal(0, 0.4))]
+            rows.append((f"key{k}", z))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        flt = (
+            ExtendedKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateMean(np.zeros(1))
+            .setInitialStateCovariance(np.array([[100.0]]))
+            .setProcessModel(np.eye(1))
+            .setProcessNoise(np.array([[1.0]]))
+            .setMeasurementModel(np.eye(1))
+            .setMeasurementNoise(np.array([[10.0]]))
+            .setCalculateLoglikelihood(True)
+            .setCalculateMahalanobis(True)
+            .setVectorizedBatch(vectorized)
+        )
+        return flt.setMeasurementFunction(_bitexact_mfn).setMeasurementStateJacobian(
+            _bitexact_mjac
+        )
+
+    seq = mk(False).transform(df).collect()
+    vec = mk(True).transform(df).collect()
+    assert len(seq) == len(vec) == len(rows)
+    key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+    for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        assert rs.state.mean[0] == rv.state.mean[0]
+        assert rs.state.covariance.values[0] == rv.state.covariance.values[0]
+        assert (rs.residual is None) == (rv.residual is None)
+        if rs.residual is not None:
+            assert rs.residual.mean[0] == rv.residual.mean[0]
+            assert rs.residual.covariance.values[0] == rv.residual.covariance.values[0]
+            np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, rtol=1e-14)
+            np.testing.assert_allclose(rs.mahalanobis, rv.mahalanobis, rtol=1e-14)
+        else:
+            assert rv.loglikelihood is None and rv.mahalanobis is None
