@@ -9,6 +9,11 @@ reprocessing. Docs are folded in doc_id order within each micro-batch;
 feed streams in doc_id order (the natural ingest order for monotone ids)
 and any chunking reproduces the batch assignment row-for-row — asserted
 against ``pack_sequences`` itself in tests/test_heavy_hitters.py.
+
+Out-of-order ingest is DETECTED, not silently absorbed: state tracks the
+max packed doc_id per stream, and a micro-batch whose min doc_id is at or
+behind that frontier raises — a late batch would otherwise shift every
+subsequent offset away from the batch assignment with no error.
 """
 
 from __future__ import annotations
@@ -31,7 +36,9 @@ _PK_OUT = StructType(
     ]
 )
 
-_PK_STATE = StructType([StructField("next_off", LongType())])
+_PK_STATE = StructType(
+    [StructField("next_off", LongType()), StructField("max_doc_id", LongType())]
+)
 
 
 class StreamingPacker(StatefulTransformer):
@@ -80,7 +87,21 @@ class StreamingPacker(StatefulTransformer):
                     return empty_pdf(names), state
                 key = pdf[STATE_KEY].iloc[0]
                 off = 0 if state is None else state["next_off"]
+                seen_max = None if state is None else state["max_doc_id"]
                 p = pdf.sort_values("doc_id", kind="mergesort")
+                first_id = int(p["doc_id"].iloc[0])
+                if seen_max is not None and first_id <= seen_max:
+                    # A late micro-batch behind the packed frontier would
+                    # silently shift every subsequent offset away from the
+                    # batch assignment — fail loudly instead. Feed streams
+                    # in doc_id order (monotone ingest ids), or buffer and
+                    # re-sort upstream before the packer.
+                    raise ValueError(
+                        f"StreamingPacker stream {key!r}: out-of-order ingest — "
+                        f"doc_id {first_id} arrived after doc_id {seen_max} was "
+                        "already packed; offsets would silently diverge from the "
+                        "batch pack_sequences assignment"
+                    )
                 toks = p["n_tokens"].to_numpy(dtype=np.int64)
                 starts = off + np.concatenate(([0], np.cumsum(toks[:-1])))
                 out = pd.DataFrame(
@@ -94,7 +115,10 @@ class StreamingPacker(StatefulTransformer):
                     },
                     columns=names,
                 )
-                return out, {"next_off": int(off + toks.sum())}
+                return out, {
+                    "next_off": int(off + toks.sum()),
+                    "max_doc_id": int(p["doc_id"].iloc[-1]),
+                }
 
             return fold
 
@@ -102,8 +126,8 @@ class StreamingPacker(StatefulTransformer):
 
     @staticmethod
     def _packState(state):
-        return (state["next_off"],)
+        return (state["next_off"], state["max_doc_id"])
 
     @staticmethod
     def _unpackState(packed):
-        return {"next_off": packed[0]}
+        return {"next_off": packed[0], "max_doc_id": packed[1]}

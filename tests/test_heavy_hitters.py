@@ -333,12 +333,14 @@ def test_streaming_packer_matches_batch_packer(spark):
     # same input shape the batch packer derives: (stream, doc_id, n_tokens)
     from artan_spark.plans.sampling import N_STREAMS, _hash_bucket
 
+    from artan_spark.plans.sampling import n_tokens_expr
+
     d = (
         read_table(spark, sf, "documents")
         .select(
             (_hash_bucket(F.col("doc_id")) % N_STREAMS).cast("string").alias("stream"),
             "doc_id",
-            F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+            n_tokens_expr().alias("n_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -382,3 +384,26 @@ def test_sketch_parameter_validation():
         events_quantile_sketch(None, "", capacity=0)
     with pytest.raises(ValueError, match="quantiles"):
         events_quantile_sketch(None, "", quantiles=(1.5,))
+
+
+def test_streaming_packer_out_of_order_raises(spark):
+    """A micro-batch that regresses behind the packed doc_id frontier must
+    fail loudly — silently continuing would shift every later offset away
+    from the batch pack_sequences assignment."""
+    import pandas as pd
+
+    from artan_spark.streaming import StreamingPacker, stream_transform
+
+    rows = [("s", i, 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "stream string, doc_id long, n_tokens long")
+    op = StreamingPacker().setStateKeyCol("stream").setSeqLen(64)
+
+    # in-order chunked replay is fine
+    ok = stream_transform(spark, df.orderBy("doc_id"), op.transform, chunk_rows=7)
+    assert ok.count() == 40
+
+    # descending ingest: the second chunk's min doc_id regresses
+    with pytest.raises(Exception, match="out-of-order"):
+        stream_transform(
+            spark, df.orderBy(F.desc("doc_id")), op.transform, chunk_rows=7
+        ).count()
