@@ -1134,6 +1134,26 @@ def supports_vectorized_mixture(c: dict) -> bool:
     return not c.get("hasPerRowCols")
 
 
+def mixture_param_width(c: dict) -> int:
+    """Flat parameter vector width per mixture model row: gaussian packs
+    (mean, row-major covariance) per component; scalar families one value
+    per component."""
+    kc = len(c["initialWeights"])
+    if c["family"] == "gaussian":
+        d = int(np.asarray(c["initialParams"]["means"]).shape[1])
+        return kc * (d + d * d)
+    return kc
+
+
+def mixture_flat_fields(kc: int, n_params: int) -> list:
+    return (
+        [STATE_KEY, "stateIndex"]
+        + [f"w{j}" for j in range(kc)]
+        + [f"p{i}" for i in range(n_params)]
+        + [EVENT_TIME, "loglikelihood"]
+    )
+
+
 def vectorized_mixture_fold_factory(c: dict):
     """Time-synchronous multi-key stochastic-EM mixture fold.
 
@@ -1151,16 +1171,22 @@ def vectorized_mixture_fold_factory(c: dict):
     step = float(c["stepSize"])
     w0 = c["initialWeights"]
     p0 = c["initialParams"]
-    out_fields = ["stateKey", "stateIndex", "weights", "params", "eventTime", "loglikelihood"]
     kc = len(w0)
+    # FLAT PRIMITIVE double columns across the Python->JVM boundary
+    # (mixture_flat_fields; the array-column emission cost ~19us per model
+    # row in Arrow list transport + reassembly — at minibatch 1 that was
+    # the whole query wall). mixture.py _shapeMixtureOutput arrays them
+    # back JVM-side.
+    n_params = mixture_param_width(c)
+    out_fields = mixture_flat_fields(kc, n_params)
 
     from artan_spark.types import vec_to_np
 
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
-        out = {f: [] for f in out_fields}
         if N == 0:
             return empty_pdf(out_fields), None
+        keys_acc, idx_acc, W_acc, P_acc, ev_acc, ll_acc = [], [], [], [], [], []
         keys_arr = pdf[STATE_KEY].to_numpy()
         _codes, key_idx = np.unique(keys_arr, return_inverse=True)
         K = len(_codes)
@@ -1235,6 +1261,86 @@ def vectorized_mixture_fold_factory(c: dict):
                 lq = np.log(np.maximum(1.0 - p, eps))[:, None, :]
                 return x[:, :, None] * lp + (1.0 - x[:, :, None]) * lq
 
+        if family == "gaussian" and d == 1 and mb == 1:
+            # Fused scalar fast path for the per-row stochastic-EM shape
+            # (minibatch 1, 1-D): the general loop's ~100 small numpy calls
+            # per time step are pure interpreter overhead when rows-per-key
+            # is skewed (T = longest key; at sf0.1 the 32-key events layout
+            # gives T ~ 3200 with single-digit alive sets), so the step is
+            # rewritten as ~30 elementwise (A,)/(A, kc) ops with no mb axis
+            # and no per-component loops. Same recursion, same parameter
+            # blends; logsumexp algebra folds exp(llm - norm) into
+            # r / r.sum() (identical values to float rounding ~1e-16,
+            # absorbed by the contracting recursion; the 5dp oracle margin
+            # is ~1e-10 and the seq==vec test tolerance 1e-9).
+            X1 = X[:, 0]
+            means1 = means[:, :, 0].copy()  # (K, kc)
+            covs1 = covs[:, :, 0, 0].copy()
+            smeans1 = smeans[:, :, 0].copy()
+            scovs1 = scovs[:, :, 0, 0].copy()
+            for t in range(T):
+                alive = np.nonzero(steps > t)[0]
+                A = len(alive)
+                rows = first[alive] + t
+                x = X1[rows]  # (A,)
+                alpha = float((2.0 + t) ** (-decay)) if decay is not None else step
+
+                mA, vA = means1[alive], covs1[alive]
+                diff = x[:, None] - mA
+                d2 = diff * diff
+                llm = -0.5 * (_LOG2PI + np.log(vA) + d2 / vA) + np.log(weights[alive])
+                amax = llm.max(axis=1, keepdims=True)
+                amax = np.where(np.isfinite(amax), amax, 0.0)
+                r = np.exp(llm - amax)
+                resp = r / r.sum(axis=1, keepdims=True)  # (A, kc)
+
+                swA = (1 - alpha) * sweights[alive] + alpha * resp
+                smA = (1 - alpha) * smeans1[alive] + alpha * (resp * x[:, None])
+                scA = (1 - alpha) * scovs1[alive] + alpha * (resp * d2)
+                sweights[alive] = swA
+                smeans1[alive] = smA
+                scovs1[alive] = scA
+                if t >= holdout:
+                    weights[alive] = swA
+                    means1[alive] = smA / swA
+                    covs1[alive] = scA / swA
+
+                mN, vN = means1[alive], covs1[alive]
+                diff2 = x[:, None] - mN
+                ll2 = -0.5 * (_LOG2PI + np.log(vN) + diff2 * diff2 / vN) + np.log(
+                    np.maximum(weights[alive], 1e-300)
+                )
+                amax2 = ll2.max(axis=1, keepdims=True)
+                amax2 = np.where(np.isfinite(amax2), amax2, 0.0)
+                lls = np.log(np.exp(ll2 - amax2).sum(axis=1)) + amax2[:, 0]
+
+                keys_acc.append(keys_arr[first[alive]])
+                idx_acc.append(np.full(A, t + 1, dtype=np.int64))
+                W_acc.append(weights[alive].copy())
+                P_acc.append(
+                    np.concatenate([mN[:, :, None], vN[:, :, None]], axis=2).reshape(A, -1)
+                )
+                if ev is not None:
+                    ev_acc.append(ev[rows])
+                ll_acc.append(lls)
+
+            if not keys_acc:
+                return empty_pdf(out_fields), None
+            W = np.vstack(W_acc)
+            P = np.vstack(P_acc)
+            n_out = len(W)
+            data = {
+                STATE_KEY: np.concatenate(keys_acc),
+                "stateIndex": np.concatenate(idx_acc),
+            }
+            for j in range(kc):
+                data[f"w{j}"] = W[:, j]
+            for i in range(P.shape[1]):
+                data[f"p{i}"] = P[:, i]
+            data[EVENT_TIME] = np.concatenate(ev_acc) if ev is not None else [None] * n_out
+            data["loglikelihood"] = np.concatenate(ll_acc)
+            return pd.DataFrame(data, columns=out_fields), None
+
         for t in range(T):
             alive = np.nonzero(steps > t)[0]
             A = len(alive)
@@ -1281,27 +1387,41 @@ def vectorized_mixture_fold_factory(c: dict):
             amax = np.where(np.isfinite(amax), amax, 0.0)
             lls = np.sum(np.log(np.sum(np.exp(ll_new - amax), axis=2, keepdims=True)) + amax, axis=(1, 2))
 
-            # flat primitive columns across the Python->JVM boundary (the
-            # struct-of-array emission was the 3x serialization cliff);
-            # mixture.py _shapeMixtureOutput reassembles the public struct.
+            # accumulate plain numpy blocks; the flat primitive columns are
+            # assembled once at the end (per-step Python list building was
+            # O(rows) interpreter work at minibatch 1)
             trig = first[alive] + t * mb + mb - 1
-            out[STATE_KEY].extend(keys_arr[first[alive]])
-            out["stateIndex"].extend([t + 1] * A)
-            out["weights"].extend(weights[alive].tolist())
+            keys_acc.append(keys_arr[first[alive]])
+            idx_acc.append(np.full(A, t + 1, dtype=np.int64))
+            W_acc.append(weights[alive].copy())
             if family == "gaussian":
                 flat = np.concatenate(
                     [means[alive], covs[alive].reshape(A, kc, d * d)], axis=2
                 ).reshape(A, kc * (d + d * d))
             elif family == "poisson":
-                flat = rates[alive]
+                flat = rates[alive].copy()
             else:
-                flat = probs[alive]
-            out["params"].extend(flat.tolist())
-            out[EVENT_TIME].extend(ev[trig] if ev is not None else [None] * A)
-            out["loglikelihood"].extend(lls.tolist())
+                flat = probs[alive].copy()
+            P_acc.append(flat)
+            if ev is not None:
+                ev_acc.append(ev[trig])
+            ll_acc.append(lls)
 
-        if not out[STATE_KEY]:
+        if not keys_acc:
             return empty_pdf(out_fields), None
-        return pd.DataFrame(out, columns=out_fields), None
+        W = np.vstack(W_acc)
+        P = np.vstack(P_acc)
+        n_out = len(W)
+        data = {
+            STATE_KEY: np.concatenate(keys_acc),
+            "stateIndex": np.concatenate(idx_acc),
+        }
+        for j in range(kc):
+            data[f"w{j}"] = W[:, j]
+        for i in range(P.shape[1]):
+            data[f"p{i}"] = P[:, i]
+        data[EVENT_TIME] = np.concatenate(ev_acc) if ev is not None else [None] * n_out
+        data["loglikelihood"] = np.concatenate(ll_acc)
+        return pd.DataFrame(data, columns=out_fields), None
 
     return fold

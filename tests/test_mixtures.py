@@ -295,3 +295,48 @@ def test_batch_em_bernoulli(spark):
     assert abs(w.sum() - 1.0) < 1e-9
     fitted_mean = float((w * p).sum())
     assert abs(fitted_mean - samples.mean()) < 0.01
+
+
+def test_vectorized_scalar_gmm_minibatch1_matches_sequential(spark):
+    """The fused scalar fast path (gaussian, d=1, minibatch=1 — the
+    per-row stochastic-EM shape of the gmm_events_value driver query) must
+    reproduce the sequential fold within the same tolerance as the general
+    vectorized fold. Ragged keys, decay, and holdout included."""
+    import numpy as np
+
+    from artan_spark.operators import MultivariateGaussianMixture
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for k in range(6):
+        for i in range(31 + 11 * k):  # skewed lengths: the shape the fast path targets
+            rows.append((f"key{k}", [float(rng.normal(20 if i % 2 else 70, 8))]))
+    df = spark.createDataFrame(rows, "key string, sample array<double>")
+
+    def mk(vectorized, holdout, decay):
+        m = (
+            MultivariateGaussianMixture()
+            .setInitialMeans([[25.0], [75.0]])
+            .setInitialCovariances([[100.0], [100.0]])
+            .setStateKeyCol("key")
+            .setMinibatchSize(1)
+            .setStepSize(0.1)
+            .setUpdateHoldout(holdout)
+            .setVectorizedBatch(vectorized)
+        )
+        return m.setDecayRate(decay) if decay else m
+
+    for holdout, decay in ((0, None), (2, 0.85)):
+        seq = mk(False, holdout, decay).transform(df).collect()
+        vec = mk(True, holdout, decay).transform(df).collect()
+        assert len(seq) == len(vec) == len(rows)
+        key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+        for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+            assert key_fn(rs) == key_fn(rv)
+            np.testing.assert_allclose(
+                rs.mixtureModel.weights, rv.mixtureModel.weights, atol=1e-9
+            )
+            np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, atol=1e-7)
+            for ds, dv in zip(rs.mixtureModel.distributions, rv.mixtureModel.distributions):
+                np.testing.assert_allclose(ds.mean, dv.mean, atol=1e-9)
+                np.testing.assert_allclose(ds.covariance.values, dv.covariance.values, atol=1e-9)
