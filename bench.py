@@ -27,11 +27,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 # Second scale point: the driver testdata tops out at sf0.1 where half the
-# suite runs sub-second inside the 1.3-1.8x timing-noise band; a 5x point
+# suite runs sub-second inside the 1.3-1.8x timing-noise band; a 10x point
 # (self-generated, seed-pinned — artan_spark/sources/datagen.py) makes
-# round-over-round deltas and the scaling exponent measurable. Set
-# SPARK_GRAFT_SF2="" to skip.
-SF2 = os.environ.get("SPARK_GRAFT_SF2", "0.5")
+# round-over-round deltas and the scaling exponent measurable (round 5 ran
+# 5x; 10x gives the exponent real leverage). Queries at this scale run
+# 10-60s, so a single timed run (REPEATS2) is outside the noise band that
+# forces median-of-3 at sf0.1. Set SPARK_GRAFT_SF2="" to skip.
+SF2 = os.environ.get("SPARK_GRAFT_SF2", "1.0")
+REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "1")))
 SF2_DIR = os.environ.get(
     "SPARK_GRAFT_SF2_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"sf{SF2}"),
@@ -156,7 +159,12 @@ def main() -> None:
         timings2: dict[str, float] = {}
         for name in SF2_QUERIES:
             fn = QUERIES[name]
-            sec, n = _median_time(lambda: fn(spark, SF2_DIR).count())
+            runs = []
+            for _ in range(REPEATS2):
+                t0 = time.perf_counter()
+                n = fn(spark, SF2_DIR).count()
+                runs.append(time.perf_counter() - t0)
+            sec = statistics.median(runs)
             timings2[name] = round(sec, 3)
             print(f"# sf{SF2} {name}: {timings2[name]:.3f}s ({n} rows)", file=sys.stderr)
         out["sf2"] = float(SF2)

@@ -153,3 +153,29 @@ def test_neardup_operator_persistence_roundtrip(tmp_path):
     op3.save(str(tmp_path / "a"))
     l3 = StreamingAsofJoin.load(str(tmp_path / "a"))
     assert (l3.get("sideCol"), l3.get("payloadCol")) == ("s", "p")
+
+
+def test_streamed_replay_matches_batch_on_driver_data_sf001(spark):
+    """Streamed replay == batch on the DRIVER's sf0.01 documents table —
+    the same corpus the docs_minhash_dedup_flags DuckDB oracle runs on, so
+    the batch anchor and the stream agree on driver data, not just on
+    synthetic frames. Full corpus, both stateful stages replayed."""
+    sf = "/root/testdata/sf0.01"
+    docs = read_table(spark, sf, "documents")
+    bands = (
+        minhash_bands(docs)
+        .withColumn("bucket", F.concat_ws(":", F.col("band").cast("string"), "sig"))
+        .orderBy("doc_id", "band")
+    )
+    op1 = BucketFirstSeen().setStateKeyCol("bucket")
+    owners = stream_transform(spark, bands, op1.transform, chunk_rows=256)
+    votes_in = owners.select(F.col("doc_id"), "owner").orderBy("doc_id")
+    op2 = BandVote().setStateKeyCol("doc_id")
+    flags = stream_transform(spark, votes_in, op2.transform, chunk_rows=256).select(
+        F.col("stateKey").cast("long").alias("doc_id"), "is_dup", "dup_of"
+    )
+    got = _norm(flags.toPandas())
+
+    want = _norm(docs_minhash_dedup_flags(spark, sf).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["is_dup"].sum() > 0
