@@ -674,10 +674,12 @@ class KalmanBase(StatefulTransformer):
         from artan_spark.operators.vectorized import (
             VFLAT_OUT_SCHEMA,
             VFLAT_SCALAR_OUT_SCHEMA,
+            supports_scalar_sigma,
             supports_scalar_vectorized,
             vectorized_ekf_fold_factory,
             vectorized_lkf_fold_factory,
             vectorized_scalar_lkf_fold_factory,
+            vectorized_scalar_sigma_fold_factory,
             vectorized_sigma_fold_factory,
         )
 
@@ -685,9 +687,13 @@ class KalmanBase(StatefulTransformer):
         constants = self._constants()
         factory_cell: list = []
 
-        scalar = self._kind == "lkf" and supports_scalar_vectorized(constants)
-        if scalar:
+        scalar_lkf = self._kind == "lkf" and supports_scalar_vectorized(constants)
+        scalar_sigma = supports_scalar_sigma(constants)
+        scalar = scalar_lkf or scalar_sigma
+        if scalar_lkf:
             factory = vectorized_scalar_lkf_fold_factory
+        elif scalar_sigma:
+            factory = vectorized_scalar_sigma_fold_factory
         else:
             factory = {
                 "lkf": vectorized_lkf_fold_factory,

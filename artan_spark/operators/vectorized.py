@@ -667,6 +667,177 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
     return fold
 
 
+def supports_scalar_sigma(c: dict) -> bool:
+    """Scope of the scalar sigma-point fast path: UKF/CKF on the 1-D
+    constant-model linear shape (no user fns, no per-row models). Checked
+    AFTER supports_vectorized (which already excludes RAUKF adaptive noise
+    and sigma-point bounds from the vectorized path)."""
+    return (
+        c["kind"] in ("ukf", "ckf")
+        and c["stateSize"] == 1
+        and c["measurementSize"] == 1
+        and not c.get("perRowCols")
+        and c.get("processFunction") is None
+        and c.get("measurementFunction") is None
+    )
+
+
+def vectorized_scalar_sigma_fold_factory(c: dict):
+    """Scalar (1-D) UKF/CKF multi-key fold: the sigma-point set for n=1 is
+    2-3 points, so the whole recursion is (A,) / (A, p) elementwise
+    arithmetic — no batched SPD square roots (SVD on (A,1,1) stacks) and
+    no einsum towers, which dominate the general sigma fold's ~300 us/step
+    when rows-per-key is skewed (T ~ 3200 at sf0.1's 32-key events
+    layout). Same transforms in the same order; the only numeric deltas
+    are scalar-vs-SVD square roots and dot-reduction order, ~1e-14 —
+    the UKF/CKF oracles round to 4dp with >= 8e-9 boundary margin
+    (tests/test_oracle_margins.py), and seq-vs-vec parity is asserted at
+    1e-9 by test_vectorized_scalar_sigma_matches_general."""
+    kind = c["kind"]
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    fad = float(c["fadingFactor"])
+    fad2 = fad**2
+    compute_ll = c["calculateLoglikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    names = [fld.name for fld in VFLAT_SCALAR_OUT_SCHEMA.fields]
+
+    # point offsets (p,) and weights for n = 1
+    if kind == "ckf":
+        ofs = np.array([1.0, -1.0])
+        wm = np.array([0.5, 0.5])
+        wc = wm.copy()
+        g = 1.0  # root = sqrt(n * P), n = 1
+    elif c["sigmaPoints"] == "julier":
+        kappa = float(c["kappa"])
+        ofs = np.array([0.0, 1.0, -1.0])
+        wm = np.full(3, 0.5 / (1.0 + kappa))
+        wm[0] = kappa / (kappa + 1.0)
+        wc = wm.copy()
+        g = 1.0 + kappa
+    else:  # merwe
+        alpha, beta, kappa = float(c["alpha"]), float(c["beta"]), float(c["kappa"])
+        lam = alpha**2 * (1.0 + kappa) - 1.0
+        ofs = np.array([0.0, 1.0, -1.0])
+        wm = np.full(3, 0.5 / (1.0 + lam))
+        wc = wm.copy()
+        wm[0] = lam / (1.0 + lam)
+        wc[0] = lam / (1.0 + lam) + (1.0 - alpha**2 + beta)
+        g = 1.0 + lam
+
+    def ut(pts):
+        """(A, p) points -> (mean (A,), centered diffs (A, p))."""
+        mean = pts @ wm
+        return mean, pts - mean[:, None]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros(N)
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = float(np.asarray(z_cells[i], dtype=np.float64).ravel()[0])
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m = np.full(K, m0)
+        P = np.full(K, p0)
+        if "initialStateDistribution" in pdf.columns:
+            cells = pdf["initialStateDistribution"].values
+            for k, f0 in enumerate(first):
+                d0 = cells[f0]
+                if d0 is None:
+                    continue
+                if isinstance(d0, dict):
+                    m[k] = float(d0["mean"][0])
+                    P[k] = float(d0["covariance"]["values"][0])
+                else:
+                    m[k] = float(d0.mean[0])
+                    P[k] = float(d0.covariance.values[0])
+
+        out_mean = np.empty(N)
+        out_cov = np.empty(N)
+        out_res = np.full(N, np.nan)
+        out_rescov = np.full(N, np.nan)
+        out_ll = np.full(N, np.nan)
+        out_maha = np.full(N, np.nan)
+        out_idx = np.empty(N, dtype=np.int64)
+
+        T = int(counts.max())
+        ptr = 0
+        for t in range(T):
+            a = int(np.sum(counts > t))
+            block = order[ptr : ptr + a]
+            ptr += a
+            ki = key_idx[block]
+
+            # sigma-point predict
+            root = np.sqrt(g * P[ki])
+            prop = f * (m[ki][:, None] + root[:, None] * ofs)
+            mb, diff = ut(prop)
+            Pb = (diff * diff) @ wc + q
+            if fad != 1.0:
+                Pb = fad2 * (Pb - q) + q
+            out_idx[block] = t + 1
+
+            zi = has_z[block]
+            if zi.any():
+                rows_u = block[zi]
+                m1, P1 = mb[zi], Pb[zi]
+                root2 = np.sqrt(g * P1)
+                pts2 = m1[:, None] + root2[:, None] * ofs
+                zpts = h * pts2
+                zmean, zdiff = ut(zpts)
+                S = (zdiff * zdiff) @ wc + rr
+                cross = ((pts2 - m1[:, None]) * zdiff) @ wc
+                Kg = np.where(S != 0.0, cross / np.where(S == 0.0, 1.0, S), 0.0)
+                r = Z[rows_u] - zmean
+                mb[zi] = m1 + Kg * r
+                Pb[zi] = P1 - Kg * S * Kg
+                out_res[rows_u] = r
+                out_rescov[rows_u] = S
+                if compute_ll or compute_maha:
+                    L1 = np.sqrt(S + 1e-300)
+                    sq = (r / L1) ** 2
+                    if compute_maha:
+                        out_maha[rows_u] = np.sqrt(np.maximum(sq, 0.0))
+                    if compute_ll:
+                        out_ll[rows_u] = -0.5 * (_LOG2PI + 2.0 * np.log(L1) + sq)
+
+            m[ki] = mb
+            P[ki] = Pb
+            out_mean[block] = mb
+            out_cov[block] = Pb
+
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": out_idx,
+                "stepIndex": 0,
+                "mean": out_mean,
+                "cov": out_cov,
+                "res": out_res,
+                "resCov": out_rescov,
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": out_ll,
+                "mahalanobis": out_maha,
+                "slidingLikelihood": np.nan,
+            },
+            columns=names,
+        )
+        return out, None
+
+    return fold
+
+
 def vectorized_ekf_fold_factory(c: dict):
     """EKF variant of the linear multi-key fold: user fns/Jacobians are
     called ONCE per time step on the whole (A, n) key batch instead of per
