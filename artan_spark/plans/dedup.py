@@ -53,6 +53,15 @@ def shingles_of(d: DataFrame) -> DataFrame:
     Tokens are materialized in their own projection first — referencing the
     split() expression inside the shingle lambda would make Catalyst
     re-split the text for every array access (~150x per doc).
+
+    Dedup happens IN-ROW (``array_distinct`` on the shingle array) rather
+    than as a global ``.distinct()``: shingle uniqueness is per (doc_id,
+    shingle) and doc_id is unique per input row, so the in-row form is the
+    same result set while (a) never shuffling the pre-distinct shingle
+    stream — on real text in-doc repetition is ~10x (Zipfian tokens), so
+    that shuffle carries 10x the rows of the output — and (b) shrinking
+    the explode itself to unique shingles. Callers must pass unique
+    doc_ids (both document tables and the streaming source do).
     """
     toked = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     toks = F.col("toks")
@@ -60,7 +69,7 @@ def shingles_of(d: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
     )
-    return toked.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return toked.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
