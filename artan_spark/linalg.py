@@ -121,7 +121,9 @@ def logsumexp(a: np.ndarray, axis=None) -> np.ndarray:
     amax = np.max(a, axis=axis, keepdims=True)
     amax = np.where(np.isfinite(amax), amax, 0.0)
     out = np.log(np.sum(np.exp(a - amax), axis=axis, keepdims=True)) + amax
-    return np.squeeze(out, axis=axis) if axis is not None else float(out)
+    # axis=None collapses to one element; .reshape(()) then item() avoids the
+    # numpy >= 1.25 deprecation of float() on a 0-sized-but-ndim>0 array
+    return np.squeeze(out, axis=axis) if axis is not None else float(out.reshape(-1)[0])
 
 
 # ---------------------------------------------------------------------------
