@@ -1512,6 +1512,84 @@ def vectorized_mixture_fold_factory(c: dict):
             data["loglikelihood"] = np.concatenate(ll_acc)
             return pd.DataFrame(data, columns=out_fields), None
 
+        if family in ("poisson", "bernoulli") and mb == 1:
+            # Same fused minibatch-1 treatment for the scalar families:
+            # their parameters are already (K, kc), so only the per-family
+            # log-density and M-step numerator differ from the gaussian
+            # fast path above.
+            from artan_spark.linalg import gammaln
+
+            par = rates if family == "poisson" else probs
+            spar = srates if family == "poisson" else sprobs
+
+            def ll1(x, pA):
+                """Raw per-component log density (A, kc) under params pA,
+                replicating the general loglik's edge handling."""
+                if family == "poisson":
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        out = x[:, None] * np.log(pA) - pA - gammaln(x + 1.0)[:, None]
+                        bad = pA <= 0.0
+                        if bad.any():
+                            out = np.where(
+                                bad, np.where(x[:, None] == 0.0, 0.0, -np.inf), out
+                            )
+                    return out
+                eps = 1e-300
+                lp = np.log(np.maximum(pA, eps))
+                lq = np.log(np.maximum(1.0 - pA, eps))
+                return x[:, None] * lp + (1.0 - x[:, None]) * lq
+
+            for t in range(T):
+                alive = np.nonzero(steps > t)[0]
+                A = len(alive)
+                rows = first[alive] + t
+                x = X[rows]  # (A,)
+                alpha = float((2.0 + t) ** (-decay)) if decay is not None else step
+
+                llm = ll1(x, par[alive]) + np.log(weights[alive])
+                amax = llm.max(axis=1, keepdims=True)
+                amax = np.where(np.isfinite(amax), amax, 0.0)
+                r = np.exp(llm - amax)
+                resp = r / r.sum(axis=1, keepdims=True)
+
+                swA = (1 - alpha) * sweights[alive] + alpha * resp
+                spA = (1 - alpha) * spar[alive] + alpha * (resp * x[:, None])
+                sweights[alive] = swA
+                spar[alive] = spA
+                if t >= holdout:
+                    weights[alive] = swA
+                    par[alive] = spA / swA
+
+                ll2 = ll1(x, par[alive]) + np.log(np.maximum(weights[alive], 1e-300))
+                amax2 = ll2.max(axis=1, keepdims=True)
+                amax2 = np.where(np.isfinite(amax2), amax2, 0.0)
+                lls = np.log(np.exp(ll2 - amax2).sum(axis=1)) + amax2[:, 0]
+
+                keys_acc.append(keys_arr[first[alive]])
+                idx_acc.append(np.full(A, t + 1, dtype=np.int64))
+                W_acc.append(weights[alive].copy())
+                P_acc.append(par[alive].copy())
+                if ev is not None:
+                    ev_acc.append(ev[rows])
+                ll_acc.append(lls)
+
+            if not keys_acc:
+                return empty_pdf(out_fields), None
+            W = np.vstack(W_acc)
+            P = np.vstack(P_acc)
+            n_out = len(W)
+            data = {
+                STATE_KEY: np.concatenate(keys_acc),
+                "stateIndex": np.concatenate(idx_acc),
+            }
+            for j in range(kc):
+                data[f"w{j}"] = W[:, j]
+            for i in range(P.shape[1]):
+                data[f"p{i}"] = P[:, i]
+            data[EVENT_TIME] = np.concatenate(ev_acc) if ev is not None else [None] * n_out
+            data["loglikelihood"] = np.concatenate(ll_acc)
+            return pd.DataFrame(data, columns=out_fields), None
+
         for t in range(T):
             alive = np.nonzero(steps > t)[0]
             A = len(alive)

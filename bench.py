@@ -248,6 +248,13 @@ def _operator_throughput(spark) -> dict[str, int]:
 
         if n_keys >= 1000:
             rate(f"gmm_{n_keys}keys_vectorized", gmm.copy().setVectorizedBatch(True), df)
+            # the per-row stochastic-EM shape (gmm_events_value): fused
+            # scalar minibatch-1 path + flat primitive emission
+            rate(
+                f"gmm_{n_keys}keys_mb1_vectorized",
+                gmm.copy().setMinibatchSize(1).setVectorizedBatch(True),
+                df,
+            )
 
             sm = (
                 LinearKalmanSmoother(1, 1)

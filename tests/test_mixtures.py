@@ -340,3 +340,55 @@ def test_vectorized_scalar_gmm_minibatch1_matches_sequential(spark):
             for ds, dv in zip(rs.mixtureModel.distributions, rv.mixtureModel.distributions):
                 np.testing.assert_allclose(ds.mean, dv.mean, atol=1e-9)
                 np.testing.assert_allclose(ds.covariance.values, dv.covariance.values, atol=1e-9)
+
+
+@pytest.mark.parametrize("family", ["poisson", "bernoulli"])
+def test_vectorized_scalar_family_minibatch1_matches_sequential(spark, family):
+    """The fused minibatch-1 fast path for the scalar families must match
+    the sequential fold like the gaussian one does (ragged keys, decay,
+    holdout)."""
+    import numpy as np
+
+    from artan_spark.operators import BernoulliMixture, PoissonMixture
+
+    rng = np.random.RandomState(29)
+    rows = []
+    for k in range(6):
+        for i in range(23 + 9 * k):
+            if family == "poisson":
+                v = float(rng.poisson(3 if i % 2 else 11))
+            else:
+                v = float(rng.binomial(1, 0.25 if i % 2 else 0.8))
+            rows.append((f"key{k}", v))
+    df = spark.createDataFrame(rows, "key string, sample double")
+
+    def mk(vectorized, holdout, decay):
+        if family == "poisson":
+            m = PoissonMixture().setInitialRates([2.0, 9.0])
+        else:
+            m = BernoulliMixture().setInitialProbabilities([0.2, 0.8])
+        m = (
+            m.setStateKeyCol("key")
+            .setMinibatchSize(1)
+            .setStepSize(0.1)
+            .setUpdateHoldout(holdout)
+            .setVectorizedBatch(vectorized)
+        )
+        return m.setDecayRate(decay) if decay else m
+
+    for holdout, decay in ((0, None), (2, 0.85)):
+        seq = mk(False, holdout, decay).transform(df).collect()
+        vec = mk(True, holdout, decay).transform(df).collect()
+        assert len(seq) == len(vec) == len(rows)
+        key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
+        for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
+            assert key_fn(rs) == key_fn(rv)
+            np.testing.assert_allclose(
+                rs.mixtureModel.weights, rv.mixtureModel.weights, atol=1e-9
+            )
+            np.testing.assert_allclose(rs.loglikelihood, rv.loglikelihood, atol=1e-7)
+            for ds, dv in zip(rs.mixtureModel.distributions, rv.mixtureModel.distributions):
+                if family == "poisson":
+                    np.testing.assert_allclose(ds.rate, dv.rate, atol=1e-9)
+                else:
+                    np.testing.assert_allclose(ds.probability, dv.probability, atol=1e-9)
