@@ -533,9 +533,11 @@ def _png_gray(payload: bytes):
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
     arr = raw.reshape(h, w, channels).astype(np.float64)
-    # channel mean over color channels; alpha (types 4/6) dropped — same
-    # intensity convention as _bmp_gray/_pnm_gray
-    return arr[:, :, : min(3, channels)].mean(axis=2)
+    # channel mean over COLOR channels only (1 for gray/gray+alpha, 3 for
+    # RGB/RGBA); alpha dropped — same intensity convention as
+    # _bmp_gray/_pnm_gray
+    n_color = 1 if color_type in (0, 4) else 3
+    return arr[:, :, :n_color].mean(axis=2)
 
 
 def _png_features(doc_id: int, payload: bytes) -> tuple:

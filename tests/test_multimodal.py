@@ -480,3 +480,36 @@ def test_png_unsupported_variants_raise():
     good[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         _png_gray(bytes(good))
+
+
+def test_png_alpha_color_types_decode():
+    """Color types 4 (gray+alpha) and 6 (RGBA) decode with alpha dropped —
+    hand-built payloads since the encoder only writes types 0 and 2."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from artan_spark.plans.multimodal import _png_chunk, _png_gray
+
+    def build(color_type, channels, pixels):
+        h, w, _ = pixels.shape
+        body = bytearray()
+        for r in range(h):
+            body += b"\x00" + pixels[r].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(9)
+    ga = rng.randint(0, 256, (5, 4, 2)).astype(np.uint8)  # gray+alpha
+    out = _png_gray(build(4, 2, ga))
+    assert np.array_equal(out, ga[:, :, 0].astype(np.float64))  # alpha dropped
+
+    rgba = rng.randint(0, 256, (6, 3, 4)).astype(np.uint8)
+    out = _png_gray(build(6, 4, rgba))
+    assert np.allclose(out, rgba[:, :, :3].astype(np.float64).mean(axis=2))
