@@ -9,11 +9,13 @@ shapes) is real and tested. Codec status:
   uncompressed BI_RGB 8/24/32 bpp, row padding honored), ``image/
   x-portable-graymap`` / ``x-portable-pixmap`` (binary netpbm P5/P6), and
   ``video/x-yuv4mpeg`` (YUV4MPEG2 — the raw-video interchange format, with
-  every-2nd-frame luma sampling), and ``image/png`` (8-bit non-interlaced
+  every-2nd-frame luma sampling), ``image/png`` (8-bit non-interlaced
   gray/RGB/+alpha — stdlib ``zlib`` IDAT inflate + all 5 scanline
-  unfilters). These decode actual file bytes; round-trip encoders live
-  alongside for tests and pipeline fixtures.
-- **Stub**: the remaining compressed formats (JPEG/MP3/MP4/...) need codec libs
+  unfilters), and ``image/jpeg`` (baseline sequential DCT — pure-numpy
+  IDCT + Annex-K Huffman entropy decode, gray + YCbCr 4:4:4/4:2:0/4:2:2,
+  restart markers; plans/jpeg.py). These decode actual file bytes;
+  round-trip encoders live alongside for tests and pipeline fixtures.
+- **Stub**: the remaining compressed formats (MP3/MP4/progressive-JPEG/...) need codec libs
   (Pillow/libsndfile/ffmpeg) absent in this container — those media types
   raise ``NotImplementedError``. The deterministic ``*/fake`` types
   exercise the identical pipeline with synthetic payloads and are gated
@@ -550,10 +552,30 @@ def _png_features(doc_id: int, payload: bytes) -> tuple:
     return (int(w), int(h), int(w * h), round(mean_i, 6))
 
 
+def _jpeg_features(doc_id: int, payload: bytes) -> tuple:
+    """REAL baseline-JPEG parse (plans/jpeg.py — pure numpy DCT + Annex-K
+    Huffman entropy decode): decode to grayscale and report (width,
+    height, n_pixels, mean intensity). Progressive/arithmetic/12-bit
+    variants raise ``NotImplementedError`` from the codec."""
+    from artan_spark.plans.jpeg import jpeg_gray
+
+    gray = jpeg_gray(payload)
+    h, w = gray.shape
+    mean_i = float(gray.mean()) if gray.size else 0.0
+    return (int(w), int(h), int(w * h), round(mean_i, 6))
+
+
+def _jpeg_gray(payload: bytes):
+    from artan_spark.plans.jpeg import jpeg_gray
+
+    return jpeg_gray(payload)
+
+
 # real codecs dispatch regardless of the ``fake`` flag
 _REAL_EXTRACTORS = {
     "audio/wav": _wav_features,
     "image/bmp": _bmp_features,
+    "image/jpeg": _jpeg_features,
     "image/png": _png_features,
     "image/x-portable-graymap": _pnm_features,
     "image/x-portable-pixmap": _pnm_features,
@@ -619,13 +641,13 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     intensity).
 
     Dispatch per ``media_type``: ``audio/wav``, ``image/bmp``,
-    ``image/png``, netpbm, and Y4M use the REAL built-in parsers above (no
-    ``fake`` flag needed); the ``*/fake`` types parse the deterministic
-    synthetic payloads through the same mapInPandas pipeline but require
-    ``fake=True`` (so production callers can't silently consume stub
-    features); any other type (JPEG/MP3/MP4/...) raises
-    ``NotImplementedError`` — those genuinely need codec libraries absent
-    in this container.
+    ``image/jpeg`` (baseline), ``image/png``, netpbm, and Y4M use the REAL
+    built-in parsers above (no ``fake`` flag needed); the ``*/fake`` types
+    parse the deterministic synthetic payloads through the same
+    mapInPandas pipeline but require ``fake=True`` (so production callers
+    can't silently consume stub features); any other type (MP3/MP4/...)
+    raises ``NotImplementedError`` — those genuinely need codec libraries
+    absent in this container.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -803,6 +825,7 @@ def _pnm_gray(payload: bytes):
 
 _GRAY_DECODERS = {
     "image/bmp": _bmp_gray,
+    "image/jpeg": _jpeg_gray,
     "image/png": _png_gray,
     "image/x-portable-graymap": _pnm_gray,
     "image/x-portable-pixmap": _pnm_gray,

@@ -1,0 +1,175 @@
+"""Baseline JPEG codec (plans/jpeg.py): round-trip accuracy across
+quality/sampling/geometry, entropy-coding edge cases, the multimodal
+pipeline integration, and actionable errors for unsupported variants."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from artan_spark.plans.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_rgb,
+    jpeg_gray,
+)
+
+
+def _smooth(h, w, seed=3, noise=3.0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 128 + 80 * np.sin(xx / 15.0) * np.cos(yy / 11.0) + rng.normal(0, noise, (h, w))
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def test_gray_roundtrip_accuracy():
+    img = _smooth(37, 53)  # non-multiples of 8: edge-replication padding path
+    payload = encode_jpeg_gray(img, quality=90)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    back = jpeg_gray(payload)
+    assert back.shape == (37, 53)
+    err = np.abs(back - img.astype(np.float64))
+    assert err.mean() < 3.0 and err.max() < 25.0
+
+
+def test_color_roundtrip_444_and_420():
+    img = _smooth(37, 53)
+    rgb = np.stack([img, np.roll(img, 3, 1), 255 - img], axis=2).astype(np.uint8)
+    want = rgb.astype(np.float64).mean(axis=2)
+    p444 = encode_jpeg_rgb(rgb, quality=90, subsample=False)
+    p420 = encode_jpeg_rgb(rgb, quality=90, subsample=True)
+    for payload in (p444, p420):
+        back = jpeg_gray(payload)
+        assert back.shape == (37, 53)
+        assert np.abs(back - want).mean() < 3.0
+    # 4:2:0 carries quarter-res chroma: smaller file, SOF sampling byte 0x22
+    assert len(p420) < len(p444)
+    planes, h, w = decode_jpeg(p420)
+    assert len(planes) == 3 and (h, w) == (37, 53)
+    assert all(p.shape == (37, 53) for p in planes)  # chroma upsampled back
+
+
+def test_quality_tradeoff_monotone():
+    img = _smooth(40, 56)
+    sizes, errs = [], []
+    for q in (95, 60, 15):
+        payload = encode_jpeg_gray(img, quality=q)
+        sizes.append(len(payload))
+        errs.append(float(np.abs(jpeg_gray(payload) - img).mean()))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_entropy_edge_cases():
+    # flat image: every AC coefficient 0 -> pure DC/EOB stream
+    flat = np.full((16, 16), 77, dtype=np.uint8)
+    assert np.abs(jpeg_gray(encode_jpeg_gray(flat, quality=90)) - 77).max() < 2.0
+    # extreme checkerboard: maximal high-frequency energy, ZRL paths
+    cb = np.indices((24, 24)).sum(axis=0) % 2 * 255
+    back = jpeg_gray(encode_jpeg_gray(cb.astype(np.uint8), quality=95))
+    assert back.shape == (24, 24)
+    # the pattern survives recognizably: correlation with the original
+    a, b = cb.ravel() - cb.mean(), back.ravel() - back.mean()
+    corr = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert corr > 0.9
+    # 1x1 image: single padded block
+    one = np.array([[200]], dtype=np.uint8)
+    assert jpeg_gray(encode_jpeg_gray(one)).shape == (1, 1)
+
+
+def test_unsupported_variants_raise():
+    img = _smooth(16, 16)
+    payload = bytearray(encode_jpeg_gray(img))
+    # flip SOF0 -> SOF2 (progressive)
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_gray(bytes(payload))
+    payload[idx + 1] = 0xC9  # arithmetic coding family
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg_gray(bytes(payload))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_gray(b"BMnope")
+    with pytest.raises(ValueError, match="no SOS"):
+        jpeg_gray(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    """image/jpeg decodes through sniff -> decode_media like every other
+    real codec, and the perceptual dHash is close enough to the lossless
+    codecs for the banded near-dup join to pair them."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.multimodal import (
+        _bmp_gray,
+        decode_media,
+        encode_bmp,
+        image_dhash,
+        image_near_dup_pairs,
+        sniff_media_type,
+    )
+
+    img = _smooth(32, 32)
+    payload = encode_jpeg_gray(img, quality=95)
+    media = spark.createDataFrame(
+        [(31, bytearray(payload))], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        sniff_media_type(F.col("payload")).alias("media_type"),
+        "payload",
+        F.length("payload").alias("payload_len"),
+    )
+    row = decode_media(media).collect()[0]
+    assert row.media_type == "image/jpeg"
+    assert (row.width, row.height, row.n_units) == (32, 32, 1024)
+    assert abs(row.mean_intensity - float(img.astype(np.float64).mean())) < 2.0
+
+    # lossy but perceptually stable: dHash within the banded-join radius
+    h_jpeg = image_dhash(jpeg_gray(payload))
+    h_bmp = image_dhash(_bmp_gray(encode_bmp(img)))
+    assert bin(h_jpeg ^ h_bmp).count("1") <= 6
+
+    other = _smooth(32, 32, seed=11, noise=40.0)
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(img))),
+        (2, "image/jpeg", bytearray(payload)),
+        (3, "image/bmp", bytearray(encode_bmp(other))),
+    ]
+    pairs_df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.doc_a, r.doc_b) for r in image_near_dup_pairs(pairs_df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_restart_marker_decode():
+    """A stream with DRI/RSTn markers decodes correctly (DC predictors
+    reset per interval) — hand-spliced since the encoder doesn't emit
+    restarts: re-encode each 8-row MCU stripe independently and join the
+    entropy segments with RSTn."""
+    img = _smooth(24, 16)
+    # encode stripes separately: each has its own DC start at 0, which is
+    # exactly the predictor-reset semantics of a restart interval of 2 MCUs
+    # (16px wide -> 2 MCUs per stripe row)
+    full = encode_jpeg_gray(img, quality=90)
+    stripes = [img[r : r + 8] for r in range(0, 24, 8)]
+    segs = []
+    for s in stripes:
+        p = encode_jpeg_gray(s, quality=90)
+        sos = p.find(b"\xff\xda")
+        (ln,) = struct.unpack(">H", p[sos + 2 : sos + 4])
+        segs.append(p[sos + 2 + ln : -2])  # entropy bytes, EOI stripped
+    # headers from the full image (correct H), DRI = 2 MCUs
+    sos = full.find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    (ln,) = struct.unpack(">H", full[sos + 2 : sos + 4])
+    head = full[:sos] + dri + full[sos : sos + 2 + ln]
+    body = b""
+    for i, seg in enumerate(segs):
+        body += seg
+        if i < len(segs) - 1:
+            body += bytes([0xFF, 0xD0 + (i % 8)])
+    spliced = head + body + b"\xff\xd9"
+    back = jpeg_gray(spliced)
+    assert back.shape == (24, 16)
+    assert np.abs(back - img.astype(np.float64)).mean() < 3.0

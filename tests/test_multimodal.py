@@ -40,12 +40,12 @@ def test_decode_stub_gate(spark):
     with pytest.raises(NotImplementedError):
         decode_image(None, fake=False)
     # genuinely codec-requiring types are NotImplemented regardless of flags
-    jpeg = spark.createDataFrame(
-        [(1, "image/jpeg", b"\xff\xd8\xff\xe0", 4)],
+    mp4 = spark.createDataFrame(
+        [(1, "video/mp4", b"\x00\x00\x00 ftypisom", 12)],
         "doc_id long, media_type string, payload binary, payload_len int",
     )
     with pytest.raises(Exception, match="no built-in codec"):
-        decode_media(jpeg, fake=True).collect()
+        decode_media(mp4, fake=True).collect()
 
 
 def test_wav_codec_real_bytes(spark):
