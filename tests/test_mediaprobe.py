@@ -1,0 +1,130 @@
+"""probe_media: ffprobe-style container metadata without decode — every
+built-in codec's header, the ISO-BMFF (MP4) box walk, MP3 frame headers,
+and junk tolerance."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from artan_spark.plans.mediaprobe import (
+    _probe_mp3,
+    _probe_mp4,
+    probe_media,
+)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _minimal_mp4(duration_s=7.5, timescale=1000, w=640, h=360, fourcc=b"avc1"):
+    mvhd = (
+        bytes([0]) + b"\x00\x00\x00"                       # version/flags
+        + struct.pack(">II", 0, 0)                         # times
+        + struct.pack(">II", timescale, int(duration_s * timescale))
+        + bytes(80)                                        # rate..next_track
+    )
+    tkhd = (
+        bytes([0]) + b"\x00\x00\x00"
+        + bytes(76)                                        # up to width/height
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    entry = struct.pack(">I", 16) + fourcc + bytes(8)
+    stsd = bytes([0]) + b"\x00\x00\x00" + struct.pack(">I", 1) + entry
+    stbl = _box(b"stbl", _box(b"stsd", stsd))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def _mp3_cbr(bitrate_idx=9, seconds=2.0):
+    # MPEG1 Layer III header: FF FB = sync + v1 + L3 + no CRC
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (0 << 2), 0xC0])  # 44100 Hz, mono
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][bitrate_idx]
+    body_len = int(kbps * 1000 / 8 * seconds)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    return id3 + hdr + bytes(body_len - 4)
+
+
+def test_mp4_box_walk():
+    w, h, dur, n_streams, codec = _probe_mp4(_minimal_mp4())
+    assert (w, h) == (640, 360)
+    assert abs(dur - 7500.0) < 1e-6
+    assert n_streams == 1
+    assert codec == "avc1"
+
+
+def test_mp3_frame_header():
+    w, h, dur, ch, codec = _probe_mp3(_mp3_cbr(bitrate_idx=9, seconds=2.0))
+    assert (w, h) == (None, None)
+    assert ch == 1
+    assert codec == "mp3v1l3_128kbps_44100hz"
+    assert abs(dur - 2000.0) < 50.0  # CBR estimate within the header frame
+
+
+def test_probe_media_all_types(spark):
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.jpeg import encode_jpeg_gray
+    from artan_spark.plans.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        encode_wav_pcm,
+        encode_y4m,
+    )
+
+    img = np.arange(15 * 9, dtype=np.uint8).reshape(15, 9)
+    frames = [np.zeros((6, 8), dtype=np.uint8)] * 4
+    rows = [
+        (1, bytearray(encode_wav_pcm(np.zeros(16000, dtype=np.int16), sample_rate=16000))),
+        (2, bytearray(encode_bmp(img))),
+        (3, bytearray(encode_png(img))),
+        (4, bytearray(encode_jpeg_gray(img))),
+        (5, bytearray(encode_pnm(img))),
+        (6, bytearray(encode_y4m(frames, fps=(20, 1)))),
+        (7, bytearray(_minimal_mp4())),
+        (8, bytearray(_mp3_cbr())),
+        (9, bytearray(b"definitely not media")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in probe_media(df).collect()}
+    assert len(out) == 9
+
+    assert out[1].media_type == "audio/wav"
+    assert abs(out[1].duration_ms - 1000.0) < 1e-6 and out[1].codec == "pcm_16bit"
+    assert (out[2].width, out[2].height, out[2].codec) == (9, 15, "bmp_24bpp")
+    assert (out[3].width, out[3].height, out[3].codec) == (9, 15, "png_gray8")
+    assert (out[4].width, out[4].height) == (9, 15)
+    assert out[4].codec == "jpeg_baseline_1c"
+    assert (out[5].width, out[5].height, out[5].codec) == (9, 15, "pgm")
+    assert (out[6].width, out[6].height) == (8, 6)
+    assert abs(out[6].duration_ms - 4 * 1000.0 / 20) < 1e-6
+    assert (out[7].width, out[7].height, out[7].codec) == (640, 360, "avc1")
+    assert out[8].codec.startswith("mp3v1l3_128kbps")
+    # junk: sniffed NULL type, NULL metadata, batch survives
+    assert out[9].media_type is None and out[9].width is None and out[9].codec is None
+    assert out[9].payload_len == len(b"definitely not media")
+
+    # triage composition: route on probe output with plain Catalyst filters
+    big = probe_media(df).filter((F.col("width") >= 100) | (F.col("duration_ms") > 1500))
+    assert {r.doc_id for r in big.collect()} == {7, 8}
+
+
+def test_probe_corrupt_payload_yields_null_row(spark):
+    rows = [
+        (1, bytearray(b"BM" + bytes(6))),            # truncated BMP header
+        (2, bytearray(b"\x89PNG\r\n\x1a\x0abad")),   # PNG magic, no IHDR
+        (3, bytearray(b"\x00\x00\x00 ftypisom")),    # MP4 ftyp only, no moov
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in probe_media(df).collect()}
+    assert out[1].width is None  # parser raised -> caught -> NULL row
+    assert out[2].width is None
+    assert out[3].media_type == "video/mp4" and out[3].duration_ms is None
