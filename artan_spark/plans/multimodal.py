@@ -832,6 +832,75 @@ _GRAY_DECODERS = {
 }
 
 
+def block_mean_resize(gray, out_h: int, out_w: int):
+    """Block-mean downsample a 2-D float array to (out_h, out_w) — exact
+    area averaging over an integer block grid (``reduceat``), the same
+    kernel the dHash uses. Upsampling requests use nearest-neighbor."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"target size must be positive, got {(out_h, out_w)}")
+    if out_h > h or out_w > w:  # nearest-neighbor upsample path
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        return g[np.ix_(ri, ci)]
+    rb = (np.arange(out_h) * h) // out_h
+    cb = (np.arange(out_w) * w) // out_w
+    small = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
+    return small / counts
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("payload_len", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Thumbnail every decodable image row to (out_h, out_w) and re-encode
+    as grayscale PNG — the standard corpus preprocessing step (train-time
+    thumbnails, dedup at fixed resolution, vision-model input prep).
+
+    Area-mean downsampling via the shared ``block_mean_resize`` kernel;
+    output payloads are real PNGs (stdlib-zlib encoder above), so the
+    result column round-trips through the same decode pipeline. Rows whose
+    media_type has no grayscale decoder are filtered out (select the
+    image subset upstream if you want an error instead). Same
+    Arrow-batched ``mapInPandas`` scale shape as ``decode_media``."""
+    out_h, out_w = int(out_h), int(out_w)
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"target size must be positive, got {(out_h, out_w)}")
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                gray = _GRAY_DECODERS[mtype](bytes(payload))
+                small = np.clip(np.round(block_mean_resize(gray, out_h, out_w)), 0, 255)
+                png = encode_png(small.astype(np.uint8), filters="none")
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append("image/png")
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(png)
+                out["payload_len"].append(len(png))
+            yield pd.DataFrame(out)
+
+    images = media.filter(F.col("media_type").isin(*_GRAY_DECODERS))
+    return images.select("doc_id", "media_type", "payload").mapInPandas(shrink, RESIZE_SCHEMA)
+
+
 def image_dhash(gray, hash_size: int = 8) -> int:
     """64-bit difference hash: block-mean downsample to
     (hash_size, hash_size+1), bit = left pixel brighter than its right
@@ -844,11 +913,7 @@ def image_dhash(gray, hash_size: int = 8) -> int:
     h, w = g.shape
     if h < hash_size or w < hash_size + 1:
         raise ValueError(f"image too small for a {hash_size}-bit-row dHash")
-    rb = (np.arange(hash_size) * h) // hash_size
-    cb = (np.arange(hash_size + 1) * w) // (hash_size + 1)
-    small = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
-    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
-    small = small / counts
+    small = block_mean_resize(g, hash_size, hash_size + 1)
     bits = (small[:, :-1] > small[:, 1:]).flatten()
     return int(sum(1 << i for i, b in enumerate(bits) if b))
 

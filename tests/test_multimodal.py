@@ -513,3 +513,57 @@ def test_png_alpha_color_types_decode():
     rgba = rng.randint(0, 256, (6, 3, 4)).astype(np.uint8)
     out = _png_gray(build(6, 4, rgba))
     assert np.allclose(out, rgba[:, :, :3].astype(np.float64).mean(axis=2))
+
+
+def test_resize_images_pipeline(spark):
+    """Thumbnailing: every decodable image type resizes to the target
+    grid, output payloads are real PNGs that round-trip through the same
+    decoder, content survives (correlation with a directly-downsampled
+    original), and non-image rows are scoped out."""
+    import numpy as np
+
+    from artan_spark.plans.jpeg import encode_jpeg_gray
+    from artan_spark.plans.multimodal import (
+        _png_gray,
+        block_mean_resize,
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        encode_wav_pcm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(4)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).clip(0, 255).astype(np.uint8)
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(img))),
+        (2, "image/png", bytearray(encode_png(img))),
+        (3, "image/jpeg", bytearray(encode_jpeg_gray(img, quality=95))),
+        (4, "image/x-portable-graymap", bytearray(encode_pnm(img))),
+        (5, "audio/wav", bytearray(encode_wav_pcm(np.zeros(100, dtype=np.int16)))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in resize_images(media, 16, 16).collect()}
+    assert set(out) == {1, 2, 3, 4}  # wav scoped out
+    want = block_mean_resize(img.astype(np.float64), 16, 16)
+    for doc_id, r in out.items():
+        assert (r.width, r.height, r.media_type) == (16, 16, "image/png")
+        back = _png_gray(bytes(r.payload))
+        assert back.shape == (16, 16)
+        a = back.ravel() - back.mean()
+        b = want.ravel() - want.mean()
+        corr = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert corr > 0.99, (doc_id, corr)
+
+    # exactness for the lossless sources: within rounding of the kernel
+    assert np.abs(_png_gray(bytes(out[1].payload)) - want).max() <= 0.5
+
+    # nearest-neighbor upsample path
+    up = {r.doc_id: r for r in resize_images(media.filter("doc_id = 1"), 96, 128).collect()}
+    assert _png_gray(bytes(up[1].payload)).shape == (96, 128)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        resize_images(media, 0, 16)
