@@ -1,0 +1,127 @@
+"""BPE tokenizer: deterministic training vs an independent reference,
+encoding semantics, distributed-vs-local agreement, and the end-to-end
+compression-ratio query on driver data."""
+
+from __future__ import annotations
+
+import pytest
+
+from artan_spark.plans.bpe import (
+    END,
+    bpe_token_counts,
+    bpe_tokens,
+    bpe_train,
+    docs_bpe_stats,
+    encode_word,
+    train_bpe_from_counts,
+)
+
+
+def _reference_bpe(counts, n_merges):
+    """Textbook BPE trainer (Sennrich et al. 2016 pseudocode shape),
+    written independently of the library implementation: full pair-stat
+    recount every round, regex-free pair replacement."""
+    vocab = {tuple(w) + (END,): c for w, c in counts}
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        best = min(p for p, c in stats.items() if c == max(stats.values()))
+        merges.append(best)
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+    return merges
+
+
+COUNTS = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("new", 2)]
+
+
+def test_train_matches_independent_reference():
+    got = train_bpe_from_counts(COUNTS, 12)
+    want = _reference_bpe(COUNTS, 12)
+    assert got == want
+    assert len(got) == 12
+    # the classic outcome on this corpus: 'est</w>' becomes one unit
+    joined = {"".join(p) for p in got}
+    assert any("est" in j for j in joined)
+
+
+def test_encode_word_merge_order():
+    merges = train_bpe_from_counts(COUNTS, 12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # a trained word compresses; an unseen word falls back to characters
+    assert len(encode_word("newest", ranks)) < len("newest") + 1
+    assert encode_word("zq", {}) == ["z", "q", END]
+    # every encoding ends with the end-of-word marker folded or trailing
+    out = encode_word("lowest", ranks)
+    assert "".join(out) == "lowest" + END
+
+
+def test_spark_train_and_count(spark):
+    rows = []
+    for w, c in COUNTS:
+        rows.extend((i + len(rows) * 100, w) for i in range(c))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=12)
+    assert merges == train_bpe_from_counts(COUNTS, 12)
+
+    counts = {r.doc_id: r.n_tokens for r in bpe_token_counts(docs, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for doc_id, word in rows:
+        assert counts[doc_id] == len(encode_word(word, ranks))
+
+    toks = bpe_tokens(docs.limit(3), merges).collect()
+    assert all(t.pos >= 0 for t in toks)
+    by_doc = {}
+    for t in toks:
+        by_doc.setdefault(t.doc_id, []).append((t.pos, t.token))
+    for doc_id, lst in by_doc.items():
+        lst.sort()
+        assert [p for p, _ in lst] == list(range(len(lst)))  # dense positions
+
+
+def test_vocab_gate_raises(spark):
+    docs = spark.createDataFrame([(i, f"w{i}") for i in range(50)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(docs, n_merges=2, max_vocab_rows=10)
+
+
+def test_docs_bpe_stats_on_driver_data(spark):
+    out = {r.lang: r for r in docs_bpe_stats(spark, "/root/testdata/sf0.001", n_merges=60).collect()}
+    assert len(out) >= 2
+    for lang, r in out.items():
+        # learned subwords always need >= 1 token per word (END-marked),
+        # and 60 merges on a Zipfian corpus already compress below chars
+        assert r.bpe_tokens >= r.ws_tokens
+        assert 1.0 <= r.tokens_per_word < 8.0
+
+
+def test_incremental_matches_reference_at_scale():
+    """The incremental pair-count maintenance must stay exactly equal to
+    the full-recount reference over a larger random vocabulary (ties,
+    overlapping pairs, repeated-letter words all occur at this size)."""
+    import random
+
+    random.seed(1)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    counts = list(
+        {
+            "".join(random.choices(alphabet, k=random.randint(2, 12))): random.randint(1, 1000)
+            for _ in range(2000)
+        }.items()
+    )
+    assert train_bpe_from_counts(counts, 100) == _reference_bpe(counts, 100)
