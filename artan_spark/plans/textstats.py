@@ -525,6 +525,137 @@ GROUP BY doc_id
 """
 
 
+# -- PII scrubbing ----------------------------------------------------------
+
+# (name, pattern, replacement) — applied IN ORDER (email before phone so a
+# digit-bearing local part is consumed as an address first). Patterns stay
+# inside the Java-regex ∩ RE2 portable subset: character classes, bounded
+# repetition, \b ASCII word boundaries; no backrefs or lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text scrubbed, n_email/n_ipv4/n_ssn/
+    n_phone) — the standard pre-training PII pass (emails, IPs, SSNs,
+    phone-shaped numbers replaced by placeholder tokens).
+
+    Pure Catalyst: ``regexp_count`` + chained ``regexp_replace`` inside
+    whole-stage codegen — a stateless projection, the ideal 100-TB shape
+    (no shuffle, no Python). Counts are taken BEFORE scrubbing, in the
+    same order the replacements run, so a span consumed by an earlier
+    category is not double-counted by a later one."""
+    cols = [F.col("doc_id")]
+    txt = F.col("text")
+    for name, pat, _repl in PII_PATTERNS:
+        cols.append(F.regexp_count(txt, F.lit(pat)).alias(f"n_{name}"))
+        txt = F.regexp_replace(txt, pat, _repl.replace("$", "\\$"))
+    cols.insert(1, txt.alias("text"))
+    return d.select(*cols)
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII report: per-category hit totals, affected-doc counts,
+    and the post-scrub character volume."""
+    s = scrub_pii(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    hit_any = None
+    for name, _p, _r in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        aggs.append(F.sum(c).cast("long").alias(f"total_{name}"))
+        hit_any = c > 0 if hit_any is None else hit_any | (c > 0)
+    aggs.append(F.sum(hit_any.cast("long")).cast("long").alias("n_docs_with_pii"))
+    aggs.append(F.sum(F.length("text")).cast("long").alias("scrubbed_chars"))
+    return s.agg(*aggs)
+
+
+# the oracle counts SEQUENTIALLY on progressively-scrubbed text, exactly
+# like the Spark projection (so a span consumed by an earlier category is
+# never double-counted by a later one on either engine)
+_pii_stage = "text"
+_pii_counts = []
+_pii_hits = []
+for _name, _pat, _repl in PII_PATTERNS:
+    _pii_counts.append(
+        f"CAST(SUM(len(regexp_extract_all({_pii_stage}, '{_pat}'))) AS BIGINT) AS total_{_name}"
+    )
+    _pii_hits.append(f"regexp_matches({_pii_stage}, '{_pat}')")
+    _pii_stage = f"regexp_replace({_pii_stage}, '{_pat}', '{_repl}', 'g')"
+_pii_counts_sql = ",\n       ".join(_pii_counts)
+_pii_hits_sql = " OR ".join(_pii_hits)
+_PII_SQL = f"""
+SELECT COUNT(*) AS n_docs,
+       {_pii_counts_sql},
+       CAST(SUM(CASE WHEN {_pii_hits_sql} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(len({_pii_stage})) AS BIGINT) AS scrubbed_chars
+FROM documents
+"""
+
+
+# -- cross-corpus line dedup (the C4/RefinedWeb boilerplate pass) -----------
+
+LINE_DF_MAX = 1  # a line kept only if it appears in <= this many docs
+
+
+def dedup_corpus_lines(
+    d: DataFrame, max_df: int = LINE_DF_MAX, line_sep: str = "\n"
+) -> DataFrame:
+    """Remove LINES that recur across documents (navigation chrome, cookie
+    banners, license boilerplate) — the C4-style line-level dedup pass:
+    a line kept iff its exact text appears in <= ``max_df`` distinct docs.
+
+    Plan: posexplode lines -> count DISTINCT docs per line (hash agg on
+    the line text) -> keep cold lines -> reassemble each doc in original
+    line order (array_sort on (pos, line) structs — deterministic, no
+    window). Two shuffles total (line-df agg + per-doc regroup), both on
+    corpus-line volume; the df table never needs the corpus again."""
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), F.lit(line_sep))).alias("pos", "line")
+    )
+    dfc = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
+    kept = lines.join(dfc.filter(F.col("df") <= max_df), "line")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+                ),
+                line_sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+
+
+def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: on the newline-free word-soup corpus every doc
+    is one line, so the pass degenerates to exact-duplicate removal — the
+    SQL oracle runs the SAME generic semantics (split/df-count/filter/
+    ordered reassemble), and the multi-line behavior is pinned by the
+    synthetic-corpus pytest."""
+    return dedup_corpus_lines(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_DEDUP_LINES_SQL = f"""
+WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos FROM s
+),
+dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line)
+SELECT doc_id,
+       string_agg(l.line, chr(10) ORDER BY l.pos) AS text,
+       COUNT(*) AS n_lines_kept
+FROM l JOIN dfc USING (line)
+WHERE dfc.df <= {LINE_DF_MAX}
+GROUP BY doc_id
+"""
+
+
 PYTEST_ORACLES = {
     "text_unigram_logprob": (text_unigram_logprob, _UNIGRAM_SQL),
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),
@@ -532,4 +663,6 @@ PYTEST_ORACLES = {
     "text_fingerprint": (text_fingerprint, _FINGERPRINT_SQL),
     "text_repetition_ratio": (text_repetition_ratio, _REPETITION_SQL),
     "docs_tfidf_topterms": (docs_tfidf_topterms, _TFIDF_SQL),
+    "docs_pii_scrub": (docs_pii_scrub, _PII_SQL),
+    "docs_dedup_lines": (docs_dedup_lines, _DEDUP_LINES_SQL),
 }

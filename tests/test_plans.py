@@ -462,3 +462,56 @@ def test_sessionize_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scrub_pii_synthetic(spark):
+    """PII categories actually scrub and count on content that has them
+    (the driver corpus is PII-free, so its oracle only pins the zero
+    case); a span consumed by an earlier category is not re-counted by a
+    later one."""
+    from artan_spark.plans.textstats import scrub_pii
+
+    rows = [
+        (1, "contact bob.smith+x@corp-mail.co.uk or 555-867-5309 today"),
+        (2, "server 192.168.10.1 and ssn 123-45-6789"),
+        (3, "email hidden@10.2.3.4x.example.com wraps an ip-looking span"),
+        (4, "perfectly clean text"),
+    ]
+    out = {r.doc_id: r for r in scrub_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert out[1].text == "contact <EMAIL> or <PHONE> today"
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert out[2].text == "server <IP> and ssn <SSN>"
+    # the email consumed the digits-and-dots span: no double count
+    assert out[3].n_email == 1 and out[3].n_ipv4 == 0
+    assert out[4].text == rows[3][1]
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_ssn, out[4].n_phone) == (0, 0, 0, 0)
+
+
+def test_dedup_corpus_lines_synthetic(spark):
+    """The C4-style line pass on real multi-line docs: a boilerplate line
+    shared by 3 docs is removed everywhere, unique lines survive in their
+    original order, and an all-boilerplate doc drops out entirely."""
+    from artan_spark.plans.textstats import dedup_corpus_lines
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    rows = [
+        (1, f"{banner}\nunique first line\nanother unique line"),
+        (2, f"second doc opener\n{banner}\nsecond doc closer"),
+        (3, f"third doc body\n{banner}"),
+        (4, banner),  # nothing but boilerplate
+        (5, "totally unrelated document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_corpus_lines(docs, max_df=1).collect()}
+    assert 4 not in out  # fully-boilerplate doc removed
+    assert out[1].text == "unique first line\nanother unique line"
+    assert out[2].text == "second doc opener\nsecond doc closer"
+    assert out[3].text == "third doc body" and out[3].n_lines_kept == 1
+    assert out[5].text == "totally unrelated document"
+
+    # max_df=3: the banner appears in 4 docs -> still removed; raising to
+    # 4 keeps it everywhere, order preserved
+    kept = {r.doc_id: r.text for r in dedup_corpus_lines(docs, max_df=4).collect()}
+    assert kept[1].startswith(banner) and kept[2].split("\n")[1] == banner
