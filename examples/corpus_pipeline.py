@@ -2,7 +2,8 @@
 """End-to-end training-corpus pipeline: the batch composition a 100 TB
 pretraining-data job runs, expressed entirely as artan_spark plan operators.
 
-    documents ──> quality score ──> filter ──> near-dup clusters ──> keep one
+    documents ──> PII scrub ──> cross-corpus line dedup ──> quality score
+                  ──> filter ──> near-dup clusters ──> keep one
                   per cluster ──> token-budget language mixing ──> concat-and-
                   cut sequence packing ────────────────────────────────┐
     embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
@@ -31,7 +32,7 @@ from artan_spark.sources import session_builder
 def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     from artan_spark.plans.dedup import dedup_clusters
     from artan_spark.plans.simsearch import ann_ivf_kmeans
-    from artan_spark.plans.textstats import text_quality_score
+    from artan_spark.plans.textstats import dedup_corpus_lines, scrub_pii, text_quality_score
     from artan_spark.sources import read_table
 
     spark = session_builder("CorpusPipeline", master="local[4]", shuffle_partitions=4).getOrCreate()
@@ -39,6 +40,13 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     out_dir = out_dir or tempfile.mkdtemp(prefix="corpus_pipeline_")
 
     docs = read_table(spark, sf_dir, "documents")
+
+    # 0. scrub PII (stateless codegen projection) then drop cross-corpus
+    #    boilerplate lines (the C4 pass) — both BEFORE any scoring so the
+    #    quality/dedup stages see the text the model would train on
+    scrubbed = scrub_pii(docs.select("doc_id", "text"))
+    deboiled = dedup_corpus_lines(scrubbed, max_df=3).select("doc_id", "text")
+    docs = docs.drop("text").join(deboiled, "doc_id")
 
     # 1. quality gate (pure Catalyst HOF expressions, no Python in row path)
     quality = text_quality_score(spark, sf_dir)
