@@ -9,8 +9,10 @@ The sniff stage types every blob inside whole-stage codegen — no Python in
 the row path — so a 100 TB media lake is classified at scan speed; only the
 rows that reach the decoders cross into Python, in Arrow batches whose size
 is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``. The real
-dependency-free codecs (WAV/BMP/PGM/PPM/Y4M) decode actual file bytes;
-unrecognized or compressed payloads are quarantined, not guessed at.
+dependency-free codecs (WAV/BMP/PGM/PPM/Y4M/PNG/baseline-JPEG) decode
+actual file bytes; everything gets probe_media container metadata
+(including MP4, whose FRAME decode genuinely needs codec libs); image rows
+are thumbnailed by resize_images; the rest is quarantined, not guessed at.
 
 Usage: python examples/multimodal_pipeline.py
 """
@@ -33,10 +35,13 @@ def make_blob_corpus(spark, n=120):
         encode_y4m,
     )
 
+    from artan_spark.plans.jpeg import encode_jpeg_gray
+    from artan_spark.plans.multimodal import encode_png
+
     rng = np.random.default_rng(11)
     rows = []
     for i in range(n):
-        kind = i % 5
+        kind = i % 7
         if kind == 0:
             blob = encode_wav_pcm((rng.normal(0, 3000, 50 + i % 40)).astype(np.int16))
         elif kind == 1:
@@ -45,14 +50,25 @@ def make_blob_corpus(spark, n=120):
             blob = encode_pnm(rng.integers(0, 256, (6, 6 + i % 6), dtype=np.uint8))
         elif kind == 3:
             blob = encode_y4m([rng.integers(0, 256, (4, 6), dtype=np.uint8) for _ in range(3 + i % 4)])
+        elif kind == 4:
+            blob = encode_png(rng.integers(0, 256, (9, 7 + i % 5), dtype=np.uint8))
+        elif kind == 5:
+            blob = encode_jpeg_gray(rng.integers(0, 256, (16, 16), dtype=np.uint8), quality=90)
         else:
-            blob = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 32, dtype=np.uint8))  # JPEG: no codec here
+            # MP4: box metadata is probe-able, frame decode is not
+            blob = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom" + bytes(16)
         rows.append((i, bytearray(blob)))
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
 def main():
-    from artan_spark.plans.multimodal import decode_media, sniff_media_type
+    from artan_spark.plans.mediaprobe import probe_media
+    from artan_spark.plans.multimodal import (
+        _REAL_EXTRACTORS,
+        decode_media,
+        resize_images,
+        sniff_media_type,
+    )
 
     spark = session_builder("MultimodalPipeline", master="local[4]", shuffle_partitions=4).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,8 +76,7 @@ def main():
     blobs = make_blob_corpus(spark)
     typed = blobs.withColumn("media_type", sniff_media_type(F.col("payload")))
 
-    decodable = {"audio/wav", "image/bmp", "image/x-portable-graymap",
-                 "image/x-portable-pixmap", "video/x-yuv4mpeg"}
+    decodable = set(_REAL_EXTRACTORS)
     ready = typed.filter(F.col("media_type").isin(*decodable))
     quarantine = typed.filter(~F.col("media_type").isin(*decodable) | F.col("media_type").isNull())
 
@@ -77,10 +92,27 @@ def main():
     )
     print("== decoded feature stats ==")
     stats.orderBy("media_type").show(truncate=False)
-    print("== quarantined (no built-in codec) ==")
+    # container metadata for EVERY row — including the quarantined MP4s
+    probe = probe_media(blobs)
+    print("== probe_media metadata (all rows, no decode) ==")
+    probe.groupBy("media_type", "codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("width"), 1).alias("avg_w"),
+    ).orderBy("media_type").show(truncate=False)
+
+    # thumbnail every decodable image to a fixed grid (PNG payloads out)
+    thumbs = resize_images(typed, 8, 8)
+    n_img = typed.filter(F.col("media_type").isin(
+        "image/bmp", "image/png", "image/jpeg",
+        "image/x-portable-graymap", "image/x-portable-pixmap")).count()
+    assert thumbs.count() == n_img
+
+    print("== quarantined (no built-in frame decoder) ==")
     quarantine.groupBy("media_type").count().show(truncate=False)
     n_q = quarantine.count()
-    assert n_q == 24, n_q  # the JPEG fifth of the corpus
+    assert n_q == 17, n_q  # exactly the MP4 seventh of the 120-blob corpus
+    mp4_meta = probe.filter(F.col("media_type") == "video/mp4").first()
+    assert mp4_meta.codec is None or mp4_meta.codec == "mp4"  # ftyp-only blob
     spark.stop()
     print("multimodal pipeline OK")
 
