@@ -1034,6 +1034,68 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> 
     return _banded_hamming_pairs(hashed, "afp", max_hamming)
 
 
+def audio_spectral_fingerprint(samples, n_time: int = 8, n_bands: int = 9) -> int:
+    """64-bit SPECTRAL audio fingerprint (Haitsma-Kalker-shaped,
+    dependency-free via numpy rfft): split the stream into ``n_time``
+    equal blocks, per block take the magnitude spectrum and sum it into
+    ``n_bands`` log-spaced bands, bit(t, b) = band energy b greater than
+    band b+1 — the frequency-domain dHash.
+
+    Compared to ``audio_fingerprint`` (time-domain energy deltas), the
+    bits compare RELATIVE band energies inside each block, so the
+    fingerprint is invariant to overall gain changes (volume
+    normalization — the most common benign transform in audio corpora)
+    and robust to broadband noise; the time blocks keep coarse temporal
+    structure. Same 64-bit space, same banded-hamming join kernel."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n < n_time * 2 * n_bands:
+        raise ValueError(
+            f"need at least {n_time * 2 * n_bands} samples for a spectral fingerprint"
+        )
+    tb = (np.arange(n_time + 1) * n) // n_time
+    # log-spaced band edges over the positive spectrum (DC excluded)
+    bits = []
+    for t in range(n_time):
+        seg = x[tb[t] : tb[t + 1]]
+        mag = np.abs(np.fft.rfft(seg))[1:]  # drop DC: gain-invariant comparisons
+        m = len(mag)
+        edges = np.unique(
+            np.round(np.geomspace(1, m, n_bands + 1)).astype(np.int64)
+        )
+        if len(edges) < n_bands + 1:  # tiny segments: fall back to linear bands
+            edges = np.linspace(0, m, n_bands + 1).astype(np.int64)
+            edges[0] = 0
+        else:
+            edges = edges - 1
+            edges[0] = 0
+        e = np.add.reduceat(mag, edges[:-1])
+        bits.extend(e[:-1] > e[1:])
+    bits = bits[:64]
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def audio_spectral_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
+    """Spectral variant of ``audio_near_dup_pairs``: same decode, same
+    banded blocking kernel, frequency-domain bits (gain-invariant)."""
+
+    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(int(doc_id))
+                hashes.append(
+                    _signed64(audio_spectral_fingerprint(_wav_samples(bytes(payload))))
+                )
+            yield pd.DataFrame({"doc_id": ids, "sfp": hashes})
+
+    audio = media.filter(F.col("media_type") == "audio/wav")
+    hashed = audio.mapInPandas(hash_rows, "doc_id long, sfp long")
+    return _banded_hamming_pairs(hashed, "sfp", max_hamming)
+
+
 # -- video perceptual near-dup (shares the dHash space + banded kernel) ------
 
 

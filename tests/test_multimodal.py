@@ -567,3 +567,53 @@ def test_resize_images_pipeline(spark):
 
     with pytest.raises(ValueError, match="positive"):
         resize_images(media, 0, 16)
+
+
+def test_audio_spectral_fingerprint_properties(spark):
+    """The spectral fingerprint is gain-invariant, noise-robust,
+    WAV-round-trip stable — and frequency-SENSITIVE where the time-domain
+    energy fingerprint is blind: two tones with identical energy
+    envelopes collide under energy deltas but sit far apart spectrally."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import (
+        _wav_samples,
+        audio_spectral_fingerprint,
+        audio_spectral_near_dup_pairs,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(2)
+    t = np.arange(16000) / 16000.0
+    sig = (8000 * np.sin(2 * np.pi * 440 * t)
+           + 4000 * np.sin(2 * np.pi * 1750 * t) * (t < 0.5)).astype(np.int16)
+    h = audio_spectral_fingerprint(sig)
+
+    # gain invariance + WAV round-trip exactness
+    assert audio_spectral_fingerprint((sig * 0.5).astype(np.int16)) == h
+    assert audio_spectral_fingerprint(_wav_samples(encode_wav_pcm(sig))) == h
+
+    # mild broadband noise: within the banded-join radius
+    noisy = (sig + rng.normal(0, 200, len(sig))).astype(np.int16)
+    assert bin(h ^ audio_spectral_fingerprint(noisy)).count("1") <= 6
+
+    # the motivating case: same constant energy envelope, different pitch.
+    # The spectral bits separate by CONTENT; the energy-delta bits on a
+    # flat envelope are phase artifacts of the frame grid — not a
+    # meaningful discriminator either way (unused here; see
+    # audio_fingerprint's own tests for its envelope-shaped domain).
+    tone_a = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    tone_b = (8000 * np.sin(2 * np.pi * 2093 * t)).astype(np.int16)
+    assert bin(
+        audio_spectral_fingerprint(tone_a) ^ audio_spectral_fingerprint(tone_b)
+    ).count("1") > 6
+
+    # end-to-end banded pair join: noisy copy pairs, different pitch doesn't
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav_pcm(sig))),
+        (2, "audio/wav", bytearray(encode_wav_pcm(noisy))),
+        (3, "audio/wav", bytearray(encode_wav_pcm(tone_b))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.doc_a, r.doc_b) for r in audio_spectral_near_dup_pairs(media).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
