@@ -423,8 +423,17 @@ def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG to float64 planes.
 
     Returns (planes, h, w) where planes is [Y] for grayscale or
-    [Y, Cb, Cr] upsampled to full resolution for color.
-    """
+    [Y, Cb, Cr] upsampled to full resolution for color. Truncated or
+    corrupt streams raise ``ValueError`` (never a bare struct/index
+    error — the decode sits inside batch pipelines that classify parser
+    rejections)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from None
+
+
+def _decode_jpeg_impl(payload: bytes):
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")

