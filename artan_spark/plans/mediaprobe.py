@@ -236,7 +236,18 @@ def _probe_mp3(p: bytes):
     return _NULL
 
 
+def _probe_gif(p: bytes):
+    if p[:4] != b"GIF8":
+        return _NULL
+    w, h = struct.unpack("<HH", p[6:10])
+    flags = p[10]
+    gct = 2 ** ((flags & 0x7) + 1) if flags & 0x80 else 0
+    ver = p[3:6].decode("latin1")
+    return (w, h, None, 1, f"gif{ver}_{gct}colors")
+
+
 _PROBES = {
+    "image/gif": _probe_gif,
     "audio/wav": _probe_wav,
     "image/bmp": _probe_bmp,
     "image/png": _probe_png,

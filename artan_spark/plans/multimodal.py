@@ -563,6 +563,185 @@ def _png_features(doc_id: int, payload: bytes) -> tuple:
     return (int(w), int(h), int(w * h), round(mean_i, 6))
 
 
+def encode_gif(pixels) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a GIF89a with a 256-entry
+    grayscale palette — variable-width LSB-first LZW per the spec."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 colors
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    codes = []
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    codes.append((clear, code_size))
+    seq = ()
+    for v in px.ravel():
+        v = int(v)
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        codes.append((table[seq], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code > 4096 - 1:
+            codes.append((clear, code_size))
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        seq = (v,)
+    if seq:
+        codes.append((table[seq], code_size))
+    codes.append((eoi, code_size))
+
+    acc = nbits = 0
+    data = bytearray()
+    for code, size in codes:
+        acc |= code << nbits  # LSB-first packing
+        nbits += size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_gray(payload: bytes):
+    """Grayscale pixel array from a GIF87a/89a (first image of an animated
+    stream) — pure-Python LZW decode, global/local palettes, interlacing.
+    Truncated/corrupt streams raise ``ValueError``."""
+    import numpy as np
+
+    try:
+        return _gif_gray_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt GIF: {e}") from None
+
+
+def _gif_gray_impl(payload: bytes):
+    import numpy as np
+
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x7) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _lx, _ty, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 ** ((iflags & 0x7) + 1)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # LZW decode (LSB-first variable-width codes)
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        base = [(i,) for i in range(1 << min_code)] + [None, None]
+        table = list(base)
+        code_size = min_code + 1
+        acc = nbits = 0
+        di = 0
+        prev = None
+        out: list = []
+        while True:
+            while nbits < code_size:
+                if di >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("invalid GIF LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= iw * ih:
+                break
+        idx = np.asarray(out[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row shuffle
+            rows = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8), np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            deint = np.empty_like(idx)
+            deint[rows] = idx
+            idx = deint
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)].astype(np.float64)
+        return rgb.mean(axis=2)
+    raise ValueError("GIF has no image block")
+
+
+def _gif_features(doc_id: int, payload: bytes) -> tuple:
+    """REAL GIF parse (LZW decode, `_gif_gray` above): (width, height,
+    n_pixels, mean intensity) — same contract as the other image codecs."""
+    gray = _gif_gray(payload)
+    h, w = gray.shape
+    mean_i = float(gray.mean()) if gray.size else 0.0
+    return (int(w), int(h), int(w * h), round(mean_i, 6))
+
+
 def _jpeg_features(doc_id: int, payload: bytes) -> tuple:
     """REAL baseline-JPEG parse (plans/jpeg.py — pure numpy DCT + Annex-K
     Huffman entropy decode): decode to grayscale and report (width,
@@ -586,6 +765,7 @@ def _jpeg_gray(payload: bytes):
 _REAL_EXTRACTORS = {
     "audio/wav": _wav_features,
     "image/bmp": _bmp_features,
+    "image/gif": _gif_features,
     "image/jpeg": _jpeg_features,
     "image/png": _png_features,
     "image/x-portable-graymap": _pnm_features,
@@ -836,6 +1016,7 @@ def _pnm_gray(payload: bytes):
 
 _GRAY_DECODERS = {
     "image/bmp": _bmp_gray,
+    "image/gif": _gif_gray,
     "image/jpeg": _jpeg_gray,
     "image/png": _png_gray,
     "image/x-portable-graymap": _pnm_gray,

@@ -80,9 +80,12 @@ def test_probe_media_all_types(spark):
         encode_y4m,
     )
 
+    from artan_spark.plans.multimodal import encode_gif
+
     img = np.arange(15 * 9, dtype=np.uint8).reshape(15, 9)
     frames = [np.zeros((6, 8), dtype=np.uint8)] * 4
     rows = [
+        (10, bytearray(encode_gif(img))),
         (1, bytearray(encode_wav_pcm(np.zeros(16000, dtype=np.int16), sample_rate=16000))),
         (2, bytearray(encode_bmp(img))),
         (3, bytearray(encode_png(img))),
@@ -95,8 +98,9 @@ def test_probe_media_all_types(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in probe_media(df).collect()}
-    assert len(out) == 9
+    assert len(out) == 10
 
+    assert (out[10].width, out[10].height, out[10].codec) == (9, 15, "gif89a_256colors")
     assert out[1].media_type == "audio/wav"
     assert abs(out[1].duration_ms - 1000.0) < 1e-6 and out[1].codec == "pcm_16bit"
     assert (out[2].width, out[2].height, out[2].codec) == (9, 15, "bmp_24bpp")
