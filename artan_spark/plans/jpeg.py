@@ -446,6 +446,8 @@ def _decode_jpeg_impl(payload: bytes):
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

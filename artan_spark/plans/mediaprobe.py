@@ -92,6 +92,8 @@ def _probe_jpeg(p: bytes):
     while pos + 4 <= len(p):
         if p[pos] != 0xFF:
             return _NULL
+        while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = p[pos + 1]
         pos += 2
         if marker == 0xD9 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
@@ -204,8 +206,17 @@ def _probe_mp4(p: bytes):
     return (w, h, duration_ms, n_trak or None, ",".join(codecs) or "mp4")
 
 
-_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
-_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+# ISO 11172-3 / 13818-3 bitrate tables, keyed (version, layer) with the
+# header encoding: version 3=MPEG1, 2=MPEG2(.5 shares MPEG2 rows); layer
+# bits 3=I, 2=II, 1=III. MPEG2/2.5 Layers II and III share one table.
+_MP3_BITRATES = {
+    (3, 3): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (3, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (3, 1): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 3): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 1): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
 _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
 
 
@@ -226,7 +237,8 @@ def _probe_mp3(p: bytes):
                 pos += 1
                 continue
             rates = _MP3_RATES[ver]
-            bitrate = (_MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3)[br_idx]
+            # version 0 (MPEG2.5) uses the MPEG2 bitrate rows
+            bitrate = _MP3_BITRATES[(3 if ver == 3 else 2, layer)][br_idx]
             channels = 1 if ((p[pos + 3] >> 6) & 0x3) == 3 else 2
             dur = 8.0 * (len(p) - pos) / (bitrate * 1000.0) * 1000.0 if bitrate else None
             names = {3: "mp3v1", 2: "mp3v2", 0: "mp3v2.5"}

@@ -1027,22 +1027,28 @@ _GRAY_DECODERS = {
 def block_mean_resize(gray, out_h: int, out_w: int):
     """Block-mean downsample a 2-D float array to (out_h, out_w) — exact
     area averaging over an integer block grid (``reduceat``), the same
-    kernel the dHash uses. Upsampling requests use nearest-neighbor."""
+    kernel the dHash uses. Each axis is handled independently: a growing
+    axis is nearest-neighbor upsampled while a shrinking one is still
+    area-averaged, so mixed requests (taller-but-narrower) never
+    point-sample the dimension actually being reduced."""
     import numpy as np
 
     g = np.asarray(gray, dtype=np.float64)
-    h, w = g.shape
     if out_h <= 0 or out_w <= 0:
         raise ValueError(f"target size must be positive, got {(out_h, out_w)}")
-    if out_h > h or out_w > w:  # nearest-neighbor upsample path
-        ri = (np.arange(out_h) * h) // out_h
-        ci = (np.arange(out_w) * w) // out_w
-        return g[np.ix_(ri, ci)]
-    rb = (np.arange(out_h) * h) // out_h
-    cb = (np.arange(out_w) * w) // out_w
-    small = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
-    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
-    return small / counts
+
+    def along(a, out_n, axis):
+        """Per-axis sums (division deferred): returns (sums, block counts)."""
+        n = a.shape[axis]
+        if out_n > n:  # nearest-neighbor upsample on this axis only
+            idx = (np.arange(out_n) * n) // out_n
+            return np.take(a, idx, axis=axis), np.ones(out_n, dtype=np.int64)
+        b = (np.arange(out_n) * n) // out_n
+        return np.add.reduceat(a, b, axis=axis), np.diff(np.append(b, n))
+
+    sums, rc = along(g, out_h, 0)
+    sums, cc = along(sums, out_w, 1)
+    return sums / np.outer(rc, cc)
 
 
 RESIZE_SCHEMA = StructType(
@@ -1066,8 +1072,12 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     output payloads are real PNGs (stdlib-zlib encoder above), so the
     result column round-trips through the same decode pipeline. Rows whose
     media_type has no grayscale decoder are filtered out (select the
-    image subset upstream if you want an error instead). Same
-    Arrow-batched ``mapInPandas`` scale shape as ``decode_media``."""
+    image subset upstream if you want an error instead), and rows whose
+    payload the decoder REJECTS (corrupt bytes, or a format variant the
+    built-in codec doesn't cover) are dropped rather than failing the
+    batch — the same junk-tolerance policy as ``probe_media``; pre-probe
+    if you need the rejects quarantined instead. Same Arrow-batched
+    ``mapInPandas`` scale shape as ``decode_media``."""
     out_h, out_w = int(out_h), int(out_w)
     if out_h <= 0 or out_w <= 0:
         raise ValueError(f"target size must be positive, got {(out_h, out_w)}")
@@ -1078,7 +1088,10 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in RESIZE_SCHEMA.fields}
             for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                gray = _GRAY_DECODERS[mtype](bytes(payload))
+                try:
+                    gray = _GRAY_DECODERS[mtype](bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # junk tolerance: drop undecodable rows
                 small = np.clip(np.round(block_mean_resize(gray, out_h, out_w)), 0, 255)
                 png = encode_png(small.astype(np.uint8), filters="none")
                 out["doc_id"].append(int(doc_id))

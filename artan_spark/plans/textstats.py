@@ -600,24 +600,49 @@ FROM documents
 
 LINE_DF_MAX = 1  # a line kept only if it appears in <= this many docs
 
+# above this many HOT (boilerplate) lines the per-executor broadcast copy
+# would tax memory more than the shuffled anti-join it avoids — the same
+# size-gate pattern as dedup.BROADCAST_NODE_LIMIT
+BROADCAST_HOT_LINE_LIMIT = 2_000_000
+
 
 def dedup_corpus_lines(
-    d: DataFrame, max_df: int = LINE_DF_MAX, line_sep: str = "\n"
+    d: DataFrame,
+    max_df: int = LINE_DF_MAX,
+    line_sep: str = "\n",
+    broadcast_limit: int = BROADCAST_HOT_LINE_LIMIT,
 ) -> DataFrame:
     """Remove LINES that recur across documents (navigation chrome, cookie
     banners, license boilerplate) — the C4-style line-level dedup pass:
     a line kept iff its exact text appears in <= ``max_df`` distinct docs.
 
     Plan: posexplode lines -> count DISTINCT docs per line (hash agg on
-    the line text) -> keep cold lines -> reassemble each doc in original
-    line order (array_sort on (pos, line) structs — deterministic, no
-    window). Two shuffles total (line-df agg + per-doc regroup), both on
-    corpus-line volume; the df table never needs the corpus again."""
+    the line text) -> the HOT set (``df > max_df``) is tiny by
+    construction (it is the boilerplate), so keeping cold lines is a
+    ``left_anti`` join against it — BROADCAST under ``broadcast_limit``
+    (no Exchange on the corpus side at all), shuffled anti-join above it.
+    Reassembly sorts (pos, line) structs per doc (deterministic, no
+    window). In the broadcast regime the only corpus-volume shuffles are
+    the line-df agg and the per-doc regroup; the old formulation joined
+    the corpus against the near-corpus-sized COLD set instead, shuffling
+    the exploded corpus on the Zipf-hot line key.
+
+    NOTE a doc whose every line is hot disappears from the output (its
+    group has no kept rows) — all-boilerplate docs are DELETED, not
+    emitted empty; left-join the result back to the doc list if you need
+    an explicit empty/flagged row per dropped doc."""
     lines = d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), F.lit(line_sep))).alias("pos", "line")
     )
-    dfc = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
-    kept = lines.join(dfc.filter(F.col("df") <= max_df), "line")
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line")
+        .localCheckpoint()  # materialize once: the count gate below must not re-agg
+    )
+    small_enough = hot.count() <= broadcast_limit
+    kept = lines.join(F.broadcast(hot) if small_enough else hot, "line", "left_anti")
     return (
         kept.groupBy("doc_id")
         .agg(

@@ -68,6 +68,38 @@ def test_mp3_frame_header():
     assert abs(dur - 2000.0) < 50.0  # CBR estimate within the header frame
 
 
+def test_mp3_layer2_bitrate_table():
+    """Layer II frames must use the Layer II bitrate rows (idx 9 = 160 kbps
+    for V1L2, not the 128 the L3 table would give) — and the CBR duration
+    estimate must follow."""
+    hdr = bytes([0xFF, 0xFD, (9 << 4) | (0 << 2), 0xC0])  # V1, Layer II, 44100, mono
+    payload = hdr + bytes(int(160_000 / 8 * 2.0) - 4)
+    w, h, dur, ch, codec = _probe_mp3(payload)
+    assert codec == "mp3v1l2_160kbps_44100hz"
+    assert abs(dur - 2000.0) < 50.0
+
+    # MPEG2 Layer I has its own row per ISO 13818-3: idx 9 -> 144 kbps
+    hdr = bytes([0xFF, 0xF7, (9 << 4) | (0 << 2), 0xC0])  # V2, Layer I, 22050 Hz
+    _, _, _, _, codec = _probe_mp3(hdr + bytes(4000))
+    assert codec == "mp3v2l1_144kbps_22050hz"
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker:
+    both the probe and the full decoder must skip them."""
+    from artan_spark.plans.jpeg import decode_jpeg, encode_jpeg_gray
+    from artan_spark.plans.mediaprobe import _probe_jpeg
+
+    img = np.arange(13 * 11, dtype=np.uint8).reshape(13, 11)
+    clean = encode_jpeg_gray(img)
+    padded = clean[:2] + b"\xff\xff\xff" + clean[2:]  # fills before the first DQT
+    assert _probe_jpeg(padded)[:2] == (11, 13)
+    planes, h, w = decode_jpeg(padded)
+    ref = decode_jpeg(clean)[0][0]
+    assert (h, w) == (13, 11)
+    np.testing.assert_array_equal(planes[0], ref)
+
+
 def test_probe_media_all_types(spark):
     from pyspark.sql import functions as F
 

@@ -568,6 +568,34 @@ def test_resize_images_pipeline(spark):
     with pytest.raises(ValueError, match="positive"):
         resize_images(media, 0, 16)
 
+    # junk tolerance: a corrupt payload drops its row, not the batch
+    junk = rows[:2] + [(9, "image/png", bytearray(b"\x89PNG\r\n\x1a\ngarbage"))]
+    jm = spark.createDataFrame(junk, "doc_id long, media_type string, payload binary")
+    assert {r.doc_id for r in resize_images(jm, 8, 8).collect()} == {1, 2}
+
+
+def test_block_mean_resize_mixed_axes():
+    """A taller-but-narrower request must still area-average the shrinking
+    axis (columns) while nearest-neighbor upsampling the growing one."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import block_mean_resize
+
+    g = np.arange(4 * 6, dtype=np.float64).reshape(4, 6)
+    out = block_mean_resize(g, 8, 3)  # rows grow 4->8, cols shrink 6->3
+    assert out.shape == (8, 3)
+    # each output row duplicates a source row; columns are 2-pixel means
+    want_cols = (g[:, 0::2] + g[:, 1::2]) / 2.0
+    ri = (np.arange(8) * 4) // 8
+    np.testing.assert_allclose(out, want_cols[ri])
+
+    # pure downsample stays bit-identical to the one-shot block mean
+    h = np.arange(12 * 10, dtype=np.float64).reshape(12, 10)
+    rb, cb = (np.arange(3) * 12) // 3, (np.arange(5) * 10) // 5
+    small = np.add.reduceat(np.add.reduceat(h, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, 12)), np.diff(np.append(cb, 10)))
+    np.testing.assert_array_equal(block_mean_resize(h, 3, 5), small / counts)
+
 
 def test_audio_spectral_fingerprint_properties(spark):
     """The spectral fingerprint is gain-invariant, noise-robust,

@@ -515,3 +515,32 @@ def test_dedup_corpus_lines_synthetic(spark):
     # 4 keeps it everywhere, order preserved
     kept = {r.doc_id: r.text for r in dedup_corpus_lines(docs, max_df=4).collect()}
     assert kept[1].startswith(banner) and kept[2].split("\n")[1] == banner
+
+
+def test_dedup_corpus_lines_broadcast_anti_join(spark):
+    """In the broadcast regime the hot-line (boilerplate) set must join as
+    a broadcast LEFT ANTI — no Exchange on the exploded-corpus side of the
+    join — and above the gate it must degrade to a shuffled anti-join with
+    identical results."""
+    from artan_spark.plans.textstats import dedup_corpus_lines
+
+    rows = [
+        (i, f"shared banner line\nunique body {i}\nshared footer line")
+        for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup_corpus_lines(docs, max_df=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the corpus side streams straight into the anti-join: no shuffle
+    # keyed on the line column anywhere (the per-doc regroup keys doc_id)
+    assert "Exchange hashpartitioning(line" not in plan
+
+    shuffled = dedup_corpus_lines(docs, max_df=1, broadcast_limit=0)
+    splan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in splan and "BroadcastHashJoin" not in splan
+
+    a = {(r.doc_id, r.text, r.n_lines_kept) for r in out.collect()}
+    b = {(r.doc_id, r.text, r.n_lines_kept) for r in shuffled.collect()}
+    assert a == b == {(i, f"unique body {i}", 1) for i in range(1, 7)}
