@@ -400,27 +400,13 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, filters: str = "mixed", level: int = 6) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG using nothing but stdlib
-    ``zlib``: a 2-D array becomes color type 0 (grayscale), an (h, w, 3)
-    array color type 2 (RGB). ``filters="mixed"`` cycles scanline filters
-    0..4 (None/Sub/Up/Average/Paeth) so a round-trip exercises every
-    unfilter branch of ``_png_gray``; ``filters="none"`` emits filter 0
-    rows only (what many minimal writers produce)."""
-    import zlib
-
+def _png_filter_rows(raw, bpp: int, filters: str) -> bytearray:
+    """Forward-filter (h, stride) int32 rows into filter-byte-prefixed
+    scanlines. ``filters="mixed"`` cycles types 0..4 per row."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        color_type, channels = 0, 1
-        h, w = px.shape
-    else:
-        color_type, channels = 2, 3
-        h, w, _ = px.shape
-    bpp = channels  # bytes per pixel at bit depth 8
-    raw = px.reshape(h, w * channels).astype(np.int32)
-    zeros = np.zeros(w * channels, dtype=np.int32)
+    h = raw.shape[0]
+    zeros = np.zeros(raw.shape[1], dtype=np.int32)
     body = bytearray()
     for r in range(h):
         line, prev = raw[r], (raw[r - 1] if r else zeros)
@@ -440,10 +426,61 @@ def encode_png(pixels, filters: str = "mixed", level: int = 6) -> bytes:
             upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
             flt = line - _paeth_vec(left, prev, upleft)
         body += bytes([ft]) + (flt & 0xFF).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return body
+
+
+def encode_png(
+    pixels, filters: str = "mixed", level: int = 6, palette=None, interlace: bool = False
+) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG using nothing but stdlib
+    ``zlib``: a 2-D array becomes color type 0 (grayscale), an (h, w, 3)
+    array color type 2 (RGB); with ``palette`` (an (n<=256, 3) uint8
+    array) the 2-D array is treated as palette INDICES and written as
+    color type 3 with a PLTE chunk. ``filters="mixed"`` cycles scanline
+    filters 0..4 (None/Sub/Up/Average/Paeth) so a round-trip exercises
+    every unfilter branch of ``_png_gray``; ``filters="none"`` emits
+    filter 0 rows only (what many minimal writers produce).
+    ``interlace=True`` writes an Adam7 stream (each of the 7 passes
+    filtered as its own sub-image, per the spec)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    plte_chunk = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+            raise ValueError("palette must be an (n<=256, 3) uint8 array")
+        if px.ndim != 2:
+            raise ValueError("palette encoding takes a 2-D index array")
+        color_type, channels = 3, 1
+        h, w = px.shape
+        plte_chunk = _png_chunk(b"PLTE", pal.tobytes())
+    elif px.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = px.shape
+    else:
+        color_type, channels = 2, 3
+        h, w, _ = px.shape
+    bpp = channels  # bytes per pixel at bit depth 8
+    raw = px.reshape(h, w * channels).astype(np.int32)
+    if interlace:
+        body = bytearray()
+        grid = raw.reshape(h, w, channels)
+        for x0, y0, dx, dy in _ADAM7:
+            sub = grid[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            body += _png_filter_rows(sub.reshape(ph, pw * channels), bpp, filters)
+    else:
+        body = _png_filter_rows(raw, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + plte_chunk
         + _png_chunk(b"IDAT", zlib.compress(bytes(body), level))
         + _png_chunk(b"IEND", b"")
     )
@@ -459,12 +496,14 @@ def _paeth_vec(a, b, c):
 
 
 def _png_gray(payload: bytes):
-    """Grayscale pixel array from an 8-bit non-interlaced PNG (color types
-    0 gray / 2 RGB / 4 gray+alpha / 6 RGBA) — stdlib ``zlib`` inflate of
-    the concatenated IDAT stream, then per-scanline unfiltering of all 5
-    PNG filter types. Palette (type 3), 1/2/4/16-bit depths, and Adam7
-    interlacing raise clearly — they are rare in ML-corpus crawls, where
-    8-bit truecolor/grayscale dominates. Per-row work is vectorized
+    """Grayscale pixel array from an 8-bit PNG (color types 0 gray /
+    2 RGB / 3 palette via PLTE lookup / 4 gray+alpha / 6 RGBA; both
+    non-interlaced and Adam7-interlaced streams) — stdlib ``zlib``
+    inflate of the concatenated IDAT stream, then per-scanline
+    unfiltering of all 5 PNG filter types (per pass for Adam7, each pass
+    being an independently-filtered sub-image). 1/2/4/16-bit depths
+    raise clearly — rare in ML-corpus crawls, where 8-bit dominates.
+    Per-row work is vectorized
     (filters 0/2 fully; Sub via a wrapping uint8 accumulate; Average/Paeth
     via the vectorized predictor with a per-pixel carry loop only across
     the ``bpp`` phase boundary); the decode runs inside Arrow-batched
@@ -479,44 +518,25 @@ def _png_gray(payload: bytes):
         raise ValueError(f"truncated or corrupt PNG: {e}") from None
 
 
-def _png_gray_impl(payload: bytes):
-    import zlib
+# Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(data: bytes, h: int, stride: int, bpp: int):
+    """Reverse the 5 PNG scanline filters over ``h`` rows of ``stride``
+    bytes each (``data`` is filter-byte-prefixed rows, exactly
+    ``h * (stride + 1)`` bytes). Vectorized per row; the per-pixel carry
+    loop runs only for Average/Paeth."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported by the built-in decoder")
-    if color_type == 3:
-        raise NotImplementedError("palette PNGs not supported by the built-in decoder")
-    if color_type not in (0, 2, 4, 6):
-        raise ValueError(f"invalid PNG color type {color_type}")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNGs not supported by the built-in decoder")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    bpp, stride = channels, w * channels
-    data = zlib.decompress(bytes(idat))
-    if len(data) != h * (stride + 1):
-        raise ValueError("truncated or oversized PNG pixel stream")
     rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, lines = rows[:, 0], rows[:, 1:]
     raw = np.zeros((h, stride), dtype=np.uint8)
@@ -545,6 +565,75 @@ def _png_gray_impl(payload: bytes):
             raw[r] = rec.astype(np.uint8)
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
+    return raw
+
+
+def _png_gray_impl(payload: bytes):
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported by the built-in decoder")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels
+    data = zlib.decompress(bytes(idat))
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        raw = np.zeros((h, w * channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            need = ph * (pstride + 1)
+            sub = _png_unfilter(data[off : off + need], ph, pstride, bpp)
+            off += need
+            cols = (x0 + np.arange(pw) * dx)[:, None] * channels + np.arange(channels)
+            raw[y0::dy, cols.ravel()] = sub.reshape(ph, -1)
+        if off != len(data):
+            raise ValueError("truncated or oversized PNG pixel stream")
+    elif interlace == 0:
+        stride = w * channels
+        if len(data) != h * (stride + 1):
+            raise ValueError("truncated or oversized PNG pixel stream")
+        raw = _png_unfilter(data, h, stride, bpp)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color_type == 3:  # palette lookup -> RGB
+        idx = raw.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx].astype(np.float64).mean(axis=2)
     arr = raw.reshape(h, w, channels).astype(np.float64)
     # channel mean over COLOR channels only (1 for gray/gray+alpha, 3 for
     # RGB/RGBA); alpha dropped — same intensity convention as

@@ -289,7 +289,10 @@ def test_image_dhash_codec_invariance_and_noise_robustness():
     h_bmp = image_dhash(_bmp_gray(encode_bmp(img)))
     h_pgm = image_dhash(_pnm_gray(encode_pnm(img)))
     h_png = image_dhash(_png_gray(encode_png(img, filters="mixed")))
-    assert h_bmp == h_pgm == h_png
+    h_adam7 = image_dhash(_png_gray(encode_png(img, filters="mixed", interlace=True)))
+    gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    h_plte = image_dhash(_png_gray(encode_png(img, palette=gray_pal)))
+    assert h_bmp == h_pgm == h_png == h_adam7 == h_plte
 
     noisy = img.copy()
     noisy[5, 7] = 255 - noisy[5, 7]
@@ -447,8 +450,8 @@ def test_png_codec_real_bytes(spark):
 
 
 def test_png_unsupported_variants_raise():
-    """Palette / 16-bit / interlaced PNGs and corrupt chunks fail loudly
-    with actionable messages rather than decoding garbage."""
+    """16-bit depth still raises actionably; malformed palette/interlace
+    metadata and corrupt chunks fail loudly rather than decoding garbage."""
     import struct
     import zlib
 
@@ -469,10 +472,10 @@ def test_png_unsupported_variants_raise():
 
     with pytest.raises(NotImplementedError, match="16-bit"):
         _png_gray(with_ihdr(16, 0, 0))
-    with pytest.raises(NotImplementedError, match="palette"):
-        _png_gray(with_ihdr(8, 3, 0))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        _png_gray(with_ihdr(8, 0, 1))
+    with pytest.raises(ValueError, match="PLTE"):
+        _png_gray(with_ihdr(8, 3, 0))  # palette stream without a PLTE chunk
+    with pytest.raises(ValueError, match="interlace"):
+        _png_gray(with_ihdr(8, 0, 2))  # invalid interlace method
     with pytest.raises(ValueError, match="not a PNG"):
         _png_gray(b"BMnope")
 
@@ -480,6 +483,35 @@ def test_png_unsupported_variants_raise():
     good[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         _png_gray(bytes(good))
+
+
+def test_png_palette_and_adam7_roundtrip():
+    """Color type 3 (PLTE lookup) and Adam7 interlacing — both directions
+    through the built-in codec, all filter types, odd sizes, and combined
+    palette+interlaced streams; out-of-range palette indices rejected."""
+    import numpy as np
+    import pytest
+
+    from artan_spark.plans.multimodal import _png_gray, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in [(13, 17), (8, 8), (31, 9), (1, 1), (2, 3), (9, 31, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        ref = img.astype(np.float64) if img.ndim == 2 else img.astype(np.float64).mean(axis=2)
+        for filters in ("none", "mixed"):
+            got = _png_gray(encode_png(img, filters=filters, interlace=True))
+            np.testing.assert_array_equal(got, ref, err_msg=f"{shape} {filters}")
+
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, size=(21, 13)).astype(np.uint8)
+    want = pal[idx].astype(np.float64).mean(axis=2)
+    np.testing.assert_array_equal(_png_gray(encode_png(idx, palette=pal)), want)
+    np.testing.assert_array_equal(
+        _png_gray(encode_png(idx, palette=pal, interlace=True)), want
+    )
+
+    with pytest.raises(ValueError, match="index out of range"):
+        _png_gray(encode_png(idx, palette=pal[:8]))  # indices exceed palette
 
 
 def test_png_alpha_color_types_decode():
