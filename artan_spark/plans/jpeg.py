@@ -1,15 +1,20 @@
-"""Dependency-free baseline JPEG codec (pure numpy + stdlib).
+"""Dependency-free JPEG codec (pure numpy + stdlib).
 
-Scope — ITU-T T.81 baseline sequential DCT, 8-bit:
+Scope — ITU-T T.81 DCT modes, 8-bit:
 
-- **decode**: grayscale (1 component) and YCbCr color (3 components) with
-  4:4:4 or 4:2:0/4:2:2 sampling, restart markers, multiple DQT/DHT
-  segments. Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise ``NotImplementedError`` with actionable messages.
-- **encode**: grayscale and 4:4:4 YCbCr, spec Annex K quantization tables
-  (quality-scaled per the libjpeg convention) and Annex K typical Huffman
-  tables — enough to round-trip the decoder in tests and to generate
-  deterministic fixtures for the multimodal pipeline.
+- **decode**: baseline sequential (SOF0/1) AND progressive (SOF2) —
+  grayscale (1 component) and YCbCr color (3 components) with 4:4:4 or
+  4:2:0/4:2:2 sampling, restart markers, multiple DQT/DHT segments;
+  progressive spectral selection + successive approximation with DC/AC
+  first and refinement scans and EOB runs. Arithmetic coding, 12-bit,
+  and hierarchical modes raise ``NotImplementedError`` with actionable
+  messages.
+- **encode**: baseline grayscale and 4:4:4/4:2:0 YCbCr with spec Annex K
+  quantization + Huffman tables (quality-scaled per the libjpeg
+  convention), plus a PROGRESSIVE encoder (``encode_jpeg_progressive``,
+  libjpeg-shaped scan script, per-scan frequency-built tables) whose
+  output must decode bit-identically to the baseline decode at the same
+  quality — the round-trip contract the tests pin.
 
 Cited parity target: the reference repo has no media codecs at all (its
 scope is state estimation); this module serves the training-data-pipeline
@@ -194,6 +199,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.buf)
 
+    def write_marker(self, marker_byte: int) -> None:
+        """Pad to a byte boundary with 1-bits, then emit an UNSTUFFED
+        marker (restart markers live inside entropy data)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, marker_byte])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """DC/AC magnitude category and the appended-bits code (T.81 F.1.2)."""
@@ -244,6 +257,33 @@ def encode_jpeg_rgb(pixels, quality: int = 90, subsample: bool = False) -> bytes
     )
 
 
+def _prep_quantized_blocks(planes, sampling, qt_ids, qts):
+    """Pad every plane to its MCU-grid size (edge replication), block,
+    fdct, quantize, zigzag. Returns (comp_blocks, comp_bw, mcux, mcuy):
+    per-component (nblocks, 64) int zigzag arrays indexed
+    (block_row * comp_bw + block_col)."""
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    h0, w0 = planes[0].shape
+    mcux, mcuy = -(-w0 // (8 * hmax)), -(-h0 // (8 * vmax))
+    comp_blocks, comp_bw = [], []
+    for ci, plane in enumerate(planes):
+        hs, vs = sampling[ci]
+        bh_, bw_ = mcuy * vs, mcux * hs
+        padded = np.pad(
+            plane,
+            ((0, bh_ * 8 - plane.shape[0]), (0, bw_ * 8 - plane.shape[1])),
+            mode="edge",
+        ).astype(np.float64) - 128.0
+        blocks = padded.reshape(bh_, 8, bw_, 8).swapaxes(1, 2).reshape(bh_ * bw_, 8, 8)
+        coeff = _fdct(blocks)
+        qt = qts[qt_ids[ci]].astype(np.float64)
+        quant = np.round(coeff / qt).astype(np.int64)
+        comp_blocks.append(quant.reshape(bh_ * bw_, 64)[:, ZIGZAG])
+        comp_bw.append(bw_)
+    return comp_blocks, comp_bw, mcux, mcuy
+
+
 def _encode(planes, sampling, qt_ids, h, w, qts, one_qt):
     ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
@@ -279,26 +319,7 @@ def _encode(planes, sampling, qt_ids, h, w, qts, one_qt):
     ac_codes_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     bw = _BitWriter()
-    hmax = max(hs for hs, _ in sampling)
-    vmax = max(vs for _, vs in sampling)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    # pre-block every plane padded to its MCU-grid size: edge replication,
-    # fdct, quantize, zigzag — indexed (block_row, block_col)
-    comp_blocks, comp_bw = [], []
-    for ci, plane in enumerate(planes):
-        hs, vs = sampling[ci]
-        bh_, bw_ = mcuy * vs, mcux * hs
-        padded = np.pad(
-            plane,
-            ((0, bh_ * 8 - plane.shape[0]), (0, bw_ * 8 - plane.shape[1])),
-            mode="edge",
-        ).astype(np.float64) - 128.0
-        blocks = padded.reshape(bh_, 8, bw_, 8).swapaxes(1, 2).reshape(bh_ * bw_, 8, 8)
-        coeff = _fdct(blocks)
-        qt = qts[qt_ids[ci]].astype(np.float64)
-        quant = np.round(coeff / qt).astype(np.int64)
-        comp_blocks.append(quant.reshape(bh_ * bw_, 64)[:, ZIGZAG])
-        comp_bw.append(bw_)
+    comp_blocks, comp_bw, mcux, mcuy = _prep_quantized_blocks(planes, sampling, qt_ids, qts)
 
     def emit_block(zz, dc_codes, ac_codes, pred_v):
         diff = int(zz[0]) - pred_v
@@ -420,17 +441,40 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG to float64 planes.
+    """Decode a baseline-sequential OR progressive (SOF2) JPEG to float64
+    planes.
 
     Returns (planes, h, w) where planes is [Y] for grayscale or
-    [Y, Cb, Cr] upsampled to full resolution for color. Truncated or
-    corrupt streams raise ``ValueError`` (never a bare struct/index
-    error — the decode sits inside batch pipelines that classify parser
+    [Y, Cb, Cr] upsampled to full resolution for color. Progressive
+    streams accumulate coefficients across all scans — spectral
+    selection, successive approximation (DC and AC first + refinement
+    passes, EOB runs), interleaved DC and single-component AC scans, and
+    restart markers — then reconstruct once at EOI. Truncated or corrupt
+    streams raise ``ValueError`` (never a bare struct/index error — the
+    decode sits inside batch pipelines that classify parser
     rejections)."""
     try:
         return _decode_jpeg_impl(payload)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, OverflowError) as e:
         raise ValueError(f"truncated or corrupt JPEG: {e}") from None
+
+
+def _next_marker(d: bytes, p: int) -> int:
+    """Position of the next real marker at/after ``p``: skips entropy
+    bytes, stuffed 0xFF00, restart markers, and 0xFF fill bytes."""
+    n = len(d)
+    while p + 1 < n:
+        if d[p] != 0xFF:
+            p += 1
+        elif d[p + 1] == 0x00:
+            p += 2
+        elif d[p + 1] == 0xFF:
+            p += 1
+        elif 0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    return n
 
 
 def _decode_jpeg_impl(payload: bytes):
@@ -441,9 +485,11 @@ def _decode_jpeg_impl(payload: bytes):
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = None
-    h = w = 0
+    h = w = hmax = vmax = mcux = mcuy = 0
+    progressive = False
     restart_interval = 0
-    while pos < len(d):
+    saw_scan = False
+    while pos + 1 < len(d):
         if d[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         while pos + 1 < len(d) and d[pos + 1] == 0xFF:
@@ -456,16 +502,34 @@ def _decode_jpeg_impl(payload: bytes):
             continue  # standalone
         (seglen,) = struct.unpack(">H", d[pos : pos + 2])
         seg = d[pos + 2 : pos + seglen]
-        if marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(ish)
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "qt": qid})
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported by the built-in decoder")
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid JPEG sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "hs": hs, "vs": vs, "qt": qid})
+            if ncomp == 0 or h == 0 or w == 0:
+                raise ValueError("empty JPEG frame")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # MCU-padded grid (interleaved scans) and the component's
+                # own grid (single-component scans cover only the latter)
+                c["bw"] = mcux * c["hs"]
+                c["bh"] = mcuy * c["vs"]
+                comp_w = -(-(w * c["hs"]) // hmax)  # ceil divisions
+                comp_h = -(-(h * c["vs"]) // vmax)
+                c["nbw"] = -(-comp_w // 8)
+                c["nbh"] = -(-comp_h // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG coding process not supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -489,73 +553,216 @@ def _decode_jpeg_impl(payload: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
             ncomp_s = seg[0]
             scomp = []
             for ci in range(ncomp_s):
                 cid, tsel = seg[1 + 2 * ci : 3 + 2 * ci]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise ValueError("JPEG scan references an unknown component")
                 comp["dc"] = tsel >> 4
                 comp["ac"] = tsel & 0xF
                 scomp.append(comp)
-            data_start = pos + seglen
-            return _decode_scan(d, data_start, scomp, qts, huff, h, w, restart_interval)
+            ss = seg[1 + 2 * ncomp_s]
+            se = seg[2 + 2 * ncomp_s]
+            ahal = seg[3 + 2 * ncomp_s]
+            pos = _decode_scan(
+                d, pos + seglen, scomp, huff, restart_interval, progressive,
+                ss, se, ahal >> 4, ahal & 0xF, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    raise ValueError("JPEG has no SOS scan")
+    if not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _reconstruct(comps, qts, h, w, hmax, vmax)
 
 
-def _decode_scan(d, pos, comps, qts, huff, h, w, restart_interval):
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient buffers in units of their own blocks
-    for c in comps:
-        c["bw"] = mcux * c["hs"]
-        c["bh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+def _seq_block(br, c, bi, ss, se, al, state):
+    """Baseline sequential block: DC diff + AC run-length, full band."""
+    row = c["coef"][bi]
+    size = _huff_decode(br, c["_dct"])
+    if size > 15:
+        raise ValueError("invalid JPEG DC size category")
+    diff = _extend(br.receive(size), size) if size else 0
+    c["pred"] += diff
+    row[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, c["_act"])
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0xF
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        row[k] = _extend(br.receive(size), size)
+        k += 1
+
+
+def _dc_first_block(br, c, bi, ss, se, al, state):
+    """Progressive DC first scan (T.81 G.2): diff coded as in baseline,
+    value stored at the point-transform magnitude (<< Al)."""
+    size = _huff_decode(br, c["_dct"])
+    if size > 15:
+        raise ValueError("invalid JPEG DC size category")
+    diff = _extend(br.receive(size), size) if size else 0
+    c["pred"] += diff
+    c["coef"][bi, 0] = c["pred"] << al
+
+
+def _dc_refine_block(br, c, bi, ss, se, al, state):
+    """Progressive DC refinement: one raw bit per block, ORed at Al."""
+    if br.read_bit():
+        c["coef"][bi, 0] |= 1 << al
+
+
+def _ac_first_block(br, c, bi, ss, se, al, state):
+    """Progressive AC first scan over band [Ss, Se]: run-length with
+    EOBn end-of-band runs (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    row = c["coef"][bi]
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, c["_act"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1  # this block counts itself
+            if r:
+                state["eobrun"] += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        row[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(br, c, bi, ss, se, al, state):
+    """Progressive AC refinement (T.81 G.1.2.3): newly-nonzero coeffs
+    arrive as ±1<<Al; already-nonzero ones take a correction bit each —
+    including inside ZRL skips and EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+    row = c["coef"][bi]
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, c["_act"])
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s:
+                # size of a newly-nonzero coef in a refinement is always 1
+                sval = p1 if br.read_bit() else m1
+            elif r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            # advance over r still-zero coeffs, correcting nonzero-history
+            # ones with one bit each (ZRL: r == 15, skips 16 zeroes)
+            while k <= se:
+                cur = int(row[k])
+                if cur != 0:
+                    if br.read_bit() and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                row[k] = sval
+            k += 1
+    if state["eobrun"] > 0:
+        # end-of-band: correction bits for the remaining nonzero coeffs
+        while k <= se:
+            cur = int(row[k])
+            if cur != 0:
+                if br.read_bit() and (cur & p1) == 0:
+                    row[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(d, pos, scomp, huff, restart_interval, progressive, ss, se, ah, al, mcux, mcuy):
+    """Decode one entropy-coded scan into the components' coefficient
+    buffers; returns the position of the next marker. Handles baseline
+    sequential scans and all four progressive scan kinds, interleaved
+    (multi-component MCU walk) or non-interleaved (single component over
+    its own block grid), with restart markers."""
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            block_fn = _dc_first_block if ah == 0 else _dc_refine_block
+            need_dc, need_ac = ah == 0, False
+        else:
+            if len(scomp) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+            need_dc, need_ac = False, True
+    else:
+        block_fn = _seq_block
+        need_dc = need_ac = True
+
+    for c in scomp:
         c["pred"] = 0
+        c["_dct"] = huff.get((0, c.get("dc", 0)))
+        c["_act"] = huff.get((1, c.get("ac", 0)))
+        if (need_dc and c["_dct"] is None) or (need_ac and c["_act"] is None):
+            raise ValueError("JPEG scan references a missing Huffman table")
 
     br = _BitReader(d, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_restart()
-                for c in comps:
-                    c["pred"] = 0
-            mcu_count += 1
-            for c in comps:
-                dct = huff.get((0, c["dc"]))
-                act = huff.get((1, c["ac"]))
-                if dct is None or act is None:
-                    raise ValueError("JPEG scan references a missing Huffman table")
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        size = _huff_decode(br, dct)
-                        diff = _extend(br.receive(size), size) if size else 0
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, act)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0xF
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(br.receive(size), size)
-                            k += 1
-                        bi = (my * c["vs"] + by) * c["bw"] + (mx * c["hs"] + bx)
-                        c["coef"][bi] = zz
+    state = {"eobrun": 0}
+    unit = 0
+
+    def maybe_restart():
+        nonlocal unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_restart()
+            for c in scomp:
+                c["pred"] = 0
+            state["eobrun"] = 0
+        unit += 1
+
+    if len(scomp) == 1:
+        # non-interleaved: one block per restart unit, component's own grid
+        c = scomp[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart()
+                block_fn(br, c, by * c["bw"] + bx, ss, se, al, state)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in scomp:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            bi = (my * c["vs"] + by) * c["bw"] + (mx * c["hs"] + bx)
+                            block_fn(br, c, bi, ss, se, al, state)
+    return _next_marker(d, br.pos)
+
+
+def _reconstruct(comps, qts, h, w, hmax, vmax):
+    """Dequantize + IDCT the accumulated coefficient buffers into
+    full-resolution planes."""
     planes = []
     for c in comps:
-        qt = qts[c["qt"]]
-        blocks = c["coef"][:, UNZIGZAG].reshape(-1, 8, 8) * qt
+        qt = qts.get(c["qt"])
+        if qt is None:
+            raise ValueError("JPEG frame references a missing quantization table")
+        blocks = c["coef"][:, UNZIGZAG].astype(np.float64).reshape(-1, 8, 8) * qt
         spatial = _idct(blocks) + 128.0
         bh_, bw_ = c["bh"], c["bw"]
         img = (
@@ -569,10 +776,310 @@ def _decode_scan(d, pos, comps, qts, huff, h, w, restart_interval):
     return planes, h, w
 
 
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture generator for the progressive decode path)
+# ---------------------------------------------------------------------------
+
+# libjpeg's default progressive scan-script shape (public knowledge):
+# DC first at Al=1; luma AC split into two spectral bands at Al=2; chroma
+# AC full-band at Al=1; then successive-approximation refinements of
+# everything down to Al=0. Entries: (component | "all", Ss, Se, Ah, Al).
+DEFAULT_PROGRESSIVE_SCANS = [
+    ("all", 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (1, 1, 63, 0, 1),
+    (2, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    ("all", 0, 0, 1, 0),
+    (1, 1, 63, 1, 0),
+    (2, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+
+
+class _FreqSink:
+    """Pass 1 of a scan: count Huffman symbols per (class, table id)."""
+
+    def __init__(self):
+        self.freq: dict[tuple[int, int], dict[int, int]] = {}
+
+    def symbol(self, key, s):
+        t = self.freq.setdefault(key, {})
+        t[s] = t.get(s, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+    def restart(self, m):
+        pass
+
+
+class _BitSink:
+    """Pass 2 of a scan: write the entropy bits with the built tables."""
+
+    def __init__(self, codes):
+        self.bw = _BitWriter()
+        self.codes = codes
+
+    def symbol(self, key, s):
+        code, ln = self.codes[key][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        self.bw.write(v, n)
+
+    def restart(self, m):
+        self.bw.write_marker(0xD0 + (m & 7))
+
+    def finish(self) -> bytes:
+        return self.bw.flush()
+
+
+def _uniform_huffman(symbols):
+    """Canonical table giving every used symbol the same code length L
+    (smallest L with 2^L > n, so the all-ones code stays reserved) —
+    valid JPEG, trivially correct, and it covers the EOBn symbols the
+    fixed Annex K tables lack. Returns (bits, vals, {sym: (code, len)})."""
+    vals = sorted(symbols)
+    n = len(vals)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals, _build_codes(bits, vals)
+
+
+def _scan_units(scan_comps, sampling, comp_bw, mcux, mcuy, h, w):
+    """Restart-counted coding units for a scan: each unit is a list of
+    (ci, block_index). Interleaved scans walk MCUs; single-component
+    scans walk the component's own block grid one block per unit."""
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if len(scan_comps) == 1:
+        ci = scan_comps[0]
+        hs, vs = sampling[ci]
+        nbw = -(-(-(-(w * hs) // hmax)) // 8)
+        nbh = -(-(-(-(h * vs) // vmax)) // 8)
+        return [
+            [(ci, by * comp_bw[ci] + bx)] for by in range(nbh) for bx in range(nbw)
+        ]
+    units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            u = []
+            for ci in scan_comps:
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        u.append((ci, (my * vs + by) * comp_bw[ci] + (mx * hs + bx)))
+            units.append(u)
+    return units
+
+
+def _enc_ac_first(zz, ss, se, al, sink, ac_key, st, flush_eob):
+    """AC first-scan block (T.81 G.1.2.2 / figure G.3 shape)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        if st["eobrun"] > 0:
+            flush_eob()
+        while r > 15:
+            sink.symbol(ac_key, 0xF0)  # ZRL
+            r -= 16
+        size, bits = _magnitude(a if v > 0 else -a)
+        sink.symbol(ac_key, (r << 4) | size)
+        sink.bits(bits, size)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:  # EOBn counter ceiling
+            flush_eob()
+
+
+def _enc_ac_refine(zz, ss, se, al, sink, ac_key, st, flush_eob):
+    """AC refinement block (T.81 G.1.2.3): newly-nonzero coeffs emit
+    (run, 1) + sign; already-nonzero ones buffer one correction bit each,
+    flushed after the next emitted symbol (or with the EOB run)."""
+    absv = [abs(int(zz[k])) >> al for k in range(se + 1)]
+    eob = 0  # index of the last NEWLY-nonzero coef (absv == 1)
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:  # ZRLs not needed past the last new coef
+            flush_eob()
+            sink.symbol(ac_key, 0xF0)
+            r -= 16
+            for b in br_bits:
+                sink.bits(b, 1)
+            br_bits.clear()
+        if a > 1:  # already nonzero: correction bit only
+            br_bits.append(a & 1)
+            continue
+        flush_eob()
+        sink.symbol(ac_key, (r << 4) | 1)
+        sink.bits(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br_bits:
+            sink.bits(b, 1)
+        br_bits.clear()
+        r = 0
+    if r > 0 or br_bits:
+        st["eobrun"] += 1
+        st["be"].extend(br_bits)
+        if st["eobrun"] == 0x7FFF:
+            flush_eob()
+
+
+def _encode_scan_pass(units, comp_blocks, band, restart_interval, sink):
+    """One pass over a scan's units (shared by the frequency-collection
+    and bit-writing passes — restart boundaries depend only on unit
+    counts, so both passes see identical symbols)."""
+    ss, se, ah, al = band
+    dc_scan = ss == 0
+    first = ah == 0
+    scan_cis = sorted({ci for u in units for ci, _ in u})
+    ac_key = (1, 0 if scan_cis[0] == 0 else 1)
+    pred = {ci: 0 for ci in scan_cis}
+    st = {"eobrun": 0, "be": []}
+    rst = 0
+
+    def flush_eob():
+        if st["eobrun"] > 0:
+            nb = st["eobrun"].bit_length() - 1
+            sink.symbol(ac_key, nb << 4)  # EOBn
+            if nb:
+                sink.bits(st["eobrun"] & ((1 << nb) - 1), nb)
+            st["eobrun"] = 0
+            for b in st["be"]:
+                sink.bits(b, 1)
+            st["be"].clear()
+
+    for ui, unit in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            if not dc_scan:
+                flush_eob()
+            sink.restart(rst)
+            rst = (rst + 1) & 7
+            pred = {ci: 0 for ci in scan_cis}
+        for ci, bi in unit:
+            zz = comp_blocks[ci][bi]
+            if dc_scan:
+                if first:
+                    v = int(zz[0]) >> al  # arithmetic shift: point transform
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    size, bits = _magnitude(diff)
+                    sink.symbol((0, 0 if ci == 0 else 1), size)
+                    if size:
+                        sink.bits(bits, size)
+                else:
+                    sink.bits((int(zz[0]) >> al) & 1, 1)
+            elif first:
+                _enc_ac_first(zz, ss, se, al, sink, ac_key, st, flush_eob)
+            else:
+                _enc_ac_refine(zz, ss, se, al, sink, ac_key, st, flush_eob)
+    if not dc_scan:
+        flush_eob()
+
+
+def encode_jpeg_progressive(
+    pixels, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode a 2-D grayscale or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE (SOF2) JPEG with the standard libjpeg-shaped scan script:
+    spectral selection + successive approximation, DC and AC refinement
+    passes, EOB runs. Quantization is identical to the baseline encoder
+    at the same ``quality``/``subsample``, so decoding the progressive
+    stream must reproduce the baseline decode BIT-FOR-BIT — the
+    round-trip contract the tests pin. Per-scan Huffman tables are built
+    from the actual symbol frequencies (uniform-length canonical codes),
+    emitted as a DHT before each SOS; ``restart_interval`` (in MCUs /
+    blocks) exercises the progressive restart path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+        sampling = [(1, 1)]
+        qt_ids = [0]
+        h, w = px.shape
+        qts = [_quality_scale(QUANT_LUMA, quality)]
+    else:
+        pf = px.astype(np.float64)
+        h, w, _ = pf.shape
+        r, g, b = pf[:, :, 0], pf[:, :, 1], pf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        qts = [_quality_scale(QUANT_LUMA, quality), _quality_scale(QUANT_CHROMA, quality)]
+        if subsample:
+
+            def box2(p):
+                he, we = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                pp = np.pad(p, ((0, he - p.shape[0]), (0, we - p.shape[1])), mode="edge")
+                return pp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+
+            planes = [y, box2(cb), box2(cr)]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            sampling = [(1, 1)] * 3
+        qt_ids = [0, 1, 1]
+    ncomp = len(planes)
+    comp_blocks, comp_bw, mcux, mcuy = _prep_quantized_blocks(planes, sampling, qt_ids, qts)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, qt in enumerate(qts):
+        out += _seg(0xFFDB, bytes([tid]) + bytes(qt.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qt_ids[ci]])
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for spec, ss, se, ah, al in DEFAULT_PROGRESSIVE_SCANS:
+        scan_comps = list(range(ncomp)) if spec == "all" else [spec]
+        if spec != "all" and spec >= ncomp:
+            continue  # grayscale: skip the chroma scans
+        units = _scan_units(scan_comps, sampling, comp_bw, mcux, mcuy, h, w)
+        band = (ss, se, ah, al)
+        fsink = _FreqSink()
+        _encode_scan_pass(units, comp_blocks, band, restart_interval, fsink)
+        codes = {}
+        for key in sorted(fsink.freq):
+            tclass, tid = key
+            bits, vals, ctab = _uniform_huffman(fsink.freq[key])
+            codes[key] = ctab
+            out += _seg(0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        bsink = _BitSink(codes)
+        _encode_scan_pass(units, comp_blocks, band, restart_interval, bsink)
+        out += bsink.finish()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def jpeg_gray(payload: bytes) -> np.ndarray:
-    """Grayscale pixel array from a baseline JPEG — the multimodal
-    ``_GRAY_DECODERS`` contract (channel mean of reconstructed RGB for
-    color images; Y plane directly for grayscale)."""
+    """Grayscale pixel array from a baseline or progressive JPEG — the
+    multimodal ``_GRAY_DECODERS`` contract (channel mean of reconstructed
+    RGB for color images; Y plane directly for grayscale)."""
     planes, h, w = decode_jpeg(payload)
     if len(planes) == 1:
         return planes[0]

@@ -832,9 +832,9 @@ def _gif_features(doc_id: int, payload: bytes) -> tuple:
 
 
 def _jpeg_features(doc_id: int, payload: bytes) -> tuple:
-    """REAL baseline-JPEG parse (plans/jpeg.py — pure numpy DCT + Annex-K
-    Huffman entropy decode): decode to grayscale and report (width,
-    height, n_pixels, mean intensity). Progressive/arithmetic/12-bit
+    """REAL JPEG parse (plans/jpeg.py — pure numpy DCT + Huffman entropy
+    decode, baseline AND progressive): decode to grayscale and report
+    (width, height, n_pixels, mean intensity). Arithmetic/12-bit
     variants raise ``NotImplementedError`` from the codec."""
     from artan_spark.plans.jpeg import jpeg_gray
 

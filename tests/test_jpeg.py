@@ -82,10 +82,12 @@ def test_entropy_edge_cases():
 def test_unsupported_variants_raise():
     img = _smooth(16, 16)
     payload = bytearray(encode_jpeg_gray(img))
-    # flip SOF0 -> SOF2 (progressive)
     idx = payload.find(b"\xff\xc0")
+    # flipping SOF0 -> SOF2 makes the baseline full-band scan ILLEGAL as
+    # progressive (a progressive DC scan must have Se == 0): the now-real
+    # progressive decoder rejects it as corrupt instead of NotImplemented
     payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se != 0"):
         jpeg_gray(bytes(payload))
     payload[idx + 1] = 0xC9  # arithmetic coding family
     with pytest.raises(NotImplementedError, match="non-baseline"):
@@ -218,3 +220,125 @@ def test_bitreader_zero_pads_past_end():
     chopped = bytes(payload[:-6]) + b"\xff\xd9"
     out = jpeg_gray(chopped)
     assert out.shape == (16, 16)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _textured(h, w, seed=5):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 128 + 70 * np.sin(xx / 6.0) * np.cos(yy / 4.0) + rng.normal(0, 12, (h, w))
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def test_progressive_gray_matches_baseline_bit_for_bit():
+    """Progressive and baseline encoders quantize identically, so the
+    progressive decode must reproduce the baseline decode EXACTLY —
+    across sizes that exercise padding, multi-block EOB runs, ZRLs,
+    and every scan kind in the script (DC/AC first + refinement)."""
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    for shape in [(16, 16), (37, 53), (1, 1), (8, 8), (9, 130)]:
+        img = _textured(*shape)
+        base = jpeg_gray(encode_jpeg_gray(img, quality=85))
+        payload = encode_jpeg_progressive(img, quality=85)
+        planes, h, w = decode_jpeg(payload)
+        assert (h, w) == shape
+        np.testing.assert_array_equal(planes[0], base, err_msg=str(shape))
+
+
+def test_progressive_color_444_420_and_restarts():
+    """Color scripts route chroma through their own tables and
+    non-interleaved AC scans; 4:2:0 adds the subsampled block grids;
+    restart intervals reset DC predictors and EOB runs mid-scan."""
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    img = _textured(37, 29)
+    rgb = np.stack([img, np.roll(img, 5, 1), 255 - img], axis=2).astype(np.uint8)
+    for sub in (False, True):
+        base = jpeg_gray(encode_jpeg_rgb(rgb, quality=80, subsample=sub))
+        for ri in (0, 3):
+            prog = jpeg_gray(
+                encode_jpeg_progressive(rgb, quality=80, subsample=sub, restart_interval=ri)
+            )
+            np.testing.assert_array_equal(prog, base, err_msg=f"sub={sub} ri={ri}")
+
+
+def test_progressive_eob_runs_exercised():
+    """A low-energy image must produce EOBn symbols with n >= 1 (runs of
+    >1 all-zero bands) — the decoder path fixed-length counters miss."""
+    from artan_spark.plans import jpeg as J
+
+    img = np.full((48, 64), 90, dtype=np.uint8)
+    img[5:9, 7:11] = 200  # one feature so not every block is empty
+    seen = []
+    orig_symbol = J._FreqSink.symbol
+
+    def spy(self, key, s):
+        if key[0] == 1 and (s & 0xF) == 0 and (s >> 4) not in (0, 15):
+            seen.append(s >> 4)
+        orig_symbol(self, key, s)
+
+    J._FreqSink.symbol = spy
+    try:
+        payload = J.encode_jpeg_progressive(img, quality=90)
+    finally:
+        J._FreqSink.symbol = orig_symbol
+    assert seen, "no EOBn (n>=1) symbols were emitted"
+    np.testing.assert_array_equal(
+        jpeg_gray(payload), jpeg_gray(encode_jpeg_gray(img, quality=90))
+    )
+
+
+def test_progressive_truncation_and_corruption_fuzz():
+    """Every prefix and every single-bit corruption either decodes to
+    SOME array or raises ValueError/NotImplementedError — never an
+    uncontrolled exception (junk tolerance contract)."""
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    img = _textured(24, 24)
+    payload = encode_jpeg_progressive(img, quality=80)
+    for cut in range(2, len(payload), 61):
+        try:
+            jpeg_gray(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = np.random.RandomState(1)
+    for _ in range(400):
+        b = bytearray(payload)
+        b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
+        try:
+            jpeg_gray(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_progressive_through_spark_pipeline(spark):
+    """A progressive JPEG flows through sniff -> decode_media and lands
+    on the same dHash as its baseline encoding (identical pixels)."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+    from artan_spark.plans.multimodal import (
+        decode_media,
+        image_dhash,
+        image_near_dup_pairs,
+        sniff_media_type,
+    )
+
+    img = _textured(32, 32)
+    rows = [
+        (1, bytearray(encode_jpeg_gray(img, quality=90))),
+        (2, bytearray(encode_jpeg_progressive(img, quality=90))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "media_type", sniff_media_type(F.col("payload"))
+    )
+    feats = {r.doc_id: r for r in decode_media(media).collect()}
+    assert feats[1].media_type == feats[2].media_type == "image/jpeg"
+    assert feats[1].mean_intensity == feats[2].mean_intensity
+    pairs = image_near_dup_pairs(media).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
