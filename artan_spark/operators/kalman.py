@@ -173,8 +173,11 @@ def _scalar_lkf_fold_factory(c: dict):
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
         init_cells = pdf["initialStateDistribution"].values if "initialStateDistribution" in pdf.columns else None
 
+        from collections import deque
+
         if state is None:
-            m, P, idx, llw = m0, p0, 0, []
+            m, P, idx = m0, p0, 0
+            llw = deque(maxlen=ll_window)
             if init_cells is not None and nrows and init_cells[0] is not None:
                 d = init_cells[0]
                 if isinstance(d, dict):
@@ -183,7 +186,8 @@ def _scalar_lkf_fold_factory(c: dict):
                     m, P = float(d.mean[0]), float(d.covariance.values[0])
         else:
             m, P = float(state["mean"][0]), float(state["cov"][0, 0])
-            idx, llw = state["idx"], list(state["ll"])
+            idx = state["idx"]
+            llw = deque(state["ll"], maxlen=ll_window)
 
         o_idx = np.empty(nrows, dtype=np.int64)
         o_mean = np.empty(nrows)
@@ -213,9 +217,10 @@ def _scalar_lkf_fold_factory(c: dict):
                     ell = math.sqrt(S)
                     ll = -0.5 * (LOG2PI + 2.0 * math.log(ell) + (r / ell) ** 2)
                     o_ll[i] = ll
+                    # deque(maxlen) evicts the oldest on append — no per-row
+                    # slice allocation; sum() iterates oldest->newest, the
+                    # SAME IEEE order as the previous list formulation
                     llw.append(ll)
-                    if len(llw) > ll_window:
-                        llw = llw[-ll_window:]
                     o_sll[i] = math.exp(sum(llw))
                 if compute_maha:
                     o_maha[i] = math.sqrt(max((r * r) / S, 0.0))
@@ -239,7 +244,13 @@ def _scalar_lkf_fold_factory(c: dict):
             },
             columns=[fld.name for fld in _FLAT_OUT_SCHEMA.fields],
         )
-        state = {"idx": int(idx), "mean": np.array([m]), "cov": np.array([[P]]), "ll": llw, "Qa": None}
+        state = {
+            "idx": int(idx),
+            "mean": np.array([m]),
+            "cov": np.array([[P]]),
+            "ll": list(llw),
+            "Qa": None,
+        }
         return out, state
 
     return fold

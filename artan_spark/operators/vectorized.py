@@ -96,10 +96,19 @@ def supports_scalar_vectorized(c: dict) -> bool:
 
 def supports_vectorized(c: dict) -> bool:
     per_row = set(c.get("perRowCols") or ())
+    # sliding likelihood is implemented only in the scalar 1-D LKF fold
+    # (a per-key chronological window; the MMAE upstream shape) — the
+    # general batched folds stay disqualified
+    sliding_ok = not c.get("calculateSlidingLikelihood") or (
+        c["kind"] == "lkf"
+        and c["stateSize"] == 1
+        and c["measurementSize"] == 1
+        and not per_row
+    )
     base_ok = (
         c["multiStepPredict"] == 0
         and c.get("control") is None
-        and not c.get("calculateSlidingLikelihood")
+        and sliding_ok
         and not c.get("outputSystemMatrices")
         and per_row <= {"measurementModel"}
     )
@@ -561,8 +570,10 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
     m0 = float(c["initialStateMean"][0])
     p0 = float(c["initialStateCovariance"][0, 0])
     fad2 = float(c["fadingFactor"]) ** 2
-    compute_ll = c["calculateLoglikelihood"]
+    compute_sll = bool(c.get("calculateSlidingLikelihood"))
+    compute_ll = c["calculateLoglikelihood"] or compute_sll
     compute_maha = c["calculateMahalanobis"]
+    ll_window = int(c.get("slidingLikelihoodWindow") or 1)
     names = [fld.name for fld in VFLAT_SCALAR_OUT_SCHEMA.fields]
 
     def fold(pdf: pd.DataFrame, _state):
@@ -606,7 +617,12 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
         out_rescov = np.full(N, np.nan)
         out_ll = np.full(N, np.nan)
         out_maha = np.full(N, np.nan)
+        out_sll = np.full(N, np.nan)
         out_idx = np.empty(N, dtype=np.int64)
+        # chronological per-key log-likelihood window (newest = last col);
+        # zero-initialized slots add exactly 0.0, so short windows sum to
+        # the same IEEE result as the sequential fold's python list
+        hist = np.zeros((K, ll_window)) if compute_sll else None
 
         T = int(counts.max())
         ptr = 0
@@ -636,7 +652,18 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
                 out_rescov[rows_u] = S
                 if compute_ll:
                     ell = np.sqrt(S)
-                    out_ll[rows_u] = -0.5 * (_LOG2PI + 2.0 * np.log(ell) + (r / ell) ** 2)
+                    llv = -0.5 * (_LOG2PI + 2.0 * np.log(ell) + (r / ell) ** 2)
+                    out_ll[rows_u] = llv
+                    if compute_sll:
+                        ku = ki[zi]
+                        hist[ku, :-1] = hist[ku, 1:]  # drop oldest
+                        hist[ku, -1] = llv
+                        # explicit left-to-right (chronological) sum: the
+                        # exact IEEE order of python sum() over the window
+                        acc = hist[ku, 0].copy()
+                        for j in range(1, ll_window):
+                            acc += hist[ku, j]
+                        out_sll[rows_u] = np.exp(acc)
                 if compute_maha:
                     out_maha[rows_u] = np.sqrt(np.maximum((r * r) / S, 0.0))
 
@@ -658,7 +685,7 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
-                "slidingLikelihood": np.nan,
+                "slidingLikelihood": out_sll,
             },
             columns=names,
         )

@@ -146,6 +146,14 @@ def rts_smoother_events(spark, sf_dir):
 
 
 def mmae_events(spark, sf_dir):
+    # SEQUENTIAL scalar fold on purpose: at this shape (33 keys x ~30k
+    # rows/key at sf0.1) per-key task parallelism beats the lock-step
+    # vectorized fold (measured A/B round 7: 1.2s vs 2.1s — few keys,
+    # long series is the vectorized fold's worst case; it exists for the
+    # 1000-keys-x-100-rows shape and now supports sliding likelihood
+    # there too). The consensus agg adds only ~0.25s of the ~1.2s wall;
+    # the rest is the longest key's fold — the designed rows-per-key
+    # bound, which keys parallelize away at production cardinalities.
     flt = _local_level(LinearKalmanFilter)
     flt.setSlidingLikelihoodWindow(5).setMultipleModelAdaptiveEstimationEnabled(True)
     out = flt.transform(_events_measurements(spark, sf_dir))

@@ -1310,17 +1310,35 @@ def audio_fingerprint(samples, n_bits: int = 64) -> int:
     return int(sum(1 << i for i, b in enumerate(bits) if b))
 
 
-def audio_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = DHASH_HAMMING, method: str = "spectral"
+) -> DataFrame:
     """Audio near-duplicate PAIRS over (doc_id, media_type, payload) rows
-    with RIFF/PCM payloads: decode -> energy-delta fingerprint
-    (mapInPandas) -> the same banded hamming equi-join as the image path —
-    one shared sub-quadratic blocking kernel across modalities."""
+    with RIFF/PCM payloads: decode -> 64-bit fingerprint (mapInPandas) ->
+    the same banded hamming equi-join as the image path — one shared
+    sub-quadratic blocking kernel across modalities.
+
+    The DEFAULT fingerprint is the SPECTRAL one
+    (``audio_spectral_fingerprint``): it is strictly stronger — invariant
+    to overall gain changes (volume normalization, the most common benign
+    transform in audio corpora) and sensitive to frequency content two
+    equal-energy signals can differ in, where the time-domain energy
+    envelope is blind. ``method="energy"`` selects the cheaper
+    energy-delta fingerprint (``audio_fingerprint``, no FFT) as an
+    explicit fallback for envelope-shaped workloads."""
+    if method == "spectral":
+        fp = audio_spectral_fingerprint
+    elif method == "energy":
+        fp = audio_fingerprint
+    else:
+        raise ValueError(f"unknown audio fingerprint method {method!r}")
+
     def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 ids.append(int(doc_id))
-                hashes.append(_signed64(audio_fingerprint(_wav_samples(bytes(payload)))))
+                hashes.append(_signed64(fp(_wav_samples(bytes(payload)))))
             yield pd.DataFrame({"doc_id": ids, "afp": hashes})
 
     audio = media.filter(F.col("media_type") == "audio/wav")
@@ -1372,22 +1390,10 @@ def audio_spectral_fingerprint(samples, n_time: int = 8, n_bands: int = 9) -> in
 
 
 def audio_spectral_near_dup_pairs(media: DataFrame, max_hamming: int = DHASH_HAMMING) -> DataFrame:
-    """Spectral variant of ``audio_near_dup_pairs``: same decode, same
-    banded blocking kernel, frequency-domain bits (gain-invariant)."""
-
-    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                ids.append(int(doc_id))
-                hashes.append(
-                    _signed64(audio_spectral_fingerprint(_wav_samples(bytes(payload))))
-                )
-            yield pd.DataFrame({"doc_id": ids, "sfp": hashes})
-
-    audio = media.filter(F.col("media_type") == "audio/wav")
-    hashed = audio.mapInPandas(hash_rows, "doc_id long, sfp long")
-    return _banded_hamming_pairs(hashed, "sfp", max_hamming)
+    """Back-compat alias: the spectral fingerprint is now the DEFAULT of
+    ``audio_near_dup_pairs``; this name is kept for callers that adopted
+    it while the energy-delta variant was the default."""
+    return audio_near_dup_pairs(media, max_hamming, method="spectral")
 
 
 # -- video perceptual near-dup (shares the dHash space + banded kernel) ------

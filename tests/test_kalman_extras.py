@@ -185,6 +185,45 @@ def test_vectorized_scalar_lkf_bit_exact(spark):
             assert rv.loglikelihood is None and rv.mahalanobis is None
 
 
+def test_vectorized_scalar_lkf_sliding_likelihood_parity(spark):
+    """Sliding likelihood now runs on the scalar vectorized fold (the MMAE
+    upstream shape): per-row parity with the sequential fold across ragged
+    keys and missing measurements — the chronological-window sum keeps the
+    sequential IEEE op order, so only np.log/exp vs math.log/exp ulps
+    separate the paths."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in range(7):
+        for i in range(13 + k):
+            z = None if (k * 3 + i) % 6 == 4 else [float(np.cos(i / 3.0) * 5 + k + rng.normal())]
+            rows.append((f"key{k}", z))
+    df = spark.createDataFrame(rows, "key string, measurement array<double>")
+
+    def mk(vectorized):
+        return (
+            LinearKalmanFilter(1, 1)
+            .setStateKeyCol("key")
+            .setInitialStateCovariance(np.array([[100.0]]))
+            .setProcessNoise(np.array([[1.0]]))
+            .setMeasurementNoise(np.array([[10.0]]))
+            .setCalculateSlidingLikelihood(True)
+            .setSlidingLikelihoodWindow(4)
+            .setVectorizedBatch(vectorized)
+        )
+
+    seq = sorted(mk(False).transform(df).collect(), key=lambda r: (r.stateKey, r.stateIndex))
+    vec = sorted(mk(True).transform(df).collect(), key=lambda r: (r.stateKey, r.stateIndex))
+    assert len(seq) == len(vec) == len(rows)
+    for rs, rv in zip(seq, vec):
+        assert (rs.stateKey, rs.stateIndex) == (rv.stateKey, rv.stateIndex)
+        assert rs.state.mean[0] == rv.state.mean[0]
+        assert (rs.slidingLikelihood is None) == (rv.slidingLikelihood is None)
+        if rs.slidingLikelihood is not None:
+            np.testing.assert_allclose(
+                rs.slidingLikelihood, rv.slidingLikelihood, rtol=1e-12
+            )
+
+
 def test_vectorized_batch_matches_sequential(spark):
     """Time-synchronous multi-key fold == sequential per-key fold (3-D OLS
     with per-row measurement model across 12 keys, missing measurements)."""

@@ -371,9 +371,20 @@ def test_audio_fingerprint_noise_robust_and_near_dup_pairs(spark):
         (4, "image/bmp", bytearray(b"BM....")),  # non-audio rows are scoped out
     ]
     media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_near_dup_pairs(media).collect()}
-    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
-    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # default = SPECTRAL fingerprint; "energy" is the explicit fallback —
+    # both must pair the noisy copy and reject the unrelated signal
+    for kwargs in ({}, {"method": "energy"}):
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in audio_near_dup_pairs(media, **kwargs).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 6, kwargs
+        assert (1, 3) not in pairs and (2, 3) not in pairs, kwargs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        audio_near_dup_pairs(media, method="nope")
 
 
 def test_video_fingerprint_near_dup_pairs(spark):
