@@ -40,7 +40,9 @@ def _lit_array(vals) -> F.Column:
 
 
 def _emb(spark, sf_dir):
-    e = read_table(spark, sf_dir, "embeddings").select(
+    # widen BEFORE the per-element HOF work (cast/dot/normalize are
+    # interpreted, not codegen): see _widen below
+    e = _widen(spark, read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
     )
     return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
@@ -50,6 +52,22 @@ _EMB_SQL = """
 SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
 FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
 """
+
+
+def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SCAN-NARROW input up to the session's core
+    count when the source parquet has fewer splits than cores. The
+    embeddings table is small on disk (a couple of row groups), so every
+    downstream higher-order-function pass — interpreted per element, not
+    codegen — would otherwise run on 2-3 tasks while the rest of the
+    cluster idles; round-7 profiling measured the sf1.0 k-means normalize
+    alone at 11.9s on 2 partitions vs ~1s widened. On a real 100-TB lake
+    the scan already yields >= cores splits and this is a no-op (guarded,
+    so no gratuitous shuffle is added)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
