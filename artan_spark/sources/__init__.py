@@ -41,6 +41,13 @@ def session_builder(app_name: str = "artan_spark", master: str | None = None, sh
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # NOTE round-7 A/B: globally lowering spark.sql.files.openCostInBytes
+        # (4 MiB -> 256/64 KiB) to widen small-file scans did NOT pay — the
+        # dedup/text pipelines shuffle early (map-side combine weakens as
+        # scan partitions multiply) and medians were flat-to-worse. Scan
+        # under-parallelism only hurts where heavy INTERPRETED per-row work
+        # runs pre-shuffle; that one case (embeddings HOF normalization) is
+        # widened locally in plans/simsearch.py::_widen instead.
         .config("spark.ui.enabled", "false")
         # local mode defaults the driver JVM (which hosts all executor
         # threads) to 1g — 32 concurrent tasks OOM under that the moment a
