@@ -768,7 +768,14 @@ def _reconstruct(comps, qts, h, w, hmax, vmax):
         img = (
             spatial.reshape(bh_, bw_, 8, 8).swapaxes(1, 2).reshape(bh_ * 8, bw_ * 8)
         )
-        # upsample subsampled components to full resolution (nearest)
+        # upsample subsampled components to full resolution (nearest).
+        # T.81 permits non-divisible factor combos (e.g. 3:2) but they do
+        # not occur in practice; integer repeat would silently produce a
+        # short plane, so reject them actionably instead.
+        if vmax % c["vs"] or hmax % c["hs"]:
+            raise NotImplementedError(
+                f"non-integer chroma subsampling ratio {c['hs']}x{c['vs']} of {hmax}x{vmax}"
+            )
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
             img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)

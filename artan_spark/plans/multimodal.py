@@ -311,10 +311,11 @@ def _y4m_features(doc_id: int, payload: bytes) -> tuple:
     return (int(w), int(h), int(n_sampled), mean_i)
 
 
-def _y4m_luma_planes(payload: bytes, w: int, h: int, chroma_len: int, nl: int):
-    """Yield every-2nd-frame luma planes as (h, w) uint8 arrays — the frame
-    walk shared by the feature extractor and the video fingerprint (frames
-    may carry per-frame parameter strings; chroma is skipped by offset)."""
+def _y4m_frames(payload: bytes, w: int, h: int, chroma_len: int, nl: int, every: int = 1):
+    """Yield (frame_idx, luma plane) for every ``every``-th frame as (h, w)
+    uint8 arrays — the frame walk shared by the feature extractor, the
+    video fingerprint, and ``sample_video_frames`` (frames may carry
+    per-frame parameter strings; chroma is skipped by offset)."""
     import numpy as np
 
     y_len = w * h
@@ -324,13 +325,19 @@ def _y4m_luma_planes(payload: bytes, w: int, h: int, chroma_len: int, nl: int):
             raise ValueError(f"missing FRAME marker at offset {pos}")
         fnl = payload.find(b"\n", pos)
         y0 = fnl + 1
-        if frame_idx % 2 == 0:  # sample every 2nd frame
+        if frame_idx % every == 0:
             plane = np.frombuffer(payload[y0 : y0 + y_len], dtype=np.uint8)
             if len(plane) < y_len:
                 raise ValueError("truncated Y4M frame")
-            yield plane.reshape(h, w)
+            yield frame_idx, plane.reshape(h, w)
         pos = y0 + y_len + chroma_len
         frame_idx += 1
+
+
+def _y4m_luma_planes(payload: bytes, w: int, h: int, chroma_len: int, nl: int):
+    """Every-2nd-frame luma planes (the feature/fingerprint sampling)."""
+    for _idx, plane in _y4m_frames(payload, w, h, chroma_len, nl, every=2):
+        yield plane
 
 
 def _y4m_header(payload: bytes):
@@ -1193,6 +1200,64 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
     images = media.filter(F.col("media_type").isin(*_GRAY_DECODERS))
     return images.select("doc_id", "media_type", "payload").mapInPandas(shrink, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("payload_len", IntegerType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: every ``every``-th frame of each decodable video row
+    re-encoded as a REAL grayscale PNG row — (doc_id, frame_idx, width,
+    height, payload). The keyframe-extraction stage of a multimodal corpus
+    pipeline (vision training data from video): sampled frames flow
+    straight back into ``decode_media`` / ``resize_images`` /
+    ``image_near_dup_pairs`` as ordinary image rows.
+
+    Luma-plane extraction shares ``_y4m_frames`` with the feature
+    extractor and the video fingerprint. One input row fans out to its
+    sampled frames inside the same Arrow batch — at 100 TB the expansion
+    is bounded per row and parallelism stays row-partitioned, the same
+    shape as ``decode_media``. Undecodable payloads drop their row rather
+    than failing the batch (the ``resize_images`` junk-tolerance policy);
+    Y4M is the decodable container (MP4 needs codec libraries — probe it
+    with ``probe_media`` instead)."""
+    every = int(every)
+    if every <= 0:
+        raise ValueError(f"frame sampling interval must be positive, got {every}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    w, h, chroma_len, nl = _y4m_header(payload)
+                    frames = list(_y4m_frames(payload, w, h, chroma_len, nl, every=every))
+                except (ValueError, NotImplementedError):
+                    continue  # junk tolerance: drop undecodable rows
+                for frame_idx, plane in frames:
+                    png = encode_png(plane, filters="none")
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(int(frame_idx))
+                    out["media_type"].append("image/png")
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+                    out["payload"].append(png)
+                    out["payload_len"].append(len(png))
+            yield pd.DataFrame(out)
+
+    videos = media.filter(F.col("media_type") == "video/x-yuv4mpeg")
+    return videos.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
 
 
 def image_dhash(gray, hash_size: int = 8) -> int:

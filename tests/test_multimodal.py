@@ -776,3 +776,43 @@ def test_gif_codec_real_bytes(spark):
     for cut in (3, 8, 20, len(payload) // 2):
         with pytest.raises(ValueError):
             _gif_gray(payload[:cut])
+
+
+def test_sample_video_frames_pipeline(spark):
+    """Frame sampling: every k-th luma frame lands as a real PNG row that
+    round-trips pixel-exact, frame indices are right, junk rows drop, and
+    the sampled frames feed straight back into the image pipeline."""
+    import numpy as np
+    import pytest
+
+    from artan_spark.plans.multimodal import (
+        _png_gray,
+        decode_media,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    rng = np.random.RandomState(21)
+    frames = [rng.randint(0, 256, (12, 16)).astype(np.uint8) for _ in range(5)]
+    rows = [
+        (1, "video/x-yuv4mpeg", bytearray(encode_y4m(frames))),
+        (2, "video/x-yuv4mpeg", bytearray(b"YUV4MPEG2 garbage")),
+        (3, "image/png", bytearray(b"\x89PNG\r\n\x1a\nnot a video")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = sample_video_frames(media, every=2).collect()
+    assert {r.doc_id for r in out} == {1}  # junk + non-video scoped out/dropped
+    by_idx = {r.frame_idx: r for r in out}
+    assert sorted(by_idx) == [0, 2, 4]
+    for idx, r in by_idx.items():
+        assert (r.width, r.height, r.media_type) == (16, 12, "image/png")
+        np.testing.assert_array_equal(_png_gray(bytes(r.payload)), frames[idx].astype(np.float64))
+
+    # sampled frames are ordinary image rows for the rest of the pipeline
+    feats = decode_media(
+        sample_video_frames(media, every=4).select("doc_id", "media_type", "payload")
+    ).collect()
+    assert len(feats) == 2  # frames 0 and 4
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_video_frames(media, every=0)
