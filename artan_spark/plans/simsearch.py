@@ -526,8 +526,11 @@ def ann_ivf_query(
     )
 
 
-def _ann_ivf_kmeans_sql(nprobe: int = KM_NPROBE) -> str:
-    # unrolled Lloyd iterations as CTE pairs (a{i} assignment, c{i} update)
+def _kmeans_cells_cte() -> str:
+    """Shared WITH-preamble: normalized vectors ``n``, the unrolled Lloyd
+    iterations (a{i} assignment / c{i} update pairs, centroids rounded to
+    6 decimals per the cross-engine determinism contract), and the final
+    ``cells`` assignment — reused by the IVF-kmeans oracle and SemDeDup."""
     sql = f"""
 WITH n0 AS ({_EMB_SQL}),
 n AS (SELECT vec_id, list_transform(v, x -> x / norm) AS vn FROM n0),
@@ -562,7 +565,14 @@ cells AS (
                               ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid ASC) AS arank
     FROM n CROSS JOIN {prev} c
   ) WHERE arank = 1
-),
+)"""
+    return sql
+
+
+def _ann_ivf_kmeans_sql(nprobe: int = KM_NPROBE) -> str:
+    prev = f"c{KM_ITERS}"
+    sql = _kmeans_cells_cte()
+    sql += f""",
 q AS (SELECT vec_id AS query_id, vn AS qvn FROM n WHERE vec_id < {N_QUERIES}),
 probe AS (
   SELECT query_id, qvn, cid AS cell FROM (
@@ -664,6 +674,70 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str, rerank: int = 4 * TOP_K
     )
 
 
+# SemDeDup threshold: the synthetic corpus' cross-pair cosines top out
+# ~0.5 with a 99.9th percentile ~0.38, so 0.32 prunes a real (but small)
+# high-similarity tail — the operator's semantics don't depend on the value
+SEMDEDUP_THRESHOLD = 0.32
+
+
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public):
+    k-means cluster the normalized embeddings (the exact
+    ``_fit_kmeans_cells`` fit ``ann_ivf_kmeans`` uses, same determinism
+    contract), then WITHIN each cluster drop every vector whose cosine to
+    a LOWER-vec_id cluster member reaches ``threshold`` — the
+    deterministic keep-smallest-id variant of the paper's
+    one-per-duplicate-group rule. Returns the KEPT (vec_id, cell) rows.
+
+    100-TB shape: the only pair work is the within-cell self-join —
+    cells bound the candidate space exactly as in the paper (choose KM_K
+    so N/K cells stay tractable); the join is an equi-join on cid, no
+    global all-pairs. Clustering costs are shared with the IVF index
+    build, so a corpus pipeline fits once and both serves ANN and
+    semantically dedups from the same cells."""
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .localCheckpoint()
+    )
+    _cent, member = _fit_kmeans_cells(e)
+    m = member.select("vec_id", "vn", "cid")
+    a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), "cid")
+    b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), "cid")
+    losers = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_dot(F.col("a_vn"), F.col("b_vn")) >= F.lit(threshold))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(losers, "vec_id", "left_anti")
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def _semdedup_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    return (
+        _kmeans_cells_cte()
+        + f""",
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a
+  JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE list_dot_product(na.vn, nb.vn) >= {threshold}
+)
+SELECT c.vec_id, c.cid AS cell
+FROM cells c
+WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
@@ -678,4 +752,10 @@ ORACLES = {
     "ann_ivf_topk": _ann_ivf_sql(1),
     "ann_ivf_kmeans": _ann_ivf_kmeans_sql(KM_NPROBE),
     "embedding_label_centroids": _CENTROID_SQL,
+}
+
+# registry is capped at 50 driver entries: semantic dedup carries its
+# oracle through the pytest gate instead
+PYTEST_ORACLES = {
+    "dedup_semantic": (dedup_semantic, _semdedup_sql()),
 }

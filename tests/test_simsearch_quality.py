@@ -166,3 +166,42 @@ def test_quantized_ivf_index_serve_matches_full_precision(spark, tmp_path):
         )
 
     assert tree_bytes(idx + "/cells_q") < 0.55 * tree_bytes(idx + "/cells")
+
+
+def test_dedup_semantic_prunes_within_cells(spark):
+    """SemDeDup semantics on the driver corpus: the kept set is exactly
+    {all vectors} minus vectors having a lower-id same-cell member at
+    cosine >= threshold — verified against an independent in-python
+    replay of the rule over the operator's own cell assignment; keeping
+    is monotone in the threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import _emb, _fit_kmeans_cells, dedup_semantic
+
+    kept = {r.vec_id for r in dedup_semantic(spark, SF_DIR, threshold=0.32).collect()}
+
+    # independent replay: pull cells + normalized vectors, do the pair rule
+    e = (
+        _emb(spark, SF_DIR)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .localCheckpoint()
+    )
+    _cent, member = _fit_kmeans_cells(e)
+    rows = member.select("vec_id", "vn", "cid").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cid, []).append((r.vec_id, np.array(r.vn)))
+    expect = set()
+    for cell, vs in by_cell.items():
+        vs.sort()
+        for i, (vid, v) in enumerate(vs):
+            dup = any(float(v @ u) >= 0.32 for _uid, u in vs[:i])
+            if not dup:
+                expect.add(vid)
+    assert kept == expect
+    assert len(kept) < len(rows)  # the threshold actually prunes something
+
+    # monotone: a stricter (higher) threshold keeps a superset
+    kept_hi = {r.vec_id for r in dedup_semantic(spark, SF_DIR, threshold=0.45).collect()}
+    assert kept <= kept_hi
