@@ -39,12 +39,18 @@ def _lit_array(vals) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def _emb(spark, sf_dir):
-    # widen BEFORE the per-element HOF work (cast/dot/normalize are
-    # interpreted, not codegen): see _widen below
-    e = _widen(spark, read_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v")
-    )
+def _emb(spark, sf_dir, widen: bool = False):
+    """``widen=True`` repartitions the scan up to core count BEFORE the
+    per-element HOF work (cast/dot/normalize are interpreted, not codegen)
+    — see _widen below. Opt-in: it pays for the HOF-HEAVY consumers
+    (k-means fit = normalize + 16-dot argmax x 3 passes; round-7 A/B:
+    sf1.0 kmeans 37.9 -> ~5s) but the extra shuffle LOSES ~0.3-0.6s on the
+    lightweight single-pass ANN queries at bench scale, so those keep the
+    raw scan."""
+    e = read_table(spark, sf_dir, "embeddings")
+    if widen:
+        e = _widen(spark, e, cache_key=f"{sf_dir}/embeddings")
+    e = e.select("vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
     return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
@@ -54,7 +60,14 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM
 """
 
 
-def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+# split-count probe results per (session, table path): the probe itself
+# (`df.rdd.getNumPartitions()`) compiles the scan plan to an RDD — ~0.8s of
+# driver work — and every _emb() call builds a fresh DataFrame, so an
+# uncached probe would tax every ANN query invocation
+_WIDEN_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _widen(spark: SparkSession, df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Round-robin repartition a SCAN-NARROW input up to the session's core
     count when the source parquet has fewer splits than cores. The
     embeddings table is small on disk (a couple of row groups), so every
@@ -65,7 +78,13 @@ def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
     the scan already yields >= cores splits and this is a no-op (guarded,
     so no gratuitous shuffle is added)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (spark.sparkContext.applicationId, cache_key) if cache_key else None
+    nparts = _WIDEN_CACHE.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            _WIDEN_CACHE[key] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -373,7 +392,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     # accumulate cached partitions with no unpersist site (the returned
     # DataFrame outlives this function, so there is no safe explicit one).
     e = (
-        _emb(spark, sf_dir)
+        _emb(spark, sf_dir, widen=True)
         .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
         .localCheckpoint()
     )
@@ -427,7 +446,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bo
     (both scans partition-pruned) — composing the two scale levers.
     """
     e = (
-        _emb(spark, sf_dir)
+        _emb(spark, sf_dir, widen=True)
         .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
         .persist()
     )
@@ -698,7 +717,7 @@ def dedup_semantic(
     build, so a corpus pipeline fits once and both serves ANN and
     semantically dedups from the same cells."""
     e = (
-        _emb(spark, sf_dir)
+        _emb(spark, sf_dir, widen=True)
         .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
         .localCheckpoint()
     )

@@ -30,11 +30,14 @@ REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 # suite runs sub-second inside the 1.3-1.8x timing-noise band; a 10x point
 # (self-generated, seed-pinned — artan_spark/sources/datagen.py) makes
 # round-over-round deltas and the scaling exponent measurable (round 5 ran
-# 5x; 10x gives the exponent real leverage). Queries at this scale run
-# 10-60s, so a single timed run (REPEATS2) is outside the noise band that
-# forces median-of-3 at sf0.1. Set SPARK_GRAFT_SF2="" to skip.
+# 5x; 10x gives the exponent real leverage). Round-7 measured SINGLE-shot
+# sf1.0 walls swinging 2-3x run-to-run on this container (IO/page-cache/GC
+# state: e.g. corpus_clean_stats 12.9 vs 40.6s, jaccard 10.5 vs 29.6s in
+# back-to-back sessions), so the default is median-of-3 here too — ~4 min
+# extra, and the recorded number means something. Set SPARK_GRAFT_SF2=""
+# to skip the scale point entirely.
 SF2 = os.environ.get("SPARK_GRAFT_SF2", "1.0")
-REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "1")))
+REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "3")))
 SF2_DIR = os.environ.get(
     "SPARK_GRAFT_SF2_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"sf{SF2}"),

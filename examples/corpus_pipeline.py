@@ -3,9 +3,9 @@
 pretraining-data job runs, expressed entirely as artan_spark plan operators.
 
     documents ──> PII scrub ──> cross-corpus line dedup ──> quality score
-                  ──> filter ──> near-dup clusters ──> keep one
-                  per cluster ──> token-budget language mixing ──> concat-and-
-                  cut sequence packing ────────────────────────────────┐
+                  ──> filter ──> near-dup clusters ──> keep one per cluster
+                  ──> SemDeDup semantic prune ──> token-budget language
+                  mixing ──> concat-and-cut sequence packing ──────────┐
     embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
                                                                        v
               cleaned + packed corpus written PARTITIONED BY (lang/stream)
@@ -60,9 +60,30 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
         .filter(F.col("doc_id") != F.col("cluster"))
         .select("doc_id")
     )
+    # 2b. SEMANTIC dedup (SemDeDup): embedding-space duplicates within
+    #     k-means cells — catches paraphrases the lexical pass misses.
+    #     Only embedded docs (vec_id == doc_id in the testdata) can LOSE;
+    #     docs without an embedding pass through untouched, so the prune
+    #     is an anti-join against the semantic-loser set, not a semi-join
+    #     against the kept set
+    from artan_spark.plans.simsearch import _emb, dedup_semantic
+
+    sem_losers = (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(
+            F.broadcast(dedup_semantic(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+    )
     # materialize: the quality+dedup lineage feeds the rates aggregate AND
     # both sinks — one computation instead of one per downstream action
-    cleaned = kept.join(losers, "doc_id", "left_anti").localCheckpoint()
+    cleaned = (
+        kept.join(losers, "doc_id", "left_anti")
+        .join(F.broadcast(sem_losers), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
 
     # 3. token-budget mixing: rebalance the CLEANED corpus toward equal
     #    per-language token volume (deterministic hash-Bernoulli keep on

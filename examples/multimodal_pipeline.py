@@ -9,10 +9,12 @@ The sniff stage types every blob inside whole-stage codegen — no Python in
 the row path — so a 100 TB media lake is classified at scan speed; only the
 rows that reach the decoders cross into Python, in Arrow batches whose size
 is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``. The real
-dependency-free codecs (WAV/BMP/PGM/PPM/Y4M/PNG/baseline-JPEG) decode
-actual file bytes; everything gets probe_media container metadata
-(including MP4, whose FRAME decode genuinely needs codec libs); image rows
-are thumbnailed by resize_images; the rest is quarantined, not guessed at.
+dependency-free codecs (WAV/BMP/PGM/PPM/Y4M/GIF, PNG incl. palette and
+Adam7, JPEG baseline AND progressive) decode actual file bytes; everything
+gets probe_media container metadata (including MP4, whose FRAME decode
+genuinely needs codec libs); image rows are thumbnailed by resize_images;
+video rows are frame-sampled into PNG image rows by sample_video_frames;
+the rest is quarantined, not guessed at.
 
 Usage: python examples/multimodal_pipeline.py
 """
@@ -35,7 +37,7 @@ def make_blob_corpus(spark, n=120):
         encode_y4m,
     )
 
-    from artan_spark.plans.jpeg import encode_jpeg_gray
+    from artan_spark.plans.jpeg import encode_jpeg_gray, encode_jpeg_progressive
     from artan_spark.plans.multimodal import encode_png
 
     rng = np.random.default_rng(11)
@@ -51,9 +53,18 @@ def make_blob_corpus(spark, n=120):
         elif kind == 3:
             blob = encode_y4m([rng.integers(0, 256, (4, 6), dtype=np.uint8) for _ in range(3 + i % 4)])
         elif kind == 4:
-            blob = encode_png(rng.integers(0, 256, (9, 7 + i % 5), dtype=np.uint8))
+            # alternate plain / Adam7-interlaced PNG (both decode)
+            blob = encode_png(
+                rng.integers(0, 256, (9, 7 + i % 5), dtype=np.uint8), interlace=bool(i % 2)
+            )
         elif kind == 5:
-            blob = encode_jpeg_gray(rng.integers(0, 256, (16, 16), dtype=np.uint8), quality=90)
+            # alternate baseline / progressive JPEG (both decode)
+            img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+            blob = (
+                encode_jpeg_progressive(img, quality=90)
+                if i % 2
+                else encode_jpeg_gray(img, quality=90)
+            )
         else:
             # MP4: box metadata is probe-able, frame decode is not
             blob = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom" + bytes(16)
@@ -106,6 +117,14 @@ def main():
         "image/bmp", "image/png", "image/jpeg",
         "image/x-portable-graymap", "image/x-portable-pixmap")).count()
     assert thumbs.count() == n_img
+
+    # sample every 2nd frame of each video row into real PNG image rows
+    from artan_spark.plans.multimodal import sample_video_frames
+
+    frames = sample_video_frames(typed, every=2)
+    n_frames = frames.count()
+    assert n_frames > 0
+    print(f"== sampled {n_frames} video frames into PNG image rows ==")
 
     print("== quarantined (no built-in frame decoder) ==")
     quarantine.groupBy("media_type").count().show(truncate=False)
