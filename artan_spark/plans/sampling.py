@@ -366,6 +366,83 @@ GROUP BY d.lang
 """
 
 
+# max token share any single source may hold. The driver corpus has 20
+# roughly equal ~5% sources, so 4% makes every source actually exercise
+# the downsampling branch (rate ~0.8) rather than degenerate to rate 1.0
+SOURCE_CAP_SHARE = 0.04
+
+
+def cap_source_share(
+    docs: DataFrame, max_share: float = SOURCE_CAP_SHARE, key_col: str = "source"
+) -> DataFrame:
+    """Cap any single SOURCE's (domain's) token share of the corpus at
+    ``max_share`` — the MassiveText/Gopher-style domain cap that stops a
+    handful of boilerplate-heavy domains from dominating a crawl corpus.
+    Sources over the cap are deterministically hash-downsampled to
+    ``rate = cap_tokens / source_tokens``; under-cap sources pass through
+    whole (never upsampled). Returns the kept (doc_id, source, n_tokens)
+    rows.
+
+    The cap is relative to the PRE-cap total — one aggregate pass, no
+    fixpoint iteration (re-normalizing against the post-cap total would
+    re-inflate the remaining shares every round; single-pass pre-cap is
+    the standard practice). Scale shape mirrors ``mix_sample``: one hash
+    agg for per-source totals (few rows, broadcast back), then a
+    stateless hash-Bernoulli filter — the corpus itself never shuffles."""
+    d = docs.select("doc_id", key_col, n_tokens_expr().alias("n_tokens"))
+    totals = d.groupBy(key_col).agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    w = Window.partitionBy()
+    rates = totals.select(
+        key_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(max_share)
+            * F.sum("src_tokens").over(w).cast("double")
+            / F.col("src_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), key_col)
+        .filter(_hash_uniform(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", key_col, "n_tokens", "rate")
+    )
+
+
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source yield report of the domain-cap pass: rate, kept docs,
+    kept tokens — sorted consumers can verify no post-cap source exceeds
+    the cap in expectation."""
+    kept = cap_source_share(read_table(spark, sf_dir, "documents"))
+    return kept.groupBy("source").agg(
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+r AS (
+  SELECT source,
+         LEAST(1.0, {SOURCE_CAP_SHARE} * (SUM(src_tokens) OVER ())
+                      / CAST(src_tokens AS DOUBLE)) AS rate
+  FROM t
+)
+SELECT d.source,
+       ROUND(MIN(r.rate), 6) AS rate,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_kept
+FROM d JOIN r ON d.source = r.source
+WHERE (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        / {_TWO60_SQL} < r.rate
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_stratified_sample": docs_stratified_sample,
@@ -382,4 +459,5 @@ ORACLES = {
 PYTEST_ORACLES = {
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
     "docs_mix_sample": (docs_mix_sample, _MIX_SQL),
+    "docs_source_cap": (docs_source_cap, _SOURCE_CAP_SQL),
 }

@@ -544,3 +544,44 @@ def test_dedup_corpus_lines_broadcast_anti_join(spark):
     a = {(r.doc_id, r.text, r.n_lines_kept) for r in out.collect()}
     b = {(r.doc_id, r.text, r.n_lines_kept) for r in shuffled.collect()}
     assert a == b == {(i, f"unique body {i}", 1) for i in range(1, 7)}
+
+
+def test_cap_source_share_skew_semantics(spark):
+    """The domain cap: a dominant source is hash-downsampled toward the
+    cap share while small sources pass through WHOLE (rate exactly 1.0,
+    every doc kept); the keep decision is deterministic."""
+    from artan_spark.plans.sampling import cap_source_share
+
+    rows = []
+    did = 0
+    # big: 400 docs x 10 tokens = 4000 tokens (~87% of total)
+    for _ in range(400):
+        rows.append((did, "ten word doc " + "tok " * 7, "big.example"))
+        did += 1
+    # small: 2 x 30 docs x 10 tokens
+    for src in ("small.one", "small.two"):
+        for _ in range(30):
+            rows.append((did, "ten word doc " + "tok " * 7, src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    kept = cap_source_share(docs, max_share=0.10).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+
+    # small sources: rate 1.0, NOTHING dropped
+    for src in ("small.one", "small.two"):
+        assert len(by_src[src]) == 30
+        assert all(r.rate == 1.0 for r in by_src[src])
+
+    # big source: rate = cap_tokens / src_tokens = 0.1 * 4600 / 4000
+    want_rate = 0.10 * 4600 / 4000
+    assert abs(by_src["big.example"][0].rate - want_rate) < 1e-12
+    n_big = len(by_src["big.example"])
+    # hash-Bernoulli keep: expectation 400 * rate = 46; allow wide noise band
+    assert 20 <= n_big <= 80, n_big
+
+    # deterministic: same input -> identical kept set
+    again = {r.doc_id for r in cap_source_share(docs, max_share=0.10).collect()}
+    assert again == {r.doc_id for r in kept}
