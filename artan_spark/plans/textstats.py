@@ -681,7 +681,98 @@ GROUP BY doc_id
 """
 
 
+# -- deterministic feature-hash embeddings (the hashing trick) --------------
+
+HASH_EMB_DIM = 64
+
+
+def hash_embeddings(d: DataFrame, dim: int = HASH_EMB_DIM) -> DataFrame:
+    """(doc_id, text) -> (doc_id, emb) — signed FEATURE-HASH embeddings
+    (the hashing trick, Weinberger et al. 2009): every whitespace token
+    lands in bucket ``md5_60bit(token) % dim`` with a deterministic ±1
+    sign (another md5 digit), summed per bucket, then L2-normalized.
+
+    The cheap, model-free document embedding: fully deterministic and
+    portable (the same md5 arithmetic every sampler here uses), so the
+    vectors are reproducible across engines and runs — ready input for
+    ``dedup_semantic`` / ANN when no learned embedding exists for the
+    corpus. 100-TB shape: explode -> (doc, bucket) partial-agg ->
+    per-doc map assembly; both shuffles carry at most n_tokens and
+    n_docs x dim rows — no corpus-squared term anywhere. Empty/whitespace
+    docs have no tokens and DROP OUT of the output (no embedding row);
+    left-join back to the doc list if callers need explicit NULLs."""
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    agg = (
+        toks.select("doc_id", (h % dim).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    dense = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.coalesce(F.col("m")[i], F.lit(0.0))
+    )
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(emb, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)))
+    return dense.select("doc_id", unit.alias("emb"))
+
+
+def docs_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: the per-doc unit embeddings serialized as a
+    comma-joined string of micro-scaled INTEGER components (round(x*1e6))
+    — integers format identically in every engine, so the value hash
+    pins the full vector without float-printing ambiguity (the compare
+    harness also can't sort raw array columns)."""
+    e = hash_embeddings(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    as_str = F.array_join(
+        F.transform("emb", lambda x: F.round(x * 1e6).cast("long").cast("string")), ","
+    )
+    return e.select("doc_id", as_str.alias("emb_u6"))
+
+
+_HASH_EMB_SQL = f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+toks AS (SELECT * FROM toks0 WHERE tok != ''),
+b AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % {HASH_EMB_DIM} AS bucket,
+         CASE WHEN CAST('0x' || substring(md5(tok), 16, 1) AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks
+),
+agg AS (SELECT doc_id, bucket, SUM(s) AS v FROM b GROUP BY 1, 2),
+dense AS (
+  SELECT d.doc_id, list(coalesce(a.v, 0.0) ORDER BY i.i) AS raw
+  FROM (SELECT DISTINCT doc_id FROM agg) d
+  CROSS JOIN generate_series(0, {HASH_EMB_DIM - 1}) AS i(i)
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.bucket = i.i
+  GROUP BY d.doc_id
+),
+normed AS (
+  SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM dense
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(raw,
+           x -> CAST(CAST(ROUND((CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) * 1000000.0, 0)
+                     AS BIGINT) AS VARCHAR)),
+         ',') AS emb_u6
+FROM normed
+"""
+
+
 PYTEST_ORACLES = {
+    "docs_hash_embeddings": (docs_hash_embeddings, _HASH_EMB_SQL),
     "text_unigram_logprob": (text_unigram_logprob, _UNIGRAM_SQL),
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),
     "text_bpe_tokens": (text_bpe_tokens, _BPE_SQL),

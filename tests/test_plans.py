@@ -585,3 +585,33 @@ def test_cap_source_share_skew_semantics(spark):
     # deterministic: same input -> identical kept set
     again = {r.doc_id for r in cap_source_share(docs, max_share=0.10).collect()}
     assert again == {r.doc_id for r in kept}
+
+
+def test_hash_embeddings_semantics(spark):
+    """Feature-hash embeddings: unit norm, deterministic, near-duplicate
+    docs land close in cosine while disjoint-vocabulary docs stay far —
+    the property that makes them usable dedup_semantic/ANN input."""
+    import numpy as np
+
+    from artan_spark.plans.textstats import hash_embeddings
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    near = base.replace("lazy", "sleepy")  # one token of ~52 changed
+    other = "entirely different vocabulary about spark catalyst optimizer plans " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: np.array(r.emb) for r in hash_embeddings(docs).collect()}
+    for did in (1, 2, 3):
+        assert abs(np.linalg.norm(out[did]) - 1.0) < 1e-12
+    cos_near = float(out[1] @ out[2])
+    cos_far = float(out[1] @ out[3])
+    assert cos_near > 0.9, cos_near
+    assert cos_far < 0.5, cos_far
+    # empty/whitespace docs have no tokens: dropped from the output
+    assert 4 not in out
+
+    again = {r.doc_id: np.array(r.emb) for r in hash_embeddings(docs).collect()}
+    for did, v in out.items():
+        np.testing.assert_array_equal(v, again[did])
