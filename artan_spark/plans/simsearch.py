@@ -313,13 +313,15 @@ KM_ITERS = 2  # unrolled Lloyd iterations (also unrolled in the SQL oracle)
 KM_NPROBE = 2
 
 
-def _fit_kmeans_cells(e: DataFrame):
+def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None):
     """Deterministic spherical k-means fit over normalized vectors ``e``
-    (vec_id, vn): init = first KM_K vectors, KM_ITERS Lloyd iterations,
+    (vec_id, vn): init = first KM_K vectors (or a caller-supplied
+    (cid, cv) frame — dedup_semantic_vectors passes the KM_K smallest ids
+    so arbitrary id sets stay deterministic), KM_ITERS Lloyd iterations,
     centroids rounded to 6 decimals after every update (the cross-engine
     determinism contract). Returns (centroids(cid, cv), members = e + cid).
     """
-    cent = e.filter(F.col("vec_id") < KM_K).select(
+    cent = init if init is not None else e.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
 
@@ -699,29 +701,27 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str, rerank: int = 4 * TOP_K
 SEMDEDUP_THRESHOLD = 0.32
 
 
-def dedup_semantic(
-    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+def dedup_semantic_vectors(
+    vectors: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
 ) -> DataFrame:
-    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public):
-    k-means cluster the normalized embeddings (the exact
-    ``_fit_kmeans_cells`` fit ``ann_ivf_kmeans`` uses, same determinism
-    contract), then WITHIN each cluster drop every vector whose cosine to
-    a LOWER-vec_id cluster member reaches ``threshold`` — the
-    deterministic keep-smallest-id variant of the paper's
-    one-per-duplicate-group rule. Returns the KEPT (vec_id, cell) rows.
+    """SemDeDup core over ANY unit-vector frame (vec_id, vn): k-means
+    cluster, then WITHIN each cluster drop every vector whose cosine to a
+    LOWER-vec_id cluster member reaches ``threshold`` — the deterministic
+    keep-smallest-id variant of the paper's one-per-duplicate-group rule.
+    Returns the KEPT (vec_id, cell) rows.
 
-    100-TB shape: the only pair work is the within-cell self-join —
-    cells bound the candidate space exactly as in the paper (choose KM_K
-    so N/K cells stay tractable); the join is an equi-join on cid, no
-    global all-pairs. Clustering costs are shared with the IVF index
-    build, so a corpus pipeline fits once and both serves ANN and
-    semantically dedups from the same cells."""
-    e = (
-        _emb(spark, sf_dir, widen=True)
-        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
-        .localCheckpoint()
+    Composes with model-free embeddings: rename
+    ``textstats.hash_embeddings`` output (doc_id -> vec_id, emb -> vn)
+    and this is semantic TEXT dedup with no embeddings table at all.
+    Centroid init = the KM_K smallest vec_ids (deterministic for any id
+    set; drop all-zero vectors upstream — they have no direction)."""
+    e = vectors.select("vec_id", "vn").localCheckpoint()
+    init = (
+        e.orderBy("vec_id")
+        .limit(KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
     )
-    _cent, member = _fit_kmeans_cells(e)
+    _cent, member = _fit_kmeans_cells(e, init=init)
     m = member.select("vec_id", "vn", "cid")
     a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), "cid")
     b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), "cid")
@@ -736,6 +736,27 @@ def dedup_semantic(
         m.join(losers, "vec_id", "left_anti")
         .select("vec_id", F.col("cid").alias("cell"))
     )
+
+
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public)
+    over the embeddings table: k-means cluster the normalized embeddings
+    (the exact ``_fit_kmeans_cells`` fit ``ann_ivf_kmeans`` uses, same
+    determinism contract), then the within-cell keep-smallest-id cosine
+    prune (``dedup_semantic_vectors`` above).
+
+    100-TB shape: the only pair work is the within-cell self-join —
+    cells bound the candidate space exactly as in the paper (choose KM_K
+    so N/K cells stay tractable); the join is an equi-join on cid, no
+    global all-pairs. Clustering costs are shared with the IVF index
+    build, so a corpus pipeline fits once and both serves ANN and
+    semantically dedups from the same cells."""
+    e = _emb(spark, sf_dir, widen=True).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
+    )
+    return dedup_semantic_vectors(e, threshold)
 
 
 def _semdedup_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:

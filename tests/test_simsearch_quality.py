@@ -205,3 +205,33 @@ def test_dedup_semantic_prunes_within_cells(spark):
     # monotone: a stricter (higher) threshold keeps a superset
     kept_hi = {r.vec_id for r in dedup_semantic(spark, SF_DIR, threshold=0.45).collect()}
     assert kept <= kept_hi
+
+
+def test_semantic_text_dedup_composition(spark):
+    """Model-free semantic TEXT dedup: hash_embeddings over raw documents
+    feeds dedup_semantic_vectors — a planted paraphrase loses to its
+    lower-id original while distinct docs all survive; works on an id set
+    that does NOT start at 0 (the generalized centroid init)."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import dedup_semantic_vectors
+    from artan_spark.plans.textstats import hash_embeddings
+
+    # 40 distinct docs (4 shared + 8 unique tokens -> pairwise cosine
+    # ~4/12) + one near-paraphrase of doc 1000 (11 of 12 tokens shared ->
+    # cosine ~0.92); ids offset so none are < KM_K (16) — exercises the
+    # smallest-id centroid init path
+    def text(i):
+        uniq = " ".join(f"tok{i}_{j}" for j in range(8))
+        return f"common glue words here {uniq}"
+
+    rows = [(1000 + i, text(i)) for i in range(40)]
+    rows.append((2000, rows[0][1].replace("tok0_7", "changed")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    vecs = hash_embeddings(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("emb").alias("vn")
+    )
+    kept = {r.vec_id for r in dedup_semantic_vectors(vecs, threshold=0.9).collect()}
+    assert 2000 not in kept  # the paraphrase loses to doc 1000
+    assert kept == {1000 + i for i in range(40)}

@@ -183,3 +183,42 @@ def test_sigma_point_batch_stream_equivalence(spark, cls_name):
         np.testing.assert_allclose(
             rb.state.covariance.values, rs.state.covariance.values, atol=1e-12
         )
+
+
+def test_streaming_media_probe_and_decode(spark):
+    """probe_media / decode_media / sample_video_frames are STATELESS
+    mapInPandas transforms, so they run unchanged on a stream: the
+    streamed replay equals the batch output row-for-row — the live-ingest
+    shape of a media lake (classify + decode on arrival, no state)."""
+    import numpy as np
+
+    from artan_spark.plans.mediaprobe import probe_media
+    from artan_spark.plans.multimodal import (
+        decode_media,
+        encode_png,
+        encode_y4m,
+        sample_video_frames,
+        sniff_media_type,
+    )
+    from artan_spark.streaming import stream_transform
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(6):
+        if i % 2:
+            blob = encode_png(rng.randint(0, 256, (8, 9)).astype(np.uint8))
+        else:
+            blob = encode_y4m([rng.randint(0, 256, (6, 8)).astype(np.uint8)] * 3)
+        rows.append((i, bytearray(blob)))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    typed = lambda df: df.withColumn("media_type", sniff_media_type(F.col("payload")))  # noqa: E731
+
+    for name, xf in (
+        ("probe", lambda df: probe_media(df)),
+        ("decode", lambda df: decode_media(typed(df))),
+        ("frames", lambda df: sample_video_frames(typed(df), every=2)),
+    ):
+        batch = {tuple(r) for r in xf(media).collect()}
+        streamed = {tuple(r) for r in stream_transform(spark, media, xf, chunk_rows=2).collect()}
+        assert streamed == batch, name
