@@ -249,13 +249,43 @@ def _probe_mp3(p: bytes):
 
 
 def _probe_gif(p: bytes):
+    """Header dims + a block walk for ANIMATION metadata: frame count
+    (image descriptors) and duration (sum of Graphic Control Extension
+    delays, centiseconds) — no LZW decode."""
     if p[:4] != b"GIF8":
         return _NULL
     w, h = struct.unpack("<HH", p[6:10])
     flags = p[10]
     gct = 2 ** ((flags & 0x7) + 1) if flags & 0x80 else 0
     ver = p[3:6].decode("latin1")
-    return (w, h, None, 1, f"gif{ver}_{gct}colors")
+    pos = 13 + (3 * gct if flags & 0x80 else 0)
+    n_frames = 0
+    delay_cs = 0
+    while pos < len(p):
+        b0 = p[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            if p[pos + 1] == 0xF9 and pos + 5 < len(p):  # GCE: delay at +4
+                delay_cs += struct.unpack("<H", p[pos + 4 : pos + 6])[0]
+            pos += 2
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:  # unknown block: stop walking, keep what we have
+            break
+        n_frames += 1
+        iflags = p[pos + 9]
+        pos += 10
+        if iflags & 0x80:  # local color table
+            pos += 3 * (2 ** ((iflags & 0x7) + 1))
+        pos += 1  # LZW min code size
+        while pos < len(p) and p[pos] != 0:  # data sub-blocks
+            pos += 1 + p[pos]
+        pos += 1
+    dur = 10.0 * delay_cs if delay_cs else None  # cs -> ms
+    return (w, h, dur, 1, f"gif{ver}_{gct}colors_{max(n_frames, 1)}f")
 
 
 _PROBES = {

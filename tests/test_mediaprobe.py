@@ -132,7 +132,7 @@ def test_probe_media_all_types(spark):
     out = {r.doc_id: r for r in probe_media(df).collect()}
     assert len(out) == 10
 
-    assert (out[10].width, out[10].height, out[10].codec) == (9, 15, "gif89a_256colors")
+    assert (out[10].width, out[10].height, out[10].codec) == (9, 15, "gif89a_256colors_1f")
     assert out[1].media_type == "audio/wav"
     assert abs(out[1].duration_ms - 1000.0) < 1e-6 and out[1].codec == "pcm_16bit"
     assert (out[2].width, out[2].height, out[2].codec) == (9, 15, "bmp_24bpp")
@@ -164,3 +164,27 @@ def test_probe_corrupt_payload_yields_null_row(spark):
     assert out[1].width is None  # parser raised -> caught -> NULL row
     assert out[2].width is None
     assert out[3].media_type == "video/mp4" and out[3].duration_ms is None
+
+
+def test_gif_animation_probe():
+    """Animated GIF metadata without LZW decode: frame count from image
+    descriptors, duration from summed Graphic Control Extension delays."""
+    import struct
+
+    import numpy as np
+
+    from artan_spark.plans.mediaprobe import _probe_gif
+    from artan_spark.plans.multimodal import encode_gif
+
+    img = np.arange(8 * 6, dtype=np.uint8).reshape(6, 8)
+    single = encode_gif(img)
+    # splice a 2-frame animation: header+GCT, then (GCE + image) x 2
+    hdr_end = 13 + 3 * 256
+    image_block = single[hdr_end:-1]  # descriptor..terminator, minus trailer
+    gce = b"\x21\xf9\x04\x00" + struct.pack("<H", 50) + b"\x00\x00"  # 50 cs
+    anim = single[:hdr_end] + gce + image_block + gce + image_block + b"\x3b"
+    w, h, dur, n_streams, codec = _probe_gif(anim)
+    assert (w, h) == (8, 6)
+    assert codec.endswith("_2f")
+    assert dur == 1000.0  # 2 x 50 cs
+    assert n_streams == 1

@@ -713,15 +713,31 @@ def test_png_property_roundtrip_and_truncation_fuzz():
         )
 
     src = rng.randint(0, 256, (20, 20)).astype(np.uint8)
-    payload = encode_png(src)
-    for cut in (4, 10, 30, len(payload) // 2, len(payload) - 5):
-        try:
-            out = _png_gray(payload[:cut])
-            # tolerated only when the IDAT survived (the cut landed inside
-            # the trailing IEND chunk): decode must then be EXACT
-            assert np.array_equal(out, src)
-        except (ValueError, NotImplementedError):
-            pass  # clean parser rejection (never a bare struct/zlib error)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    variants = [
+        ("plain", encode_png(src)),
+        ("adam7", encode_png(src, interlace=True)),
+        ("palette", encode_png(src, palette=pal)),
+        ("palette+adam7", encode_png(src, palette=pal, interlace=True)),
+    ]
+    for tag, payload in variants:
+        want = src.astype(np.float64) if "palette" not in tag else pal[src].astype(np.float64).mean(axis=2)
+        for cut in (4, 10, 30, len(payload) // 2, len(payload) - 5):
+            try:
+                out = _png_gray(payload[:cut])
+                # tolerated only when the IDAT survived (the cut landed
+                # inside the trailing IEND chunk): decode must then be EXACT
+                assert np.array_equal(out, want), tag
+            except (ValueError, NotImplementedError):
+                pass  # clean parser rejection (never a bare struct/zlib error)
+        # single-bit corruption never escapes the classified errors
+        for _ in range(60):
+            b = bytearray(payload)
+            b[int(rng.randint(8, len(b)))] ^= 1 << int(rng.randint(8))
+            try:
+                _png_gray(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_gif_codec_real_bytes(spark):
