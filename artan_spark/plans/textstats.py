@@ -771,7 +771,131 @@ FROM normed
 """
 
 
+# -- Gopher quality rules (Rae et al. 2021, published thresholds) -----------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+
+def gopher_quality_flags(d: DataFrame) -> DataFrame:
+    """The published Gopher/MassiveText document-quality rules as ONE
+    pure-Catalyst projection (no Python, no shuffle): per-doc metrics +
+    one boolean per rule + the combined ``passes_gopher`` gate.
+
+    Rules (Rae et al. 2021, Appendix A1.1): word count in [50, 100k];
+    mean word length in [3, 10]; symbol-to-word ratio (# or ...) <= 0.1;
+    <= 90%% of lines starting with a bullet; <= 30%% of lines ending in an
+    ellipsis; >= 80%% of words containing an alphabetic character; and at
+    least 2 DISTINCT occurrences of the 8 English stop words. The ideal
+    100-TB shape: a stateless filter stage fused into whatever scan feeds
+    it."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    mean_wl = F.round(
+        F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+        / n_words,
+        6,
+    )
+    sym_ratio = F.round(
+        (F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+        / n_words,
+        6,
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    n_stops = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPS])))
+    r_words = (n_words >= 50) & (n_words <= 100_000)
+    r_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = sym_ratio <= 0.1
+    r_bullet = bullet_frac <= 0.9
+    r_ellipsis = ellipsis_frac <= 0.3
+    r_alpha = alpha_frac >= 0.8
+    r_stops = n_stops >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stops.cast("int").alias("n_stop_words"),
+        r_words.alias("ok_words"),
+        r_wl.alias("ok_word_len"),
+        r_sym.alias("ok_symbols"),
+        r_bullet.alias("ok_bullets"),
+        r_ellipsis.alias("ok_ellipsis"),
+        r_alpha.alias("ok_alpha"),
+        r_stops.alias("ok_stops"),
+        (r_words & r_wl & r_sym & r_bullet & r_ellipsis & r_alpha & r_stops).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Gopher report: per-rule failure counts + the pass
+    rate — the summary a curation run logs before filtering."""
+    g = gopher_quality_flags(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for rule in ("words", "word_len", "symbols", "bullets", "ellipsis", "alpha", "stops"):
+        aggs.append(F.sum((~F.col(f"ok_{rule}")).cast("long")).cast("long").alias(f"fail_{rule}"))
+    aggs.append(F.sum(F.col("passes_gopher").cast("long")).cast("long").alias("n_pass"))
+    return g.agg(*aggs)
+
+
+_GOPHER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_wl,
+         ROUND((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+               * 1.0 / len(t), 6) AS sym_ratio,
+         ROUND(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0 / len(ls), 6) AS bullet_frac,
+         ROUND(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) * 1.0 / len(ls), 6) AS ellipsis_frac,
+         ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t), 6) AS alpha_frac,
+         len(list_intersect(list_distinct(t), [{_GOPHER_STOPS_SQL}])) AS n_stops
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS t,
+               string_split(text, chr(10)) AS ls
+        FROM documents)
+),
+flags AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000) AS ok_words,
+         (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
+         (sym_ratio <= 0.1) AS ok_symbols,
+         (bullet_frac <= 0.9) AS ok_bullets,
+         (ellipsis_frac <= 0.3) AS ok_ellipsis,
+         (alpha_frac >= 0.8) AS ok_alpha,
+         (n_stops >= 2) AS ok_stops
+  FROM m
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+       CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+       CAST(SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+       CAST(SUM(CASE WHEN NOT ok_bullets THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullets,
+       CAST(SUM(CASE WHEN NOT ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+       CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN NOT ok_stops THEN 1 ELSE 0 END) AS BIGINT) AS fail_stops,
+       CAST(SUM(CASE WHEN ok_words AND ok_word_len AND ok_symbols AND ok_bullets
+                      AND ok_ellipsis AND ok_alpha AND ok_stops THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+"""
+
+
 PYTEST_ORACLES = {
+    "docs_gopher_quality": (docs_gopher_quality, _GOPHER_SQL),
     "docs_hash_embeddings": (docs_hash_embeddings, _HASH_EMB_SQL),
     "text_unigram_logprob": (text_unigram_logprob, _UNIGRAM_SQL),
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),

@@ -615,3 +615,33 @@ def test_hash_embeddings_semantics(spark):
     again = {r.doc_id: np.array(r.emb) for r in hash_embeddings(docs).collect()}
     for did, v in out.items():
         np.testing.assert_array_equal(v, again[did])
+
+
+def test_gopher_quality_rules_pinned(spark):
+    """Each published Gopher rule trips on a doc violating exactly it,
+    and a well-formed doc passes all seven."""
+    from artan_spark.plans.textstats import gopher_quality_flags
+
+    good_words = ("the quick brown fox jumps over that lazy dog be "
+                  "have with gentle grace and calm to spare of late ") * 5  # 80 words
+    rows = [
+        (1, good_words.strip()),
+        (2, "the be to of short"),                                  # < 50 words
+        (3, " ".join(["ab"] * 60) + " the be"),                     # mean word len < 3
+        (4, good_words.strip() + " " + "#" * 1 + " #" * 15),        # symbol ratio > 0.1
+        (5, "\n".join(f"- bullet {i} the be" for i in range(20))),  # all lines bulleted
+        (6, "\n".join(f"line {i} the be trails off..." for i in range(10))),  # ellipsis
+        (7, " ".join(["1234"] * 60) + " the be"),                   # < 80% alpha words
+        (8, " ".join(f"word{i}" for i in range(60))),               # no stop words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+
+    assert out[1].passes_gopher, out[1]
+    assert not out[2].ok_words and not out[2].passes_gopher
+    assert not out[3].ok_word_len
+    assert not out[4].ok_symbols
+    assert not out[5].ok_bullets
+    assert not out[6].ok_ellipsis
+    assert not out[7].ok_alpha
+    assert not out[8].ok_stops
