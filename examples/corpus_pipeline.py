@@ -48,9 +48,22 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     deboiled = dedup_corpus_lines(scrubbed, max_df=3).select("doc_id", "text")
     docs = docs.drop("text").join(deboiled, "doc_id")
 
-    # 1. quality gate (pure Catalyst HOF expressions, no Python in row path)
+    # 1. quality gates (pure Catalyst HOF expressions, no Python in row
+    #    path): the heuristic score plus the published Gopher rules that
+    #    apply to this synthetic corpus (the stop-word rule is calibrated
+    #    to real English; word-soup docs would all fail it)
+    from artan_spark.plans.textstats import gopher_quality_flags
+
     quality = text_quality_score(spark, sf_dir)
-    kept = docs.join(quality.filter(F.col("quality_score") >= 0.3).select("doc_id"), "doc_id")
+    gopher = gopher_quality_flags(docs.select("doc_id", "text"))
+    g_ok = gopher.filter(
+        F.col("ok_word_len") & F.col("ok_symbols") & F.col("ok_bullets")
+        & F.col("ok_ellipsis") & F.col("ok_alpha")
+    ).select("doc_id")
+    kept = (
+        docs.join(quality.filter(F.col("quality_score") >= 0.3).select("doc_id"), "doc_id")
+        .join(g_ok, "doc_id")
+    )
 
     # 2. near-dup removal: keep the cluster representative (min doc_id)
     clusters = dedup_clusters(spark, sf_dir)
