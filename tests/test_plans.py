@@ -645,3 +645,22 @@ def test_gopher_quality_rules_pinned(spark):
     assert not out[6].ok_ellipsis
     assert not out[7].ok_alpha
     assert not out[8].ok_stops
+
+
+def test_dedup_corpus_lines_paragraph_mode(spark):
+    """line_sep generalizes the C4 pass to PARAGRAPH granularity: a
+    boilerplate paragraph shared across docs is removed whole while its
+    constituent lines (unique per doc elsewhere) are untouched."""
+    from artan_spark.plans.textstats import dedup_corpus_lines
+
+    banner = "Subscribe to our newsletter\nGet updates weekly"
+    rows = [
+        (1, f"{banner}\n\nunique body one\nwith two lines"),
+        (2, f"second doc intro\n\n{banner}\n\nsecond doc outro"),
+        (3, "standalone piece\n\nno boilerplate here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_corpus_lines(docs, line_sep="\n\n").collect()}
+    assert out[1] == "unique body one\nwith two lines"
+    assert out[2] == "second doc intro\n\nsecond doc outro"
+    assert out[3] == rows[2][1]
