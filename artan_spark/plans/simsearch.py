@@ -8,6 +8,8 @@ SQL), so results match exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,7 +51,7 @@ def _emb(spark, sf_dir, widen: bool = False):
     raw scan."""
     e = read_table(spark, sf_dir, "embeddings")
     if widen:
-        e = _widen(spark, e, cache_key=f"{sf_dir}/embeddings")
+        e = _widen(spark, e, cache_key=os.path.join(sf_dir, "embeddings.parquet"))
     e = e.select("vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
     return e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
@@ -60,11 +62,33 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM
 """
 
 
-# split-count probe results per (session, table path): the probe itself
-# (`df.rdd.getNumPartitions()`) compiles the scan plan to an RDD — ~0.8s of
-# driver work — and every _emb() call builds a fresh DataFrame, so an
-# uncached probe would tax every ANN query invocation
-_WIDEN_CACHE: dict[tuple[str, str], int] = {}
+# split-count probe results per (session, table path, freshness token): the
+# probe itself (`df.rdd.getNumPartitions()`) compiles the scan plan to an RDD
+# — ~0.8s of driver work — and every _emb() call builds a fresh DataFrame, so
+# an uncached probe would tax every ANN query invocation. The freshness token
+# (file count + max mtime of the parquet dir, a cheap os.scandir) invalidates
+# the entry when the data at that path is rewritten in-session (e.g. bench /
+# datagen regenerating a larger SF), so the widen decision never goes stale.
+_WIDEN_CACHE: dict[tuple, int] = {}
+
+
+def _path_token(path: str):
+    """Cheap freshness token for a local parquet dir (or file): (#entries,
+    max mtime). Non-local / unreadable paths return None — cache keyed on
+    path alone, the pre-round-8 behavior."""
+    try:
+        with os.scandir(path) as it:
+            stats = [e.stat() for e in it]
+        if not stats:
+            return (0, os.stat(path).st_mtime_ns)
+        return (len(stats), max(s.st_mtime_ns for s in stats))
+    except NotADirectoryError:
+        try:
+            return (1, os.stat(path).st_mtime_ns)
+        except OSError:
+            return None
+    except OSError:
+        return None
 
 
 def _widen(spark: SparkSession, df: DataFrame, cache_key: str | None = None) -> DataFrame:
@@ -78,7 +102,9 @@ def _widen(spark: SparkSession, df: DataFrame, cache_key: str | None = None) -> 
     the scan already yields >= cores splits and this is a no-op (guarded,
     so no gratuitous shuffle is added)."""
     target = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.applicationId, cache_key) if cache_key else None
+    key = None
+    if cache_key:
+        key = (spark.sparkContext.applicationId, cache_key, _path_token(cache_key))
     nparts = _WIDEN_CACHE.get(key)
     if nparts is None:
         nparts = df.rdd.getNumPartitions()

@@ -630,7 +630,15 @@ def dedup_corpus_lines(
     NOTE a doc whose every line is hot disappears from the output (its
     group has no kept rows) — all-boilerplate docs are DELETED, not
     emitted empty; left-join the result back to the doc list if you need
-    an explicit empty/flagged row per dropped doc."""
+    an explicit empty/flagged row per dropped doc.
+
+    NOTE this function is EAGER, not lazily composable: the hot-set
+    ``localCheckpoint()`` and the ``count()`` broadcast gate run two
+    Spark jobs at plan-CONSTRUCTION time (the df-count agg over the
+    corpus runs once here instead of once per downstream action — the
+    cheaper trade for a pass that is always materialized anyway). Build
+    the plan only when the input data is ready, and don't pre-build many
+    of these up front."""
     lines = d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), F.lit(line_sep))).alias("pos", "line")
     )

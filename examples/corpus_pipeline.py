@@ -81,11 +81,15 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     #     against the kept set
     from artan_spark.plans.simsearch import _emb, dedup_semantic
 
+    # NOTE: no broadcast hint here — the SemDeDup KEPT set is nearly the
+    # full embeddings table (the LARGE side); only the loser complement
+    # computed by this anti-join is small enough to broadcast (and is,
+    # on the next join below)
     sem_losers = (
         _emb(spark, sf_dir)
         .select(F.col("vec_id").alias("doc_id"))
         .join(
-            F.broadcast(dedup_semantic(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))),
+            dedup_semantic(spark, sf_dir).select(F.col("vec_id").alias("doc_id")),
             "doc_id",
             "left_anti",
         )
