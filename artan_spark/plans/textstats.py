@@ -689,6 +689,149 @@ GROUP BY doc_id
 """
 
 
+# -- exact substring (duplicate-span) dedup ---------------------------------
+
+SUBSTR_N = 8  # span granularity in tokens (Lee et al. 2022 use 50 BPE tokens)
+SUBSTR_MIN_DF = 2  # a span is "duplicated" iff >= this many DISTINCT docs
+
+# above this many duplicated spans the per-executor broadcast copy costs
+# more than the shuffled semi-join it avoids (same gate as the line pass)
+BROADCAST_DUP_SPAN_LIMIT = 2_000_000
+
+
+def _iv_merge(starts: F.Column, n: int) -> F.Column:
+    """Merge sorted span starts into disjoint coverage intervals
+    [s, s+n-1] via one ``aggregate`` fold: overlapping or ADJACENT
+    intervals coalesce (identical coverage, fewer probes downstream)."""
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        new_e = (s + F.lit(n - 1)).cast("int")
+        grown = F.struct(last["s"].alias("s"), F.greatest(last["e"], new_e).alias("e"))
+        fresh = F.struct(s.cast("int").alias("s"), new_e.alias("e"))
+        return F.when(
+            (F.size(acc) > 0) & (s <= last["e"] + 1),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(grown)),
+        ).otherwise(F.concat(acc, F.array(fresh)))
+
+    return F.aggregate(starts, empty, step)
+
+
+def dedup_corpus_substrings(
+    d: DataFrame,
+    n: int = SUBSTR_N,
+    min_df: int = SUBSTR_MIN_DF,
+    broadcast_limit: int = BROADCAST_DUP_SPAN_LIMIT,
+) -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup (the ExactSubstr pass of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") at ``n``-token granularity: any run of >= ``n`` whitespace
+    tokens whose exact text occurs in >= ``min_df`` DISTINCT documents is
+    cut from EVERY document containing it (the google-research/
+    deduplicate-text-datasets default — all copies removed; templated
+    spans this catches are exactly the content line-dedup misses when it
+    is not newline-bounded and doc near-dup misses when the rest of the
+    doc differs).
+
+    Plan (the reference engine has no counterpart; this is the suffix-
+    array pass re-expressed as Spark aggregations): tokenize -> rolling
+    ``n``-token shingles WITH START POSITIONS (in-row ``transform`` over
+    a guarded ``sequence`` — docs shorter than ``n`` produce none) ->
+    hash-agg span text -> the duplicated-span set (df >= ``min_df``) is
+    small by construction, so occurrences survive a size-gated BROADCAST
+    ``left_semi`` -> per-doc sorted-start interval merge (one
+    ``aggregate`` fold, no window) -> tokens whose position falls in a
+    merged interval are dropped and the doc is reassembled. A run of
+    m >= n duplicated tokens is covered by its m-n+1 overlapping
+    duplicated shingles, so the merged intervals cut the FULL run, not
+    just the first n tokens. Output keeps EVERY input doc (fully-cut
+    docs emit text='' — unlike the line pass, callers see the tombstone).
+
+    100-TB shape: the only corpus-volume shuffles are the span-df
+    hash-agg (partial-agg combines upstream) and the occurrence regroup
+    for docs that HAVE duplicated spans (a small subset); the join back
+    to the corpus broadcasts the per-doc interval table under the same
+    gate. No all-pairs term anywhere; shingling is in-row.
+
+    NOTE reassembly single-spaces tokens (the pass tokenizes on ``\\s+``
+    — original whitespace runs are not preserved). Like
+    ``dedup_corpus_lines`` this function is EAGER: the duplicated-span
+    ``localCheckpoint`` + broadcast-gate ``count()`` run at plan-
+    construction time; build it only when the input is ready."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks"))
+    starts = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+        ).alias("start", "sh"),
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("sh")
+        .localCheckpoint()  # materialize once: the count gate must not re-agg
+    )
+    small = dup.count() <= broadcast_limit
+    occ = sh.join(F.broadcast(dup) if small else dup, "sh", "left_semi")
+    ivs = occ.groupBy("doc_id").agg(
+        _iv_merge(F.array_sort(F.collect_list("start")), n).alias("ivs")
+    )
+    covered = F.coalesce(F.col("ivs"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)"))
+    indexed = F.transform("toks", lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(covered, lambda iv: (st["i"] >= iv["s"]) & (st["i"] <= iv["e"])),
+    )
+    return (
+        base.join(F.broadcast(ivs) if small else ivs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.transform(kept, lambda st: st["t"]), " ").alias("text"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
+def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry over ``documents`` at the default granularity;
+    the synthetic-corpus pytest pins inner/boundary/overlapping-span and
+    full-run-coverage behavior."""
+    return dedup_corpus_substrings(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_DEDUP_SUBSTR_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i AS start, array_to_string(toks[i+1:i+{SUBSTR_N}], ' ') AS sh
+  FROM t, unnest(CASE WHEN len(toks) >= {SUBSTR_N}
+                      THEN range(0, len(toks)-{SUBSTR_N}+1) ELSE [] END) AS u(i)
+),
+dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= {SUBSTR_MIN_DF}),
+occ AS (SELECT DISTINCT s.doc_id, s.start FROM sh s JOIN dup USING (sh)),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok FROM tok k
+  WHERE NOT EXISTS (SELECT 1 FROM occ o WHERE o.doc_id = k.doc_id
+                    AND k.pos BETWEEN o.start AND o.start + {SUBSTR_N} - 1)
+)
+SELECT t.doc_id,
+       COALESCE((SELECT string_agg(tok, ' ' ORDER BY pos)
+                 FROM kept WHERE kept.doc_id = t.doc_id), '') AS text,
+       len(toks) - (SELECT COUNT(*) FROM kept WHERE kept.doc_id = t.doc_id)
+         AS n_tokens_removed
+FROM t
+"""
+
+
 # -- deterministic feature-hash embeddings (the hashing trick) --------------
 
 HASH_EMB_DIM = 64
@@ -913,4 +1056,5 @@ PYTEST_ORACLES = {
     "docs_tfidf_topterms": (docs_tfidf_topterms, _TFIDF_SQL),
     "docs_pii_scrub": (docs_pii_scrub, _PII_SQL),
     "docs_dedup_lines": (docs_dedup_lines, _DEDUP_LINES_SQL),
+    "docs_dedup_substrings": (docs_dedup_substrings, _DEDUP_SUBSTR_SQL),
 }

@@ -546,6 +546,66 @@ def test_dedup_corpus_lines_broadcast_anti_join(spark):
     assert a == b == {(i, f"unique body {i}", 1) for i in range(1, 7)}
 
 
+def test_dedup_corpus_substrings_synthetic(spark):
+    """ExactSubstr semantics pinned on planted spans: inner span,
+    doc-boundary spans (both ends), an overlapping-shingle run longer
+    than n removed IN FULL, within-doc-only repeats kept, short docs
+    untouched, and a fully-cut doc emitted as a tombstone ('' text)."""
+    from artan_spark.plans.textstats import dedup_corpus_substrings
+
+    span = "alpha beta gamma"
+    rows = [
+        (1, f"a1 a2 {span} a3 a4"),  # inner occurrence
+        (2, f"{span} b1 b2"),  # doc-start boundary
+        (3, f"c1 c2 {span}"),  # doc-end boundary
+        (4, span),  # nothing but the span -> tombstone
+        (5, "e1 p q r s t e2"),  # 5-token shared run (> n): overlapping
+        (6, "f1 f2 p q r s t"),  # shingles must merge and cut ALL 5
+        (7, "g1 x y z g2 x y z"),  # within-doc repeat only: df(docs)=1
+        (8, "h1 h2"),  # shorter than n: no shingles, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_corpus_substrings(docs, n=3).collect()}
+
+    assert len(out) == 8  # every doc present, including the fully-cut one
+    assert out[1].text == "a1 a2 a3 a4" and out[1].n_tokens_removed == 3
+    assert out[2].text == "b1 b2"
+    assert out[3].text == "c1 c2"
+    assert out[4].text == "" and out[4].n_tokens_removed == 3
+    # overlapping shingles [2,4],[3,5],[4,6] merge to [2,6]: whole run cut
+    assert out[5].text == "e1 e2" and out[5].n_tokens_removed == 5
+    assert out[6].text == "f1 f2" and out[6].n_tokens_removed == 5
+    assert out[7].text == "g1 x y z g2 x y z" and out[7].n_tokens_removed == 0
+    assert out[8].text == "h1 h2" and out[8].n_tokens_removed == 0
+
+    # min_df=5: "alpha beta gamma" is in only 4 docs -> everything kept
+    kept = {r.doc_id: r for r in dedup_corpus_substrings(docs, n=3, min_df=5).collect()}
+    assert all(kept[i].n_tokens_removed == 0 for i in (1, 2, 3, 4))
+
+
+def test_dedup_corpus_substrings_broadcast_gate(spark):
+    """In the broadcast regime both the duplicated-span semi-join and the
+    interval join back to the corpus broadcast (no Exchange keyed on the
+    span text); above the gate the shuffled path returns identical rows."""
+    from artan_spark.plans.textstats import dedup_corpus_substrings
+
+    rows = [(i, f"u{i} shared span body text v{i}") for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup_corpus_substrings(docs, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Exchange hashpartitioning(sh" not in plan
+
+    shuffled = dedup_corpus_substrings(docs, n=4, broadcast_limit=0)
+    splan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in splan and "BroadcastHashJoin" not in splan
+
+    a = {(r.doc_id, r.text, r.n_tokens_removed) for r in out.collect()}
+    b = {(r.doc_id, r.text, r.n_tokens_removed) for r in shuffled.collect()}
+    assert a == b == {(i, f"u{i} v{i}", 4) for i in range(1, 7)}
+
+
 def test_cap_source_share_skew_semantics(spark):
     """The domain cap: a dominant source is hash-downsampled toward the
     cap share while small sources pass through WHOLE (rate exactly 1.0,
