@@ -334,20 +334,41 @@ WHERE rank <= {TOP_K}
 
 # -- k-means IVF ------------------------------------------------------------
 
-KM_K = 16  # coarse-quantizer cells
+KM_K = 16  # coarse-quantizer cell FLOOR (oracle-determinism scale); see km_k_for
 KM_ITERS = 2  # unrolled Lloyd iterations (also unrolled in the SQL oracle)
 KM_NPROBE = 2
 
+# SemDeDup's design point is cluster count PROPORTIONAL to corpus size
+# (Abbas et al. 2023 use ~50k clusters on LAION-440M ≈ 9k vectors/cell);
+# with K fixed, cells grow O(N/K) and every within-cell self-join is
+# quadratic in N. Derive K ≈ N / TARGET_CELL_SIZE instead — at the driver
+# test scales (N <= 20k) this floors at KM_K = 16 so every oracle stays
+# bit-identical, while a 100-TB corpus gets ~N/4096 cells.
+TARGET_CELL_SIZE = 4096
+# k-means balances nothing: a skewed corpus can still pour most vectors
+# into one cell. Cells above MAX_CELL_FACTOR x target are hash-sub-split
+# to bound pair work (see dedup_semantic_vectors).
+MAX_CELL_FACTOR = 4
 
-def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None):
+
+def km_k_for(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
+    """Corpus-derived cluster count: ``max(KM_K, ceil(N / target))`` —
+    the paper's N-proportional scaling with the small-N floor that keeps
+    driver-scale oracles deterministic (N <= KM_K * target ⇒ K == KM_K)."""
+    import math
+
+    return max(KM_K, math.ceil(n_vectors / max(1, target_cell_size)))
+
+
+def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K):
     """Deterministic spherical k-means fit over normalized vectors ``e``
-    (vec_id, vn): init = first KM_K vectors (or a caller-supplied
-    (cid, cv) frame — dedup_semantic_vectors passes the KM_K smallest ids
+    (vec_id, vn): init = first ``k`` vectors (or a caller-supplied
+    (cid, cv) frame — dedup_semantic_vectors passes the k smallest ids
     so arbitrary id sets stay deterministic), KM_ITERS Lloyd iterations,
     centroids rounded to 6 decimals after every update (the cross-engine
     determinism contract). Returns (centroids(cid, cv), members = e + cid).
     """
-    cent = init if init is not None else e.filter(F.col("vec_id") < KM_K).select(
+    cent = init if init is not None else e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
     )
 
@@ -425,7 +446,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
         .localCheckpoint()
     )
 
-    cent, member = _fit_kmeans_cells(e)
+    # corpus-derived cluster count (floors at KM_K below 64k vectors, so
+    # every driver-scale oracle — whose SQL unrolls exactly KM_K cells —
+    # is unchanged): cells stay ~TARGET_CELL_SIZE as N grows, bounding
+    # the per-query rerank at nprobe x cell instead of nprobe x N/16
+    k = km_k_for(e.count())  # cheap: e is checkpointed above
+    cent, member = _fit_kmeans_cells(e, k=k)
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
@@ -478,7 +504,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bo
         .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
         .persist()
     )
-    cent, member = _fit_kmeans_cells(e)
+    cent, member = _fit_kmeans_cells(e, k=km_k_for(e.count()))
     cent.write.mode("overwrite").parquet(out_dir + "/centroids")
     member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
         out_dir + "/cells"
@@ -728,7 +754,11 @@ SEMDEDUP_THRESHOLD = 0.32
 
 
 def dedup_semantic_vectors(
-    vectors: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+    vectors: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int | None = None,
+    target_cell_size: int = TARGET_CELL_SIZE,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup core over ANY unit-vector frame (vec_id, vn): k-means
     cluster, then WITHIN each cluster drop every vector whose cosine to a
@@ -736,23 +766,58 @@ def dedup_semantic_vectors(
     keep-smallest-id variant of the paper's one-per-duplicate-group rule.
     Returns the KEPT (vec_id, cell) rows.
 
+    SCALE CONTRACT: the only pair work is the within-cell self-join, so
+    cell size bounds it. ``k`` defaults to ``km_k_for(N)`` — cluster
+    count grows with the corpus (the paper's design point) instead of a
+    fixed constant whose cells would grow O(N/K) and make the self-join
+    quadratic. On top, any cell that STILL exceeds ``max_cell_size``
+    (default ``MAX_CELL_FACTOR x target_cell_size``; k-means does not
+    balance, so a skewed corpus can produce one) is deterministically
+    hash-sub-split (``xxhash64(vec_id) mod ceil(size/max)``) and pairs
+    are only compared within a sub-cell: pair work is bounded by
+    ``max_cell_size**2`` per sub-cell AT THE COST of possibly missing
+    near-dup pairs the hash separates — the same locality/recall trade
+    the paper makes per cluster, taken one level further. The guard is a
+    no-op (and adds zero plan nodes) when N <= max_cell_size, which
+    covers every driver test scale, so oracles are unchanged.
+
     Composes with model-free embeddings: rename
     ``textstats.hash_embeddings`` output (doc_id -> vec_id, emb -> vn)
     and this is semantic TEXT dedup with no embeddings table at all.
-    Centroid init = the KM_K smallest vec_ids (deterministic for any id
-    set; drop all-zero vectors upstream — they have no direction)."""
+    Centroid init = the ``k`` smallest vec_ids (deterministic for any id
+    set; drop all-zero vectors upstream — they have no direction).
+    EAGER like the line/substring passes: the checkpoint + N-count run
+    at plan-construction time."""
     e = vectors.select("vec_id", "vn").localCheckpoint()
+    n = e.count()  # cheap: e is checkpointed above
+    if k is None:
+        k = km_k_for(n, target_cell_size)
+    if max_cell_size is None:
+        max_cell_size = MAX_CELL_FACTOR * target_cell_size
     init = (
         e.orderBy("vec_id")
-        .limit(KM_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
     )
-    _cent, member = _fit_kmeans_cells(e, init=init)
+    _cent, member = _fit_kmeans_cells(e, init=init, k=k)
     m = member.select("vec_id", "vn", "cid")
-    a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), "cid")
-    b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), "cid")
+    keys = ["cid"]
+    if n > max_cell_size:  # some cell COULD exceed the bound: apply the guard
+        sizes = (
+            m.groupBy("cid")
+            .agg(F.ceil(F.count(F.lit(1)) / max_cell_size).cast("int").alias("nsplit"))
+        )
+        m = m.join(F.broadcast(sizes), "cid").withColumn(
+            "sub",
+            F.when(F.col("nsplit") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("vec_id"), F.col("nsplit")).cast("int")
+            ),
+        )
+        keys = ["cid", "sub"]
+    a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), *keys)
+    b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), *keys)
     losers = (
-        a.join(b, "cid")
+        a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(_dot(F.col("a_vn"), F.col("b_vn")) >= F.lit(threshold))
         .select(F.col("b_id").alias("vec_id"))
@@ -774,11 +839,13 @@ def dedup_semantic(
     prune (``dedup_semantic_vectors`` above).
 
     100-TB shape: the only pair work is the within-cell self-join —
-    cells bound the candidate space exactly as in the paper (choose KM_K
-    so N/K cells stay tractable); the join is an equi-join on cid, no
-    global all-pairs. Clustering costs are shared with the IVF index
-    build, so a corpus pipeline fits once and both serves ANN and
-    semantically dedups from the same cells."""
+    cells bound the candidate space exactly as in the paper, and the
+    cluster count is DERIVED from the corpus (``km_k_for``: K ≈ N/4096,
+    floored at KM_K so driver-scale oracles stay deterministic) with a
+    hash-sub-split guard on skew-oversized cells; the join is an
+    equi-join on (cid[, sub]), no global all-pairs. Clustering costs are
+    shared with the IVF index build, so a corpus pipeline fits once and
+    both serves ANN and semantically dedups from the same cells."""
     e = _emb(spark, sf_dir, widen=True).select(
         "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
     )

@@ -235,3 +235,81 @@ def test_semantic_text_dedup_composition(spark):
     kept = {r.vec_id for r in dedup_semantic_vectors(vecs, threshold=0.9).collect()}
     assert 2000 not in kept  # the paraphrase loses to doc 1000
     assert kept == {1000 + i for i in range(40)}
+
+
+def test_semdedup_k_derived_from_corpus(spark):
+    """Round-8 scale contract: the cluster count is N-proportional
+    (``km_k_for``), floored at KM_K so driver-scale oracles are
+    untouched, and a larger self-generated corpus really does get more
+    cells (pair work stays ~target_cell_size per cell, the paper's
+    design point, instead of O((N/16)^2))."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import (
+        KM_K,
+        TARGET_CELL_SIZE,
+        dedup_semantic_vectors,
+        km_k_for,
+    )
+
+    # derivation: floor below KM_K * target, ceil(N/target) above it
+    assert km_k_for(500) == KM_K
+    assert km_k_for(KM_K * TARGET_CELL_SIZE) == KM_K
+    assert km_k_for(KM_K * TARGET_CELL_SIZE + 1) == KM_K + 1
+    assert km_k_for(10_000_000) == math.ceil(10_000_000 / TARGET_CELL_SIZE)
+
+    # self-generated N=3000 spread over the unit circle with
+    # target_cell_size=100: k derives to 30 and the output must actually
+    # use substantially more than the old fixed 16 cells
+    rng = np.random.RandomState(11)
+    ang = rng.uniform(0, 2 * np.pi, 3000)
+    rows = [(int(i), [float(np.cos(a)), float(np.sin(a))]) for i, a in enumerate(ang)]
+    vecs = spark.createDataFrame(rows, "vec_id long, vn array<double>")
+    kept = dedup_semantic_vectors(vecs, threshold=0.999999, target_cell_size=100)
+    ncells = kept.select("cell").distinct().count()
+    assert ncells > KM_K, f"expected > {KM_K} cells for N=3000/target=100, got {ncells}"
+
+
+def test_semdedup_oversized_cell_guard(spark):
+    """k-means balances nothing: all-identical vectors collapse into ONE
+    cell regardless of k. The hash-sub-split guard must bound pair work
+    (groups ~= max_cell_size) at the documented recall cost — one keeper
+    survives PER SUB-CELL instead of one overall."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import dedup_semantic_vectors
+
+    N, max_cell = 2000, 250
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(N)], "vec_id long, vn array<double>"
+    )
+    kept = dedup_semantic_vectors(
+        vecs, threshold=0.9, k=4, target_cell_size=100, max_cell_size=max_cell
+    )
+    nsplit = math.ceil(N / max_cell)
+    # deterministic expectation: one keeper per NONEMPTY hash sub-cell
+    expected_groups = (
+        vecs.select(F.pmod(F.xxhash64("vec_id"), F.lit(nsplit)).alias("sub"))
+        .distinct()
+        .count()
+    )
+    assert kept.count() == expected_groups > 1
+    # the hash split is near-even: every sub-cell (hence every pair-join
+    # group) stays well under the unsplit 2000-row cell
+    group_max = (
+        vecs.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(nsplit)).alias("sub"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert group_max <= 2 * max_cell
+
+    # guard off (max_cell_size >= N): the exact paper semantics — one
+    # keeper overall
+    kept_all = dedup_semantic_vectors(vecs, threshold=0.9, k=4, max_cell_size=N)
+    assert kept_all.count() == 1
