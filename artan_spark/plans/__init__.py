@@ -13,6 +13,7 @@ from artan_spark.plans import (
     dedup,
     estimation,
     multimodal,
+    pipeline,
     relational,
     sampling,
     simsearch,
@@ -33,6 +34,7 @@ MODULES = (
     temporal,
     sketch,
     sampling,
+    pipeline,
     multimodal,
 )
 

@@ -700,6 +700,10 @@ def _decode_scan(d, pos, scomp, huff, restart_interval, progressive, ss, se, ah,
     sequential scans and all four progressive scan kinds, interleaved
     (multi-component MCU walk) or non-interleaved (single component over
     its own block grid), with restart markers."""
+    if ss > 63 or se > 63 or (progressive and ss > se):
+        # bounds guard BEFORE any block walk: zigzag indices live in 0..63
+        # (a corrupt Se would otherwise index past the coefficient buffer)
+        raise ValueError(f"invalid JPEG spectral selection Ss={ss} Se={se}")
     if progressive:
         if ss == 0:
             if se != 0:
@@ -1002,7 +1006,11 @@ def _encode_scan_pass(units, comp_blocks, band, restart_interval, sink):
 
 
 def encode_jpeg_progressive(
-    pixels, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+    pixels,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    scans: list | None = None,
 ) -> bytes:
     """Encode a 2-D grayscale or (h, w, 3) RGB uint8 array as a
     PROGRESSIVE (SOF2) JPEG with the standard libjpeg-shaped scan script:
@@ -1013,7 +1021,13 @@ def encode_jpeg_progressive(
     round-trip contract the tests pin. Per-scan Huffman tables are built
     from the actual symbol frequencies (uniform-length canonical codes),
     emitted as a DHT before each SOS; ``restart_interval`` (in MCUs /
-    blocks) exercises the progressive restart path."""
+    blocks) exercises the progressive restart path.
+
+    ``scans`` overrides the scan script — a list of
+    ``(component | "all", Ss, Se, Ah, Al)`` entries (the
+    ``DEFAULT_PROGRESSIVE_SCANS`` shape). The scan-script fuzz lane uses
+    this to exercise randomized spectral splits, approximation chains,
+    duplicate scans, and missing refinements against the decoder."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         planes = [px.astype(np.float64)]
@@ -1056,7 +1070,7 @@ def encode_jpeg_progressive(
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
 
-    for spec, ss, se, ah, al in DEFAULT_PROGRESSIVE_SCANS:
+    for spec, ss, se, ah, al in (scans if scans is not None else DEFAULT_PROGRESSIVE_SCANS):
         scan_comps = list(range(ncomp)) if spec == "all" else [spec]
         if spec != "all" and spec >= ncomp:
             continue  # grayscale: skip the chroma scans

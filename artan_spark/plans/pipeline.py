@@ -1,0 +1,134 @@
+"""Composed curation pipeline: the round-7 operators (Gopher quality gate,
+per-source token cap, SemDeDup semantic dedup) fused into ONE oracle-checked
+query — proving the stages compose into a single plan without extra corpus
+scans (each stage is separately oracle-green; this pins the composition).
+
+The reference engine has no counterpart; this is the `examples/
+corpus_pipeline.py` composition shape made oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artan_spark.plans.sampling import SOURCE_CAP_SHARE, _TWO60_SQL, cap_source_share
+from artan_spark.plans.simsearch import SEMDEDUP_THRESHOLD, _kmeans_cells_cte, dedup_semantic
+from artan_spark.plans.textstats import gopher_quality_flags
+from artan_spark.sources import read_table
+
+# the driver corpus is synthetic word soup with no English function words,
+# so the full 8-rule Gopher gate (incl. the 2-stop-words rule) blanks it —
+# the composed query gates on the rules the corpus actually exercises
+# (fail_words > 0 at every SF); the full gate is `passes_gopher` and each
+# rule is individually pinned by docs_gopher_quality + its synthetic test
+CURATION_RULES = ("words", "word_len", "symbols", "alpha")
+
+
+def corpus_curation_report(
+    spark: SparkSession,
+    sf_dir: str,
+    rules: tuple = CURATION_RULES,
+    max_share: float = SOURCE_CAP_SHARE,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Gopher gate -> per-source token cap -> SemDeDup prune, end to end,
+    reported as per-source (n_docs_kept, n_tokens_kept).
+
+    Plan shape (the 100-TB contract, plan-asserted in tests):
+    - the quality gate is a STATELESS projection+filter fused into the
+      documents scan — no join back to the corpus (``keep=`` columns ride
+      through ``gopher_quality_flags``);
+    - the cap reads the gated corpus twice (totals agg + keep filter, the
+      ``cap_source_share`` shape) — exactly TWO documents scans total, the
+      gate folded into both;
+    - the semantic-loser set (small by construction) joins BROADCAST
+      ``left_anti`` — the kept set, nearly the whole corpus, is never a
+      broadcast side (the round-7 examples/corpus_pipeline.py bug, fixed);
+    - embeddings costs are the shared ``dedup_semantic`` fit (checkpointed
+      internally; EAGER at plan-construction time like its standalone use).
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gate = F.lit(True)
+    for r in rules:
+        gate = gate & F.col(f"ok_{r}")
+    gated = (
+        gopher_quality_flags(d, keep=("source", "text"))
+        .filter(gate)
+        .select("doc_id", "source", "text")
+    )
+    capped = cap_source_share(gated, max_share=max_share)
+    losers = dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    final = capped.join(F.broadcast(losers), "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
+def _curation_sql(
+    rules: tuple = CURATION_RULES,
+    max_share: float = SOURCE_CAP_SHARE,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    flag_sql = {
+        "words": "(n_words >= 50 AND n_words <= 100000)",
+        "word_len": "(mean_wl >= 3.0 AND mean_wl <= 10.0)",
+        "symbols": "(sym_ratio <= 0.1)",
+        "alpha": "(alpha_frac >= 0.8)",
+    }
+    gate = " AND ".join(flag_sql[r] for r in rules)
+    return (
+        _kmeans_cells_cte()
+        + f""",
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a
+  JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE list_dot_product(na.vn, nb.vn) >= {threshold}
+),
+gm AS (
+  SELECT doc_id, source,
+         len(t) AS n_words,
+         ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_wl,
+         ROUND((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+               * 1.0 / len(t), 6) AS sym_ratio,
+         ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t), 6) AS alpha_frac
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+),
+gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm WHERE {gate}),
+t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM gated GROUP BY source),
+r AS (
+  SELECT source,
+         LEAST(1.0, {max_share} * (SUM(src_tokens) OVER ())
+                      / CAST(src_tokens AS DOUBLE)) AS rate
+  FROM t
+),
+capped AS (
+  SELECT g.doc_id, g.source, g.n_tokens
+  FROM gated g JOIN r ON g.source = r.source
+  WHERE (CAST(CAST('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+          / {_TWO60_SQL} < r.rate
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+FROM capped
+WHERE doc_id NOT IN (SELECT vec_id FROM losers)
+GROUP BY source
+"""
+    )
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+# registry is at the driver's 50-entry cap: the composition carries its
+# oracle through the pytest gate
+PYTEST_ORACLES = {
+    "corpus_curation_report": (corpus_curation_report, _curation_sql()),
+}

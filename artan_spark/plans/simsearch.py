@@ -759,6 +759,7 @@ def dedup_semantic_vectors(
     k: int | None = None,
     target_cell_size: int = TARGET_CELL_SIZE,
     max_cell_size: int | None = None,
+    return_losers: bool = False,
 ) -> DataFrame:
     """SemDeDup core over ANY unit-vector frame (vec_id, vn): k-means
     cluster, then WITHIN each cluster drop every vector whose cosine to a
@@ -823,6 +824,11 @@ def dedup_semantic_vectors(
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
+    if return_losers:
+        # the small complement — the frame a pipeline BROADCASTS into its
+        # corpus anti-join (the kept set is nearly the whole corpus and
+        # must never be the broadcast side)
+        return losers
     return (
         m.join(losers, "vec_id", "left_anti")
         .select("vec_id", F.col("cid").alias("cell"))
@@ -830,7 +836,10 @@ def dedup_semantic_vectors(
 
 
 def dedup_semantic(
-    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    return_losers: bool = False,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public)
     over the embeddings table: k-means cluster the normalized embeddings
@@ -849,7 +858,7 @@ def dedup_semantic(
     e = _emb(spark, sf_dir, widen=True).select(
         "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
     )
-    return dedup_semantic_vectors(e, threshold)
+    return dedup_semantic_vectors(e, threshold, return_losers=return_losers)
 
 
 def _semdedup_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:

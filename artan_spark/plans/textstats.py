@@ -928,10 +928,13 @@ GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 
-def gopher_quality_flags(d: DataFrame) -> DataFrame:
+def gopher_quality_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
     """The published Gopher/MassiveText document-quality rules as ONE
     pure-Catalyst projection (no Python, no shuffle): per-doc metrics +
     one boolean per rule + the combined ``passes_gopher`` gate.
+    ``keep`` names extra input columns to pass through (e.g.
+    ``("source", "text")`` so a composed pipeline can gate and keep
+    curating WITHOUT a join back to the corpus).
 
     Rules (Rae et al. 2021, Appendix A1.1): word count in [50, 100k];
     mean word length in [3, 10]; symbol-to-word ratio (# or ...) <= 0.1;
@@ -973,6 +976,7 @@ def gopher_quality_flags(d: DataFrame) -> DataFrame:
     r_stops = n_stops >= 2
     return d.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),

@@ -724,3 +724,28 @@ def test_dedup_corpus_lines_paragraph_mode(spark):
     assert out[1] == "unique body one\nwith two lines"
     assert out[2] == "second doc intro\n\nsecond doc outro"
     assert out[3] == rows[2][1]
+
+
+def test_corpus_curation_report_plan_shape(spark):
+    """The composed Gopher-gate -> source-cap -> SemDeDup query must fuse
+    into one plan with NO extra corpus scans: exactly TWO documents scans
+    (the cap's totals agg + keep filter — the quality gate folds into
+    both as a stateless filter, never a join back), and the semantic
+    loser set joins as a BROADCAST left anti (the kept set is never a
+    broadcast side)."""
+    from artan_spark.plans.pipeline import corpus_curation_report
+
+    out = corpus_curation_report(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    assert plan.count("documents.parquet") == 2, plan
+    # the loser anti-join broadcasts
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the gate is pushed into the scans as a filter, not joined back:
+    # no SortMergeJoin anywhere in the composition
+    assert "SortMergeJoin" not in plan
+
+    rows = out.collect()
+    assert 0 < len(rows) <= 20  # per-source report, every stage pruned some
+    total_docs = sum(r.n_docs_kept for r in rows)
+    assert 0 < total_docs < 500
