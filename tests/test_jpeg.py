@@ -342,3 +342,148 @@ def test_progressive_through_spark_pipeline(spark):
     assert feats[1].mean_intensity == feats[2].mean_intensity
     pairs = image_near_dup_pairs(media).collect()
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def _random_scan_script(rng, ncomp, max_al=2):
+    """Random VALID progressive scan script: one interleaved DC
+    successive-approximation chain plus, per component, a random
+    contiguous band split of 1..63 where each band gets its own Al chain
+    (first scan at Al, refinements Ah=a+1/Al=a down to 0). Chains are
+    randomly interleaved (intra-chain order preserved; the DC first scan
+    leads, per T.81)."""
+    chains = []
+    dc_al = int(rng.randint(0, max_al + 1))
+    chains.append(
+        [("all", 0, 0, 0, dc_al)]
+        + [("all", 0, 0, a + 1, a) for a in range(dc_al - 1, -1, -1)]
+    )
+    for c in range(ncomp):
+        ncuts = int(rng.randint(0, 3))
+        cuts = (
+            sorted(rng.choice(np.arange(2, 63), size=ncuts, replace=False).tolist())
+            if ncuts
+            else []
+        )
+        edges = [1] + [int(x) for x in cuts] + [64]
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1] - 1
+            al = int(rng.randint(0, max_al + 1))
+            chains.append(
+                [(c, lo, hi, 0, al)]
+                + [(c, lo, hi, a + 1, a) for a in range(al - 1, -1, -1)]
+            )
+    script = [chains[0][0]]
+    idx = [1] + [0] * (len(chains) - 1)
+    remaining = sum(len(ch) for ch in chains) - 1
+    while remaining:
+        j = int(rng.randint(0, len(chains)))
+        if idx[j] < len(chains[j]):
+            script.append(chains[j][idx[j]])
+            idx[j] += 1
+            remaining -= 1
+    return script
+
+
+def test_progressive_random_scan_script_fuzz():
+    """Round-8 fuzz lane: randomized COMPLETE scan scripts (random band
+    splits, Al chains, interleavings) must all decode bit-for-bit equal
+    to the baseline decode — gray and color, 4:4:4 and 4:2:0, with and
+    without restarts."""
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    img = _textured(21, 34)
+    base_g = jpeg_gray(encode_jpeg_gray(img, quality=80))
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        script = _random_scan_script(rng, 1)
+        ri = int(rng.randint(0, 4))
+        got = jpeg_gray(
+            encode_jpeg_progressive(img, quality=80, restart_interval=ri, scans=script)
+        )
+        np.testing.assert_array_equal(got, base_g, err_msg=f"gray seed={seed} ri={ri}")
+
+    rgb = np.stack([img, np.roll(img, 3, 1), 255 - img], axis=2).astype(np.uint8)
+    for seed in range(8, 12):
+        rng = np.random.RandomState(seed)
+        sub = bool(seed % 2)
+        base_c = jpeg_gray(encode_jpeg_rgb(rgb, quality=80, subsample=sub))
+        got = jpeg_gray(
+            encode_jpeg_progressive(
+                rgb, quality=80, subsample=sub, scans=_random_scan_script(rng, 3)
+            )
+        )
+        np.testing.assert_array_equal(got, base_c, err_msg=f"color seed={seed} sub={sub}")
+
+
+def test_progressive_incomplete_and_duplicate_scans():
+    """Scan-script EDGE cases: a script missing its final refinements is
+    a legal (lossy) stream — decode must SUCCEED with the right shape;
+    duplicated scans must decode or raise ValueError, never anything
+    uncontrolled."""
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    img = _textured(24, 19)
+    for seed in range(6):
+        rng = np.random.RandomState(100 + seed)
+        script = _random_scan_script(rng, 1)
+
+        # missing refinement: drop every Al=0 refinement pass (keep scans
+        # that FIRST-code at Al=0 — ah == 0 entries)
+        incomplete = [s for s in script if not (s[3] != 0 and s[4] == 0)]
+        if len(incomplete) < len(script):
+            planes, h, w = decode_jpeg(
+                encode_jpeg_progressive(img, quality=80, scans=incomplete)
+            )
+            assert (h, w) == img.shape and planes[0].shape == img.shape
+
+        # duplicate scans: re-emit one random scan immediately again
+        j = int(rng.randint(0, len(script)))
+        dup = script[: j + 1] + [script[j]] + script[j + 1 :]
+        try:
+            planes, h, w = decode_jpeg(encode_jpeg_progressive(img, quality=80, scans=dup))
+            assert (h, w) == img.shape
+        except ValueError:
+            pass
+
+
+def test_progressive_scan_header_bounds_classified():
+    """Byte-patched SOS headers with out-of-range or inverted spectral
+    selection (Se > 63, Ss > Se, DC scan with Se != 0) must raise
+    ValueError — never an index error out of the coefficient walk."""
+    import pytest
+
+    from artan_spark.plans.jpeg import encode_jpeg_progressive
+
+    img = _textured(16, 16)
+    payload = encode_jpeg_progressive(img, quality=80)
+    sos = []  # offsets of every SOS marker
+    i = 2
+    while True:
+        i = payload.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos.append(i)
+        i += 2
+    assert len(sos) >= 3  # the default script has many scans
+    # grayscale SOS layout: FFDA len(2) ncomp(1) [cid tsel](2) Ss Se AhAl
+    ss_off = lambda m: m + 7
+    se_off = lambda m: m + 8
+
+    # first scan is the DC scan: Se != 0 on it
+    b = bytearray(payload)
+    b[se_off(sos[0])] = 5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+    # an AC scan with Se > 63
+    b = bytearray(payload)
+    b[se_off(sos[1])] = 200
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+    # inverted band: Ss > Se on an AC scan
+    b = bytearray(payload)
+    b[ss_off(sos[1])] = 60
+    b[se_off(sos[1])] = 10
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
