@@ -66,9 +66,16 @@ QUANT_CHROMA = np.array(
 
 # zigzag scan order: ZIGZAG[i] = natural index of the i-th zigzag element
 def _zigzag_order() -> np.ndarray:
+    # T.81 Figure 5: the scan STARTS RIGHT — zigzag index 1 is natural
+    # (0,1), so ODD diagonals (r+c odd) run top-right -> bottom-left
+    # (ascending row) and EVEN ones bottom-left -> top-right (ascending
+    # column). Round 8: the keys were swapped (a TRANSPOSED zigzag) —
+    # invisible to every encoder<->decoder round trip because both sides
+    # shared the table, caught by the hand-assembled T.81 fixture
+    # (tests/test_jpeg.py::test_progressive_hand_assembled_fixture_*).
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return np.array([r * 8 + c for r, c in order], dtype=np.int64)
 

@@ -487,3 +487,63 @@ def test_progressive_scan_header_bounds_classified():
     b[se_off(sos[1])] = 10
     with pytest.raises(ValueError):
         decode_jpeg(bytes(b))
+
+
+def test_progressive_hand_assembled_fixture_known_pixels():
+    """Independence check the encoder round-trips can't give (ADVICE r7):
+    a progressive stream HAND-ASSEMBLED byte-by-byte per T.81 (DC-first
+    at Al=1, full-band AC-first, DC refinement; hand-built canonical
+    Huffman tables, hand-packed entropy bits) decoded against pixel
+    values computed here with the DIRECT T.81 IDCT cosine sum — a
+    symmetric encoder/decoder deviation (e.g. a transposed IDCT, wrong
+    canonical code order, wrong point-transform) fails this even though
+    every round-trip test passes."""
+    # frame: 8x8 grayscale, quant table all ones.
+    # coefficients: DC (zigzag 0) = 32, AC zigzag 1 = natural (row 0,
+    # col 1) = -5, everything else 0.
+    stream = bytes(
+        [0xFF, 0xD8]  # SOI
+        # DQT: Pq=0 Tq=0, 64 x 1
+        + [0xFF, 0xDB, 0x00, 0x43, 0x00] + [0x01] * 64
+        # SOF2: 8-bit, 8x8, 1 component (id 1, 1x1 sampling, qt 0)
+        + [0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08, 0x01, 0x01, 0x11, 0x00]
+        # DHT class 0 id 0: one symbol (category 5), code '0' (length 1)
+        + [0xFF, 0xC4, 0x00, 0x14, 0x00, 0x01] + [0x00] * 15 + [0x05]
+        # SOS 1: DC first, Ss=0 Se=0 Ah=0 Al=1.
+        # bits: code '0' (cat 5) + '10000' (diff 16; DC = 16 << 1 = 32);
+        # pad with 1s -> 0b01000011
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x01, 0x43]
+        # DHT class 1 id 0: symbols 0x03, 0x00 both at length 2 ->
+        # canonical codes '00' and '01'
+        + [0xFF, 0xC4, 0x00, 0x15, 0x10, 0x00, 0x02] + [0x00] * 14 + [0x03, 0x00]
+        # SOS 2: AC first, Ss=1 Se=63 Ah=0 Al=0.
+        # bits: '00' (run 0, cat 3) + '010' (-5: -5 + 2^3 - 1 = 2) +
+        # '01' (EOB); pad -> 0b00010011
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x3F, 0x00, 0x13]
+        # SOS 3: DC refinement Ah=1 Al=0 — one raw bit per block: bit 0
+        # of DC 32 is 0; pad -> 0b01111111
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x10, 0x7F]
+        + [0xFF, 0xD9]  # EOI
+    )
+    planes, h, w = decode_jpeg(stream)
+    assert (h, w) == (8, 8) and len(planes) == 1
+
+    # independent reference: the T.81 A.3.3 inverse DCT as an explicit
+    # double cosine sum (not the decoder's matrix formulation)
+    F = np.zeros((8, 8))
+    F[0, 0] = 32.0  # DC
+    F[0, 1] = -5.0  # first horizontal AC
+    expect = np.empty((8, 8))
+    c = lambda k: (1 / np.sqrt(2.0)) if k == 0 else 1.0
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c(u) * c(v) * F[v, u]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            expect[y, x] = s / 4.0 + 128.0
+    np.testing.assert_allclose(planes[0], expect, atol=1e-9)
