@@ -832,3 +832,116 @@ def test_sample_video_frames_pipeline(spark):
 
     with pytest.raises(ValueError, match="positive"):
         sample_video_frames(media, every=0)
+
+
+def test_png_hand_filtered_fixture_known_pixels():
+    """Independence check for the self-paired PNG filter logic (the same
+    class as the round-8 JPEG zigzag bug): a PNG whose IDAT is built
+    HERE — filter bytes applied per the RFC 2083 formulas written out in
+    this test, compressed with stdlib zlib (independent of the repo
+    encoder) — must decode to the stated pixel matrix through
+    ``_png_gray``. One row per filter type 0..4 exercises None/Sub/Up/
+    Average (floor((left+up)/2)) and the full Paeth predictor."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from artan_spark.plans.multimodal import _png_chunk, _png_gray
+
+    pixels = np.array(
+        [
+            [10, 20, 30, 200, 90, 15],  # filter 0 (None)
+            [12, 22, 35, 190, 95, 255],  # filter 1 (Sub)
+            [11, 25, 40, 180, 100, 0],  # filter 2 (Up)
+            [13, 28, 45, 170, 110, 7],  # filter 3 (Average)
+            [14, 30, 50, 160, 120, 9],  # filter 4 (Paeth)
+        ],
+        dtype=np.int32,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    body = bytearray()
+    h, w = pixels.shape
+    for r in range(h):
+        ft = r  # row r uses filter type r
+        body.append(ft)
+        for x in range(w):
+            raw = int(pixels[r, x])
+            left = int(pixels[r, x - 1]) if x else 0
+            up = int(pixels[r - 1, x]) if r else 0
+            upleft = int(pixels[r - 1, x - 1]) if (r and x) else 0
+            if ft == 0:
+                f = raw
+            elif ft == 1:
+                f = raw - left
+            elif ft == 2:
+                f = raw - up
+            elif ft == 3:
+                f = raw - (left + up) // 2
+            else:
+                f = raw - paeth(left, up, upleft)
+            body.append(f & 0xFF)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr = _png_gray(payload)
+    assert arr.shape == (h, w)
+    np.testing.assert_array_equal(arr, pixels.astype(np.float64))
+
+
+def test_gif_hand_assembled_lzw_fixture_known_pixels():
+    """Independence check for the self-paired GIF LZW logic: a GIF89a
+    stream hand-assembled here — LZW codes hand-chosen and LSB-first
+    bit-packed per the GIF89a spec in this test, including the
+    code-width bump at table size 2^width — must decode to the stated
+    index matrix through ``_gif_gray``. A symmetric encoder/decoder
+    deviation (bit order, early/deferred width change, clear/EOI
+    handling) fails here even though round trips pass."""
+    import numpy as np
+
+    from artan_spark.plans.multimodal import _gif_gray
+
+    # 4x2 image over a 4-entry gray palette; literal-code-only LZW:
+    # CLEAR, 0, 1, 2 (table hits 8 -> width 3->4), 3, 3, 2, 1, 0, EOI
+    codes = [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (3, 4), (2, 4), (1, 4), (0, 4), (5, 4)]
+    acc = nbits = 0
+    packed = bytearray()
+    for code, width in codes:  # LSB-first packing per GIF89a appendix F
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    payload = (
+        b"GIF89a"
+        + (4).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries; bg 0; aspect 0
+        + bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+        # image descriptor: separator, left=0, top=0, width=4, height=2,
+        # flags=0 (no local table, not interlaced)
+        + b"\x2c"
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + (4).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x00])
+        + bytes([2])  # LZW minimum code size
+        + bytes([len(packed)]) + bytes(packed) + b"\x00"  # sub-blocks
+        + b"\x3b"  # trailer
+    )
+    arr = _gif_gray(payload)
+    expect = np.array([[0, 85, 170, 255], [255, 170, 85, 0]], dtype=np.float64)
+    np.testing.assert_array_equal(arr, expect)
