@@ -2,8 +2,9 @@
 """End-to-end training-corpus pipeline: the batch composition a 100 TB
 pretraining-data job runs, expressed entirely as artan_spark plan operators.
 
-    documents ──> PII scrub ──> cross-corpus line dedup ──> quality score
-                  ──> filter ──> near-dup clusters ──> keep one per cluster
+    documents ──> PII scrub ──> cross-corpus line dedup ──> exact
+                  substring (span) dedup ──> quality score ──> filter
+                  ──> near-dup clusters ──> keep one per cluster
                   ──> SemDeDup semantic prune ──> token-budget language
                   mixing ──> concat-and-cut sequence packing ──────────┐
     embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
@@ -41,12 +42,21 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
 
     docs = read_table(spark, sf_dir, "documents")
 
-    # 0. scrub PII (stateless codegen projection) then drop cross-corpus
-    #    boilerplate lines (the C4 pass) — both BEFORE any scoring so the
-    #    quality/dedup stages see the text the model would train on
+    # 0. scrub PII (stateless codegen projection), drop cross-corpus
+    #    boilerplate lines (the C4 pass), then cut cross-doc duplicated
+    #    token SPANS (the ExactSubstr pass — templated runs that are not
+    #    newline-bounded survive line dedup) — all BEFORE any scoring so
+    #    the quality/dedup stages see the text the model would train on
+    from artan_spark.plans.textstats import dedup_corpus_substrings
+
     scrubbed = scrub_pii(docs.select("doc_id", "text"))
     deboiled = dedup_corpus_lines(scrubbed, max_df=3).select("doc_id", "text")
-    docs = docs.drop("text").join(deboiled, "doc_id")
+    despanned = (
+        dedup_corpus_substrings(deboiled, n=8, min_df=3)
+        .filter(F.col("text") != "")  # drop fully-templated tombstones
+        .select("doc_id", "text")
+    )
+    docs = docs.drop("text").join(despanned, "doc_id")
 
     # 1. quality gates (pure Catalyst HOF expressions, no Python in row
     #    path): the heuristic score plus the published Gopher rules that
