@@ -1049,8 +1049,301 @@ FROM flags
 """
 
 
+# -- Gopher repetition rules (Rae et al. 2021, Appendix A1.2) ---------------
+
+# (threshold direction: a doc FAILS a rule when its fraction EXCEEDS the
+# published threshold — Table A1 of Rae et al. 2021)
+GOPHER_REP_DUP_LINE_FRAC = 0.30
+GOPHER_REP_DUP_PARA_FRAC = 0.30
+GOPHER_REP_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_REP_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_REP_TOP_NGRAM = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_REP_DUP_NGRAM = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+
+
+def _char_sum(arr) -> F.Column:
+    return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
+
+def _safe_frac(num, den) -> F.Column:
+    return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
+
+
+def _dup_elem_frac(arr) -> F.Column:
+    """Fraction of elements that are repeat occurrences (occurrences
+    beyond the first of each distinct value)."""
+    return _safe_frac(F.size(arr) - F.size(F.array_distinct(arr)), F.size(arr))
+
+
+def _dup_char_frac(arr) -> F.Column:
+    """Fraction of characters in repeat occurrences: total chars minus
+    chars of one copy of each distinct value, over total chars."""
+    tot = _char_sum(arr)
+    return _safe_frac(tot - _char_sum(F.array_distinct(arr)), tot)
+
+
+def _ngram_strings(toks, n: int) -> F.Column:
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def _top_ngram_char_frac(toks, n: int, word_chars) -> F.Column:
+    """count(most frequent word n-gram) * word-chars(that n-gram) over
+    total word chars; 0 when nothing repeats (max count <= 1). Tie-break:
+    the run-length fold keeps the FIRST max of the sorted array, i.e. the
+    lexicographically smallest — deterministic in both engines."""
+    gs = F.array_sort(_ngram_strings(toks, n))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(gs, zero, step)
+    # word chars of the n-gram = string length minus the n-1 joining spaces
+    num = F.when(
+        top["best"] >= 2, top["best"] * (F.length(top["bestg"]) - F.lit(n - 1))
+    ).otherwise(F.lit(0))
+    return _safe_frac(num, word_chars)
+
+
+def _dup_ngram_char_frac(toks, n: int, word_chars) -> F.Column:
+    """Fraction of word characters covered by ANY occurrence of a word
+    n-gram that occurs more than once in the doc ("all duplicate
+    n-grams", chars counted once even under overlap — the paper's
+    stated care). Shape: ONE fold over the sorted (gram, start) structs
+    collects the starts of every member of an equal-gram run, the
+    merged disjoint intervals (``_iv_merge``) are then folded OUTER
+    over ``toks`` slices — every heavy subexpression is the single
+    input of exactly one ``aggregate``, so it is evaluated once per
+    ROW; nothing re-evaluates per array element (a per-token
+    ``exists(ivs, ...)`` would cost O(m^2 log m) per doc in
+    interpreted HOF eval — measured at ~1.5 s/doc before this shape)."""
+    st = F.array_sort(
+        F.transform(
+            F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+                F.expr("CAST(array() AS array<int>)")
+            ),
+            lambda i: F.struct(
+                F.array_join(F.slice(toks, i + 1, n), " ").alias("g"),
+                i.cast("int").alias("s"),
+            ),
+        )
+    )
+    # one pass over the (g, s)-sorted occurrences: when g repeats the
+    # previous occurrence's, push both starts (the first member once)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("pg"),
+        F.lit(-1).alias("ps"),
+        F.lit(False).alias("pdup"),
+        F.expr("CAST(array() AS array<int>)").alias("starts"),
+    )
+
+    def step(acc, x):
+        eq = x["g"].eqNullSafe(acc["pg"])
+        grown = (
+            F.when(eq & ~acc["pdup"], F.concat(acc["starts"], F.array(acc["ps"], x["s"])))
+            .when(eq, F.concat(acc["starts"], F.array(x["s"])))
+            .otherwise(acc["starts"])
+        )
+        return F.struct(
+            x["g"].alias("pg"), x["s"].alias("ps"), eq.alias("pdup"), grown.alias("starts")
+        )
+
+    dup_starts = F.aggregate(st, zero, step, lambda acc: acc["starts"])
+    ivs = _iv_merge(F.array_sort(dup_starts), n)
+    # merged intervals are disjoint, so summing token lengths per
+    # interval counts every covered char exactly once
+    covered = F.aggregate(
+        ivs,
+        F.lit(0),
+        lambda a, iv: a
+        + F.aggregate(
+            F.slice(toks, iv["s"] + 1, iv["e"] - iv["s"] + 1),
+            F.lit(0),
+            lambda c, t: c + F.length(t),
+        ),
+    )
+    return _safe_frac(covered, word_chars)
+
+
+def gopher_repetition_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
+    """The published Gopher/MassiveText REPETITION rules (Rae et al. 2021,
+    Appendix A1.2 / Table A1) as one projection — the within-document
+    companion of ``gopher_quality_flags`` (A1.1): a doc fails when too
+    much of it is its own copy. 13 rules, per-doc metrics + one boolean
+    each + the combined ``passes_gopher_repetition`` gate:
+
+    - duplicate line / paragraph fraction > 0.30 (repeat occurrences over
+      total; lines = trimmed non-empty ``\\n`` splits, paragraphs =
+      ``\\n{2,}`` splits),
+    - duplicate line / paragraph CHARACTER fraction > 0.20,
+    - top word-{2,3,4}-gram character fraction > {0.20, 0.18, 0.16},
+    - duplicate word-{5..10}-gram character fraction >
+      {0.15, 0.14, 0.13, 0.12, 0.11, 0.10} (chars covered by all
+      occurrences of any repeated n-gram, counted once under overlap).
+
+    Pinned conventions (documented deviations where the paper is silent):
+    char fractions use WORD characters (whitespace excluded from
+    numerator and denominator); top-n-gram fraction is 0 when the max
+    count is 1; ties go to the lexicographically smallest n-gram.
+
+    100-TB shape: stateless per-doc projection, NO shuffle — per-doc cost
+    is O(m log m) per n from the in-row sorts (neighbor compares on the
+    sorted array, no O(m x distinct-dups) membership probes), so it fuses
+    into whatever scan feeds it and scales with executors exactly like
+    the A1.1 gate. The reference engine has no counterpart."""
+    raw_toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(raw_toks, lambda t: t != "")
+    word_chars = _char_sum(toks)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    paras = F.filter(
+        F.transform(F.split(F.col("text"), r"\n{2,}"), lambda p: F.trim(p)), lambda p: p != ""
+    )
+    # (metric_name, expression, ok_name, threshold) in output order
+    spec = [
+        ("dup_line_frac", _dup_elem_frac(lines), "ok_dup_lines", GOPHER_REP_DUP_LINE_FRAC),
+        ("dup_line_char_frac", _dup_char_frac(lines), "ok_dup_line_chars", GOPHER_REP_DUP_LINE_CHAR_FRAC),
+        ("dup_para_frac", _dup_elem_frac(paras), "ok_dup_paras", GOPHER_REP_DUP_PARA_FRAC),
+        ("dup_para_char_frac", _dup_char_frac(paras), "ok_dup_para_chars", GOPHER_REP_DUP_PARA_CHAR_FRAC),
+    ]
+    for n, thr in GOPHER_REP_TOP_NGRAM:
+        spec.append(
+            (f"top_{n}gram_char_frac", _top_ngram_char_frac(toks, n, word_chars), f"ok_top_{n}gram", thr)
+        )
+    for n, thr in GOPHER_REP_DUP_NGRAM:
+        spec.append(
+            (f"dup_{n}gram_char_frac", _dup_ngram_char_frac(toks, n, word_chars), f"ok_dup_{n}gram", thr)
+        )
+    with_metrics = d.select(
+        "doc_id", *keep, *[expr.alias(name) for name, expr, _, _ in spec]
+    )
+    rules = [(F.col(name) <= thr).alias(ok) for name, _, ok, thr in spec]
+    gate = None
+    for name, _, _, thr in spec:
+        cond = F.col(name) <= thr
+        gate = cond if gate is None else (gate & cond)
+    return with_metrics.select(
+        "*", *rules
+    ).withColumn("passes_gopher_repetition", gate)
+
+
+def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repetition report: per-rule failure counts + the pass
+    count, mirroring ``docs_gopher_quality``."""
+    g = gopher_repetition_flags(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    rule_cols = [c for c in g.columns if c.startswith("ok_")]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for c in rule_cols:
+        aggs.append(F.sum((~F.col(c)).cast("long")).cast("long").alias(c.replace("ok_", "fail_")))
+    aggs.append(F.sum(F.col("passes_gopher_repetition").cast("long")).cast("long").alias("n_pass"))
+    return g.agg(*aggs)
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB oracle for ``docs_gopher_repetition`` — same pinned
+    conventions, built per-n from the same threshold tables."""
+    top_ctes, dup_ctes, joins, flags = [], [], [], []
+    for n, thr in GOPHER_REP_TOP_NGRAM:
+        top_ctes.append(f"""
+ng{n} AS (SELECT doc_id, array_to_string(toks[i+1:i+{n}],' ') AS g
+         FROM t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
+top{n} AS (SELECT doc_id, cnt, g FROM (
+    SELECT doc_id, g, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g ASC) AS rn
+    FROM ng{n} GROUP BY doc_id, g) WHERE rn = 1)""")
+        joins.append(
+            f"COALESCE(CASE WHEN top{n}.cnt >= 2 THEN ROUND(top{n}.cnt * (length(top{n}.g) - {n - 1}) * 1.0 / t.wchars, 6) ELSE 0.0 END, 0.0) AS top_{n}gram_char_frac"
+        )
+        flags.append((f"top_{n}gram_char_frac", thr, f"ok_top_{n}gram"))
+    for n, thr in GOPHER_REP_DUP_NGRAM:
+        dup_ctes.append(f"""
+png{n} AS (SELECT doc_id, i AS s, array_to_string(toks[i+1:i+{n}],' ') AS g
+          FROM t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
+dupg{n} AS (SELECT doc_id, g FROM png{n} GROUP BY doc_id, g HAVING COUNT(*) > 1),
+cov{n} AS (SELECT DISTINCT o.doc_id, p.pos, p.tok
+          FROM png{n} o JOIN dupg{n} USING (doc_id, g)
+          JOIN tok p ON p.doc_id = o.doc_id AND p.pos BETWEEN o.s AND o.s + {n - 1}),
+dupc{n} AS (SELECT doc_id, SUM(length(tok)) AS c FROM cov{n} GROUP BY doc_id)""")
+        joins.append(
+            f"COALESCE(ROUND(dupc{n}.c * 1.0 / t.wchars, 6), 0.0) AS dup_{n}gram_char_frac"
+        )
+        flags.append((f"dup_{n}gram_char_frac", thr, f"ok_dup_{n}gram"))
+    base_flags = [
+        ("dup_line_frac", GOPHER_REP_DUP_LINE_FRAC, "ok_dup_lines"),
+        ("dup_line_char_frac", GOPHER_REP_DUP_LINE_CHAR_FRAC, "ok_dup_line_chars"),
+        ("dup_para_frac", GOPHER_REP_DUP_PARA_FRAC, "ok_dup_paras"),
+        ("dup_para_char_frac", GOPHER_REP_DUP_PARA_CHAR_FRAC, "ok_dup_para_chars"),
+    ]
+    all_flags = base_flags + flags
+    flag_sql = ",\n         ".join(f"(m.{col} <= {thr}) AS {ok}" for col, thr, ok in all_flags)
+    fail_sql = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN NOT {ok} THEN 1 ELSE 0 END) AS BIGINT) AS {ok.replace('ok_', 'fail_')}"
+        for _, _, ok in all_flags
+    )
+    pass_cond = " AND ".join(ok for _, _, ok in all_flags)
+    top_joins = "\n  ".join(f"LEFT JOIN top{n} ON top{n}.doc_id = t.doc_id" for n, _ in GOPHER_REP_TOP_NGRAM)
+    dup_joins = "\n  ".join(f"LEFT JOIN dupc{n} ON dupc{n}.doc_id = t.doc_id" for n, _ in GOPHER_REP_DUP_NGRAM)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS m,
+         COALESCE(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> length(x))), 0) AS wchars,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS ps
+  FROM documents),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM t, unnest(range(1, m + 1)) AS u(i)),
+{",".join(top_ctes)},
+{",".join(dup_ctes)},
+m AS (
+  SELECT t.doc_id,
+         CASE WHEN len(ls) > 0 THEN ROUND((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+              THEN ROUND((list_sum(list_transform(ls, x -> length(x))) - list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1.0
+                         / list_sum(list_transform(ls, x -> length(x))), 6) ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(ps) > 0 THEN ROUND((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 6) ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN COALESCE(list_sum(list_transform(ps, x -> length(x))), 0) > 0
+              THEN ROUND((list_sum(list_transform(ps, x -> length(x))) - list_sum(list_transform(list_distinct(ps), x -> length(x)))) * 1.0
+                         / list_sum(list_transform(ps, x -> length(x))), 6) ELSE 0.0 END AS dup_para_char_frac,
+         {",".join(joins)}
+  FROM t
+  {top_joins}
+  {dup_joins}),
+flags AS (
+  SELECT doc_id,
+         {flag_sql}
+  FROM m)
+SELECT COUNT(*) AS n_docs,
+       {fail_sql},
+       CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+"""
+
+
+_GOPHER_REP_SQL = _gopher_rep_sql()
+
+
 PYTEST_ORACLES = {
     "docs_gopher_quality": (docs_gopher_quality, _GOPHER_SQL),
+    "docs_gopher_repetition": (docs_gopher_repetition, _GOPHER_REP_SQL),
     "docs_hash_embeddings": (docs_hash_embeddings, _HASH_EMB_SQL),
     "text_unigram_logprob": (text_unigram_logprob, _UNIGRAM_SQL),
     "text_token_count": (text_token_count, _TOKEN_COUNT_SQL),

@@ -749,3 +749,94 @@ def test_corpus_curation_report_plan_shape(spark):
     assert 0 < len(rows) <= 20  # per-source report, every stage pruned some
     total_docs = sum(r.n_docs_kept for r in rows)
     assert 0 < total_docs < 500
+
+
+def test_gopher_repetition_rules_pinned(spark):
+    """Each A1.2 repetition rule trips on a doc built to violate it; the
+    n-gram rules nest by construction (a repeated 10-gram contains
+    repeated 5..9-grams), so isolation is asserted where the math allows
+    and nesting is asserted where it does not."""
+    from artan_spark.plans.textstats import gopher_repetition_flags
+
+    uniq = [f"u{i:02d}x" for i in range(100)]  # 4-char unique filler words
+    rows = [
+        # 1: no repetition anywhere -> passes all 13
+        (1, "\n".join(" ".join(uniq[i * 10:(i + 1) * 10]) for i in range(6))),
+        # 2: 4 copies of a short line among 8 -> dup_line_frac 3/8 = 0.375
+        (2, "\n".join(["dup line alpha" if i % 2 == 0 else " ".join(uniq[i * 8:(i + 1) * 8])
+                       for i in range(8)])),
+        # 3: one LONG line duplicated once among 8 (elem frac 1/8 <= 0.3,
+        # char frac > 0.2)
+        (3, "\n".join(["longwordAAAA longwordBBBB longwordCCCC longwordDDDD" if i in (0, 4)
+                       else " ".join(uniq[60 + i * 4:60 + (i + 1) * 4]) for i in range(8)])),
+        # 4: 4 copies of a short paragraph among 8 -> dup_para_frac 0.375
+        (4, "\n\n".join(["para dup beta" if i % 2 == 0 else " ".join(uniq[i * 8:(i + 1) * 8])
+                         for i in range(8)])),
+        # 5: one long paragraph duplicated once among 8
+        (5, "\n\n".join(["longwordAAAA longwordBBBB\nlongwordCCCC longwordDDDD" if i in (0, 4)
+                         else " ".join(uniq[60 + i * 4:60 + (i + 1) * 4]) for i in range(8)])),
+        # 6: "aa bb" x10 with unique separators -> top_2gram 40/(40+40*... )
+        (6, " ".join(x for i in range(10) for x in ("aa", "bb", uniq[i]))),
+        # 7: 3-gram "ab cd elephant8" x3 in T=123 word chars; the top
+        # 2-gram is the TIE-BREAK winner "ab cd" (12/123 ok), the top
+        # 3-gram "ab cd elephant8" = 39/123 = 0.317 trips
+        (7, " ".join(x for i in range(3) for x in ("ab", "cd", "elephant8", uniq[20 + 7 * i],
+                                                   uniq[21 + 7 * i], uniq[22 + 7 * i],
+                                                   uniq[23 + 7 * i], uniq[24 + 7 * i],
+                                                   uniq[25 + 7 * i], uniq[26 + 7 * i]))),
+        # 8: 4-gram "qa qb qc wordof12chars" x2 in T=200 word chars:
+        # top2 28/200=0.14 ok, top3 32/200=0.16 ok, top4 36/200=0.18 trips
+        (8, " ".join(x for i in range(2) for x in ("qa", "qb", "qc", "wordof12char")) + " "
+            + " ".join(uniq[30:71])),
+        # 9: 5-word phrase (4-char words) x2, T=172 word chars: dup5
+        # 40/172=0.2326 trips (>0.15); no repeated 6-gram, so dup6 ok
+        (9, "pv01 pw02 px03 py04 pz05 " + " ".join(uniq[40:45]) + " pv01 pw02 px03 py04 pz05 "
+            + " ".join(uniq[45:73]).rstrip()),
+        # 10: 10-word phrase x2 -> every dup_{5..10} rule trips (nesting)
+        (10, " ".join(f"ph{j:02d}" for j in range(10)) + " " + " ".join(uniq[50:54]) + " "
+             + " ".join(f"ph{j:02d}" for j in range(10))),
+        # 11: empty + 12: single word -> degenerate guards, pass everything
+        (11, ""),
+        (12, "hello"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+
+    assert out[1].passes_gopher_repetition, out[1]
+    assert not out[2].ok_dup_lines
+    assert abs(out[2].dup_line_frac - 0.375) < 1e-9
+    assert out[3].ok_dup_lines and not out[3].ok_dup_line_chars
+    assert not out[4].ok_dup_paras
+    assert out[5].ok_dup_paras and not out[5].ok_dup_para_chars
+    assert not out[6].ok_top_2gram
+    assert not out[7].ok_top_3gram and out[7].ok_top_2gram, out[7]
+    assert abs(out[7].top_3gram_char_frac - round(39 / 123, 6)) < 1e-9, out[7]
+    assert not out[8].ok_top_4gram and out[8].ok_top_2gram and out[8].ok_top_3gram, out[8]
+    assert abs(out[8].top_4gram_char_frac - round(36 / 200, 6)) < 1e-9, out[8]
+    assert not out[9].ok_dup_5gram and out[9].ok_dup_6gram, out[9]
+    assert abs(out[9].dup_5gram_char_frac - round(40 / 172, 6)) < 1e-9, out[9]
+    for n in range(5, 11):
+        assert not out[10][f"ok_dup_{n}gram"], (n, out[10])
+    assert out[11].passes_gopher_repetition and out[12].passes_gopher_repetition
+
+
+def test_gopher_repetition_exact_folds(spark):
+    """Pinned numerics for the fold machinery: overlap counted once, and
+    the deterministic lexicographic tie-break for the top n-gram."""
+    from artan_spark.plans.textstats import gopher_repetition_flags
+
+    rows = [
+        # overlapping duplicate 5-grams: 'p' x6 -> merged cover [1,6],
+        # covered chars 6 of 10 (double-counting would give 10/10)
+        (1, "xx " + " ".join(["p"] * 6) + " yy"),
+        # disjoint copies of a 5-gram: cover 40 chars of 44
+        (2, "pv01 pw02 px03 py04 pz05 fill pv01 pw02 px03 py04 pz05"),
+        # equal-count tie: 'aa bb' x2 vs 'cccc dddd' x2 -> smallest wins,
+        # frac = 2*4/T not 2*8/T (T = 2*(2+2+4+4) = 24 word chars)
+        (3, "aa bb cccc dddd aa bb cccc dddd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+    assert abs(out[1].dup_5gram_char_frac - 0.6) < 1e-9, out[1]
+    assert abs(out[2].dup_5gram_char_frac - round(40 / 44, 6)) < 1e-9, out[2]
+    assert abs(out[3].top_2gram_char_frac - round(8 / 24, 6)) < 1e-9, out[3]
