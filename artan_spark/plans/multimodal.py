@@ -437,7 +437,12 @@ def _png_filter_rows(raw, bpp: int, filters: str) -> bytearray:
 
 
 def encode_png(
-    pixels, filters: str = "mixed", level: int = 6, palette=None, interlace: bool = False
+    pixels,
+    filters: str = "mixed",
+    level: int = 6,
+    palette=None,
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Encode a uint8 array as an 8-bit PNG using nothing but stdlib
     ``zlib``: a 2-D array becomes color type 0 (grayscale), an (h, w, 3)
@@ -448,14 +453,21 @@ def encode_png(
     every unfilter branch of ``_png_gray``; ``filters="none"`` emits
     filter 0 rows only (what many minimal writers produce).
     ``interlace=True`` writes an Adam7 stream (each of the 7 passes
-    filtered as its own sub-image, per the spec)."""
+    filtered as its own sub-image, per the spec). ``depth=16`` takes a
+    uint16 array and writes big-endian 16-bit samples (gray/RGB only —
+    palette indices are at most 8 bits per RFC 2083 §4.1.2); the
+    scanline filters then run byte-wise with doubled bpp, per the spec."""
     import zlib
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    if depth not in (8, 16):
+        raise ValueError("PNG depth must be 8 or 16")
+    px = np.asarray(pixels, dtype=np.uint8 if depth == 8 else np.uint16)
     plte_chunk = b""
     if palette is not None:
+        if depth == 16:
+            raise ValueError("palette PNG supports at most 8-bit indices")
         pal = np.asarray(palette, dtype=np.uint8)
         if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
             raise ValueError("palette must be an (n<=256, 3) uint8 array")
@@ -470,20 +482,29 @@ def encode_png(
     else:
         color_type, channels = 2, 3
         h, w, _ = px.shape
-    bpp = channels  # bytes per pixel at bit depth 8
-    raw = px.reshape(h, w * channels).astype(np.int32)
+    sw = depth // 8
+    bpp = channels * sw  # bytes per pixel (filters are byte-oriented)
+
+    def to_byte_rows(a, ph, pw):
+        flat = a.reshape(ph, pw * channels)
+        if depth == 16:
+            return np.frombuffer(
+                flat.astype(">u2").tobytes(), dtype=np.uint8
+            ).reshape(ph, pw * channels * 2).astype(np.int32)
+        return flat.astype(np.int32)
+
     if interlace:
         body = bytearray()
-        grid = raw.reshape(h, w, channels)
+        grid = px.reshape(h, w, channels)
         for x0, y0, dx, dy in _ADAM7:
             sub = grid[y0::dy, x0::dx]
             if sub.size == 0:
                 continue
             ph, pw = sub.shape[:2]
-            body += _png_filter_rows(sub.reshape(ph, pw * channels), bpp, filters)
+            body += _png_filter_rows(to_byte_rows(sub, ph, pw), bpp, filters)
     else:
-        body = _png_filter_rows(raw, bpp, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+        body = _png_filter_rows(to_byte_rows(px, h, w), bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -508,8 +529,9 @@ def _png_gray(payload: bytes):
     non-interlaced and Adam7-interlaced streams) — stdlib ``zlib``
     inflate of the concatenated IDAT stream, then per-scanline
     unfiltering of all 5 PNG filter types (per pass for Adam7, each pass
-    being an independently-filtered sub-image). 1/2/4/16-bit depths
-    raise clearly — rare in ML-corpus crawls, where 8-bit dominates.
+    being an independently-filtered sub-image). 8- and 16-bit depths
+    decode (16-bit samples are big-endian, reported on the 8-bit scale
+    s/257); 1/2/4-bit raise clearly — rare in ML-corpus crawls.
     Per-row work is vectorized
     (filters 0/2 fully; Sub via a wrapping uint8 accumulate; Average/Paeth
     via the vectorized predictor with a per-pixel carry loop only across
@@ -602,35 +624,40 @@ def _png_gray_impl(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"{depth}-bit PNG not supported by the built-in decoder")
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"invalid PNG color type {color_type}")
     if color_type == 3:
+        if depth == 16:  # PLTE indices are at most 8 bits (RFC 2083 §4.1.2)
+            raise ValueError("16-bit palette PNG is not a legal stream")
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = channels
+    # PNG filters operate on BYTES with a bpp-byte pixel offset, so at
+    # 16-bit depth the unfilter runs byte-wise with doubled bpp/stride
+    sw = depth // 8
+    bpp = channels * sw
     data = zlib.decompress(bytes(idat))
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        raw = np.zeros((h, w * channels), dtype=np.uint8)
+        raw = np.zeros((h, w * channels * sw), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * channels * sw
             need = ph * (pstride + 1)
             sub = _png_unfilter(data[off : off + need], ph, pstride, bpp)
             off += need
-            cols = (x0 + np.arange(pw) * dx)[:, None] * channels + np.arange(channels)
+            cols = (x0 + np.arange(pw) * dx)[:, None] * channels * sw + np.arange(channels * sw)
             raw[y0::dy, cols.ravel()] = sub.reshape(ph, -1)
         if off != len(data):
             raise ValueError("truncated or oversized PNG pixel stream")
     elif interlace == 0:
-        stride = w * channels
+        stride = w * channels * sw
         if len(data) != h * (stride + 1):
             raise ValueError("truncated or oversized PNG pixel stream")
         raw = _png_unfilter(data, h, stride, bpp)
@@ -641,6 +668,13 @@ def _png_gray_impl(payload: bytes):
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("PNG palette index out of range")
         return palette[idx].astype(np.float64).mean(axis=2)
+    if depth == 16:
+        # big-endian network order (RFC 2083 §2.1); report on the 8-bit
+        # intensity scale: 65535 -> 255.0 (divide by 257)
+        samples = np.frombuffer(raw.tobytes(), dtype=">u2").reshape(h, w, channels)
+        arr = samples.astype(np.float64) / 257.0
+        n_color = 1 if color_type in (0, 4) else 3
+        return arr[:, :, :n_color].mean(axis=2)
     arr = raw.reshape(h, w, channels).astype(np.float64)
     # channel mean over COLOR channels only (1 for gray/gray+alpha, 3 for
     # RGB/RGBA); alpha dropped — same intensity convention as

@@ -461,8 +461,9 @@ def test_png_codec_real_bytes(spark):
 
 
 def test_png_unsupported_variants_raise():
-    """16-bit depth still raises actionably; malformed palette/interlace
-    metadata and corrupt chunks fail loudly rather than decoding garbage."""
+    """Sub-byte depths raise actionably (16-bit decodes since round 8);
+    malformed palette/interlace metadata and corrupt chunks fail loudly
+    rather than decoding garbage."""
     import struct
     import zlib
 
@@ -481,8 +482,10 @@ def test_png_unsupported_variants_raise():
             + _png_chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        _png_gray(with_ihdr(16, 0, 0))
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        _png_gray(with_ihdr(4, 0, 0))
+    with pytest.raises(ValueError, match="16-bit palette"):
+        _png_gray(with_ihdr(16, 3, 0))  # PLTE indices are at most 8 bits
     with pytest.raises(ValueError, match="PLTE"):
         _png_gray(with_ihdr(8, 3, 0))  # palette stream without a PLTE chunk
     with pytest.raises(ValueError, match="interlace"):
@@ -945,3 +948,35 @@ def test_gif_hand_assembled_lzw_fixture_known_pixels():
     arr = _gif_gray(payload)
     expect = np.array([[0, 85, 170, 255], [255, 170, 85, 0]], dtype=np.float64)
     np.testing.assert_array_equal(arr, expect)
+
+
+def test_png_16bit_roundtrip_and_scale():
+    """16-bit PNG (big-endian samples, byte-wise filters with doubled
+    bpp): gray and RGB round-trip through every filter type and Adam7,
+    intensities reported on the 8-bit scale (s / 257 — exact for
+    x * 257), and a 16-bit re-encode of an 8-bit image decodes to the
+    identical grayscale."""
+    import numpy as np
+    import pytest
+
+    from artan_spark.plans.multimodal import _png_gray, encode_png
+
+    rng = np.random.default_rng(8)
+    g16 = rng.integers(0, 65536, size=(11, 7), dtype=np.uint16)
+    for filters in ("none", "mixed"):
+        got = _png_gray(encode_png(g16, filters=filters, depth=16))
+        assert np.allclose(got, g16.astype(np.float64) / 257.0)
+    got = _png_gray(encode_png(g16, depth=16, interlace=True))
+    assert np.allclose(got, g16.astype(np.float64) / 257.0)
+
+    rgb16 = rng.integers(0, 65536, size=(6, 9, 3), dtype=np.uint16)
+    got = _png_gray(encode_png(rgb16, depth=16))
+    assert np.allclose(got, rgb16.astype(np.float64).mean(axis=2) / 257.0)
+
+    # x*257 widens 8-bit exactly: identical grayscale either way
+    g8 = rng.integers(0, 256, size=(5, 8), dtype=np.uint8)
+    wide = (g8.astype(np.uint16) * 257)
+    assert np.array_equal(_png_gray(encode_png(g8)), _png_gray(encode_png(wide, depth=16)))
+
+    with pytest.raises(ValueError, match="at most 8-bit"):
+        encode_png(g8, palette=np.zeros((4, 3), dtype=np.uint8), depth=16)
