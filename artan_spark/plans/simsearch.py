@@ -747,6 +747,190 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str, rerank: int = 4 * TOP_K
     )
 
 
+# -- product quantization (Jegou et al. 2011) -------------------------------
+
+PQ_M = 8  # subspaces (dim 64 -> 8 dims each on the driver embeddings)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 2  # unrolled Lloyd iterations, same determinism contract as IVF
+PQ_RERANK = 4 * TOP_K
+
+
+def _l2sq(x, c) -> F.Column:
+    """Left-to-right squared L2 distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, d: s + d
+    )
+
+
+def _fit_pq_codebooks(e_vn: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Deterministic product-quantization codebooks ("Product Quantization
+    for Nearest Neighbor Search", Jegou, Douze & Schmid, TPAMI 2011): the
+    ``dim``-d vectors split into ``m`` contiguous subspaces and each
+    subspace gets its own ``k``-codeword L2 k-means fit — all ``m`` fits
+    run in the SAME Spark jobs (sub is just a grouping column).
+
+    Determinism contract (mirrors ``_fit_kmeans_cells``): init = the
+    subvectors of the ``k`` smallest vec_ids, PQ_ITERS Lloyd iterations,
+    centroids rounded to 6 decimals after every update, distance ties to
+    the smallest code. Codes that lose every member drop out (assignment
+    only ever picks surviving codes). Returns (sub, code, cv) — m*k tiny
+    rows. 100-TB shape: codebooks broadcast; each Lloyd pass is one
+    map-side argmin + one narrow (sub, code, pos) agg over the corpus."""
+    ds = dim // m
+    if ds * m != dim:
+        raise ValueError(f"PQ_M={m} must divide the embedding dim {dim}")
+    subs = e_vn.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("vn", s * ds + 1, ds),
+            )
+        ).alias("sub", "sv"),
+    )
+    cb = subs.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+
+    def assign(cb_df):
+        carr = cb_df.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
+        best = F.array_max(
+            F.transform(
+                F.filter(F.col("cbs"), lambda c: c["sub"] == F.col("sub")),
+                lambda c: F.struct(
+                    (-_l2sq(F.col("sv"), c["cv"])).alias("nd"), (-c["code"]).alias("nc")
+                ),
+            )
+        )
+        return subs.crossJoin(F.broadcast(carr)).withColumn("code", -best["nc"]).drop("cbs")
+
+    for _ in range(PQ_ITERS):
+        pos = assign(cb).select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+        cb = (
+            pos.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+                ).alias("cm")
+            )
+            .select("sub", "code", F.transform("cm", lambda x: F.round(x, 6)).alias("cv"))
+            .localCheckpoint()  # m*k rows; truncate lineage per Lloyd pass
+        )
+    return cb
+
+
+def pq_encode(e_vn: DataFrame, cb: DataFrame, dim: int, m: int = PQ_M) -> DataFrame:
+    """(vec_id, vn) -> (vec_id, codes): nearest codeword per subspace,
+    IN-ROW against the broadcast codebooks — a stateless projection, no
+    shuffle on the corpus. codes is array<int> of length ``m``: ~8 ints
+    per vector instead of 64 doubles, the 100-TB candidate-scan I/O cut
+    this exists for."""
+    ds = dim // m
+    carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: -F.array_max(
+            F.transform(
+                F.filter(F.col("cbs"), lambda c: c["sub"] == s),
+                lambda c: F.struct(
+                    (-_l2sq(F.slice("vn", s * ds + 1, ds), c["cv"])).alias("nd"),
+                    (-c["code"]).alias("nc"),
+                ),
+            )
+        )["nc"],
+    )
+    return (
+        e_vn.crossJoin(F.broadcast(carr)).select("vec_id", codes.alias("codes"))
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFrame:
+    """ANN by product quantization with asymmetric distance computation
+    (ADC) and exact rescoring — the third quantization tier next to
+    ``ann_quantized_topk`` (int8 scalar) and IVF.
+
+    Stage 1 (fit + encode): normalized vectors -> PQ_M x PQ_K codebooks
+    -> 4-bit codes per subspace (the candidate table carries PQ_M small
+    ints per vector, ~16x narrower than the float64 vectors). Stage 2
+    (ADC): each query precomputes its dot-product TABLE against every
+    codeword (PQ_M*PQ_K entries, a per-query map built once), so scoring
+    a candidate is PQ_M map lookups + adds — never a full-dim dot.
+    Stage 3: top ``rerank`` approximate candidates per query join back
+    to full-precision vectors for exact cosine ranking, so emitted
+    scores are exact and recall loss is confined past the rerank
+    horizon (recall floor pinned in tests/test_simsearch_quality.py).
+
+    100-TB shape: codebooks + query tables broadcast (PQ_M*PQ_K doubles
+    per query); the scan side reads ONLY the codes table; the window is
+    the same per-query top-rerank as the other ANN paths; full vectors
+    are touched for Q x rerank rows only."""
+    # widen=True: the fit + encode are HOF-heavy multi-pass consumers
+    # (PQ_M*PQ_K interpreted L2 folds per vector) — the same scan-
+    # starvation profile the k-means fit showed (see _emb)
+    e = _emb(spark, sf_dir, widen=True)
+    dim = len(e.select("v").first()["v"])
+    en = e.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
+    ).localCheckpoint()  # fit + encode + query extraction all re-read it
+    cb = _fit_pq_codebooks(en, dim)
+    codes = pq_encode(en, cb, dim)
+
+    ds = dim // PQ_M
+    carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
+    qtab = F.map_from_entries(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                (c["sub"] * PQ_K + c["code"]).alias("k"),
+                _dot(F.slice("qvn", c["sub"] * ds + 1, ds), c["cv"]).alias("t"),
+            ),
+        )
+    )
+    q = (
+        en.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn"))
+        .crossJoin(F.broadcast(carr))
+        .select("query_id", qtab.alias("qmap"))
+    )
+    approx = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
+        "acos",
+        F.aggregate(
+            F.transform(
+                F.col("codes"), (lambda cd, s: F.element_at(F.col("qmap"), s * PQ_K + cd))
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qv = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    scored = (
+        cand.join(en, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", _dot(F.col("vn"), F.col("qv")))
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 # SemDeDup threshold: the synthetic corpus' cross-pair cosines top out
 # ~0.5 with a 99.9th percentile ~0.38, so 0.32 prunes a real (but small)
 # high-similarity tail — the operator's semantics don't depend on the value
@@ -896,8 +1080,80 @@ ORACLES = {
     "embedding_label_centroids": _CENTROID_SQL,
 }
 
-# registry is capped at 50 driver entries: semantic dedup carries its
-# oracle through the pytest gate instead
+def _ann_pq_sql(rerank: int = PQ_RERANK, dim: int = 64) -> str:
+    """DuckDB oracle for ``ann_pq_topk`` — the per-subspace Lloyd fit
+    unrolled exactly like ``_kmeans_cells_cte`` (sub is one more group
+    key), then encode, the per-query ADC table, and exact rescoring.
+    Determinism: subvector L2 via ``list_zip`` keeps element order, the
+    ADC sum is ``list_sum(list(t ORDER BY sub))`` so both engines add
+    the PQ_M table entries in subspace order, and centroids round to 6
+    decimals per iteration — the same cross-engine contract as IVF."""
+    ds = dim // PQ_M
+    d2 = "list_sum(list_transform(list_zip(v.sv, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    sql = f"""
+WITH n0 AS ({_EMB_SQL}),
+n AS (SELECT vec_id, list_transform(v, x -> x / norm) AS vn FROM n0),
+sv AS (SELECT vec_id, s.s AS sub, vn[(s.s*{ds}+1):(s.s*{ds}+{ds})] AS sv
+       FROM n, (SELECT unnest(range(0, {PQ_M})) AS s) s),
+p0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < {PQ_K})"""
+    prev = "p0"
+    for i in range(1, PQ_ITERS + 1):
+        sql += f""",
+pa{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {d2} ASC, c.code ASC) AS r
+    FROM sv v JOIN {prev} c ON c.sub = v.sub
+  ) WHERE r = 1),
+pm{i} AS (
+  SELECT a.sub, a.code, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
+  FROM sv v JOIN pa{i} a ON v.vec_id = a.vec_id AND v.sub = a.sub),
+pd{i} AS (SELECT sub, code, pos, AVG(x) AS mu FROM pm{i} GROUP BY 1, 2, 3),
+p{i} AS (
+  SELECT sub, code, list_transform(list(mu ORDER BY pos), x -> ROUND(x, 6)) AS cv
+  FROM pd{i} GROUP BY sub, code)"""
+        prev = f"p{i}"
+    sql += f""",
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {d2} ASC, c.code ASC) AS r
+    FROM sv v JOIN {prev} c ON c.sub = v.sub
+  ) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, vn AS qvn FROM n WHERE vec_id < {N_QUERIES}),
+qt AS (
+  SELECT q.query_id, c.sub, c.code,
+         list_dot_product(q.qvn[(c.sub*{ds}+1):(c.sub*{ds}+{ds})], c.cv) AS t
+  FROM q CROSS JOIN {prev} c),
+acand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT t.query_id, k.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY t.query_id
+                              ORDER BY list_sum(list(t.t ORDER BY t.sub)) DESC,
+                                       k.vec_id ASC) AS arank
+    FROM codes k JOIN qt t ON t.sub = k.sub AND t.code = k.code
+    WHERE k.vec_id != t.query_id
+    GROUP BY t.query_id, k.vec_id
+  ) WHERE arank <= {rerank})
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT a.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.vn, q.qvn) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY list_dot_product(n.vn, q.qvn) DESC, n.vec_id ASC) AS rank
+  FROM acand a JOIN n ON n.vec_id = a.vec_id
+  JOIN q ON q.query_id = a.query_id
+)
+WHERE rank <= {TOP_K}
+"""
+    return sql
+
+
+# registry is capped at 50 driver entries: semantic dedup and PQ carry
+# their oracles through the pytest gate instead
 PYTEST_ORACLES = {
     "dedup_semantic": (dedup_semantic, _semdedup_sql()),
+    "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
 }

@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_semantic",  # new round 7: raises the suite total by its own wall
     "docs_dedup_substrings",  # new round 8: ditto
     "corpus_curation_report",  # new round 8: ditto
+    "ann_pq_topk",  # new round 8: ditto
+    "docs_gopher_repetition",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -313,3 +313,98 @@ def test_semdedup_oversized_cell_guard(spark):
     # keeper overall
     kept_all = dedup_semantic_vectors(vecs, threshold=0.9, k=4, max_cell_size=N)
     assert kept_all.count() == 1
+
+
+def test_pq_ann_recall_rescore_and_replay(spark):
+    """Product-quantization ANN: (a) emitted cosines are EXACT (every
+    returned pair's score equals the brute-force cosine for that pair),
+    (b) recall vs brute force clears a floor, (c) codes are in-range
+    4-bit ints, and (d) the fit+encode is replayed bit-for-bit in plain
+    Python (init = first PQ_K subvectors, Lloyd with 6-dp rounding,
+    ties to the smallest code) — the closed-form oracle standing in for
+    SQL, since PQ's per-subspace fit has no driver-window entry."""
+    import numpy as np
+
+    from artan_spark.plans.simsearch import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        _emb,
+        _fit_pq_codebooks,
+        ann_cosine_topk,
+        ann_pq_topk,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    exact_df = ann_cosine_topk(spark, SF_DIR)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact_df.collect()}
+    exact = _topk_sets(exact_df)
+
+    pq_df = ann_pq_topk(spark, SF_DIR)
+    rows = pq_df.collect()
+    pq = _topk_sets(pq_df)
+    n_q = len(exact)
+    hits = sum(len(pq.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    assert hits / (n_q * TOP_K) >= 0.5, hits / (n_q * TOP_K)
+
+    # exact-rescore property: any returned pair that brute force also
+    # ranked carries the identical rounded cosine
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-12, key
+
+    # replay fit + encode in plain Python (no numpy reductions: Spark's
+    # folds are left-to-right, so the replay loops are too)
+    e = _emb(spark, SF_DIR)
+    dim = len(e.select("v").first()["v"])
+    ds = dim // PQ_M
+    en = e.select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+    vecs = {r.vec_id: list(r.vn) for r in en.collect()}
+    cb = {}  # (sub, code) -> centroid list
+    for s in range(PQ_M):
+        for c in range(PQ_K):
+            cb[(s, c)] = vecs[c][s * ds:(s + 1) * ds]
+
+    def d2(x, c):
+        acc = 0.0
+        for a, b in zip(x, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    def assign_one(sv, s, cb_now):
+        cands = sorted(code for (ss, code) in cb_now if ss == s)
+        best, bd = None, None
+        for code in cands:
+            d = d2(sv, cb_now[(s, code)])
+            if bd is None or d < bd:  # strict: ties keep the smaller code
+                best, bd = code, d
+        return best
+
+    for _ in range(PQ_ITERS):
+        sums = {}
+        for vid, vn in vecs.items():
+            for s in range(PQ_M):
+                sv = vn[s * ds:(s + 1) * ds]
+                code = assign_one(sv, s, cb)
+                st = sums.setdefault((s, code), [0, [0.0] * ds])
+                st[0] += 1
+                for j in range(ds):
+                    st[1][j] += sv[j]
+        cb = {
+            k: [round(t / n, 6) for t in tot] for k, (n, tot) in sums.items()
+        }
+
+    spark_cb = {(r.sub, r.code): list(r.cv)
+                for r in _fit_pq_codebooks(en, dim).collect()}
+    assert spark_cb.keys() == cb.keys()
+    for k in cb:
+        assert spark_cb[k] == cb[k], k
+
+    spark_codes = {r.vec_id: list(r.codes)
+                   for r in pq_encode(en, _fit_pq_codebooks(en, dim), dim).collect()}
+    for vid, vn in vecs.items():
+        expect = [assign_one(vn[s * ds:(s + 1) * ds], s, cb) for s in range(PQ_M)]
+        assert spark_codes[vid] == expect, vid
+        assert all(0 <= c < PQ_K for c in expect)
