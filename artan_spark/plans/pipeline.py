@@ -1,7 +1,8 @@
-"""Composed curation pipeline: the round-7 operators (Gopher quality gate,
-per-source token cap, SemDeDup semantic dedup) fused into ONE oracle-checked
-query — proving the stages compose into a single plan without extra corpus
-scans (each stage is separately oracle-green; this pins the composition).
+"""Composed curation pipeline: the round-7/8 operators (Gopher quality gate
+A1.1 + repetition gate A1.2, per-source token cap, SemDeDup semantic dedup)
+fused into ONE oracle-checked query — proving the stages compose into a
+single plan without extra corpus scans (each stage is separately
+oracle-green; this pins the composition).
 
 The reference engine has no counterpart; this is the `examples/
 corpus_pipeline.py` composition shape made oracle-checkable."""
@@ -13,7 +14,11 @@ from pyspark.sql import functions as F
 
 from artan_spark.plans.sampling import SOURCE_CAP_SHARE, _TWO60_SQL, cap_source_share
 from artan_spark.plans.simsearch import SEMDEDUP_THRESHOLD, _kmeans_cells_cte, dedup_semantic
-from artan_spark.plans.textstats import gopher_quality_flags
+from artan_spark.plans.textstats import (
+    _gopher_rep_cte,
+    gopher_quality_flags,
+    gopher_repetition_flags,
+)
 from artan_spark.sources import read_table
 
 # the driver corpus is synthetic word soup with no English function words,
@@ -31,13 +36,14 @@ def corpus_curation_report(
     max_share: float = SOURCE_CAP_SHARE,
     threshold: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:
-    """Gopher gate -> per-source token cap -> SemDeDup prune, end to end,
-    reported as per-source (n_docs_kept, n_tokens_kept).
+    """Gopher quality gate (A1.1 subset) -> Gopher repetition gate (all
+    13 A1.2 rules) -> per-source token cap -> SemDeDup prune, end to
+    end, reported as per-source (n_docs_kept, n_tokens_kept).
 
     Plan shape (the 100-TB contract, plan-asserted in tests):
-    - the quality gate is a STATELESS projection+filter fused into the
-      documents scan — no join back to the corpus (``keep=`` columns ride
-      through ``gopher_quality_flags``);
+    - the quality AND repetition gates are STATELESS projection+filters
+      fused into the documents scan — no join back to the corpus
+      (``keep=`` columns ride through both flag projections);
     - the cap reads the gated corpus twice (totals agg + keep filter, the
       ``cap_source_share`` shape) — exactly TWO documents scans total, the
       gate folded into both;
@@ -54,6 +60,11 @@ def corpus_curation_report(
     gated = (
         gopher_quality_flags(d, keep=("source", "text"))
         .filter(gate)
+        .select("doc_id", "source", "text")
+    )
+    gated = (
+        gopher_repetition_flags(gated, keep=("source", "text"))
+        .filter(F.col("passes_gopher_repetition"))
         .select("doc_id", "source", "text")
     )
     capped = cap_source_share(gated, max_share=max_share)
@@ -79,8 +90,11 @@ def _curation_sql(
         "alpha": "(alpha_frac >= 0.8)",
     }
     gate = " AND ".join(flag_sql[r] for r in rules)
+    rep_cte, rep_pass = _gopher_rep_cte(p="grp_")
     return (
         _kmeans_cells_cte()
+        + ",\n"
+        + rep_cte
         + f""",
 losers AS (
   SELECT DISTINCT b.vec_id
@@ -101,7 +115,9 @@ gm AS (
                regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents)
 ),
-gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm WHERE {gate}),
+gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm
+          WHERE {gate}
+            AND doc_id IN (SELECT doc_id FROM grp_flags WHERE {rep_pass})),
 t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM gated GROUP BY source),
 r AS (
   SELECT source,

@@ -1257,33 +1257,36 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(*aggs)
 
 
-def _gopher_rep_sql() -> str:
-    """DuckDB oracle for ``docs_gopher_repetition`` — same pinned
-    conventions, built per-n from the same threshold tables."""
+def _gopher_rep_cte(p: str = "grp_") -> tuple:
+    """Reusable WITH-fragment for the repetition rules: defines
+    ``{p}flags(doc_id, ok_*)`` (13 booleans, one per rule) with every
+    CTE name prefixed by ``p`` so composed oracles (the curation
+    pipeline) can embed it without name clashes. Returns
+    (cte_fragment, pass_condition)."""
     top_ctes, dup_ctes, joins, flags = [], [], [], []
     for n, thr in GOPHER_REP_TOP_NGRAM:
         top_ctes.append(f"""
-ng{n} AS (SELECT doc_id, array_to_string(toks[i+1:i+{n}],' ') AS g
-         FROM t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
-top{n} AS (SELECT doc_id, cnt, g FROM (
+{p}ng{n} AS (SELECT doc_id, array_to_string(toks[i+1:i+{n}],' ') AS g
+         FROM {p}t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
+{p}top{n} AS (SELECT doc_id, cnt, g FROM (
     SELECT doc_id, g, COUNT(*) AS cnt,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g ASC) AS rn
-    FROM ng{n} GROUP BY doc_id, g) WHERE rn = 1)""")
+    FROM {p}ng{n} GROUP BY doc_id, g) WHERE rn = 1)""")
         joins.append(
-            f"COALESCE(CASE WHEN top{n}.cnt >= 2 THEN ROUND(top{n}.cnt * (length(top{n}.g) - {n - 1}) * 1.0 / t.wchars, 6) ELSE 0.0 END, 0.0) AS top_{n}gram_char_frac"
+            f"COALESCE(CASE WHEN {p}top{n}.cnt >= 2 THEN ROUND({p}top{n}.cnt * (length({p}top{n}.g) - {n - 1}) * 1.0 / {p}t.wchars, 6) ELSE 0.0 END, 0.0) AS top_{n}gram_char_frac"
         )
         flags.append((f"top_{n}gram_char_frac", thr, f"ok_top_{n}gram"))
     for n, thr in GOPHER_REP_DUP_NGRAM:
         dup_ctes.append(f"""
-png{n} AS (SELECT doc_id, i AS s, array_to_string(toks[i+1:i+{n}],' ') AS g
-          FROM t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
-dupg{n} AS (SELECT doc_id, g FROM png{n} GROUP BY doc_id, g HAVING COUNT(*) > 1),
-cov{n} AS (SELECT DISTINCT o.doc_id, p.pos, p.tok
-          FROM png{n} o JOIN dupg{n} USING (doc_id, g)
-          JOIN tok p ON p.doc_id = o.doc_id AND p.pos BETWEEN o.s AND o.s + {n - 1}),
-dupc{n} AS (SELECT doc_id, SUM(length(tok)) AS c FROM cov{n} GROUP BY doc_id)""")
+{p}png{n} AS (SELECT doc_id, i AS s, array_to_string(toks[i+1:i+{n}],' ') AS g
+          FROM {p}t, unnest(CASE WHEN m >= {n} THEN range(0, m-{n}+1) ELSE [] END) AS u(i)),
+{p}dupg{n} AS (SELECT doc_id, g FROM {p}png{n} GROUP BY doc_id, g HAVING COUNT(*) > 1),
+{p}cov{n} AS (SELECT DISTINCT o.doc_id, pp.pos, pp.tok
+          FROM {p}png{n} o JOIN {p}dupg{n} USING (doc_id, g)
+          JOIN {p}tok pp ON pp.doc_id = o.doc_id AND pp.pos BETWEEN o.s AND o.s + {n - 1}),
+{p}dupc{n} AS (SELECT doc_id, SUM(length(tok)) AS c FROM {p}cov{n} GROUP BY doc_id)""")
         joins.append(
-            f"COALESCE(ROUND(dupc{n}.c * 1.0 / t.wchars, 6), 0.0) AS dup_{n}gram_char_frac"
+            f"COALESCE(ROUND({p}dupc{n}.c * 1.0 / {p}t.wchars, 6), 0.0) AS dup_{n}gram_char_frac"
         )
         flags.append((f"dup_{n}gram_char_frac", thr, f"ok_dup_{n}gram"))
     base_flags = [
@@ -1293,28 +1296,28 @@ dupc{n} AS (SELECT doc_id, SUM(length(tok)) AS c FROM cov{n} GROUP BY doc_id)"""
         ("dup_para_char_frac", GOPHER_REP_DUP_PARA_CHAR_FRAC, "ok_dup_para_chars"),
     ]
     all_flags = base_flags + flags
-    flag_sql = ",\n         ".join(f"(m.{col} <= {thr}) AS {ok}" for col, thr, ok in all_flags)
-    fail_sql = ",\n       ".join(
-        f"CAST(SUM(CASE WHEN NOT {ok} THEN 1 ELSE 0 END) AS BIGINT) AS {ok.replace('ok_', 'fail_')}"
-        for _, _, ok in all_flags
-    )
+    flag_sql = ",\n         ".join(f"({p}m.{col} <= {thr}) AS {ok}" for col, thr, ok in all_flags)
     pass_cond = " AND ".join(ok for _, _, ok in all_flags)
-    top_joins = "\n  ".join(f"LEFT JOIN top{n} ON top{n}.doc_id = t.doc_id" for n, _ in GOPHER_REP_TOP_NGRAM)
-    dup_joins = "\n  ".join(f"LEFT JOIN dupc{n} ON dupc{n}.doc_id = t.doc_id" for n, _ in GOPHER_REP_DUP_NGRAM)
-    return f"""
-WITH t AS (
+    top_joins = "\n  ".join(
+        f"LEFT JOIN {p}top{n} ON {p}top{n}.doc_id = {p}t.doc_id" for n, _ in GOPHER_REP_TOP_NGRAM
+    )
+    dup_joins = "\n  ".join(
+        f"LEFT JOIN {p}dupc{n} ON {p}dupc{n}.doc_id = {p}t.doc_id" for n, _ in GOPHER_REP_DUP_NGRAM
+    )
+    cte = f"""
+{p}t AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS m,
          COALESCE(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> length(x))), 0) AS wchars,
          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
-         list_filter(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), p -> trim(p)), p -> p <> '') AS ps
+         list_filter(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), q -> trim(q)), q -> q <> '') AS ps
   FROM documents),
-tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM t, unnest(range(1, m + 1)) AS u(i)),
+{p}tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM {p}t, unnest(range(1, m + 1)) AS u(i)),
 {",".join(top_ctes)},
 {",".join(dup_ctes)},
-m AS (
-  SELECT t.doc_id,
+{p}m AS (
+  SELECT {p}t.doc_id,
          CASE WHEN len(ls) > 0 THEN ROUND((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) ELSE 0.0 END AS dup_line_frac,
          CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) > 0
               THEN ROUND((list_sum(list_transform(ls, x -> length(x))) - list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1.0
@@ -1324,13 +1327,27 @@ m AS (
               THEN ROUND((list_sum(list_transform(ps, x -> length(x))) - list_sum(list_transform(list_distinct(ps), x -> length(x)))) * 1.0
                          / list_sum(list_transform(ps, x -> length(x))), 6) ELSE 0.0 END AS dup_para_char_frac,
          {",".join(joins)}
-  FROM t
+  FROM {p}t
   {top_joins}
   {dup_joins}),
-flags AS (
+{p}flags AS (
   SELECT doc_id,
          {flag_sql}
-  FROM m)
+  FROM {p}m)"""
+    return cte, pass_cond
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB oracle for ``docs_gopher_repetition`` — same pinned
+    conventions, built per-n from the same threshold tables."""
+    cte, pass_cond = _gopher_rep_cte(p="")
+    ok_names = [c.split(" AS ")[-1] for c in pass_cond.split(" AND ")]
+    fail_sql = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN NOT {ok} THEN 1 ELSE 0 END) AS BIGINT) AS {ok.replace('ok_', 'fail_')}"
+        for ok in ok_names
+    )
+    return f"""
+WITH {cte}
 SELECT COUNT(*) AS n_docs,
        {fail_sql},
        CAST(SUM(CASE WHEN {pass_cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass

@@ -62,7 +62,7 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     #    path): the heuristic score plus the published Gopher rules that
     #    apply to this synthetic corpus (the stop-word rule is calibrated
     #    to real English; word-soup docs would all fail it)
-    from artan_spark.plans.textstats import gopher_quality_flags
+    from artan_spark.plans.textstats import gopher_quality_flags, gopher_repetition_flags
 
     quality = text_quality_score(spark, sf_dir)
     gopher = gopher_quality_flags(docs.select("doc_id", "text"))
@@ -70,9 +70,17 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
         F.col("ok_word_len") & F.col("ok_symbols") & F.col("ok_bullets")
         & F.col("ok_ellipsis") & F.col("ok_alpha")
     ).select("doc_id")
+    # the A1.2 repetition gate (all 13 rules) — the within-doc companion
+    # of the rules above, another stateless projection on the same scan
+    r_ok = (
+        gopher_repetition_flags(docs.select("doc_id", "text"))
+        .filter(F.col("passes_gopher_repetition"))
+        .select("doc_id")
+    )
     kept = (
         docs.join(quality.filter(F.col("quality_score") >= 0.3).select("doc_id"), "doc_id")
         .join(g_ok, "doc_id")
+        .join(r_ok, "doc_id")
     )
 
     # 2. near-dup removal: keep the cluster representative (min doc_id)
