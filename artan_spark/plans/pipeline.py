@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from artan_spark.plans.sampling import SOURCE_CAP_SHARE, _TWO60_SQL, cap_source_share
 from artan_spark.plans.simsearch import SEMDEDUP_THRESHOLD, _kmeans_cells_cte, dedup_semantic
 from artan_spark.plans.textstats import (
+    _GOPHER_FLAG_SQL,
+    _gopher_m_cte,
     _gopher_rep_cte,
     gopher_quality_flags,
     gopher_repetition_flags,
@@ -27,6 +29,11 @@ from artan_spark.sources import read_table
 # (fail_words > 0 at every SF); the full gate is `passes_gopher` and each
 # rule is individually pinned by docs_gopher_quality + its synthetic test
 CURATION_RULES = ("words", "word_len", "symbols", "alpha")
+
+# above this many semantic-dedup losers the per-executor broadcast copy
+# costs more than the shuffled anti-join it avoids (same gate the line and
+# substring passes use)
+BROADCAST_LOSER_LIMIT = 2_000_000
 
 
 def corpus_curation_report(
@@ -47,9 +54,13 @@ def corpus_curation_report(
     - the cap reads the gated corpus twice (totals agg + keep filter, the
       ``cap_source_share`` shape) — exactly TWO documents scans total, the
       gate folded into both;
-    - the semantic-loser set (small by construction) joins BROADCAST
-      ``left_anti`` — the kept set, nearly the whole corpus, is never a
-      broadcast side (the round-7 examples/corpus_pipeline.py bug, fixed);
+    - the semantic-loser set joins ``left_anti`` with a SIZE-GATED
+      broadcast hint (small at the default threshold, but the threshold is
+      caller-controlled and a low one makes losers a large corpus
+      fraction — past the gate the join shuffles instead of forcing a
+      broadcast past AQE's size check); the kept set, nearly the whole
+      corpus, is never a broadcast side (the round-7
+      examples/corpus_pipeline.py bug, fixed);
     - embeddings costs are the shared ``dedup_semantic`` fit (checkpointed
       internally; EAGER at plan-construction time like its standalone use).
     """
@@ -68,10 +79,16 @@ def corpus_curation_report(
         .select("doc_id", "source", "text")
     )
     capped = cap_source_share(gated, max_share=max_share)
-    losers = dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True).select(
-        F.col("vec_id").alias("doc_id")
+    losers = (
+        dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint()  # materialize once: the gate count must not re-join
     )
-    final = capped.join(F.broadcast(losers), "doc_id", "left_anti")
+    # "small by construction" only holds near the default threshold — a
+    # caller-supplied low threshold can make losers a large corpus fraction,
+    # and a hard broadcast hint would bypass AQE's size check; gate it
+    small = losers.count() <= BROADCAST_LOSER_LIMIT
+    final = capped.join(F.broadcast(losers) if small else losers, "doc_id", "left_anti")
     return final.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
@@ -83,18 +100,16 @@ def _curation_sql(
     max_share: float = SOURCE_CAP_SHARE,
     threshold: float = SEMDEDUP_THRESHOLD,
 ) -> str:
-    flag_sql = {
-        "words": "(n_words >= 50 AND n_words <= 100000)",
-        "word_len": "(mean_wl >= 3.0 AND mean_wl <= 10.0)",
-        "symbols": "(sym_ratio <= 0.1)",
-        "alpha": "(alpha_frac >= 0.8)",
-    }
-    gate = " AND ".join(flag_sql[r] for r in rules)
+    # the flag predicates and metric CTE are textstats' own — a threshold
+    # or tokenization tweak there flows into this composed oracle
+    gate = " AND ".join(_GOPHER_FLAG_SQL[r] for r in rules)
     rep_cte, rep_pass = _gopher_rep_cte(p="grp_")
     return (
         _kmeans_cells_cte()
         + ",\n"
         + rep_cte
+        + ",\n"
+        + _gopher_m_cte(p="g", keep=("source",))
         + f""",
 losers AS (
   SELECT DISTINCT b.vec_id
@@ -103,17 +118,6 @@ losers AS (
   JOIN n na ON na.vec_id = a.vec_id
   JOIN n nb ON nb.vec_id = b.vec_id
   WHERE list_dot_product(na.vn, nb.vn) >= {threshold}
-),
-gm AS (
-  SELECT doc_id, source,
-         len(t) AS n_words,
-         ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_wl,
-         ROUND((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
-               * 1.0 / len(t), 6) AS sym_ratio,
-         ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t), 6) AS alpha_frac
-  FROM (SELECT doc_id, source, text,
-               regexp_split_to_array(trim(text), '\\s+') AS t
-        FROM documents)
 ),
 gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm
           WHERE {gate}

@@ -109,6 +109,11 @@ def _widen(spark: SparkSession, df: DataFrame, cache_key: str | None = None) -> 
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
         if key is not None:
+            # entries for an older freshness token of the same (app, path)
+            # are unreachable forever — evict them so a session that
+            # rewrites the data N times holds one entry, not N
+            for stale in [k for k in _WIDEN_CACHE if k[:2] == key[:2] and k != key]:
+                del _WIDEN_CACHE[stale]
             _WIDEN_CACHE[key] = nparts
     if nparts < target:
         return df.repartition(target)
@@ -360,6 +365,24 @@ def km_k_for(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
     return max(KM_K, math.ceil(n_vectors / max(1, target_cell_size)))
 
 
+def _oracle_scale_check(n: int) -> None:
+    """The registered DuckDB oracles (`_kmeans_cells_cte`) textually unroll
+    exactly ``KM_K`` unsplit cells — they cannot follow the corpus-derived
+    K or the hash-sub-split guard. The driver-table wrappers whose results
+    are compared against those oracles call this so growing the testdata
+    past the contract fails LOUDLY here instead of as an opaque value-hash
+    diff in the parity gate. Scale users call the `*_vectors` /
+    `_fit_kmeans_cells` cores directly, which have no such bound."""
+    if km_k_for(n) != KM_K:
+        raise RuntimeError(
+            f"oracle scale contract exceeded: N={n} vectors derives "
+            f"k={km_k_for(n)} != KM_K={KM_K}, but the registered DuckDB "
+            f"oracle unrolls exactly {KM_K} cells (valid only for "
+            f"N <= {KM_K * TARGET_CELL_SIZE}). Use dedup_semantic_vectors/"
+            f"_fit_kmeans_cells directly at scale, or regenerate the oracle."
+        )
+
+
 def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K):
     """Deterministic spherical k-means fit over normalized vectors ``e``
     (vec_id, vn): init = first ``k`` vectors (or a caller-supplied
@@ -450,8 +473,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     # every driver-scale oracle — whose SQL unrolls exactly KM_K cells —
     # is unchanged): cells stay ~TARGET_CELL_SIZE as N grows, bounding
     # the per-query rerank at nprobe x cell instead of nprobe x N/16
-    k = km_k_for(e.count())  # cheap: e is checkpointed above
-    cent, member = _fit_kmeans_cells(e, k=k)
+    n = e.count()  # cheap: e is checkpointed above
+    _oracle_scale_check(n)  # this wrapper is bound to the unrolled-K oracle
+    cent, member = _fit_kmeans_cells(e, k=km_k_for(n))
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
@@ -870,10 +894,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
     # (PQ_M*PQ_K interpreted L2 folds per vector) — the same scan-
     # starvation profile the k-means fit showed (see _emb)
     e = _emb(spark, sf_dir, widen=True)
-    dim = len(e.select("v").first()["v"])
     en = e.select(
         "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
     ).localCheckpoint()  # fit + encode + query extraction all re-read it
+    # dim probe AFTER the checkpoint: first() on en reads a materialized
+    # block instead of launching a widened-scan job per invocation
+    dim = len(en.select("vn").first()["vn"])
     cb = _fit_pq_codebooks(en, dim)
     codes = pq_encode(en, cb, dim)
 
@@ -888,9 +914,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
             ),
         )
     )
+    qbase = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "vn"
+    )
     q = (
-        en.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn"))
+        qbase.select("query_id", F.col("vn").alias("qvn"))
         .crossJoin(F.broadcast(carr))
         .select("query_id", qtab.alias("qmap"))
     )
@@ -910,9 +938,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
         .filter(F.col("arank") <= rerank)
         .select("query_id", "vec_id")
     )
-    qv = en.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
-    )
+    qv = qbase.select("query_id", F.col("vn").alias("qv"))
     scored = (
         cand.join(en, "vec_id")
         .join(F.broadcast(qv), "query_id")
@@ -944,6 +970,7 @@ def dedup_semantic_vectors(
     target_cell_size: int = TARGET_CELL_SIZE,
     max_cell_size: int | None = None,
     return_losers: bool = False,
+    oracle_strict: bool = False,
 ) -> DataFrame:
     """SemDeDup core over ANY unit-vector frame (vec_id, vn): k-means
     cluster, then WITHIN each cluster drop every vector whose cosine to a
@@ -966,6 +993,12 @@ def dedup_semantic_vectors(
     no-op (and adds zero plan nodes) when N <= max_cell_size, which
     covers every driver test scale, so oracles are unchanged.
 
+    ``oracle_strict=True`` (set by the driver-table wrapper below, whose
+    results are compared against the unrolled-``KM_K`` DuckDB SQL) raises
+    a clear scale-contract error whenever the derived K or the sub-split
+    guard would make this plan diverge from that SQL — instead of the
+    divergence surfacing as an opaque value-hash diff in the parity gate.
+
     Composes with model-free embeddings: rename
     ``textstats.hash_embeddings`` output (doc_id -> vec_id, emb -> vn)
     and this is semantic TEXT dedup with no embeddings table at all.
@@ -975,6 +1008,8 @@ def dedup_semantic_vectors(
     at plan-construction time."""
     e = vectors.select("vec_id", "vn").localCheckpoint()
     n = e.count()  # cheap: e is checkpointed above
+    if oracle_strict:
+        _oracle_scale_check(n)
     if k is None:
         k = km_k_for(n, target_cell_size)
     if max_cell_size is None:
@@ -992,6 +1027,15 @@ def dedup_semantic_vectors(
             m.groupBy("cid")
             .agg(F.ceil(F.count(F.lit(1)) / max_cell_size).cast("int").alias("nsplit"))
         )
+        if oracle_strict and sizes.agg(F.max("nsplit")).first()[0] > 1:
+            # a sub-split drops pairs the unrolled-K SQL keeps — fail loud
+            # instead of surfacing as an opaque parity diff
+            raise RuntimeError(
+                "oracle scale contract exceeded: a k-means cell exceeds "
+                f"max_cell_size={max_cell_size} and would be hash-sub-split, "
+                "which the registered DuckDB oracle (unsplit cells) cannot "
+                "follow. Use dedup_semantic_vectors directly at scale."
+            )
         m = m.join(F.broadcast(sizes), "cid").withColumn(
             "sub",
             F.when(F.col("nsplit") <= 1, F.lit(0)).otherwise(
@@ -1042,7 +1086,11 @@ def dedup_semantic(
     e = _emb(spark, sf_dir, widen=True).select(
         "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
     )
-    return dedup_semantic_vectors(e, threshold, return_losers=return_losers)
+    # oracle_strict: this wrapper is the one compared against the
+    # unrolled-KM_K DuckDB SQL — fail loud past the driver-scale contract
+    return dedup_semantic_vectors(
+        e, threshold, return_losers=return_losers, oracle_strict=True
+    )
 
 
 def _semdedup_sql(threshold: float = SEMDEDUP_THRESHOLD) -> str:

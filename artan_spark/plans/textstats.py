@@ -749,10 +749,17 @@ def dedup_corpus_substrings(
     docs emit text='' — unlike the line pass, callers see the tombstone).
 
     100-TB shape: the only corpus-volume shuffles are the span-df
-    hash-agg (partial-agg combines upstream) and the occurrence regroup
-    for docs that HAVE duplicated spans (a small subset); the join back
-    to the corpus broadcasts the per-doc interval table under the same
-    gate. No all-pairs term anywhere; shingling is in-row.
+    hash-agg (partial-agg combines upstream) and the occurrence regroup —
+    one row per DUPLICATED (doc, start), i.e. proportional to the volume
+    of duplicated content, which on a boilerplate-heavy corpus can be a
+    large fraction of the corpus (that volume IS the work: every one of
+    those positions gets cut). The two broadcasts are gated SEPARATELY
+    on what each actually ships: the span semi-join on the duplicated-
+    span count, the interval join back to the corpus on the TOTAL
+    OCCURRENCE count (which bounds both the per-doc interval row count
+    and its payload — a single hot footer span in 10^8 docs keeps the
+    span gate tiny but must NOT broadcast the 10^8-row interval table).
+    No all-pairs term anywhere; shingling is in-row.
 
     NOTE reassembly single-spaces tokens (the pass tokenizes on ``\\s+``
     — original whitespace runs are not preserved). Like
@@ -772,13 +779,24 @@ def dedup_corpus_substrings(
     )
     dup = (
         sh.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_occ"),  # total occurrences incl. within-doc repeats
+        )
         .filter(F.col("df") >= min_df)
-        .select("sh")
-        .localCheckpoint()  # materialize once: the count gate must not re-agg
+        .localCheckpoint()  # materialize once: the gate stats must not re-agg
     )
-    small = dup.count() <= broadcast_limit
-    occ = sh.join(F.broadcast(dup) if small else dup, "sh", "left_semi")
+    stats = dup.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.coalesce(F.sum("n_occ"), F.lit(0)).alias("n_occ"),
+    ).first()
+    small_spans = stats["n_spans"] <= broadcast_limit
+    # |ivs| rows and total interval payload are both <= total occurrences,
+    # so this (not the span count) is the quantity that gates the ivs
+    # broadcast — dup.count() does not bound it (one span, many docs)
+    small_ivs = stats["n_occ"] <= broadcast_limit
+    dupk = dup.select("sh")
+    occ = sh.join(F.broadcast(dupk) if small_spans else dupk, "sh", "left_semi")
     ivs = occ.groupBy("doc_id").agg(
         _iv_merge(F.array_sort(F.collect_list("start")), n).alias("ivs")
     )
@@ -789,7 +807,7 @@ def dedup_corpus_substrings(
         lambda st: ~F.exists(covered, lambda iv: (st["i"] >= iv["s"]) & (st["i"] <= iv["e"])),
     )
     return (
-        base.join(F.broadcast(ivs) if small else ivs, "doc_id", "left")
+        base.join(F.broadcast(ivs) if small_ivs else ivs, "doc_id", "left")
         .select(
             "doc_id",
             F.array_join(F.transform(kept, lambda st: st["t"]), " ").alias("text"),
@@ -1008,9 +1026,29 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(*aggs)
 
 
-_GOPHER_SQL = f"""
-WITH m AS (
-  SELECT doc_id,
+# the A1.1 flag predicates in SQL, keyed like CURATION-style rule names —
+# the single source of truth composed oracles (plans/pipeline.py) embed, so
+# a threshold tweak here cannot silently diverge from the composed query
+_GOPHER_FLAG_SQL = {
+    "words": "(n_words >= 50 AND n_words <= 100000)",
+    "word_len": "(mean_wl >= 3.0 AND mean_wl <= 10.0)",
+    "symbols": "(sym_ratio <= 0.1)",
+    "bullets": "(bullet_frac <= 0.9)",
+    "ellipsis": "(ellipsis_frac <= 0.3)",
+    "alpha": "(alpha_frac >= 0.8)",
+    "stops": "(n_stops >= 2)",
+}
+
+
+def _gopher_m_cte(p: str = "", keep: tuple = ()) -> str:
+    """The A1.1 per-doc metric CTE (``{p}m``), mirroring
+    ``gopher_quality_flags`` metric-for-metric — shared by the standalone
+    ``_GOPHER_SQL`` oracle and every composed oracle (the same
+    deduplication contract ``_gopher_rep_cte`` gives the A1.2 rules).
+    ``keep`` names passthrough columns (e.g. ``source``)."""
+    kc = "".join(f"{c}, " for c in keep)
+    return f"""{p}m AS (
+  SELECT doc_id, {kc}
          len(t) AS n_words,
          ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6) AS mean_wl,
          ROUND((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
@@ -1019,20 +1057,24 @@ WITH m AS (
          ROUND(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) * 1.0 / len(ls), 6) AS ellipsis_frac,
          ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t), 6) AS alpha_frac,
          len(list_intersect(list_distinct(t), [{_GOPHER_STOPS_SQL}])) AS n_stops
-  FROM (SELECT doc_id, text,
+  FROM (SELECT doc_id, {kc}text,
                regexp_split_to_array(trim(text), '\\s+') AS t,
                string_split(text, chr(10)) AS ls
         FROM documents)
-),
+)"""
+
+
+_GOPHER_SQL = f"""
+WITH {_gopher_m_cte()},
 flags AS (
   SELECT doc_id,
-         (n_words >= 50 AND n_words <= 100000) AS ok_words,
-         (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
-         (sym_ratio <= 0.1) AS ok_symbols,
-         (bullet_frac <= 0.9) AS ok_bullets,
-         (ellipsis_frac <= 0.3) AS ok_ellipsis,
-         (alpha_frac >= 0.8) AS ok_alpha,
-         (n_stops >= 2) AS ok_stops
+         {_GOPHER_FLAG_SQL["words"]} AS ok_words,
+         {_GOPHER_FLAG_SQL["word_len"]} AS ok_word_len,
+         {_GOPHER_FLAG_SQL["symbols"]} AS ok_symbols,
+         {_GOPHER_FLAG_SQL["bullets"]} AS ok_bullets,
+         {_GOPHER_FLAG_SQL["ellipsis"]} AS ok_ellipsis,
+         {_GOPHER_FLAG_SQL["alpha"]} AS ok_alpha,
+         {_GOPHER_FLAG_SQL["stops"]} AS ok_stops
   FROM m
 )
 SELECT COUNT(*) AS n_docs,

@@ -315,6 +315,35 @@ def test_semdedup_oversized_cell_guard(spark):
     assert kept_all.count() == 1
 
 
+def test_oracle_scale_contract_fails_loud(spark):
+    """The driver-table wrappers are compared against DuckDB SQL that
+    unrolls exactly KM_K unsplit cells. Past the contract (derived K != 16
+    or an actual sub-split) the strict path must raise a CLEAR error, not
+    surface as an opaque parity diff — while the non-strict core keeps
+    working at any scale."""
+    import pytest
+
+    from artan_spark.plans.simsearch import (
+        KM_K,
+        TARGET_CELL_SIZE,
+        _oracle_scale_check,
+        dedup_semantic_vectors,
+    )
+
+    _oracle_scale_check(KM_K * TARGET_CELL_SIZE)  # at the bound: fine
+    with pytest.raises(RuntimeError, match="scale contract"):
+        _oracle_scale_check(KM_K * TARGET_CELL_SIZE + 1)
+
+    # an actual sub-split under oracle_strict raises; the default does not
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(400)], "vec_id long, vn array<double>"
+    )
+    with pytest.raises(RuntimeError, match="sub-split"):
+        dedup_semantic_vectors(
+            vecs, threshold=0.9, k=4, max_cell_size=50, oracle_strict=True
+        )
+
+
 def test_pq_ann_recall_rescore_and_replay(spark):
     """Product-quantization ANN: (a) emitted cosines are EXACT (every
     returned pair's score equals the brute-force cosine for that pair),
