@@ -12,6 +12,7 @@ order-insensitive value hash is stable across engines.
 from artan_spark.plans import (
     dedup,
     estimation,
+    lm,
     multimodal,
     pipeline,
     relational,
@@ -35,6 +36,7 @@ MODULES = (
     sketch,
     sampling,
     pipeline,
+    lm,
     multimodal,
 )
 

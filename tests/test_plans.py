@@ -840,3 +840,40 @@ def test_gopher_repetition_exact_folds(spark):
     assert abs(out[1].dup_5gram_char_frac - 0.6) < 1e-9, out[1]
     assert abs(out[2].dup_5gram_char_frac - round(40 / 44, 6)) < 1e-9, out[2]
     assert abs(out[3].top_2gram_char_frac - round(8 / 24, 6)) < 1e-9, out[3]
+
+
+def test_lm_perplexity_buckets_pinned(spark):
+    """Hand-computed stupid-backoff perplexities: bigram hits use
+    c(vw)/c(v), misses back off 0.4*p_uni, OOV floors at 0.5/N, the first
+    token scores unigram-only; buckets are per-source equal-thirds by
+    rank (low ppl = head, the CCNet orientation)."""
+    import math
+
+    from artan_spark.plans.lm import lm_perplexity_buckets
+
+    rows = [
+        # the reference slice ("ref" < "x" lexicographically): c(a)=3,
+        # c(b)=2, N=5, c(ab)=2, c(ba)=2
+        (0, "ref", "a b a b a"),
+        # in-distribution: p = 3/5, 2/3, 1.0
+        (1, "x", "a b a"),
+        # pure OOV: p = 0.1, then backoff 0.4*0.1
+        (2, "x", "z z"),
+        # middle: p(a)=0.6, p(z|a) backoff 0.4*0.1, p(a|z) backoff 0.4*0.6
+        (3, "x", "a z a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in lm_perplexity_buckets(docs).collect()}
+
+    exp1 = math.exp(-(math.log(3 / 5) + math.log(2 / 3) + math.log(1.0)) / 3)
+    exp2 = math.exp(-(math.log(0.1) + math.log(0.04)) / 2)
+    exp3 = math.exp(-(math.log(0.6) + math.log(0.04) + math.log(0.24)) / 3)
+    assert abs(out[1].ppl - round(exp1, 6)) < 1e-9
+    assert abs(out[2].ppl - round(exp2, 6)) < 1e-9
+    assert abs(out[3].ppl - round(exp3, 6)) < 1e-9
+    assert out[1].ppl < out[3].ppl < out[2].ppl
+    # 3 docs in source x -> one per bucket, ordered by ppl
+    assert (out[1].bucket, out[3].bucket, out[2].bucket) == ("head", "middle", "tail")
+    # explicit ref_source overrides the lexicographic default
+    alt = {r.doc_id: r for r in lm_perplexity_buckets(docs, ref_source="x").collect()}
+    assert alt[1].ppl != out[1].ppl
