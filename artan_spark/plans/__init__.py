@@ -11,6 +11,7 @@ order-insensitive value hash is stable across engines.
 
 from artan_spark.plans import (
     dedup,
+    dsir,
     estimation,
     lm,
     multimodal,
@@ -37,6 +38,7 @@ MODULES = (
     sampling,
     pipeline,
     lm,
+    dsir,
     multimodal,
 )
 

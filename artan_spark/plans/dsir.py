@@ -1,0 +1,218 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling", NeurIPS —
+public) re-expressed Spark-first.
+
+DSIR selects raw-corpus documents whose HASHED N-GRAM distribution looks
+like a small trusted target corpus: fit two bag-of-hashed-ngrams unigram
+distributions (target ``p`` and raw ``q``, both over ``DSIR_BUCKETS``
+hash buckets), give every raw doc the importance weight
+
+    log w(x) = sum_over_features  count_x[b] * (ln p[b] - ln q[b])
+
+and resample without replacement via the Gumbel top-k trick: select the
+``k`` docs with the largest ``log w + Gumbel noise``. This implementation
+is fully deterministic (hence cross-engine oracle-able): the Gumbel draw
+comes from the portable 60-bit md5 prefix of ``doc_id`` —
+``g = -ln(-ln(u))`` with ``u = (md5_60(doc_id)+0.5)/2^60`` — the same
+hash-uniform construction every sampler in ``plans/sampling.py`` uses.
+
+Features are the paper's: whitespace unigrams AND bigrams, hashed into
+``DSIR_BUCKETS`` buckets (they use 10k; the driver corpus is small so the
+default here is 4096 — a parameter). Both distributions are smoothed
+add-``DSIR_ALPHA``.
+
+The reference engine (ozancicek/artan) has no counterpart; this is the
+third published data-selection stage next to the Gopher gates and the LM
+perplexity filter (``plans/lm.py``).
+
+100-TB shape:
+- the p/q tables are BUCKET-sized (4096 rows) — broadcast by size-based
+  planning into the per-doc-feature join; the totals are 1-row broadcast
+  aggregates;
+- per-doc feature counts are one explode + (doc, bucket) partial agg —
+  shuffle volume bounded by n_docs x distinct-buckets-per-doc, never the
+  token stream itself twice;
+- selection is sort-limit (distributed TakeOrdered), NOT a global
+  row_number window — the per-doc frame at corpus scale must not funnel
+  through one partition; the selected id set (k rows) then size-gated
+  broadcasts back for the flag join;
+- ``k`` derives from a corpus count at plan-construction time (EAGER,
+  like the dedup passes — build when the input is ready).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artan_spark.sources import read_table
+
+DSIR_BUCKETS = 4096  # hashed feature space (paper: 10k)
+DSIR_ALPHA = 0.5  # add-alpha smoothing for both distributions
+DSIR_FRAC = 0.25  # default selected fraction when k is not given
+
+_TWO60 = float(1 << 60)
+
+
+def _bucket(col: F.Column) -> F.Column:
+    """Portable 60-bit md5 prefix -> feature bucket (verified Spark ==
+    DuckDB in plans/sampling.py, including the empty string)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % DSIR_BUCKETS
+    ).alias("b")
+
+
+def _doc_features(base: DataFrame) -> DataFrame:
+    """(doc_id, source, t) -> (doc_id, b) one row per FEATURE OCCURRENCE:
+    every unigram token and every adjacent bigram (joined with a space),
+    hashed. In-row construction, one explode."""
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    feats = F.concat(F.col("t"), bigrams)
+    return base.select("doc_id", F.explode(feats).alias("f")).select(
+        "doc_id", _bucket(F.col("f"))
+    )
+
+
+def dsir_select(
+    d: DataFrame,
+    target_source: str | None = None,
+    k: int | None = None,
+    frac: float = DSIR_FRAC,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, logw, score, selected).
+
+    ``target_source`` names the trusted slice (default: lexicographically
+    smallest source, via broadcast semi-join). ``score`` is the rounded
+    Gumbel-perturbed log-weight the top-``k`` selection orders by
+    (ties broken by doc_id); ``selected`` marks the chosen docs. ``k``
+    defaults to ``ceil(frac * n_docs)`` (EAGER corpus count)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", "source", toks.alias("t"))
+
+    if target_source is None:
+        ms = base.agg(F.min("source").alias("source"))
+        tgt = base.join(F.broadcast(ms), "source", "left_semi")
+    else:
+        tgt = base.filter(F.col("source") == target_source)
+
+    raw_f = _doc_features(base)
+    tgt_f = _doc_features(tgt)
+
+    # bucket-sized distributions + 1-row totals
+    q_tab = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    p_tab = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    q_tot = q_tab.agg(F.sum("cq").alias("nq"))
+    p_tot = p_tab.agg(F.sum("cp").alias("np"))
+
+    docf = raw_f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
+    lp = F.log((F.coalesce(F.col("cp").cast("double"), F.lit(0.0)) + alpha) / (F.col("np") + denom))
+    lq = F.log((F.coalesce(F.col("cq").cast("double"), F.lit(0.0)) + alpha) / (F.col("nq") + denom))
+    logw = (
+        docf.join(p_tab, "b", "left")
+        .join(q_tab, "b", "left")
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(q_tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * (lp - lq)), 6).alias("logw"))
+    )
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(_TWO60)
+    gumbel = -F.log(-F.log(u))
+    scored = (
+        base.select("doc_id", "source")
+        .join(logw, "doc_id")
+        .withColumn("score", F.round(F.col("logw") + gumbel, 6))
+    )
+
+    if k is None:
+        k = math.ceil(frac * base.count())  # EAGER, documented
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    return scored.join(
+        F.broadcast(topk.withColumn("selected", F.lit(True))), "doc_id", "left"
+    ).select(
+        "doc_id", "source", "logw", "score", F.coalesce("selected", F.lit(False)).alias("selected")
+    )
+
+
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: DSIR selection over ``documents``, target = the
+    lexicographically-smallest source, k = ceil(0.25 * n_docs)."""
+    return dsir_select(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS f FROM base
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+    FROM base, unnest(range(1, len(t))) AS u(i)
+  )
+),
+tgt AS (SELECT doc_id FROM base WHERE source = (SELECT MIN(source) FROM base)),
+q_tab AS (SELECT b, COUNT(*) AS cq FROM feats GROUP BY b),
+p_tab AS (SELECT b, COUNT(*) AS cp FROM feats JOIN tgt USING (doc_id) GROUP BY b),
+q_tot AS (SELECT SUM(cq) AS nq FROM q_tab),
+p_tot AS (SELECT SUM(cp) AS np FROM p_tab),
+docf AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+lw AS (
+  SELECT doc_id,
+         ROUND(SUM(c * (ln((COALESCE(cp, 0) + {DSIR_ALPHA}) / (np + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                      - ln((COALESCE(cq, 0) + {DSIR_ALPHA}) / (nq + {DSIR_ALPHA} * {DSIR_BUCKETS})))), 6) AS logw
+  FROM docf
+  LEFT JOIN p_tab USING (b)
+  LEFT JOIN q_tab USING (b)
+  CROSS JOIN p_tot CROSS JOIN q_tot
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT b.doc_id, b.source, lw.logw,
+         ROUND(lw.logw
+               - ln(-ln((CAST(CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+                        / {_TWO60})), 6) AS score
+  FROM base b JOIN lw ON b.doc_id = lw.doc_id
+),
+k AS (SELECT CAST(CEIL({DSIR_FRAC} * COUNT(*)) AS BIGINT) AS k FROM base),
+topk AS (
+  SELECT doc_id FROM scored CROSS JOIN k
+  ORDER BY score DESC, doc_id ASC
+  LIMIT (SELECT k FROM k)
+)
+SELECT s.doc_id, s.source, s.logw, s.score,
+       s.doc_id IN (SELECT doc_id FROM topk) AS selected
+FROM scored s
+"""
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+# registry is at the driver's 50-entry cap: this query carries its oracle
+# through the pytest gate
+PYTEST_ORACLES = {
+    "docs_dsir_select": (docs_dsir_select, _DSIR_SQL),
+}

@@ -877,3 +877,36 @@ def test_lm_perplexity_buckets_pinned(spark):
     # explicit ref_source overrides the lexicographic default
     alt = {r.doc_id: r for r in lm_perplexity_buckets(docs, ref_source="x").collect()}
     assert alt[1].ppl != out[1].ppl
+
+
+def test_dsir_importance_weights_pinned(spark):
+    """DSIR semantics: a raw doc sharing the target slice's hashed n-gram
+    mass outweighs a disjoint-vocabulary doc; selection is Gumbel top-k
+    (deterministic md5 noise), k = ceil(frac * n_docs)."""
+    from artan_spark.plans.dsir import dsir_select
+
+    rows = [
+        # target slice ("a..." sorts first): heavy in 'alpha beta'
+        (0, "a_tgt", "alpha beta alpha beta alpha"),
+        (1, "a_tgt", "alpha beta gamma alpha beta"),
+        # raw docs: 2 matches target vocabulary, 3 is disjoint
+        (2, "raw", "alpha beta alpha beta"),
+        (3, "raw", "zeta eta theta iota kappa"),
+        (4, "raw", "alpha gamma beta alpha"),
+        (5, "raw", "mu nu xi omicron pi rho"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in dsir_select(docs, frac=0.5).collect()}
+    assert len(out) == 6
+    # target-like docs carry strictly larger importance weights
+    # (absolute sign is smoothing-dominated at toy counts — the RELATIVE
+    # ordering is the semantic)
+    assert out[2].logw > out[3].logw and out[4].logw > out[5].logw
+    # k = ceil(0.5 * 6) = 3 selected, and they are the top-3 by score
+    chosen = {i for i, r in out.items() if r.selected}
+    assert len(chosen) == 3
+    top3 = sorted(out.values(), key=lambda r: (-r.score, r.doc_id))[:3]
+    assert chosen == {r.doc_id for r in top3}
+    # explicit target_source overrides the lexicographic default
+    alt = {r.doc_id: r for r in dsir_select(docs, target_source="raw", frac=0.5).collect()}
+    assert alt[3].logw > out[3].logw  # raw-as-target lifts raw-vocab docs
