@@ -231,3 +231,65 @@ def docs_bpe_stats(spark: SparkSession, sf_dir: str, n_merges: int = 100) -> Dat
             F.round(F.sum("n_tokens") / F.sum("ws_tokens"), 6).alias("tokens_per_word"),
         )
     )
+
+
+# -- token-ID encoding (the trainer-facing corpus shape) --------------------
+
+UNK = "<unk>"
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic id table for the learned vocabulary:
+    ``[<unk>] + sorted(corpus alphabet) + [</w>] + merge products in merge
+    order`` — index IS the token id, reproducible for any partitioning
+    (the alphabet is a distributed distinct-char aggregate; only that
+    alphabet-sized frame is collected)."""
+    chars = (
+        word_counts(docs)
+        .select(F.explode(F.split(F.col("word"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    alphabet = sorted(r["c"] for r in chars)
+    return [UNK] + alphabet + [END] + [a + b for a, b in merges]
+
+
+def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]], vocab: list[str]) -> DataFrame:
+    """(doc_id, text) -> (doc_id, ids array<int>, n_tokens): the corpus
+    encoded to TOKEN IDS under the learned vocabulary — the shape a
+    training pipeline packs and ships (compose with ``pack_sequences``
+    by summing ``n_tokens``; the ids column rides along untouched).
+
+    Arrow-batched ``mapInPandas`` with the ranks/vocab shipped by value
+    (both vocabulary-sized) and a per-batch word memo — the same Zipfian
+    cache that makes ``bpe_token_counts`` O(distinct words) per batch.
+    Symbols outside the vocabulary (characters unseen at training time)
+    encode to id 0 = ``<unk>``."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ids = {s: i for i, s in enumerate(vocab)}
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+
+        def word_ids(word):
+            v = memo.get(word)
+            if v is None:
+                v = [ids.get(s, 0) for s in encode_word(word, ranks)]
+                memo[word] = v
+            return v
+
+        for pdf in batches:
+            out = {"doc_id": [], "ids": [], "n_tokens": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                enc: list[int] = []
+                for w in (text or "").split():
+                    enc.extend(word_ids(w))
+                out["doc_id"].append(int(doc_id))
+                out["ids"].append(enc)
+                out["n_tokens"].append(len(enc))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        emit, "doc_id long, ids array<int>, n_tokens long"
+    )

@@ -125,3 +125,45 @@ def test_incremental_matches_reference_at_scale():
         }.items()
     )
     assert train_bpe_from_counts(counts, 100) == _reference_bpe(counts, 100)
+
+
+def test_bpe_encode_ids_roundtrip_and_replay(spark):
+    """Token-ID encoding: (a) ids decode back to the original text through
+    the vocab table (END-marker aware), (b) the distributed encode equals
+    a plain-Python replay bit-for-bit, (c) characters unseen at training
+    time encode to <unk>=0, (d) the id table is deterministic."""
+    from artan_spark.plans.bpe import (
+        END,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+        encode_word,
+    )
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(6)]
+    rows += [(6, "pack my box with five dozen liquor jugs")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=40)
+    vocab = bpe_vocab(docs, merges)
+    assert vocab[0] == "<unk>" and END in vocab
+    assert vocab == bpe_vocab(docs, merges)  # deterministic
+
+    out = {r.doc_id: r for r in bpe_encode_ids(docs, merges, vocab).collect()}
+    assert set(out) == set(range(7))
+
+    # (b) replay in plain Python
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ids = {s: i for i, s in enumerate(vocab)}
+    for doc_id, text in rows:
+        expect = [ids[s] for w in text.split() for s in encode_word(w, ranks)]
+        assert list(out[doc_id].ids) == expect
+        assert out[doc_id].n_tokens == len(expect)
+
+    # (a) decode: concatenate vocab strings, END marks word boundaries
+    dec = "".join(vocab[i] for i in out[6].ids).replace(END, " ").strip()
+    assert dec == rows[-1][1]
+
+    # (c) unseen character -> <unk>
+    weird = spark.createDataFrame([(0, "föx")], "doc_id long, text string")
+    enc = bpe_encode_ids(weird, merges, vocab).collect()[0]
+    assert 0 in list(enc.ids)
