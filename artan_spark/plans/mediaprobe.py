@@ -10,6 +10,8 @@ pixel/sample decode. ``probe_media`` extracts that metadata with pure
 - **image/bmp / png / jpeg / netpbm**: header dims (JPEG: SOF scan across
   segments, no entropy decode).
 - **video/x-yuv4mpeg**: stream header dims + FRAME count walk.
+- **image/tiff**: header + IFD walk (both byte orders) -> dims, bits,
+  samples/pixel, compression scheme, page count from the next-IFD chain.
 - **video/mp4** (NEW — full decode genuinely needs codec libs, the BOX
   STRUCTURE does not): ISO BMFF box walk -> mvhd duration/timescale,
   per-trak tkhd dims, stsd sample-entry fourcc, track count.
@@ -288,7 +290,69 @@ def _probe_gif(p: bytes):
     return (w, h, dur, 1, f"gif{ver}_{gct}colors_{max(n_frames, 1)}f")
 
 
+def _probe_tiff(p: bytes):
+    """Baseline TIFF 6.0 IFD walk (both byte orders): dims / bits /
+    samples-per-pixel / compression from the FIRST IFD, page count from
+    the next-IFD chain (multi-page TIFFs are stacks of IFDs). Tag values
+    respect the inline-vs-offset rule (count*size <= 4 is inline)."""
+    if len(p) < 8:
+        return _NULL
+    if p[:4] == b"II*\x00":
+        e = "<"
+    elif p[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return _NULL
+    (off,) = struct.unpack(e + "I", p[4:8])
+    w = h = bits = None
+    spp, comp, pages = 1, 1, 0
+    first, seen = True, set()
+    while off and off + 2 <= len(p) and off not in seen and pages < 10_000:
+        seen.add(off)
+        (n,) = struct.unpack(e + "H", p[off : off + 2])
+        if first:
+            for i in range(n):
+                ent = p[off + 2 + 12 * i : off + 14 + 12 * i]
+                if len(ent) < 12:
+                    break
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                if typ not in (3, 4):  # SHORT / LONG carry all probed tags
+                    continue
+                size, fmt = (2, "H") if typ == 3 else (4, "I")
+                if cnt * size <= 4:
+                    (val,) = struct.unpack(e + fmt, ent[8 : 8 + size])
+                else:  # value field is an offset to the array; take [0]
+                    (ptr,) = struct.unpack(e + "I", ent[8:12])
+                    if ptr + size > len(p):
+                        continue
+                    (val,) = struct.unpack(e + fmt, p[ptr : ptr + size])
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 258:
+                    bits = val
+                elif tag == 259:
+                    comp = val
+                elif tag == 277:
+                    spp = val
+            first = False
+        pages += 1
+        nxt = off + 2 + 12 * n
+        if nxt + 4 > len(p):
+            break
+        (off,) = struct.unpack(e + "I", p[nxt : nxt + 4])
+    if w is None or h is None:
+        return _NULL
+    cname = {
+        1: "raw", 2: "ccitt_g3_1d", 3: "ccitt_g3", 4: "ccitt_g4", 5: "lzw",
+        6: "jpeg_old", 7: "jpeg", 8: "deflate", 32773: "packbits", 32946: "deflate",
+    }.get(comp, f"c{comp}")
+    return (w, h, None, pages, f"tiff_{cname}_{spp}x{bits or 1}bit")
+
+
 _PROBES = {
+    "image/tiff": _probe_tiff,
     "image/gif": _probe_gif,
     "audio/wav": _probe_wav,
     "image/bmp": _probe_bmp,

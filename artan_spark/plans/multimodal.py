@@ -916,6 +916,8 @@ _MAGIC_SIGNATURES = [
     ([(0, b"\xff\xd8\xff")], "image/jpeg"),
     ([(0, b"\x89PNG\r\n\x1a\n")], "image/png"),
     ([(0, b"GIF8")], "image/gif"),
+    ([(0, b"II*\x00")], "image/tiff"),
+    ([(0, b"MM\x00*")], "image/tiff"),
     ([(4, b"ftyp")], "video/mp4"),
     ([(0, b"ID3")], "audio/mpeg"),
     ([(0, b"fLaC")], "audio/flac"),

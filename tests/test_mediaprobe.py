@@ -188,3 +188,63 @@ def test_gif_animation_probe():
     assert codec.endswith("_2f")
     assert dur == 1000.0  # 2 x 50 cs
     assert n_streams == 1
+
+
+def _mk_tiff(endian="<", pages=1, bits_array=False):
+    """Hand-assembled minimal TIFF 6.0: header + one IFD per page, first
+    IFD carrying dims 64x48, 3 samples/pixel, LZW compression; bits-per-
+    sample inline (count 1) or as an offset-stored SHORT[3] array."""
+    import struct
+
+    e = endian
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+
+    def entry(tag, typ, cnt, val_bytes):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val_bytes.ljust(4, b"\x00")
+
+    short = lambda v: struct.pack(e + "H", v)
+    ifds = b""
+    off = 8
+    # layout: header(8) | ifd0 | [bits array] | ifd1 ...
+    n_entries = 5
+    ifd_size = 2 + 12 * n_entries + 4
+    bits_off = off + ifd_size * pages
+    for pg in range(pages):
+        nxt = off + ifd_size if pg < pages - 1 else 0
+        if bits_array:
+            bits_val = struct.pack(e + "I", bits_off)
+            bits_cnt = 3
+        else:
+            bits_val = short(8)
+            bits_cnt = 1
+        ifd = struct.pack(e + "H", n_entries)
+        ifd += entry(256, 3, 1, short(64))  # ImageWidth
+        ifd += entry(257, 3, 1, short(48))  # ImageLength
+        ifd += entry(258, 3, bits_cnt, bits_val)  # BitsPerSample
+        ifd += entry(259, 3, 1, short(5))  # Compression = LZW
+        ifd += entry(277, 3, 1, short(3))  # SamplesPerPixel
+        ifd += struct.pack(e + "I", nxt)
+        ifds += ifd
+        off += ifd_size
+    tail = short(8) * 3 if bits_array else b""
+    return magic + struct.pack(e + "I", 8) + ifds + tail
+
+
+def test_tiff_probe_both_endians_and_pages():
+    from artan_spark.plans.mediaprobe import _NULL, _probe_tiff
+    from artan_spark.plans.multimodal import detect_media_type
+
+    for e in ("<", ">"):
+        p = _mk_tiff(endian=e)
+        assert detect_media_type(p) == "image/tiff"
+        w, h, dur, pages, codec = _probe_tiff(p)
+        assert (w, h, dur, pages) == (64, 48, None, 1)
+        assert codec == "tiff_lzw_3x8bit"
+
+    # multi-page: page count from the next-IFD chain
+    assert _probe_tiff(_mk_tiff(pages=3))[3] == 3
+    # offset-stored BitsPerSample array: first element read through the ptr
+    assert _probe_tiff(_mk_tiff(bits_array=True))[4] == "tiff_lzw_3x8bit"
+    # junk and truncation yield NULL, never raise
+    assert _probe_tiff(b"II*\x00\x99\x99") == _NULL
+    assert _probe_tiff(_mk_tiff()[:14]) == _NULL
