@@ -33,8 +33,10 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from artan_spark.plans.sampling import _hash_bucket
 
 from artan_spark.sources import read_table
 
@@ -292,4 +294,75 @@ def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]], vocab: list[s
 
     return docs.select("doc_id", "text").mapInPandas(
         emit, "doc_id long, ids array<int>, n_tokens long"
+    )
+
+
+def pack_token_ids(
+    enc: DataFrame, seq_len: int = 512, n_streams: int = 8
+) -> DataFrame:
+    """(doc_id, ids array<int>) -> (stream, seq_id, ids, n_tokens): the
+    encoded corpus packed into FIXED-LENGTH training sequences — the
+    materialization step after ``bpe_encode_ids`` (its count-only
+    planning twin is ``sampling.pack_sequences``).
+
+    Docs hash into ``n_streams`` independent packing streams and are
+    concatenated in doc_id order within each; the global token stream of
+    a stream is cut every ``seq_len``. Every sequence is exactly
+    ``seq_len`` ids except each stream's last.
+
+    Spark-first shape: one window per stream computes doc start offsets
+    (per-DOC frame — tiny); each doc then SLICES ITS OWN id array in-row
+    into the sequences its span touches (``transform`` over the touched
+    seq range + ``slice``), so the token stream crosses the wire exactly
+    once, as contiguous slices, into a (stream, seq_id) hash agg that
+    orders parts by in-sequence offset and flattens. No per-token
+    explode, no driver materialization."""
+    n = F.size("ids")
+    d = enc.select(
+        "doc_id",
+        "ids",
+        n.alias("n"),
+        (_hash_bucket(F.col("doc_id")) % n_streams).alias("stream"),
+    )
+    w = Window.partitionBy("stream").orderBy("doc_id")
+    offs = d.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    L = F.lit(seq_len)
+    s0 = F.floor(F.col("off") / L)
+    s1 = F.floor((F.col("off") + F.col("n") - 1) / L)
+    parts = F.when(
+        F.col("n") > 0,
+        F.transform(
+            F.sequence(s0, s1),
+            lambda s: F.struct(
+                s.alias("seq_id"),
+                (F.greatest(F.col("off"), s * L) - s * L).alias("pos"),
+                F.slice(
+                    "ids",
+                    (F.greatest(F.col("off"), s * L) - F.col("off") + 1).cast("int"),
+                    (
+                        F.least(F.col("off") + F.col("n"), (s + 1) * L)
+                        - F.greatest(F.col("off"), s * L)
+                    ).cast("int"),
+                ).alias("part"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<seq_id:bigint,pos:bigint,part:array<int>>>)"))
+    pieces = offs.select("stream", F.explode(parts).alias("p")).select(
+        "stream", "p.seq_id", "p.pos", "p.part"
+    )
+    packed = pieces.groupBy("stream", "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "part"))),
+                lambda x: x["part"],
+            )
+        ).alias("ids")
+    )
+    return packed.select(
+        "stream", "seq_id", "ids", F.size("ids").cast("long").alias("n_tokens")
     )

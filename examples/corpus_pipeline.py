@@ -6,7 +6,9 @@ pretraining-data job runs, expressed entirely as artan_spark plan operators.
                   substring (span) dedup ──> quality score ──> filter
                   ──> near-dup clusters ──> keep one per cluster
                   ──> SemDeDup semantic prune ──> token-budget language
-                  mixing ──> concat-and-cut sequence packing ──────────┐
+                  mixing ──> LM perplexity gate (head+middle) ──> DSIR
+                  resampling ──> concat-and-cut sequence packing ──────┐
+                  + BPE train ─> encode to ids ─> pack id sequences    │
     embeddings ─> ANN (k-means IVF) top-k neighbors per query ─────────┤
                                                                        v
               cleaned + packed corpus written PARTITIONED BY (lang/stream)
@@ -132,9 +134,35 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
         .drop("rate")
     )
 
+    # 3b. model-based selection on the mixed corpus: CCNet perplexity
+    #     buckets (keep head+middle under the reference-slice bigram LM)
+    #     then DSIR importance resampling toward the same reference
+    from artan_spark.plans.dsir import dsir_select
+    from artan_spark.plans.lm import lm_perplexity_buckets
+
+    ppl = lm_perplexity_buckets(mixed.select("doc_id", "source", "text"))
+    lm_kept = ppl.filter(F.col("bucket") != "tail").select("doc_id")
+    selected = (
+        dsir_select(mixed.select("doc_id", "source", "text"), frac=0.9)
+        .filter("selected")
+        .select("doc_id")
+    )
+    mixed = mixed.join(lm_kept, "doc_id", "left_semi").join(
+        selected, "doc_id", "left_semi"
+    )
+
     # 4. sequence packing: concat-and-cut the mixed docs into fixed-token
     #    training sequences (8 independent hash streams, one window each)
     packed = pack_sequences(mixed, seq_len=512)
+
+    # 4b. the materialized twin: BPE-encode the selected corpus to token
+    #     ids and pack the ids themselves into fixed-length sequences
+    from artan_spark.plans.bpe import bpe_encode_ids, bpe_train, bpe_vocab, pack_token_ids
+
+    merges = bpe_train(mixed, n_merges=60)
+    vocab = bpe_vocab(mixed, merges)
+    enc = bpe_encode_ids(mixed.select("doc_id", "text"), merges, vocab)
+    packed_ids = pack_token_ids(enc, seq_len=512)
 
     # 5. similarity index: top-k cosine neighbors via the k-means IVF path
     neighbors = ann_ivf_kmeans(spark, sf_dir)
@@ -142,14 +170,18 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     # 6. partitioned sinks: downstream jobs prune by lang / stream at the scan
     mixed.write.mode("overwrite").partitionBy("lang").parquet(out_dir + "/cleaned")
     packed.write.mode("overwrite").partitionBy("stream").parquet(out_dir + "/packed")
+    packed_ids.write.mode("overwrite").partitionBy("stream").parquet(out_dir + "/packed_ids")
     neighbors.write.mode("overwrite").parquet(out_dir + "/neighbors")
 
     n_in, n_out = docs.count(), spark.read.parquet(out_dir + "/cleaned").count()
     n_seq = spark.read.parquet(out_dir + "/packed").agg(F.max("seq_id")).first()[0]
+    pid = spark.read.parquet(out_dir + "/packed_ids")
+    n_ids = pid.agg(F.sum("n_tokens")).first()[0]
     n_nb = spark.read.parquet(out_dir + "/neighbors").count()
-    assert n_out > 0 and n_nb > 0 and n_seq is not None
-    print(f"corpus: {n_in} docs -> {n_out} kept+mixed ({n_in - n_out} dropped); "
-          f"packed into <= {n_seq + 1} seqs/stream; {n_nb} neighbor edges -> {out_dir}")
+    assert n_out > 0 and n_nb > 0 and n_seq is not None and n_ids > 0
+    print(f"corpus: {n_in} docs -> {n_out} kept+mixed+selected ({n_in - n_out} dropped); "
+          f"packed into <= {n_seq + 1} seqs/stream + {n_ids} BPE ids materialized; "
+          f"{n_nb} neighbor edges -> {out_dir}")
     spark.stop()
 
 

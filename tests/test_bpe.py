@@ -167,3 +167,42 @@ def test_bpe_encode_ids_roundtrip_and_replay(spark):
     weird = spark.createDataFrame([(0, "föx")], "doc_id long, text string")
     enc = bpe_encode_ids(weird, merges, vocab).collect()[0]
     assert 0 in list(enc.ids)
+
+
+def test_pack_token_ids_replay(spark):
+    """Packed sequences replay exactly: per stream, concatenating docs in
+    doc_id order and cutting every seq_len reproduces each (seq_id, ids)
+    bit-for-bit; every sequence is full except the stream's last; empty
+    docs contribute nothing."""
+    from artan_spark.plans.bpe import pack_token_ids
+    from artan_spark.plans.sampling import _BUCKETS
+
+    import hashlib
+
+    def stream_of(doc_id, n_streams):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return (h % _BUCKETS) % n_streams
+
+    rows = [(i, list(range(i * 100, i * 100 + (0 if i == 7 else 3 + (i * 7) % 11))))
+            for i in range(20)]
+    enc = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    L, NS = 8, 3
+    out = {(r.stream, r.seq_id): list(r.ids) for r in pack_token_ids(enc, seq_len=L, n_streams=NS).collect()}
+
+    # plain-Python replay
+    expect = {}
+    for s in range(NS):
+        cat = []
+        for doc_id, ids in sorted(rows):
+            if stream_of(doc_id, NS) == s:
+                cat.extend(ids)
+        for q in range(0, max(1, (len(cat) + L - 1) // L)):
+            part = cat[q * L:(q + 1) * L]
+            if part:
+                expect[(s, q)] = part
+    assert out == expect
+    # all-but-last full per stream
+    for s in range(NS):
+        seqs = sorted(q for (ss, q) in out if ss == s)
+        for q in seqs[:-1]:
+            assert len(out[(s, q)]) == L
