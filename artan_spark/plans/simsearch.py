@@ -846,11 +846,12 @@ def _fit_pq_codebooks(e_vn: DataFrame, dim: int, m: int = PQ_M, k: int = PQ_K) -
 
 
 def pq_encode(e_vn: DataFrame, cb: DataFrame, dim: int, m: int = PQ_M) -> DataFrame:
-    """(vec_id, vn) -> (vec_id, codes): nearest codeword per subspace,
-    IN-ROW against the broadcast codebooks — a stateless projection, no
-    shuffle on the corpus. codes is array<int> of length ``m``: ~8 ints
-    per vector instead of 64 doubles, the 100-TB candidate-scan I/O cut
-    this exists for."""
+    """(vec_id, vn, *extra) -> (vec_id, *extra, codes): nearest codeword
+    per subspace, IN-ROW against the broadcast codebooks — a stateless
+    projection, no shuffle on the corpus. Non-``vn`` input columns pass
+    through (IVFADC carries the cell id this way). codes is array<int>
+    of length ``m``: ~8 ints per vector instead of 64 doubles, the
+    100-TB candidate-scan I/O cut this exists for."""
     ds = dim // m
     carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
     codes = F.transform(
@@ -865,8 +866,38 @@ def pq_encode(e_vn: DataFrame, cb: DataFrame, dim: int, m: int = PQ_M) -> DataFr
             )
         )["nc"],
     )
-    return (
-        e_vn.crossJoin(F.broadcast(carr)).select("vec_id", codes.alias("codes"))
+    keep = [c for c in e_vn.columns if c != "vn"]
+    return e_vn.crossJoin(F.broadcast(carr)).select(*keep, codes.alias("codes"))
+
+
+def _adc_table(ds: int) -> F.Column:
+    """Per-query ADC table (Jegou et al. 2011 §IV): a map from
+    ``sub * PQ_K + code`` to the dot product of the query's subvector
+    (column ``qvn``) with that codeword, built ONCE per query row from
+    the broadcast codebook array column ``cbs`` — scoring a candidate is
+    then PQ_M map lookups + adds, never a full-dim dot."""
+    return F.map_from_entries(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                (c["sub"] * PQ_K + c["code"]).alias("k"),
+                _dot(F.slice("qvn", c["sub"] * ds + 1, ds), c["cv"]).alias("t"),
+            ),
+        )
+    )
+
+
+def _adc_score() -> F.Column:
+    """Asymmetric-distance score of a coded candidate against the query's
+    ADC table (columns ``codes`` / ``qmap``): the PQ_M table entries added
+    left-to-right in subspace order — the same fold order the DuckDB
+    oracles pin with ``list_sum(list(t ORDER BY sub))``."""
+    return F.aggregate(
+        F.transform(
+            F.col("codes"), (lambda cd, s: F.element_at(F.col("qmap"), s * PQ_K + cd))
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
     )
 
 
@@ -905,32 +936,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
 
     ds = dim // PQ_M
     carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
-    qtab = F.map_from_entries(
-        F.transform(
-            F.col("cbs"),
-            lambda c: F.struct(
-                (c["sub"] * PQ_K + c["code"]).alias("k"),
-                _dot(F.slice("qvn", c["sub"] * ds + 1, ds), c["cv"]).alias("t"),
-            ),
-        )
-    )
     qbase = en.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "vn"
     )
     q = (
         qbase.select("query_id", F.col("vn").alias("qvn"))
         .crossJoin(F.broadcast(carr))
-        .select("query_id", qtab.alias("qmap"))
+        .select("query_id", _adc_table(ds).alias("qmap"))
     )
     approx = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
-        "acos",
-        F.aggregate(
-            F.transform(
-                F.col("codes"), (lambda cd, s: F.element_at(F.col("qmap"), s * PQ_K + cd))
-            ),
-            F.lit(0.0),
-            lambda a, t: a + t,
-        ),
+        "acos", _adc_score()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
     cand = (
@@ -951,6 +966,139 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ann_ivfadc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = KM_NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVFADC — the inverted-file + product-quantization composition of
+    Jegou, Douze & Schmid (TPAMI 2011, §V): the coarse k-means quantizer
+    routes each vector to a cell, PQ encodes the RESIDUAL (vector minus
+    its cell's UNNORMALIZED mean — the mean is the least-squares-optimal
+    anchor, so residual energy is the within-cell variance, strictly
+    below the unit raw energy; subtracting the spherical unit-norm
+    centroid instead OVERSHOOTS on weakly clustered data — measured
+    residual energy 1.35 > 1 on the driver corpus, which is why FAISS's
+    ``by_residual`` anchors on the quantizer's cell mean too), and a
+    query scores only the vectors inside its ``nprobe`` nearest cells
+    via ADC: ``dot(q, x) = dot(q, mean(x)) + dot(q, residual(x))`` —
+    the decomposition holds exactly for ANY anchor; probe RANKING still
+    uses the spherical centroids (direction is what cell nearness
+    means), only the offset term switches to the mean. Scoring a
+    candidate is PQ_M table lookups against the query's ADC table. Top
+    ``rerank`` candidates rescore with exact cosine, so emitted scores
+    are exact. This is the production large-scale ANN serving shape
+    (FAISS ``IVFx,PQy``).
+
+    Composition of two already-oracle-checked fits under one determinism
+    contract: the spherical k-means of ``ann_ivf_kmeans`` (6-dp rounded
+    centroids, first-KM_K init, ties to the smallest cid) and the
+    per-subspace Lloyd of ``ann_pq_topk`` — here fitted on residuals
+    (init = residuals of the PQ_K smallest vec_ids). The DuckDB oracle
+    composes the same two unrolled CTE chains (`_ann_ivfadc_sql`).
+
+    100-TB shape: the candidate scan reads ~PQ_M small ints per vector
+    in the probed CELLS ONLY (with a materialized cell-partitioned codes
+    table — the `build_ivf_index` layout — that is partition-pruned I/O:
+    nprobe/K of the corpus, each row ~16x narrower than the float64
+    vectors); centroids, codebooks and per-query ADC tables broadcast;
+    full vectors are touched for Q x rerank rows only."""
+    e = _emb(spark, sf_dir, widen=True)
+    en = e.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
+    ).localCheckpoint()  # coarse fit + residuals + queries all re-read it
+    dim = len(en.select("vn").first()["vn"])
+    n = en.count()
+    _oracle_scale_check(n)  # oracle unrolls exactly KM_K cells
+    cent, member = _fit_kmeans_cells(en, k=km_k_for(n))
+
+    # unnormalized FINAL-cell means (6-dp rounded, the same cross-engine
+    # determinism treatment as the centroids): one narrow (cid, pos) agg
+    # over the corpus, K tiny rows out
+    means = (
+        member.select("cid", F.posexplode("vn").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("cm")
+        )
+        .localCheckpoint()
+    )
+
+    # residual per vector: vn - mean(cid), computed map-side against the
+    # broadcast means table; checkpointed because the PQ fit makes
+    # PQ_ITERS + 1 passes over it
+    resid = (
+        member.join(F.broadcast(means), "cid")
+        .select(
+            "cid",
+            "vec_id",
+            F.zip_with("vn", "cm", lambda a, b: a - b).alias("vn"),
+        )
+        .localCheckpoint()
+    )
+    cb = _fit_pq_codebooks(resid.select("vec_id", "vn"), dim)
+    codes = pq_encode(resid, cb, dim)  # (cid, vec_id, codes) — cell carried
+
+    q = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
+    )
+    # probe the nprobe nearest cells by SPHERICAL centroid direction,
+    # then attach the offset term of the ADC decomposition: the query's
+    # dot with the probed cell's unnormalized MEAN (the residual anchor)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rdot"), F.asc("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rdot", _dot(F.col("qvn"), F.col("cv")))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .join(F.broadcast(means), "cid")
+        .withColumn("qdot", _dot(F.col("qvn"), F.col("cm")))
+        .select("query_id", F.col("cid").alias("cell"), "qdot")
+    )
+    ds = dim // PQ_M
+    carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
+    qmaps = (
+        q.crossJoin(F.broadcast(carr))
+        .select("query_id", _adc_table(ds).alias("qmap"))
+    )
+    pr = probe.join(qmaps, "query_id")  # Q x nprobe rows, both tiny
+
+    approx = codes.join(
+        F.broadcast(pr),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("acos", F.col("qdot") + _adc_score())
+    w = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "vec_id", "cell")
+    )
+    qv = q.select("query_id", F.col("qvn").alias("qv"))
+    scored = (
+        cand.join(en, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", _dot(F.col("vn"), F.col("qv")))
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
             "rank",
             F.round("cosine", 6).alias("cosine"),
         )
@@ -1128,21 +1276,20 @@ ORACLES = {
     "embedding_label_centroids": _CENTROID_SQL,
 }
 
-def _ann_pq_sql(rerank: int = PQ_RERANK, dim: int = 64) -> str:
-    """DuckDB oracle for ``ann_pq_topk`` — the per-subspace Lloyd fit
-    unrolled exactly like ``_kmeans_cells_cte`` (sub is one more group
-    key), then encode, the per-query ADC table, and exact rescoring.
-    Determinism: subvector L2 via ``list_zip`` keeps element order, the
-    ADC sum is ``list_sum(list(t ORDER BY sub))`` so both engines add
-    the PQ_M table entries in subspace order, and centroids round to 6
-    decimals per iteration — the same cross-engine contract as IVF."""
-    ds = dim // PQ_M
-    d2 = "list_sum(list_transform(list_zip(v.sv, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
-    sql = f"""
-WITH n0 AS ({_EMB_SQL}),
-n AS (SELECT vec_id, list_transform(v, x -> x / norm) AS vn FROM n0),
-sv AS (SELECT vec_id, s.s AS sub, vn[(s.s*{ds}+1):(s.s*{ds}+{ds})] AS sv
-       FROM n, (SELECT unnest(range(0, {PQ_M})) AS s) s),
+# subvector squared-L2 via list_zip: element order preserved, so ties and
+# magnitudes match Spark's left-to-right zip_with fold
+_PQ_D2 = "list_sum(list_transform(list_zip(v.sv, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+
+def _pq_lloyd_ctes() -> str:
+    """The unrolled per-subspace Lloyd CTE chain over a preceding
+    ``sv``(vec_id, sub, sv) CTE — shared by the PQ and IVFADC oracles
+    (IVFADC's sv carries residual subvectors and an extra cid column the
+    chain ignores). Emits ``,p0 ... ,p{PQ_ITERS}``; callers read final
+    codebooks from ``p{PQ_ITERS}``. Same contract as the Spark fit:
+    init = subvectors of the PQ_K smallest vec_ids, 6-dp rounding per
+    iteration, distance ties to the smallest code."""
+    sql = f""",
 p0 AS (SELECT sub, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < {PQ_K})"""
     prev = "p0"
     for i in range(1, PQ_ITERS + 1):
@@ -1151,7 +1298,7 @@ pa{i} AS (
   SELECT vec_id, sub, code FROM (
     SELECT v.vec_id, v.sub, c.code,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-                              ORDER BY {d2} ASC, c.code ASC) AS r
+                              ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
     FROM sv v JOIN {prev} c ON c.sub = v.sub
   ) WHERE r = 1),
 pm{i} AS (
@@ -1162,12 +1309,31 @@ p{i} AS (
   SELECT sub, code, list_transform(list(mu ORDER BY pos), x -> ROUND(x, 6)) AS cv
   FROM pd{i} GROUP BY sub, code)"""
         prev = f"p{i}"
+    return sql
+
+
+def _ann_pq_sql(rerank: int = PQ_RERANK, dim: int = 64) -> str:
+    """DuckDB oracle for ``ann_pq_topk`` — the per-subspace Lloyd fit
+    unrolled exactly like ``_kmeans_cells_cte`` (sub is one more group
+    key), then encode, the per-query ADC table, and exact rescoring.
+    Determinism: subvector L2 via ``list_zip`` keeps element order, the
+    ADC sum is ``list_sum(list(t ORDER BY sub))`` so both engines add
+    the PQ_M table entries in subspace order, and centroids round to 6
+    decimals per iteration — the same cross-engine contract as IVF."""
+    ds = dim // PQ_M
+    prev = f"p{PQ_ITERS}"
+    sql = f"""
+WITH n0 AS ({_EMB_SQL}),
+n AS (SELECT vec_id, list_transform(v, x -> x / norm) AS vn FROM n0),
+sv AS (SELECT vec_id, s.s AS sub, vn[(s.s*{ds}+1):(s.s*{ds}+{ds})] AS sv
+       FROM n, (SELECT unnest(range(0, {PQ_M})) AS s) s)"""
+    sql += _pq_lloyd_ctes()
     sql += f""",
 codes AS (
   SELECT vec_id, sub, code FROM (
     SELECT v.vec_id, v.sub, c.code,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
-                              ORDER BY {d2} ASC, c.code ASC) AS r
+                              ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
     FROM sv v JOIN {prev} c ON c.sub = v.sub
   ) WHERE r = 1),
 q AS (SELECT vec_id AS query_id, vn AS qvn FROM n WHERE vec_id < {N_QUERIES}),
@@ -1199,9 +1365,89 @@ WHERE rank <= {TOP_K}
     return sql
 
 
+def _ann_ivfadc_sql(
+    nprobe: int = KM_NPROBE, rerank: int = PQ_RERANK, dim: int = 64
+) -> str:
+    """DuckDB oracle for ``ann_ivfadc_topk`` — the k-means cell CTE chain
+    (`_kmeans_cells_cte`), the 6-dp-rounded unnormalized final-cell means
+    (the residual anchor), residual subvectors into the shared
+    per-subspace Lloyd chain (`_pq_lloyd_ctes`), then the probed-cell ADC
+    scoring ``qdot + list_sum(list(t ORDER BY sub))`` (the mean-offset
+    term added OUTSIDE the subspace-ordered sum, exactly Spark's
+    ``qdot + _adc_score()``) and exact rescoring."""
+    ds = dim // PQ_M
+    kprev = f"c{KM_ITERS}"
+    pprev = f"p{PQ_ITERS}"
+    sql = _kmeans_cells_cte()
+    sql += f""",
+fm AS (
+  SELECT cells.cid, generate_subscripts(n.vn, 1) AS pos, unnest(n.vn) AS x
+  FROM n JOIN cells ON n.vec_id = cells.vec_id),
+fd AS (SELECT cid, pos, AVG(x) AS m FROM fm GROUP BY 1, 2),
+cmn AS (
+  SELECT cid, list_transform(list(m ORDER BY pos), x -> ROUND(x, 6)) AS cm
+  FROM fd GROUP BY cid),
+r AS (
+  SELECT n.vec_id, cells.cid,
+         list_transform(list_zip(n.vn, c.cm), z -> z[1] - z[2]) AS rv
+  FROM n JOIN cells ON n.vec_id = cells.vec_id
+  JOIN cmn c ON cells.cid = c.cid
+),
+sv AS (SELECT vec_id, cid, s.s AS sub, rv[(s.s*{ds}+1):(s.s*{ds}+{ds})] AS sv
+       FROM r, (SELECT unnest(range(0, {PQ_M})) AS s) s)"""
+    sql += _pq_lloyd_ctes()
+    sql += f""",
+codes AS (
+  SELECT vec_id, cid, sub, code FROM (
+    SELECT v.vec_id, v.cid, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {_PQ_D2} ASC, c.code ASC) AS r
+    FROM sv v JOIN {pprev} c ON c.sub = v.sub
+  ) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, vn AS qvn FROM n WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT p.query_id, p.cell, list_dot_product(p.qvn, m.cm) AS qdot FROM (
+    SELECT q.query_id, q.qvn, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qvn, c.cv) DESC, c.cid ASC) AS crank
+    FROM q CROSS JOIN {kprev} c
+  ) p JOIN cmn m ON p.cell = m.cid
+  WHERE p.crank <= {nprobe}
+),
+qt AS (
+  SELECT q.query_id, c.sub, c.code,
+         list_dot_product(q.qvn[(c.sub*{ds}+1):(c.sub*{ds}+{ds})], c.cv) AS t
+  FROM q CROSS JOIN {pprev} c),
+acand AS (
+  SELECT query_id, vec_id, cell FROM (
+    SELECT p.query_id, k.vec_id, p.cell,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY p.qdot + list_sum(list(t.t ORDER BY t.sub)) DESC,
+                                       k.vec_id ASC) AS arank
+    FROM codes k
+    JOIN probe p ON k.cid = p.cell
+    JOIN qt t ON t.query_id = p.query_id AND t.sub = k.sub AND t.code = k.code
+    WHERE k.vec_id != p.query_id
+    GROUP BY p.query_id, k.vec_id, p.cell, p.qdot
+  ) WHERE arank <= {rerank})
+SELECT query_id, neighbor_id, cell, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT a.query_id, n.vec_id AS neighbor_id, a.cell,
+         list_dot_product(n.vn, q.qvn) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.query_id
+                            ORDER BY list_dot_product(n.vn, q.qvn) DESC, n.vec_id ASC) AS rank
+  FROM acand a JOIN n ON n.vec_id = a.vec_id
+  JOIN q ON q.query_id = a.query_id
+)
+WHERE rank <= {TOP_K}
+"""
+    return sql
+
+
 # registry is capped at 50 driver entries: semantic dedup and PQ carry
 # their oracles through the pytest gate instead
 PYTEST_ORACLES = {
     "dedup_semantic": (dedup_semantic, _semdedup_sql()),
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
+    "ann_ivfadc_topk": (ann_ivfadc_topk, _ann_ivfadc_sql()),
 }

@@ -91,6 +91,7 @@ HEADLINE = [
     "docs_dedup_substrings",  # new round 8: ditto
     "corpus_curation_report",  # new round 8: ditto
     "ann_pq_topk",  # new round 8: ditto
+    "ann_ivfadc_topk",  # new round 8: ditto
     "docs_gopher_repetition",  # new round 8: ditto
     "docs_lm_perplexity",  # new round 8: ditto
     "docs_dsir_select",  # new round 8: ditto
