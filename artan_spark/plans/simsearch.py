@@ -355,6 +355,11 @@ TARGET_CELL_SIZE = 4096
 # to bound pair work (see dedup_semantic_vectors).
 MAX_CELL_FACTOR = 4
 
+PQ_M = 8  # subspaces (dim 64 -> 8 dims each on the driver embeddings)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 2  # unrolled Lloyd iterations, same determinism contract as IVF
+PQ_RERANK = 4 * TOP_K
+
 
 def km_k_for(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
     """Corpus-derived cluster count: ``max(KM_K, ceil(N / target))`` —
@@ -507,7 +512,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bool = False) -> None:
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, quantize: bool | str = False
+) -> None:
     """Materialize the spherical-k-means IVF index for build-once /
     query-many serving: the same fit as ``ann_ivf_kmeans`` (identical
     determinism contract), with centroids as one small parquet and the
@@ -522,6 +529,15 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bo
     Serving can then generate candidates from the ~4×-smaller quantized
     layout and touch the full-precision cells only for the rerank rows
     (both scans partition-pruned) — composing the two scale levers.
+
+    ``quantize="pq"`` writes the IVFADC layout instead (the FAISS
+    ``IVFx,PQy`` on-disk shape): ``means`` (the unnormalized cell means
+    residuals anchor on), ``pq_codebooks`` (PQ_M x PQ_K rows), and
+    ``cells_pq`` — PQ codes of the cell-mean residuals, cell-partitioned
+    (~PQ_M small ints/vector, ~16x narrower than the float64 cells).
+    Serve with ``ann_ivfadc_query``; same fits and determinism contract
+    as ``ann_ivfadc_topk``, so serving matches the inline path
+    row-for-row (tested).
     """
     e = (
         _emb(spark, sf_dir, widen=True)
@@ -533,7 +549,35 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_dir: str, quantize: bo
     member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
         out_dir + "/cells"
     )
-    if quantize:
+    if quantize == "pq":
+        means = (
+            member.select("cid", F.posexplode("vn").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("cm")
+            )
+            .localCheckpoint()
+        )
+        resid = (
+            member.join(F.broadcast(means), "cid")
+            .select(
+                "cid", "vec_id", F.zip_with("vn", "cm", lambda a, b: a - b).alias("vn")
+            )
+            .localCheckpoint()
+        )
+        dim = len(e.select("vn").first()["vn"])
+        cb = _fit_pq_codebooks(resid.select("vec_id", "vn"), dim)
+        means.write.mode("overwrite").parquet(out_dir + "/means")
+        cb.write.mode("overwrite").parquet(out_dir + "/pq_codebooks")
+        pq_encode(resid, cb, dim).write.mode("overwrite").partitionBy("cid").parquet(
+            out_dir + "/cells_pq"
+        )
+    elif quantize:
         # vn is unit-norm already, so norms need not be stored; same
         # symmetric int8 scheme as quantize_embeddings
         scale = F.array_max(F.transform("vn", F.abs)) / F.lit(127.0)
@@ -617,6 +661,81 @@ def ann_ivf_query(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("cell"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ann_ivfadc_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = KM_NPROBE,
+    top_k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Serve ANN queries against a ``build_ivf_index(..., quantize="pq")``
+    layout — the IVFADC serving path: probe ``nprobe`` cells by broadcast
+    spherical centroids, ADC-score the probed cells' PQ codes (the scan
+    reads ONLY ``cells_pq``, partition-pruned to the probed cells and
+    ~16x narrower than the float cells), then exact-rescore the top
+    ``rerank`` rows against the full-precision cells (that scan pruned on
+    cell + vec_id). ``queries``: (query_id, qvn), qvn L2-normalized.
+    Same contract as ``ann_ivfadc_topk``: emitted cosines exact, results
+    row-for-row equal to the inline path for the same corpus (tested)."""
+    cent = spark.read.parquet(index_dir + "/centroids")
+    means = spark.read.parquet(index_dir + "/means")
+    cb = spark.read.parquet(index_dir + "/pq_codebooks")
+    codes = spark.read.parquet(index_dir + "/cells_pq")
+    member = spark.read.parquet(index_dir + "/cells")
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rdot"), F.asc("cid"))
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("rdot", _dot(F.col("qvn"), F.col("cv")))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .join(F.broadcast(means), "cid")
+        .withColumn("qdot", _dot(F.col("qvn"), F.col("cm")))
+        .select("query_id", F.col("cid").alias("cell"), "qdot")
+    )
+    dim = len(queries.select("qvn").first()["qvn"])
+    ds = dim // PQ_M
+    carr = cb.agg(F.array_sort(F.collect_list(F.struct("sub", "code", "cv"))).alias("cbs"))
+    qmaps = (
+        queries.crossJoin(F.broadcast(carr))
+        .select("query_id", _adc_table(ds).alias("qmap"))
+    )
+    pr = probe.join(qmaps, "query_id")
+
+    approx = codes.join(
+        F.broadcast(pr),
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("acos", F.col("qdot") + _adc_score())
+    wa = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "vec_id", "cell")
+    )
+    scored = (
+        member.join(
+            F.broadcast(cand),
+            (F.col("cid") == F.col("cell")) & (member["vec_id"] == cand["vec_id"]),
+        )
+        .select("query_id", member["vec_id"].alias("vec_id"), "cell", "vn")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cosine", _dot(F.col("vn"), F.col("qvn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
             "rank",
             F.round("cosine", 6).alias("cosine"),
         )
@@ -772,12 +891,6 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str, rerank: int = 4 * TOP_K
 
 
 # -- product quantization (Jegou et al. 2011) -------------------------------
-
-PQ_M = 8  # subspaces (dim 64 -> 8 dims each on the driver embeddings)
-PQ_K = 16  # codewords per subspace (4-bit codes)
-PQ_ITERS = 2  # unrolled Lloyd iterations, same determinism contract as IVF
-PQ_RERANK = 4 * TOP_K
-
 
 def _l2sq(x, c) -> F.Column:
     """Left-to-right squared L2 distance between two array columns."""

@@ -516,3 +516,52 @@ def test_ivfadc_recall_rescore_and_cell_confinement(spark):
         sq += sum((a - b) ** 2 for a, b in zip(vecs[vid], mean_of[cid]))
         cnt += 1
     assert sq / cnt < 0.95, sq / cnt
+
+
+def test_ivfadc_index_serve_matches_inline(spark, tmp_path):
+    """An index built with quantize="pq" serves IVFADC row-for-row equal
+    to the inline ann_ivfadc_topk path (same fits, same determinism
+    contract), and the PQ codes layout is the radically smaller scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import (
+        N_QUERIES,
+        _emb,
+        ann_ivfadc_query,
+        ann_ivfadc_topk,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_pq")
+    build_ivf_index(spark, SF_DIR, idx, quantize="pq")
+    q = (
+        _emb(spark, SF_DIR)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("v", lambda x: x / F.col("norm")).alias("qvn"),
+        )
+    )
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cell, r.cosine)
+        for r in ann_ivfadc_query(spark, idx, q).collect()
+    }
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cell, r.cosine)
+        for r in ann_ivfadc_topk(spark, SF_DIR).collect()
+    }
+    assert served == inline
+
+    def tree_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # 8 small ints vs 64 doubles: the codes tree must be far below the
+    # float cells tree (parquet overhead keeps it from the raw 16x)
+    assert tree_bytes(idx + "/cells_pq") < 0.25 * tree_bytes(idx + "/cells")
