@@ -408,6 +408,107 @@ def cap_source_share(
     )
 
 
+# temperature exponent for docs_temperature_mix: 0.7 is the standard
+# multilingual pretraining setting (XLM-R / mT5 lineage); alpha -> 0
+# approaches the equal-share mix above, alpha = 1 is proportional
+TEMP_ALPHA = 0.7
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = TEMP_ALPHA,
+    budget_frac: float = BUDGET_FRAC,
+    key_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture sampling over ``key_col`` — the
+    p^alpha re-weighting every multilingual/multi-domain pretraining
+    recipe uses (Conneau et al. 2020 §3.1; the LLaMA/GPT-3 data tables
+    are hand-tuned instances of the same form): target share
+    ``q_i = p_i^alpha / sum_j p_j^alpha`` where ``p_i`` is the group's
+    token share, flattening the head and lifting the tail as alpha
+    drops below 1. Acceptance ``rate_i = min(1, budget * q_i /
+    tokens_i)`` — never upsampled — applied as the same deterministic
+    doc-level hash-Bernoulli as ``mix_sample`` (alpha -> 0 recovers its
+    equal-share targets; alpha = 1 is proportional pass-through at the
+    budget).
+
+    Cross-engine determinism: ``pow`` is NOT bit-portable between the
+    JVM and C libm, so the rate is ROUNDED to 6 decimals BEFORE the
+    Bernoulli comparison in both engines (the same 6-dp contract the
+    k-means centroids use); semantically harmless, and the report then
+    restates the exact filter rate. Scale shape identical to the other
+    mixers: one hash agg to per-group totals (few rows), rates derived
+    on that tiny frame, broadcast back, stateless filter — the corpus
+    never shuffles. Returns kept (doc_id, key, n_tokens, rate) rows."""
+    d = docs.select("doc_id", key_col, n_tokens_expr().alias("n_tokens"))
+    totals = d.groupBy(key_col).agg(F.sum("n_tokens").cast("long").alias("grp_tokens"))
+    w = Window.partitionBy()
+    rates = (
+        totals.withColumn("tot", F.sum("grp_tokens").over(w).cast("double"))
+        .withColumn("pa", F.pow(F.col("grp_tokens").cast("double") / F.col("tot"), alpha))
+        .withColumn("za", F.sum("pa").over(w))
+        .select(
+            key_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget_frac)
+                    * F.col("tot")
+                    * (F.col("pa") / F.col("za"))
+                    / F.col("grp_tokens").cast("double"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), key_col)
+        .filter(_hash_uniform(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", key_col, "n_tokens", "rate")
+    )
+
+
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source yield report of the temperature mix at the default
+    alpha: (source, rate, n_docs_kept, n_tokens_kept)."""
+    kept = temperature_mix(read_table(spark, sf_dir, "documents"))
+    return kept.groupBy("source").agg(
+        F.first("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS grp_tokens FROM d GROUP BY source),
+r AS (
+  SELECT source,
+         ROUND(LEAST(1.0,
+           {BUDGET_FRAC} * tot * (pa / (SUM(pa) OVER ())) / CAST(grp_tokens AS DOUBLE)
+         ), 6) AS rate
+  FROM (
+    SELECT source, grp_tokens,
+           CAST(SUM(grp_tokens) OVER () AS DOUBLE) AS tot,
+           POWER(CAST(grp_tokens AS DOUBLE) / CAST(SUM(grp_tokens) OVER () AS DOUBLE),
+                 {TEMP_ALPHA}) AS pa
+    FROM t
+  )
+)
+SELECT d.source,
+       MIN(r.rate) AS rate,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_kept
+FROM d JOIN r ON d.source = r.source
+WHERE (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        / {_TWO60_SQL} < r.rate
+GROUP BY d.source
+"""
+
+
 def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source yield report of the domain-cap pass: rate, kept docs,
     kept tokens — sorted consumers can verify no post-cap source exceeds
@@ -460,4 +561,5 @@ PYTEST_ORACLES = {
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
     "docs_mix_sample": (docs_mix_sample, _MIX_SQL),
     "docs_source_cap": (docs_source_cap, _SOURCE_CAP_SQL),
+    "docs_temperature_mix": (docs_temperature_mix, _TEMP_MIX_SQL),
 }

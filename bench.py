@@ -95,6 +95,7 @@ HEADLINE = [
     "docs_gopher_repetition",  # new round 8: ditto
     "docs_lm_perplexity",  # new round 8: ditto
     "docs_dsir_select",  # new round 8: ditto
+    "docs_temperature_mix",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

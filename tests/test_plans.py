@@ -910,3 +910,46 @@ def test_dsir_importance_weights_pinned(spark):
     # explicit target_source overrides the lexicographic default
     alt = {r.doc_id: r for r in dsir_select(docs, target_source="raw", frac=0.5).collect()}
     assert alt[3].logw > out[3].logw  # raw-as-target lifts raw-vocab docs
+
+
+def test_temperature_mix_alpha_semantics(spark):
+    """Temperature mixing: alpha=1 is proportional (every group gets
+    exactly the budget rate), alpha<1 lifts the tail relative to the
+    head (small group's rate rises toward 1, big group's falls below
+    the budget), alpha->0 approaches equal token shares, and the keep
+    decision is deterministic."""
+    from artan_spark.plans.sampling import temperature_mix
+
+    rows, did = [], 0
+    # big: 900 docs x 10 tokens; small: 100 docs x 10 tokens
+    for _ in range(900):
+        rows.append((did, "ten word doc " + "tok " * 7, "big")); did += 1
+    for _ in range(100):
+        rows.append((did, "ten word doc " + "tok " * 7, "small")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def rates(alpha, budget=0.5):
+        out = {}
+        for r in temperature_mix(docs, alpha=alpha, budget_frac=budget).collect():
+            out[r.source] = r.rate
+        return out
+
+    r1 = rates(1.0)
+    assert r1["big"] == 0.5 and r1["small"] == 0.5  # proportional = flat budget
+
+    r07 = rates(0.7)
+    assert r07["small"] > 0.5 > r07["big"]  # tail lifted, head trimmed
+
+    r0 = rates(0.001)  # alpha -> 0: equal target shares
+    # equal shares of 0.5 * 10000 = 5000 tokens -> 2500 each:
+    # small (1000 tokens) caps at rate 1.0; big rate -> 2500/9000
+    assert r0["small"] == 1.0
+    assert abs(r0["big"] - 2500 / 9000) < 0.01
+
+    # monotone in alpha for the dominant group
+    assert r0["big"] < r07["big"] < r1["big"]
+
+    # deterministic kept set
+    a = {r.doc_id for r in temperature_mix(docs).collect()}
+    b = {r.doc_id for r in temperature_mix(docs).collect()}
+    assert a == b and len(a) > 0
