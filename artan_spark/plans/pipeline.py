@@ -9,10 +9,17 @@ corpus_pipeline.py` composition shape made oracle-checkable."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.plans.sampling import SOURCE_CAP_SHARE, _TWO60_SQL, cap_source_share
+from artan_spark.plans.sampling import (
+    SOURCE_CAP_SHARE,
+    _TWO60_SQL,
+    cap_source_share,
+    n_tokens_expr,
+)
 from artan_spark.plans.simsearch import SEMDEDUP_THRESHOLD, _kmeans_cells_cte, dedup_semantic
 from artan_spark.plans.textstats import (
     _GOPHER_FLAG_SQL,
@@ -21,7 +28,7 @@ from artan_spark.plans.textstats import (
     gopher_quality_flags,
     gopher_repetition_flags,
 )
-from artan_spark.sources import read_table
+from artan_spark.sources import read_table, widen_scan
 
 # the driver corpus is synthetic word soup with no English function words,
 # so the full 8-rule Gopher gate (incl. the 2-stop-words rule) blanks it —
@@ -34,6 +41,42 @@ CURATION_RULES = ("words", "word_len", "symbols", "alpha")
 # costs more than the shuffled anti-join it avoids (same gate the line and
 # substring passes use)
 BROADCAST_LOSER_LIMIT = 2_000_000
+
+
+def _gated_meta(
+    spark: SparkSession, sf_dir: str, rules: tuple = CURATION_RULES
+) -> DataFrame:
+    """The ONE heavy corpus pass of the curation pipeline: quality gate
+    (A1.1 subset) -> repetition gate (all 13 A1.2 rules) -> project to
+    gated METADATA (doc_id, source, n_tokens) — everything downstream
+    (cap totals, cap filter, loser anti-join, report agg) needs only
+    these three columns, never the text. Exactly one documents scan
+    (plan-asserted in tests)."""
+    # barrier=True: the combined gate is ~25 ms/doc of interpreted HOF
+    # eval, and PushDownPredicates would otherwise inline it into the
+    # (1-row-group, hence SERIAL) documents scan — measured 80 s at
+    # sf0.1 vs ~10 s with the gate running widened (guarded: a real
+    # lake's scan yields >= cores splits, no-op there)
+    d = widen_scan(
+        spark,
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        cache_key=os.path.join(sf_dir, "documents.parquet"),
+        barrier=True,
+    )
+    gate = F.lit(True)
+    for r in rules:
+        gate = gate & F.col(f"ok_{r}")
+    gated = (
+        gopher_quality_flags(d, keep=("source", "text"))
+        .filter(gate)
+        .select("doc_id", "source", "text")
+    )
+    gated = (
+        gopher_repetition_flags(gated, keep=("source", "text"))
+        .filter(F.col("passes_gopher_repetition"))
+        .select("doc_id", "source", "text")
+    )
+    return gated.select("doc_id", "source", n_tokens_expr().alias("n_tokens"))
 
 
 def corpus_curation_report(
@@ -49,11 +92,16 @@ def corpus_curation_report(
 
     Plan shape (the 100-TB contract, plan-asserted in tests):
     - the quality AND repetition gates are STATELESS projection+filters
-      fused into the documents scan — no join back to the corpus
-      (``keep=`` columns ride through both flag projections);
-    - the cap reads the gated corpus twice (totals agg + keep filter, the
-      ``cap_source_share`` shape) — exactly TWO documents scans total, the
-      gate folded into both;
+      over ONE widened documents scan (``_gated_meta``) — no join back to
+      the corpus;
+    - the gated METADATA (doc_id, source, n_tokens — ~30 B/doc, three
+      orders of magnitude narrower than the corpus) is localCheckpointed
+      so the gate's ~25 ms/doc of interpreted HOF eval runs EXACTLY ONCE;
+      the cap's totals agg + keep filter and the final anti-join all read
+      the checkpoint (pre-round-8 shape re-ran the gate in every pass:
+      3 heavy corpus passes, measured 80 s vs ~10 s at sf0.1). At 100 TB
+      the checkpoint is corpus-count x 30 B — a manifest, not a copy of
+      the data;
     - the semantic-loser set joins ``left_anti`` with a SIZE-GATED
       broadcast hint (small at the default threshold, but the threshold is
       caller-controlled and a low one makes losers a large corpus
@@ -62,23 +110,11 @@ def corpus_curation_report(
       corpus, is never a broadcast side (the round-7
       examples/corpus_pipeline.py bug, fixed);
     - embeddings costs are the shared ``dedup_semantic`` fit (checkpointed
-      internally; EAGER at plan-construction time like its standalone use).
+      internally); construction is EAGER (two localCheckpoints + the
+      loser-count gate), like ``dedup_semantic``'s standalone use.
     """
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    gate = F.lit(True)
-    for r in rules:
-        gate = gate & F.col(f"ok_{r}")
-    gated = (
-        gopher_quality_flags(d, keep=("source", "text"))
-        .filter(gate)
-        .select("doc_id", "source", "text")
-    )
-    gated = (
-        gopher_repetition_flags(gated, keep=("source", "text"))
-        .filter(F.col("passes_gopher_repetition"))
-        .select("doc_id", "source", "text")
-    )
-    capped = cap_source_share(gated, max_share=max_share)
+    gated_meta = _gated_meta(spark, sf_dir, rules).localCheckpoint()
+    capped = cap_source_share(gated_meta, max_share=max_share, n_tokens_col="n_tokens")
     losers = (
         dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True)
         .select(F.col("vec_id").alias("doc_id"))

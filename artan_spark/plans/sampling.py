@@ -373,7 +373,10 @@ SOURCE_CAP_SHARE = 0.04
 
 
 def cap_source_share(
-    docs: DataFrame, max_share: float = SOURCE_CAP_SHARE, key_col: str = "source"
+    docs: DataFrame,
+    max_share: float = SOURCE_CAP_SHARE,
+    key_col: str = "source",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Cap any single SOURCE's (domain's) token share of the corpus at
     ``max_share`` — the MassiveText/Gopher-style domain cap that stops a
@@ -388,8 +391,16 @@ def cap_source_share(
     re-inflate the remaining shares every round; single-pass pre-cap is
     the standard practice). Scale shape mirrors ``mix_sample``: one hash
     agg for per-source totals (few rows, broadcast back), then a
-    stateless hash-Bernoulli filter — the corpus itself never shuffles."""
-    d = docs.select("doc_id", key_col, n_tokens_expr().alias("n_tokens"))
+    stateless hash-Bernoulli filter — the corpus itself never shuffles.
+
+    ``n_tokens_col`` names a pre-computed token-count column to use
+    instead of re-deriving ``n_tokens_expr()`` from ``text`` — callers
+    that already paid a tokenizing pass (the curation pipeline's gated
+    metadata) pass it so the cap's two reads stay tokenization-free."""
+    if n_tokens_col is not None:
+        d = docs.select("doc_id", key_col, F.col(n_tokens_col).cast("int").alias("n_tokens"))
+    else:
+        d = docs.select("doc_id", key_col, n_tokens_expr().alias("n_tokens"))
     totals = d.groupBy(key_col).agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
     w = Window.partitionBy()
     rates = totals.select(

@@ -62,62 +62,20 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM
 """
 
 
-# split-count probe results per (session, table path, freshness token): the
-# probe itself (`df.rdd.getNumPartitions()`) compiles the scan plan to an RDD
-# — ~0.8s of driver work — and every _emb() call builds a fresh DataFrame, so
-# an uncached probe would tax every ANN query invocation. The freshness token
-# (file count + max mtime of the parquet dir, a cheap os.scandir) invalidates
-# the entry when the data at that path is rewritten in-session (e.g. bench /
-# datagen regenerating a larger SF), so the widen decision never goes stale.
-_WIDEN_CACHE: dict[tuple, int] = {}
-
-
-def _path_token(path: str):
-    """Cheap freshness token for a local parquet dir (or file): (#entries,
-    max mtime). Non-local / unreadable paths return None — cache keyed on
-    path alone, the pre-round-8 behavior."""
-    try:
-        with os.scandir(path) as it:
-            stats = [e.stat() for e in it]
-        if not stats:
-            return (0, os.stat(path).st_mtime_ns)
-        return (len(stats), max(s.st_mtime_ns for s in stats))
-    except NotADirectoryError:
-        try:
-            return (1, os.stat(path).st_mtime_ns)
-        except OSError:
-            return None
-    except OSError:
-        return None
-
-
 def _widen(spark: SparkSession, df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Round-robin repartition a SCAN-NARROW input up to the session's core
-    count when the source parquet has fewer splits than cores. The
-    embeddings table is small on disk (a couple of row groups), so every
-    downstream higher-order-function pass — interpreted per element, not
-    codegen — would otherwise run on 2-3 tasks while the rest of the
-    cluster idles; round-7 profiling measured the sf1.0 k-means normalize
-    alone at 11.9s on 2 partitions vs ~1s widened. On a real 100-TB lake
-    the scan already yields >= cores splits and this is a no-op (guarded,
-    so no gratuitous shuffle is added)."""
-    target = spark.sparkContext.defaultParallelism
-    key = None
-    if cache_key:
-        key = (spark.sparkContext.applicationId, cache_key, _path_token(cache_key))
-    nparts = _WIDEN_CACHE.get(key)
-    if nparts is None:
-        nparts = df.rdd.getNumPartitions()
-        if key is not None:
-            # entries for an older freshness token of the same (app, path)
-            # are unreachable forever — evict them so a session that
-            # rewrites the data N times holds one entry, not N
-            for stale in [k for k in _WIDEN_CACHE if k[:2] == key[:2] and k != key]:
-                del _WIDEN_CACHE[stale]
-            _WIDEN_CACHE[key] = nparts
-    if nparts < target:
-        return df.repartition(target)
-    return df
+    count when the source parquet has fewer splits than cores (the shared
+    ``sources.widen_scan`` guard, no pushdown barrier — the HOF-heavy
+    consumers here are aggregates, not pushable filters). The embeddings
+    table is small on disk (a couple of row groups), so every downstream
+    higher-order-function pass — interpreted per element, not codegen —
+    would otherwise run on 2-3 tasks while the rest of the cluster idles;
+    round-7 profiling measured the sf1.0 k-means normalize alone at 11.9s
+    on 2 partitions vs ~1s widened. On a real 100-TB lake the scan already
+    yields >= cores splits and this is a no-op."""
+    from artan_spark.sources import widen_scan
+
+    return widen_scan(spark, df, cache_key=cache_key, barrier=False)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

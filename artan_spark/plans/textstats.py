@@ -8,7 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.sources import read_table
+import os
+
+from artan_spark.sources import read_table, widen_scan
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1288,8 +1290,16 @@ def gopher_repetition_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
 def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level repetition report: per-rule failure counts + the pass
     count, mirroring ``docs_gopher_quality``."""
+    # barrier-widened: the 13-rule projection is interpreted HOF eval
+    # (~8 ms/doc) and would otherwise fuse into the 1-row-group scan and
+    # run serially (sources.widen_scan; measured 38 s -> ~1.5 s at sf0.1)
     g = gopher_repetition_flags(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        widen_scan(
+            spark,
+            read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            cache_key=os.path.join(sf_dir, "documents.parquet"),
+            barrier=True,
+        )
     )
     rule_cols = [c for c in g.columns if c.startswith("ok_")]
     aggs = [F.count(F.lit(1)).alias("n_docs")]

@@ -93,6 +93,82 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# split-count probe results per (session, table path, freshness token): the
+# probe (`df.rdd.getNumPartitions()`) compiles the scan to an RDD — ~0.8 s of
+# driver work — so it runs once per (app, path, data-version). The freshness
+# token (file count + max mtime, one os.scandir) invalidates the entry when
+# the path is rewritten in-session (bench/datagen regenerating a larger SF).
+_WIDEN_CACHE: dict[tuple, int] = {}
+
+
+def _path_token(path: str):
+    """Cheap freshness token for a local parquet dir (or file): (#entries,
+    max mtime). Non-local / unreadable paths return None — cache keyed on
+    path alone."""
+    try:
+        with os.scandir(path) as it:
+            stats = [e.stat() for e in it]
+        if not stats:
+            return (0, os.stat(path).st_mtime_ns)
+        return (len(stats), max(s.st_mtime_ns for s in stats))
+    except NotADirectoryError:
+        try:
+            return (1, os.stat(path).st_mtime_ns)
+        except OSError:
+            return None
+    except OSError:
+        return None
+
+
+def widen_scan(
+    spark: SparkSession, df: DataFrame, cache_key: str | None = None, barrier: bool = False
+) -> DataFrame:
+    """Guarded fix for the FEW-SPLITS SCAN pathology: when the source
+    parquet yields fewer splits than cores (a small file is one row group
+    — unsplittable, so ``maxPartitionBytes`` can't help), every expensive
+    per-row expression that Catalyst fuses into or pushes down to the scan
+    runs on 1-2 tasks while the rest of the machine idles. Round-robin
+    repartition up to ``defaultParallelism`` ONLY in that regime; on a
+    real 100-TB lake the scan already yields >= cores splits and this is
+    a no-op (no gratuitous shuffle).
+
+    ``barrier=True`` additionally appends a lazy Arrow identity
+    ``mapInPandas`` ABOVE the repartition. Why: ``PushDownPredicates``
+    pushes any deterministic filter straight through a round-robin
+    Exchange into the scan's DataFilters — so a heavy derived gate (e.g.
+    the 13-rule Gopher repetition predicate, interpreted HOF eval,
+    ~8 ms/doc) re-runs SERIALLY on the narrow scan and the repartition
+    fixes nothing (measured: 43 s vs 40 s at sf0.1 with/without the
+    repartition alone). Catalyst has no public "don't push" hint; a
+    Python eval node is a pushdown barrier, and the Arrow round trip only
+    exists in the guarded small-scan regime where it costs milliseconds.
+    The barrier is identity — values, types, and row multiplicity are
+    untouched, so oracles are unaffected."""
+    target = spark.sparkContext.defaultParallelism
+    key = None
+    if cache_key:
+        key = (spark.sparkContext.applicationId, cache_key, _path_token(cache_key))
+    nparts = _WIDEN_CACHE.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            # entries for an older freshness token of the same (app, path)
+            # are unreachable forever — evict so a session that rewrites
+            # the data N times holds one entry, not N
+            for stale in [k for k in _WIDEN_CACHE if k[:2] == key[:2] and k != key]:
+                del _WIDEN_CACHE[stale]
+            _WIDEN_CACHE[key] = nparts
+    if nparts >= target:
+        return df
+    wide = df.repartition(target)
+    if barrier:
+        def _identity(batches):
+            yield from batches
+
+        wide = wide.mapInPandas(_identity, df.schema)
+    return wide
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -727,21 +727,30 @@ def test_dedup_corpus_lines_paragraph_mode(spark):
 
 
 def test_corpus_curation_report_plan_shape(spark):
-    """The composed Gopher-gate -> source-cap -> SemDeDup query must fuse
-    into one plan with NO extra corpus scans: exactly TWO documents scans
-    (the cap's totals agg + keep filter — the quality gate folds into
-    both as a stateless filter, never a join back), and the semantic
-    loser set joins as a BROADCAST left anti (the kept set is never a
-    broadcast side)."""
-    from artan_spark.plans.pipeline import corpus_curation_report
+    """The composed Gopher-gate -> source-cap -> SemDeDup query must run
+    the heavy gate over exactly ONE documents scan (``_gated_meta``),
+    checkpoint the gated METADATA (doc_id, source, n_tokens), and feed
+    every downstream read (cap totals + keep filter + final anti-join)
+    from the checkpoint — zero re-gating, zero extra corpus scans; the
+    semantic loser set joins as a BROADCAST left anti (the kept set is
+    never a broadcast side)."""
+    from artan_spark.plans.pipeline import _gated_meta, corpus_curation_report
+
+    # the one heavy pass: a single documents scan, gates as filters
+    # (never a join back to the corpus)
+    gate_plan = _gated_meta(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert gate_plan.count("documents.parquet") == 1, gate_plan
+    assert "Join" not in gate_plan, gate_plan
 
     out = corpus_curation_report(spark, "/root/testdata/sf0.001")
     plan = out._jdf.queryExecution().executedPlan().toString()
 
-    assert plan.count("documents.parquet") == 2, plan
+    # downstream reads only the checkpointed metadata — the corpus is
+    # never rescanned (and so the gate never re-runs)
+    assert plan.count("documents.parquet") == 0, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
     # the loser anti-join broadcasts
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    # the gate is pushed into the scans as a filter, not joined back:
     # no SortMergeJoin anywhere in the composition
     assert "SortMergeJoin" not in plan
 
