@@ -402,6 +402,44 @@ def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K
     return cent, with_cell(cent)
 
 
+# the fitted coarse quantizer per (session, embeddings path, freshness
+# token): the spherical k-means fit is a PURE function of the immutable
+# parquet (deterministic init, rounded centroids), so every consumer in a
+# session — ANN serving, SemDeDup, the curation pipeline — shares ONE fit
+# instead of re-running KM_ITERS Lloyd passes each. This is the contract
+# the SemDeDup docstring states ("a corpus pipeline fits once and both
+# serves ANN and semantically dedups from the same cells") made real.
+# Values hold localCheckpoint'd frames: one normalized-embeddings copy per
+# path stays pinned for the session; stale-token entries are evicted.
+_KMEANS_CACHE: dict[tuple, tuple] = {}
+
+
+def _fitted_cells(spark: SparkSession, sf_dir: str):
+    """Memoized (normalized_ckpt, n, centroids, members) for the
+    embeddings table: widen + normalize + localCheckpoint once, fit the
+    corpus-derived-K spherical k-means once (`km_k_for`), reuse for the
+    rest of the session (same freshness-token invalidation as
+    ``sources.widen_scan``)."""
+    from artan_spark.sources import _path_token
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (spark.sparkContext.applicationId, path, _path_token(path))
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = (
+        _emb(spark, sf_dir, widen=True)
+        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+        .localCheckpoint()
+    )
+    n = e.count()  # cheap: e is checkpointed above
+    cent, member = _fit_kmeans_cells(e, k=km_k_for(n))
+    for stale in [kk for kk in _KMEANS_CACHE if kk[:2] == key[:2] and kk != key]:
+        del _KMEANS_CACHE[stale]
+    _KMEANS_CACHE[key] = (e, n, cent, member)
+    return e, n, cent, member
+
+
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) -> DataFrame:
     """IVF with a REAL coarse quantizer: spherical k-means over the
     normalized embeddings (deterministic init = first KM_K vectors, KM_ITERS
@@ -419,26 +457,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = KM_NPROBE) ->
     map-side argmax, each Lloyd iteration is one narrow (cell, pos) agg.
     """
     # normalized vectors are read by every Lloyd pass + the final assignment
-    # + scoring: materialize the narrow (vec_id, vn) projection once instead
-    # of re-deriving it per pass (the pattern Spark MLlib's KMeans uses for
-    # its iteration input; the HOF normalization is the expensive part here).
-    # localCheckpoint, not persist: blocks are released when the plan is
-    # garbage-collected, so repeated invocations in a long session don't
-    # accumulate cached partitions with no unpersist site (the returned
-    # DataFrame outlives this function, so there is no safe explicit one).
-    e = (
-        _emb(spark, sf_dir, widen=True)
-        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
-        .localCheckpoint()
-    )
-
-    # corpus-derived cluster count (floors at KM_K below 64k vectors, so
-    # every driver-scale oracle — whose SQL unrolls exactly KM_K cells —
-    # is unchanged): cells stay ~TARGET_CELL_SIZE as N grows, bounding
-    # the per-query rerank at nprobe x cell instead of nprobe x N/16
-    n = e.count()  # cheap: e is checkpointed above
+    # + scoring: `_fitted_cells` materializes the narrow (vec_id, vn)
+    # projection and the corpus-derived-K fit ONCE PER SESSION (cells stay
+    # ~TARGET_CELL_SIZE as N grows, bounding per-query rerank at
+    # nprobe x cell instead of nprobe x N/16) and shares both with
+    # dedup_semantic / the curation pipeline.
+    e, n, cent, member = _fitted_cells(spark, sf_dir)
     _oracle_scale_check(n)  # this wrapper is bound to the unrolled-K oracle
-    cent, member = _fit_kmeans_cells(e, k=km_k_for(n))
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
@@ -1239,7 +1264,28 @@ def dedup_semantic_vectors(
         .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
     )
     _cent, member = _fit_kmeans_cells(e, init=init, k=k)
-    m = member.select("vec_id", "vn", "cid")
+    return _semdedup_prune(
+        member.select("vec_id", "vn", "cid"),
+        n,
+        threshold,
+        max_cell_size,
+        return_losers=return_losers,
+        oracle_strict=oracle_strict,
+    )
+
+
+def _semdedup_prune(
+    m: DataFrame,
+    n: int,
+    threshold: float,
+    max_cell_size: int,
+    return_losers: bool = False,
+    oracle_strict: bool = False,
+) -> DataFrame:
+    """The within-cell keep-smallest-id cosine prune over an assigned
+    member frame (vec_id, vn, cid) — the pair-work half of SemDeDup,
+    factored out so table wrappers can feed it the session-shared
+    ``_fitted_cells`` fit instead of re-fitting."""
     keys = ["cid"]
     if n > max_cell_size:  # some cell COULD exceed the bound: apply the guard
         sizes = (
@@ -1302,13 +1348,20 @@ def dedup_semantic(
     equi-join on (cid[, sub]), no global all-pairs. Clustering costs are
     shared with the IVF index build, so a corpus pipeline fits once and
     both serves ANN and semantically dedups from the same cells."""
-    e = _emb(spark, sf_dir, widen=True).select(
-        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
-    )
     # oracle_strict: this wrapper is the one compared against the
-    # unrolled-KM_K DuckDB SQL — fail loud past the driver-scale contract
-    return dedup_semantic_vectors(
-        e, threshold, return_losers=return_losers, oracle_strict=True
+    # unrolled-KM_K DuckDB SQL — fail loud past the driver-scale contract.
+    # The fit comes from the session-shared `_fitted_cells` memo (same
+    # centroids ann_ivf_kmeans serves from — ids are contiguous from 0 on
+    # this table, so the default vec_id<k init IS the k smallest ids).
+    _e, n, _cent, member = _fitted_cells(spark, sf_dir)
+    _oracle_scale_check(n)
+    return _semdedup_prune(
+        member.select("vec_id", "vn", "cid"),
+        n,
+        threshold,
+        MAX_CELL_FACTOR * TARGET_CELL_SIZE,
+        return_losers=return_losers,
+        oracle_strict=True,
     )
 
 

@@ -1,14 +1,22 @@
 """Text analysis operators over ``documents``: token counting, quality
-scoring, language profiling, and document fingerprinting — all pure
-JVM-side expressions (no Python in the row path) with DuckDB oracles.
+scoring, language profiling, and document fingerprinting — JVM-side
+expressions (no Python in the row path) with DuckDB oracles. One measured
+exception: the 13-rule Gopher repetition metrics default to an
+Arrow-vectorized engine (see ``gopher_repetition_flags``) because
+higher-order-function lambdas are interpreted, not codegen, and the pure
+Catalyst shape costs ~19 ms/doc — the slow path there is the JVM one.
 """
 
 from __future__ import annotations
 
+import os
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-import os
 
 from artan_spark.sources import read_table, widen_scan
 
@@ -1224,7 +1232,135 @@ def _dup_ngram_char_frac(toks, n: int, word_chars) -> F.Column:
     return _safe_frac(covered, word_chars)
 
 
-def gopher_repetition_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
+# Spark-parity text primitives for the Arrow engine, pinned empirically:
+# F.trim strips ONLY 0x20 (not \t\n\x0b\f\r); Java's \s (no UNICODE flag)
+# is exactly [ \t\n\x0B\f\r] — Python's \s would also match \xa0 etc., so
+# the class is spelled out. UTF-8 byte order == code-point order, so
+# Python sorted()/min() agree with array_sort's binary comparison.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_PARA_SEP = re.compile(r"\n{2,}")
+_Q6 = Decimal("0.000001")
+
+
+def _round6_half_up(v: float) -> float:
+    """Parity with Spark's ``round(x, 6)``: BigDecimal(Double.toString(x))
+    .setScale(6, HALF_UP). ``repr`` is the same shortest-unique-decimal
+    contract as Double.toString, and Decimal quantize is the same decimal
+    HALF_UP — engine-parity is asserted row-for-row in tests."""
+    return float(Decimal(repr(v)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def _safe_frac_py(num: int, den: int) -> float:
+    return _round6_half_up(num / den) if den > 0 else 0.0
+
+
+def _rep_metrics_py(text) -> list:
+    """All 13 repetition metrics for one doc, bit-identical to the
+    Catalyst expressions in the ``engine="catalyst"`` path (same
+    tokenization, same tie-breaks, same rounding)."""
+    t = text if text is not None else ""
+    toks = [w for w in _JAVA_WS.split(t.strip(" ")) if w]
+    word_chars = sum(map(len, toks))
+    lines = [s for s in (x.strip(" ") for x in t.split("\n")) if s]
+    paras = [s for s in (x.strip(" ") for x in _PARA_SEP.split(t)) if s]
+    out = []
+    for arr in (lines, paras):
+        m, distinct = len(arr), set(arr)
+        out.append(_safe_frac_py(m - len(distinct), m))
+        tot = sum(map(len, arr))
+        out.append(_safe_frac_py(tot - sum(map(len, distinct)), tot))
+    for n, _thr in GOPHER_REP_TOP_NGRAM:
+        grams = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        counts = Counter(grams)
+        num = 0
+        if counts:
+            best = max(counts.values())
+            if best >= 2:
+                # tie-break: lexicographically smallest among the max-count
+                # grams (the Catalyst fold keeps the FIRST max of the
+                # sorted array)
+                bestg = min(g for g, k in counts.items() if k == best)
+                num = best * (len(bestg) - (n - 1))
+        out.append(_safe_frac_py(num, word_chars))
+    for n, _thr in GOPHER_REP_DUP_NGRAM:
+        grams = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        counts = Counter(grams)
+        covered_idx: set = set()
+        for i, g in enumerate(grams):
+            if counts[g] >= 2:
+                covered_idx.update(range(i, i + n))
+        out.append(_safe_frac_py(sum(len(toks[i]) for i in covered_idx), word_chars))
+    return out
+
+
+def _rep_spec_names() -> list:
+    """(metric_name, ok_name, threshold) in output order — shared by both
+    engines so columns and gate semantics can't drift apart."""
+    spec = [
+        ("dup_line_frac", "ok_dup_lines", GOPHER_REP_DUP_LINE_FRAC),
+        ("dup_line_char_frac", "ok_dup_line_chars", GOPHER_REP_DUP_LINE_CHAR_FRAC),
+        ("dup_para_frac", "ok_dup_paras", GOPHER_REP_DUP_PARA_FRAC),
+        ("dup_para_char_frac", "ok_dup_para_chars", GOPHER_REP_DUP_PARA_CHAR_FRAC),
+    ]
+    spec += [(f"top_{n}gram_char_frac", f"ok_top_{n}gram", thr) for n, thr in GOPHER_REP_TOP_NGRAM]
+    spec += [(f"dup_{n}gram_char_frac", f"ok_dup_{n}gram", thr) for n, thr in GOPHER_REP_DUP_NGRAM]
+    return spec
+
+
+def _rep_flags_tail(with_metrics: DataFrame) -> DataFrame:
+    """Append the 13 ok_* booleans + the combined gate to a metrics frame
+    (cheap codegen comparisons — shared by both engines)."""
+    spec = _rep_spec_names()
+    rules = [(F.col(name) <= thr).alias(ok) for name, ok, thr in spec]
+    gate = None
+    for name, _, thr in spec:
+        cond = F.col(name) <= thr
+        gate = cond if gate is None else (gate & cond)
+    return with_metrics.select("*", *rules).withColumn("passes_gopher_repetition", gate)
+
+
+def _gopher_repetition_arrow(d: DataFrame, keep: tuple = ()) -> DataFrame:
+    # mapInPandas, NOT a scalar pandas_udf column: a scalar UDF is an
+    # ALIASED EXPRESSION, and PushDownPredicates substitutes aliases into
+    # filter conjuncts — in composed plans (substring-dedup text feeding
+    # this gate inside a join subtree) the 13 inlined UDF copies landed in
+    # a Filter that ExtractPythonUDFs failed to extract, a runtime
+    # INTERNAL_ERROR ("Cannot evaluate expression: _batch(...)"). A
+    # mapInPandas node's outputs are plan ATTRIBUTES: downstream
+    # predicates can reference them but can never inline the computation,
+    # so the gate composes under any amount of pushdown.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spec = _rep_spec_names()
+    names = [name for name, _, _ in spec]
+    out_cols = ["doc_id", *keep]
+    in_cols = out_cols if "text" in keep else [*out_cols, "text"]
+    base = d.select(*in_cols)
+    base_fields = {f.name: f for f in base.schema.fields}
+    out_schema = StructType(
+        [base_fields[c] for c in out_cols]
+        + [StructField(name, DoubleType(), False) for name in names]
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            m = pd.DataFrame(
+                [_rep_metrics_py(t) for t in pdf["text"]], columns=names, dtype="float64"
+            )
+            yield pd.concat([pdf[out_cols].reset_index(drop=True), m], axis=1)
+
+    return _rep_flags_tail(base.mapInPandas(_gen, out_schema))
+
+
+def gopher_repetition_flags(d: DataFrame, keep: tuple = (), engine: str = "arrow") -> DataFrame:
     """The published Gopher/MassiveText REPETITION rules (Rae et al. 2021,
     Appendix A1.2 / Table A1) as one projection — the within-document
     companion of ``gopher_quality_flags`` (A1.1): a doc fails when too
@@ -1245,11 +1381,26 @@ def gopher_repetition_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
     numerator and denominator); top-n-gram fraction is 0 when the max
     count is 1; ties go to the lexicographically smallest n-gram.
 
-    100-TB shape: stateless per-doc projection, NO shuffle — per-doc cost
-    is O(m log m) per n from the in-row sorts (neighbor compares on the
-    sorted array, no O(m x distinct-dups) membership probes), so it fuses
+    100-TB shape: stateless per-doc projection, NO shuffle — it fuses
     into whatever scan feeds it and scales with executors exactly like
-    the A1.1 gate. The reference engine has no counterpart."""
+    the A1.1 gate. The reference engine has no counterpart.
+
+    Two engines, measured A/B at sf0.1 (5000 docs, 32 cores):
+    - ``engine="arrow"`` (default): one Arrow-batched pandas UDF computes
+      all 13 metrics (~0.2 ms/doc of plain Python); the ok/pass booleans
+      stay Catalyst. "UDFs are the slow path" does NOT hold here — every
+      heavy subexpression is a higher-order-function lambda, which Spark
+      evaluates INTERPRETED (HOFs never enter codegen), at ~19 ms/doc.
+      The Python node is also a natural predicate-pushdown barrier, so a
+      downstream gate filter can't be inlined into a narrow scan.
+    - ``engine="catalyst"``: the pure-expression shape (per-doc cost
+      O(m log m) per n from the in-row sorts). Kept as the cross-check —
+      a parity test asserts the engines agree row-for-row, and the DuckDB
+      oracle pins both against independent SQL."""
+    if engine == "arrow":
+        return _gopher_repetition_arrow(d, keep)
+    if engine != "catalyst":
+        raise ValueError(f"unknown engine {engine!r}: use 'arrow' or 'catalyst'")
     raw_toks = F.split(F.trim(F.col("text")), r"\s+")
     toks = F.filter(raw_toks, lambda t: t != "")
     word_chars = _char_sum(toks)
@@ -1277,14 +1428,7 @@ def gopher_repetition_flags(d: DataFrame, keep: tuple = ()) -> DataFrame:
     with_metrics = d.select(
         "doc_id", *keep, *[expr.alias(name) for name, expr, _, _ in spec]
     )
-    rules = [(F.col(name) <= thr).alias(ok) for name, _, ok, thr in spec]
-    gate = None
-    for name, _, _, thr in spec:
-        cond = F.col(name) <= thr
-        gate = cond if gate is None else (gate & cond)
-    return with_metrics.select(
-        "*", *rules
-    ).withColumn("passes_gopher_repetition", gate)
+    return _rep_flags_tail(with_metrics)
 
 
 def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

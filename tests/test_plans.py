@@ -851,6 +851,38 @@ def test_gopher_repetition_exact_folds(spark):
     assert abs(out[3].top_2gram_char_frac - round(8 / 24, 6)) < 1e-9, out[3]
 
 
+def test_gopher_repetition_engine_parity(spark):
+    """The Arrow engine (default, ~0.2 ms/doc Python) and the Catalyst
+    engine (interpreted HOF folds, the cross-check) must agree EXACTLY —
+    every metric double, every flag — on the real corpus plus docs built
+    to probe the parity edge cases: Spark trim strips ONLY 0x20, Java \\s
+    excludes \\xa0, lexicographic tie-breaks, empty/null text, and the
+    HALF_UP 6-dp rounding."""
+    from artan_spark.plans.textstats import gopher_repetition_flags
+    from artan_spark.sources import read_table
+
+    tricky = [
+        (100001, "a b a b a b a b a b a b"),
+        (100002, "\tx  y\nx y\n\n\nx y\x0b z \xa0q"),
+        (100003, ""),
+        (100004, None),
+        (100005, "  spaced   out  "),
+        (100006, "line\n" * 10),
+        (100007, "p1\n\np1\n\np2"),
+        (100008, "aa bb cccc dddd aa bb cccc dddd"),
+        (100009, " ".join(f"w{i % 7}" for i in range(200))),
+    ]
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(tricky, "doc_id long, text string"))
+
+    a = gopher_repetition_flags(docs, engine="arrow").orderBy("doc_id").collect()
+    c = gopher_repetition_flags(docs, engine="catalyst").orderBy("doc_id").collect()
+    assert len(a) == len(c) and len(a) > 500
+    for ra, rc in zip(a, c):
+        assert ra.asDict() == rc.asDict(), (ra, rc)
+
+
 def test_lm_perplexity_buckets_pinned(spark):
     """Hand-computed stupid-backoff perplexities: bigram hits use
     c(vw)/c(v), misses back off 0.4*p_uni, OOV floors at 0.5/N, the first
