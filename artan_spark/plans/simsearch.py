@@ -402,29 +402,36 @@ def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K
     return cent, with_cell(cent)
 
 
-# the fitted coarse quantizer per (session, embeddings path, freshness
-# token): the spherical k-means fit is a PURE function of the immutable
-# parquet (deterministic init, rounded centroids), so every consumer in a
-# session — ANN serving, SemDeDup, the curation pipeline — shares ONE fit
-# instead of re-running KM_ITERS Lloyd passes each. This is the contract
-# the SemDeDup docstring states ("a corpus pipeline fits once and both
-# serves ANN and semantically dedups from the same cells") made real.
-# Values hold localCheckpoint'd frames: one normalized-embeddings copy per
-# path stays pinned for the session; stale-token entries are evicted.
-_KMEANS_CACHE: dict[tuple, tuple] = {}
+# session memos per (applicationId, embeddings path, freshness token) —
+# both are PURE functions of the immutable parquet (deterministic init,
+# rounded centroids), so every consumer in a session shares them instead
+# of re-running the work per call. This is the contract the SemDeDup
+# docstring states ("a corpus pipeline fits once and both serves ANN and
+# semantically dedups from the same cells") made real. Values hold
+# localCheckpoint'd frames: one normalized-embeddings copy per path stays
+# pinned for the session; stale-token entries are evicted.
+_NORM_CACHE: dict[tuple, tuple] = {}  # -> (normalized_ckpt, n)
+_KMEANS_CACHE: dict[tuple, tuple] = {}  # -> (centroids, members)
 
 
-def _fitted_cells(spark: SparkSession, sf_dir: str):
-    """Memoized (normalized_ckpt, n, centroids, members) for the
-    embeddings table: widen + normalize + localCheckpoint once, fit the
-    corpus-derived-K spherical k-means once (`km_k_for`), reuse for the
-    rest of the session (same freshness-token invalidation as
-    ``sources.widen_scan``)."""
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple:
     from artan_spark.sources import _path_token
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    key = (spark.sparkContext.applicationId, path, _path_token(path))
-    hit = _KMEANS_CACHE.get(key)
+    return (spark.sparkContext.applicationId, path, _path_token(path))
+
+
+def _evict_stale(cache: dict, key: tuple) -> None:
+    for stale in [kk for kk in cache if kk[:2] == key[:2] and kk != key]:
+        del cache[stale]
+
+
+def _norm_ckpt(spark: SparkSession, sf_dir: str):
+    """Memoized (normalized_checkpoint, n) for the embeddings table:
+    widen + cast + normalize + localCheckpoint once per session — the
+    input every multi-pass consumer (k-means, PQ, IVFADC) re-reads."""
+    key = _memo_key(spark, sf_dir)
+    hit = _NORM_CACHE.get(key)
     if hit is not None:
         return hit
     e = (
@@ -433,10 +440,25 @@ def _fitted_cells(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     n = e.count()  # cheap: e is checkpointed above
-    cent, member = _fit_kmeans_cells(e, k=km_k_for(n))
-    for stale in [kk for kk in _KMEANS_CACHE if kk[:2] == key[:2] and kk != key]:
-        del _KMEANS_CACHE[stale]
-    _KMEANS_CACHE[key] = (e, n, cent, member)
+    _evict_stale(_NORM_CACHE, key)
+    _NORM_CACHE[key] = (e, n)
+    return e, n
+
+
+def _fitted_cells(spark: SparkSession, sf_dir: str):
+    """Memoized (normalized_ckpt, n, centroids, members): the
+    corpus-derived-K spherical k-means fit (`km_k_for`) over `_norm_ckpt`,
+    shared by ann_ivf_kmeans / dedup_semantic / IVFADC / the curation
+    pipeline for the rest of the session (same freshness-token
+    invalidation as ``sources.widen_scan``)."""
+    e, n = _norm_ckpt(spark, sf_dir)
+    key = _memo_key(spark, sf_dir)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is None:
+        hit = _fit_kmeans_cells(e, k=km_k_for(n))
+        _evict_stale(_KMEANS_CACHE, key)
+        _KMEANS_CACHE[key] = hit
+    cent, member = hit
     return e, n, cent, member
 
 
@@ -522,12 +544,9 @@ def build_ivf_index(
     as ``ann_ivfadc_topk``, so serving matches the inline path
     row-for-row (tested).
     """
-    e = (
-        _emb(spark, sf_dir, widen=True)
-        .select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
-        .persist()
-    )
-    cent, member = _fit_kmeans_cells(e, k=km_k_for(e.count()))
+    # session-shared fit: building an index after serving/dedup in the
+    # same session reuses the identical centroids (and vice versa)
+    e, _n, cent, member = _fitted_cells(spark, sf_dir)
     cent.write.mode("overwrite").parquet(out_dir + "/centroids")
     member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
         out_dir + "/cells"
@@ -571,7 +590,6 @@ def build_ivf_index(
             scale.alias("scale"),
             F.transform("vn", lambda x: F.round(x / scale).cast("int")).alias("q"),
         ).write.mode("overwrite").partitionBy("cid").parquet(out_dir + "/cells_q")
-    e.unpersist()
 
 
 def ann_ivf_query(
@@ -1017,13 +1035,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> Da
     per query); the scan side reads ONLY the codes table; the window is
     the same per-query top-rerank as the other ANN paths; full vectors
     are touched for Q x rerank rows only."""
-    # widen=True: the fit + encode are HOF-heavy multi-pass consumers
-    # (PQ_M*PQ_K interpreted L2 folds per vector) — the same scan-
-    # starvation profile the k-means fit showed (see _emb)
-    e = _emb(spark, sf_dir, widen=True)
-    en = e.select(
-        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
-    ).localCheckpoint()  # fit + encode + query extraction all re-read it
+    # the normalized checkpoint comes from the session-shared `_norm_ckpt`
+    # memo (widened — the PQ fit + encode are HOF-heavy multi-pass
+    # consumers, the same scan-starvation profile as the k-means fit);
+    # plain PQ needs no coarse fit, so it shares only the checkpoint tier
+    en, _n = _norm_ckpt(spark, sf_dir)
     # dim probe AFTER the checkpoint: first() on en reads a materialized
     # block instead of launching a widened-scan job per invocation
     dim = len(en.select("vn").first()["vn"])
@@ -1106,14 +1122,13 @@ def ann_ivfadc_topk(
     nprobe/K of the corpus, each row ~16x narrower than the float64
     vectors); centroids, codebooks and per-query ADC tables broadcast;
     full vectors are touched for Q x rerank rows only."""
-    e = _emb(spark, sf_dir, widen=True)
-    en = e.select(
-        "vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
-    ).localCheckpoint()  # coarse fit + residuals + queries all re-read it
+    # coarse stage from the session-shared fit (`_fitted_cells`): the
+    # normalized checkpoint, the count, and the spherical k-means are the
+    # SAME artifacts ann_ivf_kmeans / dedup_semantic use — one fit per
+    # session serves all three plus this composition
+    en, n, cent, member = _fitted_cells(spark, sf_dir)
     dim = len(en.select("vn").first()["vn"])
-    n = en.count()
     _oracle_scale_check(n)  # oracle unrolls exactly KM_K cells
-    cent, member = _fit_kmeans_cells(en, k=km_k_for(n))
 
     # unnormalized FINAL-cell means (6-dp rounded, the same cross-engine
     # determinism treatment as the centroids): one narrow (cid, pos) agg

@@ -1554,7 +1554,147 @@ FROM flags
 _GOPHER_REP_SQL = _gopher_rep_sql()
 
 
+# -- C4 quality heuristics (Raffel et al. 2020 §2.2) -------------------------
+
+C4_END_MARKS = (".", "!", "?", '"')
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_quality_filter(
+    d: DataFrame,
+    keep: tuple = (),
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+    blocklist: tuple = (),
+) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020, §2.2) —
+    the third published quality stage alongside Gopher A1.1/A1.2:
+
+    LINE rules (a line survives iff ALL hold; lines are the trimmed
+    ``\\n`` splits):
+    - ends in a terminal punctuation mark (``. ! ? "``),
+    - has at least ``min_words_per_line`` whitespace words,
+    - does not contain the word "javascript" (case-insensitive).
+
+    PAGE rules (``ok_*`` booleans; a doc passes iff ALL hold):
+    - ``ok_lorem``: no "lorem ipsum" (case-insensitive) in the raw text,
+    - ``ok_brace``: no ``{`` in the raw text (code pages),
+    - ``ok_blocklist``: no lowercase whitespace TOKEN of the raw text in
+      ``blocklist`` (the paper uses a public word blocklist with word
+      boundaries; token membership is the pinned deterministic variant —
+      pass your list, default empty = rule inert),
+    - ``ok_sentences``: the CLEANED text has at least ``min_sentences``
+      sentences, counted as terminal-mark occurrences (``[.!?]``) — the
+      paper used a sentence tokenizer; the mark count is the pinned
+      deterministic proxy (documented deviation).
+
+    Emits (doc_id, *keep, text_clean, n_lines_kept, n_sentences, ok_*,
+    passes_c4). 100-TB shape: stateless projection+filter fused into the
+    scan — cheap codegen-able string predicates per line (no heavy folds,
+    unlike the repetition gate), no shuffle, no Python."""
+    raw_lines = F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l))
+
+    def line_ok(l):
+        last = l.substr(F.length(l), F.lit(1))
+        n_words = F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+        return (
+            last.isin(*C4_END_MARKS)
+            & (n_words >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(raw_lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    out = d.select(
+        "doc_id",
+        *keep,
+        cleaned.alias("text_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        (
+            F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"[.!?]", ""))
+        ).alias("n_sentences"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("ok_lorem"),
+        (~F.col("text").contains("{")).alias("ok_brace"),
+        (
+            F.lit(True)
+            if not blocklist
+            else ~F.arrays_overlap(
+                F.transform(
+                    F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""),
+                    F.lower,
+                ),
+                F.array(*[F.lit(w.lower()) for w in blocklist]),
+            )
+        ).alias("ok_blocklist"),
+    ).withColumn("ok_sentences", F.col("n_sentences") >= min_sentences)
+    return out.withColumn(
+        "passes_c4",
+        F.col("ok_lorem") & F.col("ok_brace") & F.col("ok_blocklist") & F.col("ok_sentences"),
+    )
+
+
+def docs_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level C4 report: per-rule failure counts, pass count, and
+    surviving line/sentence volume — mirrors ``docs_gopher_quality``.
+
+    NOTE the driver corpus is punctuation-free word soup, so the
+    terminal-punctuation line rule drops every line and all docs fail
+    ``ok_sentences`` (n_pass = 0) — the same calibrated-for-real-English
+    situation as Gopher's stop-word rule; the oracle verifies the counts
+    and the synthetic tests trip each rule individually."""
+    g = c4_quality_filter(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("ok_lorem")).cast("long")).cast("long").alias("fail_lorem"),
+        F.sum((~F.col("ok_brace")).cast("long")).cast("long").alias("fail_brace"),
+        F.sum((~F.col("ok_blocklist")).cast("long")).cast("long").alias("fail_blocklist"),
+        F.sum((~F.col("ok_sentences")).cast("long")).cast("long").alias("fail_sentences"),
+        F.sum(F.col("passes_c4").cast("long")).cast("long").alias("n_pass"),
+        F.sum("n_lines_kept").cast("long").alias("total_lines_kept"),
+        F.sum("n_sentences").cast("long").alias("total_sentences"),
+    )
+
+
+_C4_SQL = f"""
+WITH c AS (
+  SELECT
+    doc_id,
+    list_aggregate(kept, 'string_agg', chr(10)) AS text_clean,
+    len(kept) AS n_lines_kept,
+    length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) AS n_sentences,
+    NOT contains(lower(text), 'lorem ipsum') AS ok_lorem,
+    NOT contains(text, '{{') AS ok_brace,
+    TRUE AS ok_blocklist
+  FROM (
+    SELECT doc_id, text, kept,
+           coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS cleaned
+    FROM (
+      SELECT doc_id, text,
+             list_filter(
+               list_transform(string_split(text, chr(10)), x -> trim(x, ' ')),
+               l -> substring(l, length(l), 1) IN ('.', '!', '?', '"')
+                    AND len(list_filter(regexp_split_to_array(trim(l, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '')) >= {C4_MIN_WORDS_PER_LINE}
+                    AND NOT contains(lower(l), 'javascript')
+             ) AS kept
+      FROM documents
+    )
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ok_lorem THEN 1 ELSE 0 END) AS BIGINT) AS fail_lorem,
+       CAST(SUM(CASE WHEN NOT ok_brace THEN 1 ELSE 0 END) AS BIGINT) AS fail_brace,
+       CAST(SUM(CASE WHEN NOT ok_blocklist THEN 1 ELSE 0 END) AS BIGINT) AS fail_blocklist,
+       CAST(SUM(CASE WHEN n_sentences < {C4_MIN_SENTENCES} THEN 1 ELSE 0 END) AS BIGINT) AS fail_sentences,
+       CAST(SUM(CASE WHEN ok_lorem AND ok_brace AND ok_blocklist AND n_sentences >= {C4_MIN_SENTENCES} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(n_lines_kept) AS BIGINT) AS total_lines_kept,
+       CAST(SUM(n_sentences) AS BIGINT) AS total_sentences
+FROM c
+"""
+
+
 PYTEST_ORACLES = {
+    "docs_c4_quality": (docs_c4_quality, _C4_SQL),
     "docs_gopher_quality": (docs_gopher_quality, _GOPHER_SQL),
     "docs_gopher_repetition": (docs_gopher_repetition, _GOPHER_REP_SQL),
     "docs_hash_embeddings": (docs_hash_embeddings, _HASH_EMB_SQL),

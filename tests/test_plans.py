@@ -851,6 +851,43 @@ def test_gopher_repetition_exact_folds(spark):
     assert abs(out[3].top_2gram_char_frac - round(8 / 24, 6)) < 1e-9, out[3]
 
 
+def test_c4_quality_rules_pinned(spark):
+    """Each published C4 heuristic (Raffel et al. 2020 §2.2) trips on a
+    doc built to violate exactly it; line- and page-level rules are
+    asserted separately, including the pinned deterministic variants
+    (sentence count = terminal-mark occurrences, blocklist = lowercase
+    token membership)."""
+    from artan_spark.plans.textstats import c4_quality_filter
+
+    good3 = "First sentence one two three.\nSecond sentence four five six!\nThird sentence seven eight nine?"
+    rows = [
+        (1, good3),                                           # passes all
+        (2, "no terminal punctuation on this long line\n" + good3),  # line dropped, page ok
+        (3, "Too short.\n" + good3),                          # <5 words line dropped
+        (4, "This line mentions JavaScript heavily today.\n" + good3),  # js line dropped
+        (5, good3 + "\nLorem Ipsum dolor sit amet."),         # page fails lorem
+        (6, good3.replace("three.", "three. {"),),            # page fails brace
+        (7, "Only one good sentence right here."),            # <3 sentences
+        (8, "Contains the badword here plainly.\n" + good3),  # blocklist (custom)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_quality_filter(docs, blocklist=("badword",)).collect()}
+
+    assert out[1].passes_c4 and out[1].n_lines_kept == 3 and out[1].n_sentences == 3
+    # line rules drop the offending line but the page survives
+    for i in (2, 3, 4):
+        assert out[i].n_lines_kept == 3 and out[i].passes_c4, out[i]
+        assert "JavaScript" not in out[4].text_clean
+    assert not out[5].ok_lorem and not out[5].passes_c4
+    assert not out[6].ok_brace and not out[6].passes_c4
+    assert not out[7].ok_sentences and not out[7].passes_c4 and out[7].n_sentences == 1
+    assert not out[8].ok_blocklist and not out[8].passes_c4
+    # empty/odd docs don't blow up
+    extra = spark.createDataFrame([(9, ""), (10, None)], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in c4_quality_filter(extra).collect()}
+    assert out2[9].n_lines_kept == 0 and not out2[9].passes_c4
+
+
 def test_gopher_repetition_engine_parity(spark):
     """The Arrow engine (default, ~0.2 ms/doc Python) and the Catalyst
     engine (interpreted HOF folds, the cross-check) must agree EXACTLY —
