@@ -365,6 +365,116 @@ GROUP BY 1, 2
 """
 
 
+# -- Count-Min Sketch ---------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPN = 10
+
+
+def _cms_col(j: int, key, width: int):
+    """Row-j column index: portable 60-bit md5 of 'j:key' mod width —
+    nonnegative, so Spark pmod == DuckDB %."""
+    return F.pmod(
+        _portable_hash(F.concat(F.lit(f"{j}:"), key.cast("string"))), F.lit(width)
+    )
+
+
+def cms_build(d: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over ``key_col``:
+    returns the (j, col, cnt) cell table, ``depth x width`` rows TOTAL
+    regardless of corpus size. The build is one explode (depth structs
+    per row, in-row) + one groupBy — partial aggregation IS the sketch's
+    mergeability, so the shuffle carries at most depth*width rows per
+    map task. Estimates are deterministic (md5-derived columns), hence
+    bit-exact cross-engine."""
+    jc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _cms_col(j, F.col(key_col), width).alias("col")
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        d.select(jc.alias("jc"))
+        .select(F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a ``cms_build`` cell
+    table: est(key) = min_j cells[j, h_j(key)] — the classic one-sided
+    estimate (est >= true count always; over-count bounded by eps*N with
+    probability 1-delta for width=e/eps, depth=ln(1/delta)). The keys
+    frame is tiny (a report/probe set): both sides of the lookup join
+    broadcast."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_col(j, F.col(key_col), width).alias("col"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+    ).select(key_col, F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+
+
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the true top-``CMS_TOPN`` users by
+    event count, next to the exact counts — the estimate is deterministic
+    so the oracle checks it to the last bit, and ``est >= exact`` is the
+    sketch's certificate (asserted in tests for EVERY key, not just the
+    top). 100-TB shape: the sketch build shuffles at most depth*width
+    rows per map task (map-side combine over a fixed key space); the
+    exact-count agg here exists only to report the error and is NOT part
+    of the sketch path."""
+    e = read_table(spark, sf_dir, "events").select("user_id")
+    cells = cms_build(e, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    topk = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(CMS_TOPN)
+    est = cms_estimate(cells, topk.select("user_id"), "user_id")
+    return topk.join(est, "user_id").select("user_id", "n_exact", "cms_estimate")
+
+
+_CMS_SQL = f"""
+WITH j AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+cells AS (
+  SELECT j.j,
+         CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % {CMS_WIDTH} AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN j
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events GROUP BY 1
+),
+topk AS (
+  SELECT user_id, n_exact FROM exact ORDER BY n_exact DESC, user_id ASC LIMIT {CMS_TOPN}
+),
+probes AS (
+  SELECT t.user_id, j.j,
+         CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 15) AS BIGINT) % {CMS_WIDTH} AS col
+  FROM topk t CROSS JOIN j
+)
+SELECT t.user_id, t.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+FROM topk t JOIN probes p ON p.user_id = t.user_id
+JOIN cells c ON c.j = p.j AND c.col = p.col
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {"events_kmv_distinct": events_kmv_distinct}
 ORACLES = {"events_kmv_distinct": _KMV_SQL}
 
@@ -372,6 +482,7 @@ ORACLES = {"events_kmv_distinct": _KMV_SQL}
 # oracle-checked in pytest (tests/test_oracle.py) like the other folded
 # queries
 PYTEST_ORACLES = {
+    "events_cms_topk": (events_cms_topk, _CMS_SQL),
     "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
     "events_heavy_hitters": (events_heavy_hitters, _HH_SQL),
     "events_quantile_sketch": (events_quantile_sketch, _QS_SQL),

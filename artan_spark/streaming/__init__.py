@@ -1,3 +1,4 @@
+from artan_spark.streaming.cms import StreamingCountMin
 from artan_spark.streaming.dedup import streaming_dedup_exact
 from artan_spark.streaming.harness import stream_transform
 from artan_spark.streaming.heavyhitters import StreamingHeavyHitters
@@ -7,6 +8,7 @@ from artan_spark.streaming.quantiles import StreamingQuantiles
 
 __all__ = [
     "stream_transform",
+    "StreamingCountMin",
     "StreamingHeavyHitters",
     "StreamingPacker",
     "StreamingQuantiles",

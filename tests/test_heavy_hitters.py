@@ -407,3 +407,98 @@ def test_streaming_packer_out_of_order_raises(spark):
         stream_transform(
             spark, df.orderBy(F.desc("doc_id")), op.transform, chunk_rows=7
         ).count()
+
+
+def test_cms_certificate_every_key(spark):
+    """Count-Min's one-sided guarantee: est(key) >= true count for EVERY
+    key (not just the reported top-n), and est == true when the width is
+    large enough that no row has a colliding pair."""
+    from artan_spark.plans.sketch import cms_build, cms_estimate
+
+    e = read_table(spark, SF_DIR, "events").select("user_id")
+    cells = cms_build(e, "user_id", depth=4, width=256)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(cells, exact.select("user_id"), "user_id", depth=4, width=256)
+    rows = exact.join(est, "user_id").collect()
+    assert len(rows) > 100
+    assert all(r.cms_estimate >= r.n_exact for r in rows)
+    # wide sketch over few keys: every row has a collision-free cell
+    wide = cms_estimate(
+        cms_build(e, "user_id", depth=4, width=1 << 16),
+        exact.select("user_id"),
+        "user_id",
+        depth=4,
+        width=1 << 16,
+    )
+    wrows = exact.join(wide, "user_id").collect()
+    assert all(r.cms_estimate == r.n_exact for r in wrows)
+
+
+def test_cms_collisions_overcount_pinned(spark):
+    """A deliberately tiny sketch (depth 1, width 2) over 3 distinct keys
+    MUST over-count whichever keys share a column — pinned exactly: each
+    estimate equals the sum of counts in the key's column."""
+    from artan_spark.plans.sketch import _cms_col, cms_build, cms_estimate
+
+    rows = [(k,) for k in ("a", "b", "c") for _ in range(5)]
+    d = spark.createDataFrame(rows, "k string")
+    cells = cms_build(d, "k", depth=1, width=2)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {r.k: r.cms_estimate for r in cms_estimate(cells, keys, "k", depth=1, width=2).collect()}
+    cols = {
+        r.k: r.col
+        for r in keys.select("k", _cms_col(0, F.col("k"), 2).alias("col")).collect()
+    }
+    from collections import Counter
+
+    col_tot = Counter()
+    for k, c in cols.items():
+        col_tot[c] += 5
+    for k in ("a", "b", "c"):
+        assert est[k] == col_tot[cols[k]], (k, est, cols)
+
+
+def test_streaming_cms_batch_equals_stream(spark):
+    """The streaming CMS grid must converge, under ANY chunking, to the
+    exact cell grid one batch build produces (same md5 hash contract),
+    so final estimates match the batch sketch estimate-for-estimate and
+    keep the one-sided certificate vs exact truth."""
+    from artan_spark.plans.sketch import cms_build, cms_estimate
+    from artan_spark.streaming import StreamingCountMin, stream_transform
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.lit("all").alias("grp"), F.col("user_id").alias("item")
+    )
+    op = StreamingCountMin().setStateKeyCol("grp").setItemCol("item").setDepth(4).setWidth(64)
+
+    def final_est(rows):
+        # latest emission per item wins (seq increments per micro-batch)
+        best = {}
+        for r in rows:
+            if r.item not in best or r.seq > best[r.item][0]:
+                best[r.item] = (r.seq, r.est)
+        return {i: e for i, (_s, e) in best.items()}
+
+    streamed = final_est(stream_transform(spark, ev, op.transform, chunk_rows=211).collect())
+
+    flat = ev.select(F.col("item").cast("string").alias("k"))
+    cells = cms_build(flat, "k", depth=4, width=64)
+    keys = flat.distinct()
+    batch = {
+        r.k: r.cms_estimate
+        for r in cms_estimate(cells, keys, "k", depth=4, width=64).collect()
+    }
+    # BATCH-mode transform folds everything in one step: its emissions are
+    # the post-everything estimates and must equal the batch sketch
+    # estimate-for-estimate (the md5 hash contract, cell-for-cell)
+    one_fold = final_est(op.transform(ev).collect())
+    assert one_fold == batch
+
+    # STREAMED emissions are point-in-time ("count so far at this item's
+    # last appearance"): every item's occurrences are all folded by its
+    # last emission, so est >= exact truth; and cells only grow, so
+    # est <= the final batch estimate. Both bounds hold under ANY
+    # chunking or data seed (no exact-equality coupling to chunk layout).
+    truth = {r.k: r.c for r in flat.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(streamed) == set(batch)
+    assert all(truth[k] <= streamed[k] <= batch[k] for k in truth)
