@@ -10,6 +10,7 @@ order-insensitive value hash is stable across engines.
 """
 
 from artan_spark.plans import (
+    bm25,
     dedup,
     dsir,
     estimation,
@@ -39,6 +40,7 @@ MODULES = (
     pipeline,
     lm,
     dsir,
+    bm25,
     multimodal,
 )
 

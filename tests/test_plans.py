@@ -1031,3 +1031,62 @@ def test_temperature_mix_alpha_semantics(spark):
     a = {r.doc_id for r in temperature_mix(docs).collect()}
     b = {r.doc_id for r in temperature_mix(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bm25_plain_python_replay(spark):
+    """Independent replay: BM25 recomputed in plain Python (collections
+    only, no Spark/DuckDB machinery) over sf0.001 must reproduce the
+    operator's top-k row-for-row — scores to the rounded 6th decimal,
+    ranks and tie-breaks exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from artan_spark.plans.bm25 import (
+        BM25_B,
+        BM25_K1,
+        BM25_N_QUERIES,
+        BM25_TOP_K,
+        docs_bm25_topk,
+    )
+    from artan_spark.sources import read_table
+
+    rows = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r.doc_id: [t for t in re.split(r"[ \t\n\x0b\f\r]+", (r.text or "").strip(" ")) if t]
+        for r in rows
+    }
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = len(toks)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    idf = {t: math.log(1.0 + (n_docs - n + 0.5) / (n + 0.5)) for t, n in df.items()}
+
+    expected = {}
+    for q in range(BM25_N_QUERIES):
+        scores = {}
+        qterms = set(toks[q])
+        for d, c in tf.items():
+            s = 0.0
+            for t in c.keys() & qterms:
+                s += (
+                    idf[t]
+                    * (c[t] * (BM25_K1 + 1.0))
+                    / (c[t] + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl[d] / avgdl))
+                )
+            if s > 0:
+                scores[d] = round(s, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP_K]
+        for rank, (d, s) in enumerate(top, 1):
+            expected[(q, rank)] = (d, s)
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in docs_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
