@@ -1313,11 +1313,25 @@ def _semdedup_prune(
     max_cell_size: int,
     return_losers: bool = False,
     oracle_strict: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """The within-cell keep-smallest-id cosine prune over an assigned
     member frame (vec_id, vn, cid) — the pair-work half of SemDeDup,
     factored out so table wrappers can feed it the session-shared
-    ``_fitted_cells`` fit instead of re-fitting."""
+    ``_fitted_cells`` fit instead of re-fitting.
+
+    Two pair engines, measured A/B at sf1.0 (50k vectors, 16 cells of
+    ~3.1k — ~156M candidate pairs):
+    - ``engine="arrow"`` (default): one ``applyInPandas`` task per cell
+      computes the Gram matrix in blocked numpy (BLAS matmul; the same
+      kernel shape as ``dedup_embedding_cosine``'s blocked all-pairs) —
+      the FAISS-style compute the SemDeDup paper assumes. ~3 s where the
+      expression join took ~75 s: a 64-element interpreted ``aggregate``
+      fold PER PAIR cannot compete with a matrix product.
+    - ``engine="catalyst"``: the equi-join + per-pair HOF dot — kept as
+      the cross-check (parity test + the DuckDB oracle pin both).
+    Shuffle shape is identical (one exchange on the cell key); only the
+    per-pair compute changes."""
     keys = ["cid"]
     if n > max_cell_size:  # some cell COULD exceed the bound: apply the guard
         sizes = (
@@ -1340,15 +1354,34 @@ def _semdedup_prune(
             ),
         )
         keys = ["cid", "sub"]
-    a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), *keys)
-    b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), *keys)
-    losers = (
-        a.join(b, keys)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(_dot(F.col("a_vn"), F.col("b_vn")) >= F.lit(threshold))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
+    if engine == "arrow":
+        import pandas as pd
+
+        def cell_losers(pdf):
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["vn"].to_numpy())
+            is_loser = np.zeros(len(ids), dtype=bool)
+            # blocked Gram product: bounds task memory at BLK x cell
+            BLK = 2048
+            for i in range(0, len(ids), BLK):
+                sims = mat[i : i + BLK] @ mat.T
+                mask = (sims >= threshold) & (ids[i : i + BLK, None] < ids[None, :])
+                is_loser |= mask.any(axis=0)
+            return pd.DataFrame({"vec_id": ids[is_loser]})
+
+        losers = m.groupBy(*keys).applyInPandas(cell_losers, "vec_id long").distinct()
+    elif engine == "catalyst":
+        a = m.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"), *keys)
+        b = m.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"), *keys)
+        losers = (
+            a.join(b, keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(_dot(F.col("a_vn"), F.col("b_vn")) >= F.lit(threshold))
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}: use 'arrow' or 'catalyst'")
     if return_losers:
         # the small complement — the frame a pipeline BROADCASTS into its
         # corpus anti-join (the kept set is nearly the whole corpus and

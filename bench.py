@@ -47,6 +47,8 @@ SF2_QUERIES = [
     "dedup_clusters",
     "ann_ivf_kmeans",
     "corpus_clean_stats",
+    "corpus_curation_report",  # round 8: the composed pipeline's scale curve
+    "docs_gopher_repetition",  # round 8: the arrow gate's scale curve
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
     "gmm_events_value",

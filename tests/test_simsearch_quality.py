@@ -565,3 +565,35 @@ def test_ivfadc_index_serve_matches_inline(spark, tmp_path):
     # 8 small ints vs 64 doubles: the codes tree must be far below the
     # float cells tree (parquet overhead keeps it from the raw 16x)
     assert tree_bytes(idx + "/cells_pq") < 0.25 * tree_bytes(idx + "/cells")
+
+
+def test_semdedup_prune_engine_parity(spark):
+    """The arrow (blocked Gram matmul per cell) and catalyst (equi-join +
+    per-pair HOF dot) prune engines must emit the same loser and kept
+    sets — on the real corpus fit and on a synthetic frame with a
+    threshold-straddling pair and a sub-split-sized cell."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans import simsearch as S
+
+    _e, n, _c, member = S._fitted_cells(spark, "/root/testdata/sf0.001")
+    m = member.select("vec_id", "vn", "cid")
+    for rl in (True, False):
+        a = {r.vec_id for r in S._semdedup_prune(m, n, S.SEMDEDUP_THRESHOLD, 16384, return_losers=rl, engine="arrow").collect()}
+        c = {r.vec_id for r in S._semdedup_prune(m, n, S.SEMDEDUP_THRESHOLD, 16384, return_losers=rl, engine="catalyst").collect()}
+        assert a == c
+
+    # synthetic: ids 0/1 near-identical (loser=1), 2 orthogonal; one cell
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9999, 0.0141], 7),  # cos ~0.99995 > threshold
+        (2, [0.0, 1.0], 7),
+    ]
+    sm = spark.createDataFrame(rows, "vec_id long, vn array<double>, cid int")
+    la = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 10, return_losers=True, engine="arrow").collect()}
+    lc = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 10, return_losers=True, engine="catalyst").collect()}
+    assert la == lc == {1}
+    # sub-split guard path (n > max_cell_size) keeps parity too
+    la2 = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 2, return_losers=True, engine="arrow").collect()}
+    lc2 = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 2, return_losers=True, engine="catalyst").collect()}
+    assert la2 == lc2
