@@ -199,6 +199,107 @@ GROUP BY t.doc_id
 """
 
 
+# -- Bloom-filter decontamination ---------------------------------------------
+
+BLOOM_BITS = 1 << 18  # m: filter size in bits (4096 longs, ~32 KiB broadcast)
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(j: int, col) -> F.Column:
+    """Position of hash j: portable 60-bit md5 of 'j:value' mod m — the
+    same cross-engine contract as every other hashed operator here."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % BLOOM_BITS
+    )
+
+
+def bloom_build(items: DataFrame, col: str) -> DataFrame:
+    """Build a Bloom filter over ``items[col]`` as ONE row
+    ``bits: array<long>`` (length BLOOM_WORDS). Entirely JVM-side: items
+    -> k positions each -> DISTINCT -> per-word ``bit_or`` partial agg ->
+    map-assembled into the dense array. The filter is ~m/8 bytes however
+    large the item set is — the broadcastable summary of a set too big to
+    broadcast as rows."""
+    pos = items.select(
+        F.explode(F.array(*[_bloom_pos(j, F.col(col)) for j in range(BLOOM_K)])).alias("p")
+    ).distinct()
+    words = (
+        pos.select(
+            F.expr("p DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mw")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.element_at("mw", i.cast("long")), F.lit(0).cast("long")),
+        ).alias("bits")
+    )
+
+
+# single-bit masks indexed by (p % 64): a literal lookup avoids
+# variable-amount shifts (the python shiftleft API takes only literal
+# shift counts); bit 63 is the sign bit, hence the negative literal
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bloom_mask(p) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS]), (p % 64).cast("int") + 1
+    )
+
+
+def bloom_hit(col) -> F.Column:
+    """True iff every hash position's bit is set in the (crossJoin-
+    broadcast) ``bits`` column — O(k) element_at probes per value, a
+    stateless predicate fused into whatever scan feeds it (never a join
+    against the member set)."""
+    hit = F.lit(True)
+    for j in range(BLOOM_K):
+        p = _bloom_pos(j, col)
+        word = F.element_at(F.col("bits"), (p / F.lit(64)).cast("int") + F.lit(1))
+        hit = hit & (word.bitwiseAND(_bloom_mask(p)) != F.lit(0))
+    return hit
+
+
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter eval decontamination — the 100-TB shape of
+    ``docs_decontaminate``: instead of equi-joining the TRAIN shingle
+    stream against the test set (a corpus-volume shuffle), build a Bloom
+    filter over the TEST split's 3-gram shingles (eval sets are tiny
+    next to a crawl) and flag train docs by a STATELESS membership probe
+    fused into the corpus scan — zero shuffle on the corpus side beyond
+    the per-doc count agg. False positives possible (bounded by the m/k
+    design point and deterministic — same hashes both engines); false
+    negatives impossible (Bloom guarantee; pinned against the exact join
+    in tests). Returns (doc_id, n_flagged_shingles) for train docs with
+    at least one bloom-positive shingle."""
+    from artan_spark.plans.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = sh.withColumn("split", split)
+    bloom = bloom_build(tagged.filter(F.col("split") == "test"), "shingle")
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "shingle")
+    probed = train.crossJoin(F.broadcast(bloom))
+    return (
+        probed.filter(bloom_hit(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_shingles"))
+    )
+
+
 SEQ_LEN = 2048  # token budget per packed training sequence
 N_STREAMS = 8  # parallel packing streams (cluster: one per writer task)
 
@@ -568,7 +669,43 @@ ORACLES = {
     "docs_decontaminate": _DECONTAMINATE_SQL,
 }
 # registry is at the driver's 50-entry cap; these keep pytest oracles
+_DECON_BLOOM_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+),
+tagged AS (
+  SELECT doc_id, shingle,
+         CASE WHEN b < {_TRAIN} THEN 'train' WHEN b < {_VAL} THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, shingle,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} AS b
+    FROM sh
+  )
+),
+j AS (SELECT unnest(range({BLOOM_K})) AS j),
+testpos AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t.shingle), 1, 15) AS BIGINT) % {BLOOM_BITS} AS p
+  FROM tagged t CROSS JOIN j WHERE t.split = 'test'
+),
+probe AS (
+  SELECT t.doc_id, t.shingle, j.j,
+         CAST('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || t.shingle), 1, 15) AS BIGINT) % {BLOOM_BITS} AS p
+  FROM tagged t CROSS JOIN j WHERE t.split = 'train'
+),
+hits AS (
+  SELECT doc_id, shingle FROM probe JOIN testpos USING (p)
+  GROUP BY doc_id, shingle HAVING COUNT(*) = {BLOOM_K}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_shingles FROM hits GROUP BY doc_id
+"""
+
+
 PYTEST_ORACLES = {
+    "docs_decontaminate_bloom": (docs_decontaminate_bloom, _DECON_BLOOM_SQL),
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
     "docs_mix_sample": (docs_mix_sample, _MIX_SQL),
     "docs_source_cap": (docs_source_cap, _SOURCE_CAP_SQL),

@@ -1090,3 +1090,59 @@ def test_bm25_plain_python_replay(spark):
         for r in docs_bm25_topk(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == expected
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom guarantee: every train doc that TRULY shares a 3-gram
+    shingle with the test split must be flagged, with a flagged-shingle
+    count >= its true shared count (false positives allowed and
+    deterministic, false negatives impossible)."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.dedup import _shingles
+    from artan_spark.plans.sampling import _BUCKETS, _TRAIN, _VAL, _hash_bucket, docs_decontaminate_bloom
+
+    SF = "/root/testdata/sf0.001"
+    sh = _shingles(spark, SF)
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN, F.lit("train")).when(b < _VAL, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = sh.withColumn("split", split)
+    test_sh = tagged.filter(F.col("split") == "test").select("shingle").distinct()
+    truth = {
+        r.doc_id: r.c
+        for r in tagged.filter(F.col("split") == "train")
+        .join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("c"))
+        .collect()
+    }
+    flagged = {
+        r.doc_id: r.n_flagged_shingles
+        for r in docs_decontaminate_bloom(spark, SF).collect()
+    }
+    assert truth, "test fixture expects at least one truly contaminated doc"
+    assert set(truth) <= set(flagged)
+    assert all(flagged[d] >= c for d, c in truth.items())
+
+
+def test_bloom_build_and_hit_membership(spark):
+    """The bit array is an exact membership structure for the inserted
+    positions: every inserted item probes positive; a disjoint item set
+    with no colliding positions probes negative."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.sampling import BLOOM_WORDS, bloom_build, bloom_hit
+
+    items = spark.createDataFrame([(f"present-{i}",) for i in range(200)], "v string")
+    bloom = bloom_build(items, "v")
+    bits = bloom.first()["bits"]
+    assert len(bits) == BLOOM_WORDS and any(w != 0 for w in bits)
+
+    probe_in = items.crossJoin(F.broadcast(bloom)).filter(bloom_hit(F.col("v")))
+    assert probe_in.count() == 200
+    absent = spark.createDataFrame([(f"absent-{i}",) for i in range(200)], "v string")
+    n_fp = absent.crossJoin(F.broadcast(bloom)).filter(bloom_hit(F.col("v"))).count()
+    # 800 set bits in 2^18 -> per-probe hit ~ (800/262144)^4: effectively 0
+    assert n_fp == 0
