@@ -1,5 +1,5 @@
 from artan_spark.streaming.cms import StreamingCountMin
-from artan_spark.streaming.dedup import streaming_dedup_exact
+from artan_spark.streaming.dedup import StreamingBloomDedup, streaming_dedup_exact
 from artan_spark.streaming.harness import stream_transform
 from artan_spark.streaming.heavyhitters import StreamingHeavyHitters
 from artan_spark.streaming.neardup import minhash_bands, streaming_near_dup
@@ -8,6 +8,7 @@ from artan_spark.streaming.quantiles import StreamingQuantiles
 
 __all__ = [
     "stream_transform",
+    "StreamingBloomDedup",
     "StreamingCountMin",
     "StreamingHeavyHitters",
     "StreamingPacker",

@@ -95,3 +95,44 @@ def test_streaming_decontamination_stream_static_join(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_bloom_dedup_exact_regime(spark):
+    """With a generously sized filter no false positive fires, so the
+    emitted set equals the exact distinct set under any chunking, equals
+    the one-fold batch call, and contains no duplicates."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.streaming import stream_transform
+    from artan_spark.streaming.dedup import StreamingBloomDedup
+    from artan_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.lit("all").alias("grp"), F.col("user_id").cast("string").alias("item")
+    )
+    op = StreamingBloomDedup().setStateKeyCol("grp").setItemCol("item").setNBits(1 << 18)
+
+    truth = {r.item for r in ev.select("item").distinct().collect()}
+    batch = [r.item for r in op.transform(ev).collect()]
+    assert len(batch) == len(set(batch)) == len(truth)
+
+    streamed = [r.item for r in stream_transform(spark, ev, op.transform, chunk_rows=173).collect()]
+    assert len(streamed) == len(set(streamed))
+    assert set(streamed) == truth
+
+
+def test_streaming_bloom_dedup_tiny_filter_suppresses_but_never_duplicates(spark):
+    """A deliberately tiny filter (128 bits for 500 distinct items) MUST
+    suppress some novel items (false positives) — but still never emits
+    the same item twice, and everything it emits is a real item."""
+    from artan_spark.streaming import stream_transform
+    from artan_spark.streaming.dedup import StreamingBloomDedup
+
+    rows = [("all", f"item-{i % 500:03d}") for i in range(1500)]
+    ev = spark.createDataFrame(rows, "grp string, item string")
+    op = StreamingBloomDedup().setStateKeyCol("grp").setItemCol("item").setNBits(128).setNHashes(2)
+    truth = {r.item for r in ev.select("item").distinct().collect()}
+    streamed = [r.item for r in stream_transform(spark, ev, op.transform, chunk_rows=173).collect()]
+    assert len(streamed) == len(set(streamed))
+    assert set(streamed) <= truth
+    assert len(streamed) < len(truth)  # saturated filter must have suppressed
