@@ -5,7 +5,8 @@ pretraining-data job runs, expressed entirely as artan_spark plan operators.
     documents ──> PII scrub ──> cross-corpus line dedup ──> exact
                   substring (span) dedup ──> quality score ──> filter
                   ──> near-dup clusters ──> keep one per cluster
-                  ──> SemDeDup semantic prune ──> token-budget language
+                  ──> SemDeDup semantic prune ──> Bloom eval
+                  decontamination ──> token-budget language
                   mixing ──> LM perplexity gate (head+middle) ──> DSIR
                   resampling ──> concat-and-cut sequence packing ──────┐
                   + BPE train ─> encode to ids ─> pack id sequences    │
@@ -114,11 +115,21 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
             "left_anti",
         )
     )
+    # 2c. eval decontamination, Bloom-shaped: the TEST split's shingles
+    #     compress to one broadcast bit array (~32 KiB) and train docs are
+    #     flagged by stateless bit probes fused into the scan — the exact
+    #     join variant (docs_decontaminate) would shuffle the corpus
+    #     shingle stream at lake scale
+    from artan_spark.plans.sampling import docs_decontaminate_bloom
+
+    contaminated = docs_decontaminate_bloom(spark, sf_dir).select("doc_id")
+
     # materialize: the quality+dedup lineage feeds the rates aggregate AND
     # both sinks — one computation instead of one per downstream action
     cleaned = (
         kept.join(losers, "doc_id", "left_anti")
         .join(F.broadcast(sem_losers), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .localCheckpoint()
     )
 
