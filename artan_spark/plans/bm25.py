@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from artan_spark.sources import read_table
+from artan_spark.sources import read_table, read_table_wide
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -97,7 +97,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-idf terms can out-score the query doc under length
     normalization); correctness is pinned by the DuckDB oracle plus a
     plain-Python replay in tests."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     queries = (
         d.filter(F.col("doc_id") < BM25_N_QUERIES)

@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.sources import read_table
+from artan_spark.sources import read_table, read_table_wide
 
 P31 = 2147483647  # 2^31 - 1, modulus for the affine permutations
 
@@ -73,7 +73,7 @@ def shingles_of(d: DataFrame) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingles_of(read_table(spark, sf_dir, "documents"))
+    return shingles_of(read_table_wide(spark, sf_dir, "documents"))
 
 
 _SHINGLES_SQL = """

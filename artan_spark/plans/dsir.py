@@ -47,7 +47,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.sources import read_table
+from artan_spark.sources import read_table, read_table_wide
 
 DSIR_BUCKETS = 4096  # hashed feature space (paper: 10k)
 DSIR_ALPHA = 0.5  # add-alpha smoothing for both distributions
@@ -104,16 +104,24 @@ def dsir_select(
     else:
         tgt = base.filter(F.col("source") == target_source)
 
-    raw_f = _doc_features(base)
-    tgt_f = _doc_features(tgt)
+    # ONE pass over the hashed feature stream: the per-(doc, bucket)
+    # counts are a sufficient statistic for everything downstream — the
+    # raw distribution is its bucket marginal and the target distribution
+    # is its bucket marginal over the target docs. The pre-round-8 shape
+    # re-derived the explode+md5 stream separately for q, p, and the
+    # per-doc counts (3 corpus passes); expressing q/p as docf aggregates
+    # lets Spark's exchange reuse serve all three consumers from the one
+    # (doc_id, b) shuffle.
+    docf = _doc_features(base).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
 
-    # bucket-sized distributions + 1-row totals
-    q_tab = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
-    p_tab = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    q_tab = docf.groupBy("b").agg(F.sum("c").alias("cq"))
+    p_tab = (
+        docf.join(tgt.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("c").alias("cp"))
+    )
     q_tot = q_tab.agg(F.sum("cq").alias("nq"))
     p_tot = p_tab.agg(F.sum("cp").alias("np"))
-
-    docf = raw_f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
     lp = F.log((F.coalesce(F.col("cp").cast("double"), F.lit(0.0)) + alpha) / (F.col("np") + denom))
     lq = F.log((F.coalesce(F.col("cq").cast("double"), F.lit(0.0)) + alpha) / (F.col("nq") + denom))
@@ -157,7 +165,7 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: DSIR selection over ``documents``, target = the
     lexicographically-smallest source, k = ceil(0.25 * n_docs)."""
     return dsir_select(
-        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
 
 

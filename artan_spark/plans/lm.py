@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from artan_spark.sources import read_table
+from artan_spark.sources import read_table, read_table_wide
 
 BACKOFF = 0.4  # stupid-backoff constant (Brants et al. 2007 use 0.4)
 OOV_ALPHA = 0.5  # OOV unigram floor numerator: p = OOV_ALPHA / N
@@ -150,7 +150,7 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: bigram-LM perplexity + CCNet buckets over
     ``documents``, reference = the lexicographically-smallest source."""
     return lm_perplexity_buckets(
-        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
 
 

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.sources import read_table, widen_scan
+from artan_spark.sources import read_table, read_table_wide, widen_scan
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -681,7 +681,7 @@ def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle runs the SAME generic semantics (split/df-count/filter/
     ordered reassemble), and the multi-line behavior is pinned by the
     synthetic-corpus pytest."""
-    return dedup_corpus_lines(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return dedup_corpus_lines(read_table_wide(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 _DEDUP_LINES_SQL = f"""
@@ -831,7 +831,7 @@ def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic-corpus pytest pins inner/boundary/overlapping-span and
     full-run-coverage behavior."""
     return dedup_corpus_substrings(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

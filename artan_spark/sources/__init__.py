@@ -169,6 +169,23 @@ def widen_scan(
     return wide
 
 
+def read_table_wide(
+    spark: SparkSession, sf_dir: str, name: str, barrier: bool = False
+) -> DataFrame:
+    """``read_table`` + the guarded ``widen_scan`` (cache key = the table
+    path): the one-liner for HEAVY per-row consumers (tokenize/explode/
+    hash streams, interpreted HOF folds) whose pre-shuffle work would
+    otherwise run on a 1-row-group scan's single task. Cheap single-pass
+    reports should keep the raw ``read_table`` — the widen shuffle costs
+    more than it saves there (round-7 A/B)."""
+    return widen_scan(
+        spark,
+        read_table(spark, sf_dir, name),
+        cache_key=os.path.join(sf_dir, f"{name}.parquet"),
+        barrier=barrier,
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,
