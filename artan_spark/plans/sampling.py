@@ -669,6 +669,140 @@ ORACLES = {
     "docs_decontaminate": _DECONTAMINATE_SQL,
 }
 # registry is at the driver's 50-entry cap; these keep pytest oracles
+# -- UniMax budget allocation ---------------------------------------------------
+
+UNIMAX_EPOCHS = 4.0  # N: the per-group repeat cap for low-resource groups
+
+
+def unimax_mix(
+    docs: DataFrame,
+    budget_frac: float = BUDGET_FRAC,
+    max_epochs: float = UNIMAX_EPOCHS,
+    key_col: str = "lang",
+) -> DataFrame:
+    """UniMax sampling (Chung et al., ICLR 2023): allocate a total token
+    budget across groups by GREEDY WATERFILLING instead of a temperature
+    exponent — visit groups smallest-first; each takes
+    ``min(its_size * max_epochs, remaining_budget / groups_remaining)``.
+    Low-resource groups get their full ``max_epochs``; whatever is left
+    spreads UNIFORMLY over the high-resource ones (the paper's fairness
+    argument vs p^alpha, which still over-allocates the head).
+
+    Spark shape: per-group totals (tiny agg) -> ONE row holding the
+    ascending-(size, key)-sorted group array -> the sequential greedy is
+    an in-row ``aggregate`` fold over that bounded array (group count is
+    tens, never corpus-sized) -> explode back to a rates table broadcast
+    into the stateless hash-Bernoulli keep. The fold is +,-,*,/,min only
+    — IEEE-exact in both engines, so the DuckDB oracle replays it with a
+    recursive CTE bit-for-bit; rates round to 6 dp BEFORE the Bernoulli
+    comparison (the same contract as ``temperature_mix``). Since this
+    sampler never upsamples, groups whose allocation implies epochs > 1
+    keep everything (rate caps at 1) — ``epochs`` is still reported so a
+    repeat-aware loader can oversample them.
+
+    Returns kept (doc_id, key, n_tokens, rate, epochs) rows."""
+    d = docs.select("doc_id", key_col, n_tokens_expr().alias("n_tokens"))
+    totals = d.groupBy(key_col).agg(F.sum("n_tokens").cast("double").alias("c"))
+    one = totals.agg(
+        F.array_sort(F.collect_list(F.struct("c", F.col(key_col).alias("k")))).alias("a"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # the fold seed reads the row's tot, so the zero struct is a column
+    # expression, not a literal
+    zero = F.struct(
+        (F.lit(budget_frac) * F.col("tot")).alias("rem"),
+        F.lit(0).cast("int").alias("i"),
+        F.expr("CAST(array() AS array<struct<k:string,alloc:double>>)").alias("out"),
+    )
+
+    def step(acc, x):
+        share = acc["rem"] / (F.col("n") - acc["i"]).cast("double")
+        alloc = F.least(x["c"] * F.lit(max_epochs), share)
+        return F.struct(
+            (acc["rem"] - alloc).alias("rem"),
+            (acc["i"] + 1).cast("int").alias("i"),
+            F.concat(
+                acc["out"], F.array(F.struct(x["k"].alias("k"), alloc.alias("alloc")))
+            ).alias("out"),
+        )
+
+    allocs = (
+        one.select(F.explode(F.aggregate("a", zero, step)["out"]).alias("s"))
+        .select(F.col("s.k").alias(key_col), F.col("s.alloc").alias("alloc"))
+    )
+    rates = allocs.join(totals, key_col).select(
+        key_col,
+        F.round("alloc", 6).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("c"), 6).alias("epochs"),
+        F.round(F.least(F.lit(1.0), F.col("alloc") / F.col("c")), 6).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), key_col)
+        .filter(_hash_uniform(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", key_col, "n_tokens", "rate", "epochs")
+    )
+
+
+def docs_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UniMax report over ``documents``: allocation, epochs,
+    acceptance rate, and realized kept volume."""
+    kept = unimax_mix(read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        F.first("rate").alias("rate"),
+        F.first("epochs").alias("epochs"),
+    )
+
+
+_UNIMAX_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+t AS (SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS c FROM d GROUP BY lang),
+o AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (ORDER BY c ASC, lang ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t
+),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn,
+         {BUDGET_FRAC} * (SELECT SUM(c) FROM t) AS rem,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS DOUBLE) AS alloc
+  UNION ALL
+  SELECT o.rn,
+         r.rem - LEAST(o.c * {UNIMAX_EPOCHS}, r.rem / (o.n - r.rn)),
+         o.lang,
+         LEAST(o.c * {UNIMAX_EPOCHS}, r.rem / (o.n - r.rn))
+  FROM rec r JOIN o ON o.rn = r.rn + 1
+),
+rates AS (
+  SELECT rec.lang,
+         ROUND(LEAST(1.0, rec.alloc / t.c), 6) AS rate,
+         ROUND(rec.alloc / t.c, 6) AS epochs
+  FROM rec JOIN t ON t.lang = rec.lang
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_tokens, r.rate, r.epochs
+  FROM d JOIN rates r ON d.lang = r.lang
+  WHERE (CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+          / {_TWO60_SQL} < r.rate
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+       ANY_VALUE(rate) AS rate,
+       ANY_VALUE(epochs) AS epochs
+FROM kept
+GROUP BY lang
+"""
+
+
 _DECON_BLOOM_SQL = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id,
@@ -706,6 +840,7 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_shingles FROM hits GROUP BY
 
 PYTEST_ORACLES = {
     "docs_decontaminate_bloom": (docs_decontaminate_bloom, _DECON_BLOOM_SQL),
+    "docs_unimax_mix": (docs_unimax_mix, _UNIMAX_SQL),
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),
     "docs_mix_sample": (docs_mix_sample, _MIX_SQL),
     "docs_source_cap": (docs_source_cap, _SOURCE_CAP_SQL),

@@ -102,6 +102,7 @@ HEADLINE = [
     "events_cms_topk",  # new round 8: ditto
     "docs_bm25_topk",  # new round 8: ditto
     "docs_decontaminate_bloom",  # new round 8: ditto
+    "docs_unimax_mix",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

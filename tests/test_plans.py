@@ -1146,3 +1146,36 @@ def test_bloom_build_and_hit_membership(spark):
     n_fp = absent.crossJoin(F.broadcast(bloom)).filter(bloom_hit(F.col("v"))).count()
     # 800 set bits in 2^18 -> per-probe hit ~ (800/262144)^4: effectively 0
     assert n_fp == 0
+
+
+def test_unimax_waterfilling_pinned(spark):
+    """Hand-computed UniMax greedy on a 3-group corpus: the tiny group
+    saturates at max_epochs (rate caps at 1), the remaining budget splits
+    UNIFORMLY over the two large groups (equal allocations, unequal
+    rates) — the fairness shape temperature mixing does not produce."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.sampling import unimax_mix
+
+    # tokens per doc = 10; sizes: small=2 docs (20), mid=30 docs (300),
+    # big=50 docs (500); total=820, budget=0.5*820=410
+    rows = []
+    did = 0
+    for lang, n in (("sm", 2), ("md", 30), ("bg", 50)):
+        for _ in range(n):
+            rows.append((did, lang, "w " * 9 + "w"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = unimax_mix(docs, budget_frac=0.5, max_epochs=4.0)
+    rates = {
+        r.lang: (r.rate, r.epochs)
+        for r in kept.select("lang", "rate", "epochs").distinct().collect()
+    }
+    # greedy ascending: sm: min(20*4, 410/3)=80 -> epochs 4, rate 1
+    # md: rem=330, min(300*4, 330/2)=165 -> epochs 0.55
+    # bg: rem=165, min(500*4, 165/1)=165 -> epochs 0.33
+    assert rates["sm"] == (1.0, 4.0), rates
+    assert rates["md"] == (round(165 / 300, 6), round(165 / 300, 6)), rates
+    assert rates["bg"] == (0.33, 0.33), rates
+    # the small group is kept whole
+    assert kept.filter("lang = 'sm'").count() == 2
