@@ -5,6 +5,7 @@ from artan_spark.streaming.heavyhitters import StreamingHeavyHitters
 from artan_spark.streaming.neardup import minhash_bands, streaming_near_dup
 from artan_spark.streaming.packer import StreamingPacker
 from artan_spark.streaming.quantiles import StreamingQuantiles
+from artan_spark.streaming.reservoir import StreamingWeightedReservoir
 
 __all__ = [
     "stream_transform",
@@ -13,6 +14,7 @@ __all__ = [
     "StreamingHeavyHitters",
     "StreamingPacker",
     "StreamingQuantiles",
+    "StreamingWeightedReservoir",
     "streaming_dedup_exact",
     "minhash_bands",
     "streaming_near_dup",

@@ -222,3 +222,51 @@ def test_streaming_media_probe_and_decode(spark):
         batch = {tuple(r) for r in xf(media).collect()}
         streamed = {tuple(r) for r in stream_transform(spark, media, xf, chunk_rows=2).collect()}
         assert streamed == batch, name
+
+
+def test_streaming_weighted_reservoir_equals_batch_sample(spark):
+    """The A-ES priority is a pure function of the item, so the streaming
+    reservoir's final snapshot must equal the batch
+    ``docs_weighted_sample`` query row-for-row (same items, same order)
+    under any chunking — and an interleaved replay with different chunk
+    sizes converges to the same snapshot."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.sampling import K_WEIGHTED, docs_weighted_sample
+    from artan_spark.sources import read_table
+    from artan_spark.streaming import StreamingWeightedReservoir, stream_transform
+
+    SF = "/root/testdata/sf0.001"
+    batch = [
+        (r.doc_id, r.n_chars)
+        for r in docs_weighted_sample(spark, SF).collect()
+    ]
+
+    docs = read_table(spark, SF, "documents").select(
+        F.lit("all").alias("grp"),
+        F.col("doc_id").cast("string").alias("item"),
+        F.col("n_chars").cast("double").alias("weight"),
+    )
+    op = (
+        StreamingWeightedReservoir()
+        .setStateKeyCol("grp")
+        .setItemCol("item")
+        .setWeightCol("weight")
+        .setK(K_WEIGHTED)
+    )
+
+    def final_snapshot(rows):
+        last = max(r.seq for r in rows)
+        return [
+            (int(r.item), int(r.weight))
+            for r in sorted((r for r in rows if r.seq == last), key=lambda r: r.rank)
+        ]
+
+    for chunk in (97, 211):
+        streamed = final_snapshot(
+            stream_transform(spark, docs, op.transform, chunk_rows=chunk).collect()
+        )
+        assert streamed == batch, (chunk, streamed[:3], batch[:3])
+
+    # one-fold batch-mode call agrees too
+    assert final_snapshot(op.transform(docs).collect()) == batch
