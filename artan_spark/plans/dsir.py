@@ -109,10 +109,17 @@ def dsir_select(
     # raw distribution is its bucket marginal and the target distribution
     # is its bucket marginal over the target docs. The pre-round-8 shape
     # re-derived the explode+md5 stream separately for q, p, and the
-    # per-doc counts (3 corpus passes); expressing q/p as docf aggregates
-    # lets Spark's exchange reuse serve all three consumers from the one
-    # (doc_id, b) shuffle.
-    docf = _doc_features(base).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc counts (3 corpus passes). localCheckpoint (EAGER, like the
+    # dedup passes — the plan re-planned the stream per consumer, exchange
+    # reuse did not fire across the three aggregation shapes): the
+    # checkpoint is (doc x distinct-buckets) narrow rows — corpus-count
+    # metadata, not corpus text.
+    docf = (
+        _doc_features(base)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
 
     q_tab = docf.groupBy("b").agg(F.sum("c").alias("cq"))
     p_tab = (
