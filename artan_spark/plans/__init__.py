@@ -49,10 +49,14 @@ ORACLES = {}
 # oracle-checked in pytest only; not part of the driver registry window
 # (their compute is covered there by compound entries)
 PYTEST_ORACLES = {}
+# genuinely non-SQL-expressible wrappers (no DuckDB oracle possible);
+# pinned by bit-exact Python replay + property tests
+NO_SQL_QUERIES = {}
 for _m in MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
     PYTEST_ORACLES.update(getattr(_m, "PYTEST_ORACLES", {}))
+    NO_SQL_QUERIES.update(getattr(_m, "NO_SQL_QUERIES", {}))
 
 # Not an assert: the guard must survive `python -O`, and a clear error beats
 # an AssertionError raised from every `import artan_spark.plans`.
@@ -62,4 +66,4 @@ if len(QUERIES) > 50:
         "harness checks only the first 50 — move the extras to PYTEST_ORACLES"
     )
 
-__all__ = ["QUERIES", "ORACLES", "PYTEST_ORACLES"]
+__all__ = ["QUERIES", "ORACLES", "PYTEST_ORACLES", "NO_SQL_QUERIES"]

@@ -1634,6 +1634,68 @@ def c4_quality_filter(
     )
 
 
+ZRATIO_LEVEL = 6  # zlib level — pinned, the ratio is meaningless unpinned
+
+
+def compression_ratio(d: DataFrame, keep: tuple = (), level: int = ZRATIO_LEVEL) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic template/junk signal
+    (a RedPajama-v2 / Dolma quality signal): highly repetitive or
+    low-entropy text compresses far below natural prose, so
+    ``z_len / raw_len`` separates boilerplate from content cheaply.
+    Arrow-batched ``mapInPandas`` (compression is genuinely imperative;
+    there is no Catalyst deflate), UTF-8 byte lengths, ratio rounded to
+    6 dp; empty/null text reports ratio 0.0 with raw_len 0. NOT
+    SQL-expressible, so correctness is pinned by a bit-exact Python
+    replay plus monotonicity properties (repetition compresses harder)
+    rather than a DuckDB oracle."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_cols = ["doc_id", *keep]
+    base = d.select(*out_cols, "text") if "text" not in keep else d.select(*out_cols)
+    base_fields = {f.name: f for f in base.schema.fields}
+    schema = StructType(
+        [base_fields[c] for c in out_cols]
+        + [
+            StructField("raw_len", LongType(), False),
+            StructField("z_len", LongType(), False),
+            StructField("z_ratio", DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            raw, zl, ratio = [], [], []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                z = len(zlib.compress(b, level))
+                raw.append(len(b))
+                zl.append(z)
+                ratio.append(round(z / len(b), 6) if b else 0.0)
+            out = pdf[out_cols].reset_index(drop=True)
+            out["raw_len"] = raw
+            out["z_len"] = zl
+            out["z_ratio"] = ratio
+            yield out
+
+    return base.mapInPandas(gen, schema)
+
+
+def docs_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression-signal report: per-source doc count and mean
+    ratio (6 dp) — the aggregate a pipeline thresholds on."""
+    g = compression_ratio(
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        keep=("source",),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("z_ratio"), 6).alias("avg_z_ratio"),
+        F.sum("z_len").cast("long").alias("total_z_bytes"),
+    )
+
+
 def docs_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level C4 report: per-rule failure counts, pass count, and
     surviving line/sentence volume — mirrors ``docs_gopher_quality``.
@@ -1692,6 +1754,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM c
 """
 
+
+# query wrappers with NO SQL-expressible oracle (e.g. deflate has no SQL
+# counterpart): pinned by bit-exact Python replay + property tests instead;
+# bench resolves them from here
+NO_SQL_QUERIES = {
+    "docs_compression_ratio": docs_compression_ratio,
+}
 
 PYTEST_ORACLES = {
     "docs_c4_quality": (docs_c4_quality, _C4_SQL),

@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_bm25_topk",  # new round 8: ditto
     "docs_decontaminate_bloom",  # new round 8: ditto
     "docs_unimax_mix",  # new round 8: ditto
+    "docs_compression_ratio",  # new round 8: ditto (pytest-pinned, no SQL deflate)
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
@@ -117,13 +118,18 @@ HEADLINE = [
 
 
 def main() -> None:
-    from artan_spark.plans import PYTEST_ORACLES, QUERIES
+    from artan_spark.plans import NO_SQL_QUERIES, PYTEST_ORACLES, QUERIES
     from artan_spark.sources import session_builder
 
     def resolve(name):
         # headline entries may live beyond the 50-entry driver registry
-        # (PYTEST_ORACLES holds (fn, sql) pairs)
-        return QUERIES[name] if name in QUERIES else PYTEST_ORACLES[name][0]
+        # (PYTEST_ORACLES holds (fn, sql) pairs; NO_SQL_QUERIES holds the
+        # wrappers with no SQL-expressible oracle)
+        if name in QUERIES:
+            return QUERIES[name]
+        if name in PYTEST_ORACLES:
+            return PYTEST_ORACLES[name][0]
+        return NO_SQL_QUERIES[name]
 
     spark = session_builder(
         app_name="artan_spark-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)

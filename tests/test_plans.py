@@ -1179,3 +1179,42 @@ def test_unimax_waterfilling_pinned(spark):
     assert rates["bg"] == (0.33, 0.33), rates
     # the small group is kept whole
     assert kept.filter("lang = 'sm'").count() == 2
+
+
+def test_compression_ratio_replay_and_monotonicity(spark):
+    """zlib ratio replayed bit-exactly in plain Python over sf0.001, and
+    the signal's point: repeated text compresses strictly harder than
+    shuffled-unique text of the same length; empty/null text is 0.0."""
+    import zlib
+
+    from artan_spark.plans.textstats import ZRATIO_LEVEL, compression_ratio
+    from artan_spark.sources import read_table
+
+    rows = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for r in rows:
+        b = (r.text or "").encode("utf-8")
+        z = len(zlib.compress(b, ZRATIO_LEVEL))
+        expected[r.doc_id] = (len(b), z, round(z / len(b), 6) if b else 0.0)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.raw_len, r.z_len, r.z_ratio)
+        for r in compression_ratio(docs).collect()
+    }
+    assert got == expected
+
+    synth = spark.createDataFrame(
+        [
+            (1, "abc " * 250),                                  # pure repetition
+            (2, " ".join(f"w{i:03d}" for i in range(250))),     # unique tokens
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(synth).collect()}
+    assert out[1].z_ratio < out[2].z_ratio * 0.5
+    assert out[3].z_ratio == 0.0 and out[3].raw_len == 0
+    assert out[4].z_ratio == 0.0 and out[4].raw_len == 0
