@@ -1634,6 +1634,97 @@ def c4_quality_filter(
     )
 
 
+PMI_MIN_COUNT = 5  # bigram support floor — PMI is noise below a few counts
+PMI_TOP_K = 25
+
+
+def docs_collocations(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Collocation extraction: the corpus's top adjacent word pairs by
+    pointwise mutual information — PMI(w1, w2) =
+    ln( (c12/N2) / ((c1/N1) * (c2/N1)) ) with a ``min_count`` support
+    floor (Church & Hanks 1990; the standard phrase-mining first pass,
+    e.g. word2vec's phrase joining).
+
+    Shape: one widened token pass feeds BOTH the unigram counts and the
+    in-row adjacent-bigram stream (no self-join — bigrams are built
+    positionally inside the row); counts are vocab-sized aggs joined
+    back broadcast; top-k is a distributed TakeOrdered on (pmi DESC,
+    pair ASC). PMI rounds to 6 dp with the operand order mirrored
+    exactly in the DuckDB oracle (the lm/bm25 ln-parity contract)."""
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    base = d.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"), F.element_at("t", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    bi = (
+        base.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    n2 = bi.agg(F.sum("c12").cast("double").alias("n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.col("n2"))
+        / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+    )
+    return (
+        bi.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+
+
+_COLLOC_SQL = f"""
+WITH base AS (
+  SELECT list_filter(regexp_split_to_array(trim(text, ' '), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS t
+  FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM base),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+n1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS n1 FROM uc),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM base, unnest(range(1, len(t))) AS u(i)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+n2 AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n2 FROM bc)
+SELECT bc.w1, bc.w2, bc.c12,
+       ROUND(ln((bc.c12 / n2.n2) / ((u1.c / n1.n1) * (u2.c / n1.n1))), 6) AS pmi
+FROM bc
+JOIN uc u1 ON u1.w = bc.w1
+JOIN uc u2 ON u2.w = bc.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE bc.c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 ZRATIO_LEVEL = 6  # zlib level — pinned, the ratio is meaningless unpinned
 
 
@@ -1763,6 +1854,7 @@ NO_SQL_QUERIES = {
 }
 
 PYTEST_ORACLES = {
+    "docs_collocations": (docs_collocations, _COLLOC_SQL),
     "docs_c4_quality": (docs_c4_quality, _C4_SQL),
     "docs_gopher_quality": (docs_gopher_quality, _GOPHER_SQL),
     "docs_gopher_repetition": (docs_gopher_repetition, _GOPHER_REP_SQL),

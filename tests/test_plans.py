@@ -1218,3 +1218,33 @@ def test_compression_ratio_replay_and_monotonicity(spark):
     assert out[1].z_ratio < out[2].z_ratio * 0.5
     assert out[3].z_ratio == 0.0 and out[3].raw_len == 0
     assert out[4].z_ratio == 0.0 and out[4].raw_len == 0
+
+
+def test_collocations_pmi_pinned(spark):
+    """Hand-computed PMI on a tiny corpus: the glued pair ('new', 'york'
+    always adjacent) must out-PMI a frequent-but-independent pair, with
+    the exact ln value."""
+    import math
+
+    from artan_spark.plans.textstats import docs_collocations
+
+    # build via a temp view-shaped frame: monkeypatch read path by writing
+    # a parquet documents table
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="colloc_")
+    rows = [(i, "new york " + ("the cat " * 5).strip()) for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {(r.w1, r.w2): (r.c12, r.pmi) for r in docs_collocations(spark, d, min_count=5).collect()}
+
+    # corpus: per doc tokens = [new, york, the, cat, the, cat, ..., cat] --
+    # 12 tokens/doc, 120 total; bigrams 11/doc, 110 total.
+    # c(new york)=10; c(new)=10, c(york)=10
+    # PMI = ln( (10/110) / ((10/120)*(10/120)) )
+    exp_ny = round(math.log((10 / 110) / ((10 / 120) * (10 / 120))), 6)
+    assert out[("new", "york")] == (10, exp_ny), out
+    # 'the cat' occurs 50x but both words are frequent -> lower PMI
+    exp_tc = round(math.log((50 / 110) / ((50 / 120) * (50 / 120))), 6)
+    assert out[("the", "cat")] == (50, exp_tc)
+    assert exp_ny > exp_tc
