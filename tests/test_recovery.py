@@ -174,3 +174,69 @@ def test_rocksdb_state_store_backend(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.slow
+def test_streaming_cms_checkpoint_recovery(spark):
+    """The Count-Min grid must SURVIVE a query restart: phase 2 replays
+    the same items as phase 1, so recovered state yields estimates of 6
+    per item (3 + 3) while a from-scratch restart would report 3 — at a
+    collision-free width the estimate is exact, making the distinction
+    sharp."""
+    from artan_spark.streaming import StreamingCountMin
+
+    items = [f"it{i:02d}" for i in range(8)]
+    phase = [("all", it) for it in items for _ in range(3)]
+    schema = "grp string, item string"
+
+    op = StreamingCountMin().setStateKeyCol("grp").setItemCol("item").setWidth(1 << 14)
+
+    src = tempfile.mkdtemp(prefix="cmsrec_src_")
+    ckpt = tempfile.mkdtemp(prefix="cmsrec_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="cmsrec_out_")
+    try:
+
+        def write_chunk(step, chunk):
+            tmp = tempfile.mkdtemp()
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+            dest = os.path.join(src, f"c{step:04d}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (time.time() - 600 + step, time.time() - 600 + step))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        def start_query():
+            stream = (
+                spark.readStream.schema(spark.createDataFrame(phase, schema).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return (
+                op.transform(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        write_chunk(0, phase)
+        q1 = start_query()
+        q1.processAllAvailable()
+        q1.stop()
+        first = {r.item: r.est for r in spark.read.parquet(out_dir).collect()}
+        assert first == {it: 3 for it in items}
+
+        write_chunk(1, phase)
+        q2 = start_query()
+        q2.processAllAvailable()
+        q2.stop()
+        rows = spark.read.parquet(out_dir).collect()
+        last = max(r.seq for r in rows)
+        final = {r.item: r.est for r in rows if r.seq == last}
+        # recovered grid: 3 (phase 1, restored from checkpoint) + 3 more
+        assert final == {it: 6 for it in items}, final
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
