@@ -365,6 +365,114 @@ GROUP BY 1, 2
 """
 
 
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from MERGED KMV sketches — the theta-sketch
+    trick (Dasgupta et al. 2016; Beyer et al. 2007 for KMV): for every
+    pair of event types, estimate the user-set overlap WITHOUT comparing
+    the sets — only their k-minimum-value sketches meet.
+
+    Per pair (A, B): take the K smallest hashes of the sketch UNION;
+    theta = their max; union_est = (K-1)/(theta/2^60) (the KMV estimator
+    on the union sketch); jaccard_est = fraction of those K that appear
+    in BOTH sketches; inter_est = jaccard_est * union_est. Everything
+    derives from the same portable md5 integers, so the oracle checks the
+    ESTIMATES bit-exactly (integer counts + one IEEE division each) —
+    exact counts ride along for the error report.
+
+    100-TB shape: ONE distinct agg over the corpus builds the per-type
+    sketches (K rows each); every pair computation happens on K-row
+    frames — sketches are the only thing that meets, never the sets."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.select("event_type", _portable_hash(F.col("user_id")).alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K).select(
+        "event_type", "hv"
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    # per-pair union of the two sketches, flagged by membership side
+    su = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    topk = su.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= K)
+    agg = topk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("kk"),
+        F.max("hv").alias("theta"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("c_both"),
+    )
+    union_est = F.when(
+        F.col("kk") < K, F.col("kk").cast("double")
+    ).otherwise(F.lit(float(K - 1)) / (F.col("theta") / F.lit(_TWO60)))
+    jac = F.col("c_both").cast("double") / F.col("kk")
+    return agg.select(
+        "ta",
+        "tb",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac * union_est, 6).alias("inter_est"),
+    )
+
+
+_KMV_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+sk AS (
+  SELECT event_type, hv
+  FROM (SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h)
+  WHERE rn <= {K}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a CROSS JOIN types b WHERE a.event_type < b.event_type
+),
+su AS (
+  SELECT p.ta, p.tb, s.hv,
+         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.hv
+),
+topk AS (
+  SELECT * FROM (
+    SELECT ta, tb, hv, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+    FROM su
+  ) WHERE rn <= {K}
+),
+agg AS (
+  SELECT ta, tb, COUNT(*) AS kk, MAX(hv) AS theta,
+         SUM(in_a * in_b) AS c_both
+  FROM topk GROUP BY ta, tb
+)
+SELECT ta, tb,
+       ROUND(CAST(c_both AS DOUBLE) / kk, 6) AS jaccard_est,
+       ROUND(CASE WHEN kk < {K} THEN CAST(kk AS DOUBLE)
+                  ELSE {float(K - 1)} / (theta / {_TWO60}) END, 6) AS union_est,
+       ROUND((CAST(c_both AS DOUBLE) / kk)
+             * (CASE WHEN kk < {K} THEN CAST(kk AS DOUBLE)
+                     ELSE {float(K - 1)} / (theta / {_TWO60}) END), 6) AS inter_est
+FROM agg
+"""
+
+
 # -- Count-Min Sketch ---------------------------------------------------------
 
 CMS_DEPTH = 4
@@ -483,6 +591,7 @@ ORACLES = {"events_kmv_distinct": _KMV_SQL}
 # queries
 PYTEST_ORACLES = {
     "events_cms_topk": (events_cms_topk, _CMS_SQL),
+    "events_kmv_overlap": (events_kmv_overlap, _KMV_OVERLAP_SQL),
     "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
     "events_heavy_hitters": (events_heavy_hitters, _HH_SQL),
     "events_quantile_sketch": (events_quantile_sketch, _QS_SQL),

@@ -502,3 +502,33 @@ def test_streaming_cms_batch_equals_stream(spark):
     truth = {r.k: r.c for r in flat.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert set(streamed) == set(batch)
     assert all(truth[k] <= streamed[k] <= batch[k] for k in truth)
+
+
+def test_kmv_overlap_known_jaccard(spark):
+    """Theta-sketch overlap on synthetic sets with KNOWN overlap: types
+    X=[0,1000), Y=[500,1500) -> true Jaccard 1/3, union 1500. The K=32
+    sketch estimate must land within the sketch's error band; and for
+    sets SMALLER than K the sketch degenerates to the exact sets, so the
+    estimates are exact."""
+    import os
+    import tempfile
+
+    from artan_spark.plans.sketch import events_kmv_overlap
+
+    d = tempfile.mkdtemp(prefix="kmvov_")
+    rows = [(i, "X", i) for i in range(1000)] + [(i + 10_000, "Y", 500 + i) for i in range(1000)]
+    # small disjoint pair: A=[0,10), B=[5,15) -> jaccard 5/15, exact at kk<K
+    rows += [(i + 20_000, "a", i) for i in range(10)] + [(i + 30_000, "b", 5 + i) for i in range(10)]
+    spark.createDataFrame(rows, "event_id long, event_type string, user_id long").write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {(r.ta, r.tb): r for r in events_kmv_overlap(spark, d).collect()}
+
+    big = out[("X", "Y")]
+    assert 0.1 <= big.jaccard_est <= 0.6, big  # true 1/3, K=32 band
+    assert 700 <= big.union_est <= 3000, big  # true 1500
+
+    small = out[("a", "b")]
+    # union size 15 < K: sketches ARE the sets -> exact
+    assert small.jaccard_est == round(5 / 15, 6)
+    assert small.union_est == 15.0 and small.inter_est == round(15 * 5 / 15, 6)
