@@ -471,6 +471,110 @@ GROUP BY c.c_mktsegment
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (the canonical product-analytics query): how
+    many users did view -> click -> purchase IN TIME ORDER, counting a
+    step only if it happens strictly after the previous completed step's
+    FIRST qualifying occurrence. Three filtered min-aggs per user (one
+    per step, each conditioned on the prior step's timestamp), then one
+    count row. 100-TB shape: each stage is a (user) hash agg over a
+    predicate-pruned scan; per-user state is 3 timestamps, never an
+    event list."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STEPS
+    t1 = (
+        e.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{s1}"),
+            F.sum(F.col("t2").isNotNull().cast("long")).cast("long").alias(f"n_{s2}"),
+            F.sum(F.col("t3").isNotNull().cast("long")).cast("long").alias(f"n_{s3}"),
+        )
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_{FUNNEL_STEPS[0]},
+       CAST(SUM(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_{FUNNEL_STEPS[1]},
+       CAST(SUM(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_{FUNNEL_STEPS[2]}
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the other canonical product-analytics
+    grid): cohort = the week of a user's FIRST event; for each cohort and
+    week offset, how many of its users were active. Two (user[, week])
+    hash aggs + a broadcast-back of the user->cohort map; the output is
+    cohorts x offsets rows, never user-sized."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -507,4 +611,6 @@ ORACLES = {
 # pytest oracle (the plain join — salting must be invisible in the result)
 PYTEST_ORACLES = {
     "events_skew_safe_join": (events_skew_safe_join, _SKEW_JOIN_SQL),
+    "events_funnel": (events_funnel, _FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, _RETENTION_SQL),
 }

@@ -106,6 +106,8 @@ HEADLINE = [
     "docs_compression_ratio",  # new round 8: ditto (pytest-pinned, no SQL deflate)
     "docs_collocations",  # new round 8: ditto
     "events_kmv_overlap",  # new round 8: ditto
+    "events_funnel",  # new round 8: ditto
+    "events_retention_cohorts",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

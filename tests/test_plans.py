@@ -1248,3 +1248,42 @@ def test_collocations_pmi_pinned(spark):
     exp_tc = round(math.log((50 / 110) / ((50 / 120) * (50 / 120))), 6)
     assert out[("the", "cat")] == (50, exp_tc)
     assert exp_ny > exp_tc
+
+
+def test_funnel_strict_order_pinned(spark):
+    """Funnel ordering semantics: a click BEFORE the first view does not
+    count (the user must re-click after viewing), and purchases require a
+    post-view click first."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from artan_spark.plans.relational import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: proper order -> completes all 3
+        (1, ts(0), 1, "view", 0.0, "{}"),
+        (2, ts(1), 1, "click", 0.0, "{}"),
+        (3, ts(2), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE view, never re-clicks -> stops at view
+        (4, ts(0), 2, "click", 0.0, "{}"),
+        (5, ts(1), 2, "view", 0.0, "{}"),
+        (6, ts(2), 2, "purchase", 0.0, "{}"),
+        # u3: view + click, purchase BEFORE the click -> stops at click
+        (7, ts(0), 3, "view", 0.0, "{}"),
+        (8, ts(1), 3, "purchase", 0.0, "{}"),
+        (9, ts(2), 3, "click", 0.0, "{}"),
+        # u4: never views -> not even in the funnel
+        (10, ts(0), 4, "click", 0.0, "{}"),
+    ]
+    d = tempfile.mkdtemp(prefix="funnel_")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = events_funnel(spark, d).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (3, 2, 1), out
