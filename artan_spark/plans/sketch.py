@@ -365,6 +365,84 @@ GROUP BY 1, 2
 """
 
 
+def events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-wise MAX merge of the per-type HLL sketches into ONE
+    global distinct-user estimate — the mergeability that makes HLL a
+    rollup-able cube metric: the merge touches only 5 x 64 register rows,
+    never the raw data, and is exact with respect to the sketch (merging
+    sketches == sketching the union). Output also carries the global
+    exact count and the naive per-type SUM of exacts, so the report
+    shows what the union saves (users appear in several types; summing
+    per-type counts overcounts). Same determinism contract as
+    ``events_hll_distinct`` (integer registers, scaled-integer sum, 4dp
+    round on the one transcendental)."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.select("event_type", _portable_hash(F.col("user_id")).alias("hv")).distinct()
+    w = F.col("hv").bitwiseAND(F.lit((1 << 54) - 1))
+    rank = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    regs = (
+        h.select("event_type", F.shiftright("hv", 54).alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    g = merged.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    sum_scaled = F.col("sum_scaled") + (F.lit(M_REG) - F.col("n_present")) * F.lit(1 << 55)
+    e_raw = F.lit(_ALPHA_64 * M_REG * M_REG) / (sum_scaled.cast("double") / F.lit(float(1 << 55)))
+    v = F.lit(M_REG) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M_REG)) & (v > 0),
+        F.lit(float(M_REG)) * F.log(F.lit(float(M_REG)) / v.cast("double")),
+    ).otherwise(e_raw)
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("n_exact_global"))
+    naive = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .agg(F.sum("c").cast("long").alias("naive_type_sum"))
+    )
+    return (
+        g.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(naive))
+        .select("n_exact_global", "naive_type_sum", F.round(est, 4).alias("hll_union_estimate"))
+    )
+
+
+_HLL_UNION_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+regs AS (
+  SELECT event_type, hv >> 54 AS bucket,
+         MAX(CASE WHEN (hv & {(1 << 54) - 1}) = 0 THEN 55
+                  ELSE 55 - length(bin(hv & {(1 << 54) - 1})) END) AS m
+  FROM h GROUP BY 1, 2
+),
+merged AS (SELECT bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+g AS (
+  SELECT SUM(CAST(1 AS BIGINT) << (55 - m)) AS sum_scaled, COUNT(*) AS n_present
+  FROM merged
+),
+est AS (
+  SELECT CASE
+           WHEN ({_ALPHA_64 * M_REG * M_REG} / ((sum_scaled + ({M_REG} - n_present) * {1 << 55}) / {float(1 << 55)})) <= {2.5 * M_REG}
+                AND ({M_REG} - n_present) > 0
+           THEN {float(M_REG)} * ln({float(M_REG)} / ({M_REG} - n_present))
+           ELSE {_ALPHA_64 * M_REG * M_REG} / ((sum_scaled + ({M_REG} - n_present) * {1 << 55}) / {float(1 << 55)})
+         END AS est
+  FROM g
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact_global,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM (SELECT COUNT(DISTINCT user_id) AS c FROM events GROUP BY event_type)) AS naive_type_sum,
+       ROUND(est, 4) AS hll_union_estimate
+FROM est
+"""
+
+
 def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation estimates from MERGED KMV sketches — the theta-sketch
     trick (Dasgupta et al. 2016; Beyer et al. 2007 for KMV): for every
@@ -592,6 +670,7 @@ ORACLES = {"events_kmv_distinct": _KMV_SQL}
 PYTEST_ORACLES = {
     "events_cms_topk": (events_cms_topk, _CMS_SQL),
     "events_kmv_overlap": (events_kmv_overlap, _KMV_OVERLAP_SQL),
+    "events_hll_union": (events_hll_union, _HLL_UNION_SQL),
     "events_hll_distinct": (events_hll_distinct, _HLL_SQL),
     "events_heavy_hitters": (events_heavy_hitters, _HH_SQL),
     "events_quantile_sketch": (events_quantile_sketch, _QS_SQL),

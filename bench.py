@@ -108,6 +108,7 @@ HEADLINE = [
     "events_kmv_overlap",  # new round 8: ditto
     "events_funnel",  # new round 8: ditto
     "events_retention_cohorts",  # new round 8: ditto
+    "events_hll_union",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
