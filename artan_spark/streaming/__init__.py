@@ -1,5 +1,6 @@
 from artan_spark.streaming.cms import StreamingCountMin
 from artan_spark.streaming.dedup import StreamingBloomDedup, streaming_dedup_exact
+from artan_spark.streaming.funnel import StreamingFunnel
 from artan_spark.streaming.harness import stream_transform
 from artan_spark.streaming.heavyhitters import StreamingHeavyHitters
 from artan_spark.streaming.neardup import minhash_bands, streaming_near_dup
@@ -11,6 +12,7 @@ __all__ = [
     "stream_transform",
     "StreamingBloomDedup",
     "StreamingCountMin",
+    "StreamingFunnel",
     "StreamingHeavyHitters",
     "StreamingPacker",
     "StreamingQuantiles",

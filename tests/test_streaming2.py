@@ -270,3 +270,56 @@ def test_streaming_weighted_reservoir_equals_batch_sample(spark):
 
     # one-fold batch-mode call agrees too
     assert final_snapshot(op.transform(docs).collect()) == batch
+
+
+def test_streaming_funnel_equals_batch(spark):
+    """The streaming funnel's final per-user completions must equal the
+    batch query's conditioned-min semantics on an event-time-ordered
+    replay — including the strict-order rejections (click before view
+    does not count)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from artan_spark.streaming import StreamingFunnel, stream_transform
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes all three in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click before view -> stalls at view
+        (2, ts(0), "click"), (2, ts(1), "view"), (2, ts(2), "purchase"),
+        # u3: purchase before click -> stalls at click
+        (3, ts(0), "view"), (3, ts(1), "purchase"), (3, ts(2), "click"),
+        # u4 never views
+        (4, ts(0), "click"),
+        # u5: retry path — click rejected, re-click after view counts
+        (5, ts(0), "click"), (5, ts(1), "view"), (5, ts(2), "click"), (5, ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(str(u), t, e) for u, t, e in rows], "user string, ts timestamp, event_type string"
+    ).orderBy("ts", "user")
+    op = (
+        StreamingFunnel()
+        .setStateKeyCol("user")
+        .setEventTimeCol("ts")
+        .setTypeCol("event_type")
+    )
+    expected = {
+        ("1", 1): "view", ("1", 2): "click", ("1", 3): "purchase",
+        ("2", 1): "view",
+        ("3", 1): "view", ("3", 2): "click",
+        ("5", 1): "view", ("5", 2): "click", ("5", 3): "purchase",
+    }
+
+    batch = {(r.stateKey, r.step): r.step_name for r in op.transform(df).collect()}
+    assert batch == expected, batch
+    streamed = {
+        (r.stateKey, r.step): r.step_name
+        for r in stream_transform(spark, df, op.transform, chunk_rows=3).collect()
+    }
+    assert streamed == expected, streamed
