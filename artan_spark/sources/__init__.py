@@ -203,6 +203,39 @@ def write_table(
     w.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink — the interchange format most training-data
+    tooling consumes (one JSON object per line, optionally gzipped
+    part files). Same hive-style partitioning lever as the parquet sink;
+    timestamps serialize ISO-8601 in the session's UTC zone. Prefer
+    parquet for anything Spark reads back (columnar pruning, stats);
+    JSONL is the EXPORT boundary."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines reader: with ``schema`` the scan is single-pass; without
+    it Spark runs a sampling inference pass first (fine for ad-hoc,
+    always pass the schema in a pipeline). Handles the gzip part files
+    ``write_jsonl`` produces transparently."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -204,3 +204,31 @@ def test_zordered_sink_null_and_all_null_columns(spark, tmp_path):
     back = spark.read.parquet(p2)
     assert back.count() == 1000
     assert back.filter(F.col("b").isNull()).count() == 100
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """JSONL export/import: partitioned gzip part files round-trip the
+    documents slice value-for-value (schema passed on read — no
+    inference pass), and the partition column prunes."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.sources import read_jsonl, read_table, write_jsonl
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(d, out, partition_by="lang")
+
+    import glob
+    parts = glob.glob(out + "/lang=*/*.json.gz")
+    assert parts, "expected gzipped hive-partitioned part files"
+
+    back = read_jsonl(spark, out, schema="doc_id long, text string, n_chars long, lang string")
+    orig = {r.doc_id: (r.lang, r.text, r.n_chars) for r in d.collect()}
+    got = {r.doc_id: (r.lang, r.text, r.n_chars) for r in back.collect()}
+    assert got == orig
+
+    # partition pruning reaches the scan
+    plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
