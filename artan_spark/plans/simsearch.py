@@ -98,6 +98,74 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_FILTER_LANG = "en"
+
+
+def ann_filtered_topk(
+    spark: SparkSession, sf_dir: str, lang: str = ANN_FILTER_LANG
+) -> DataFrame:
+    """FILTERED vector search — top-k cosine neighbors restricted to
+    vectors whose DOCUMENT satisfies an attribute predicate (here
+    ``documents.lang``): the modern serving shape where metadata filters
+    compose with similarity (every production vector store exposes it).
+
+    Shape: the predicate pushes into the documents scan (a doc_id
+    semi-join onto the embeddings side — at scale this is the
+    pre-filtering strategy, correct at any selectivity; the IVF
+    composition post-filters probed cells and must over-fetch, so the
+    exact pre-filter is the oracle-able baseline); queries broadcast;
+    same top-k/rounding/tie-break contract as ``ann_cosine_topk``.
+    Queries themselves are NOT required to pass the filter — you search
+    the English corpus from any query vector."""
+    e = _emb(spark, sf_dir)
+    allowed = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == lang)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cand = e.join(allowed, "vec_id", "left_semi")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+_ANN_FILTERED_SQL = f"""
+WITH n AS ({_EMB_SQL}),
+allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = '{ANN_FILTER_LANG}'),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.v, q.qv) / (e.norm * q.qn) AS cosine
+  FROM n e
+  JOIN allowed a ON a.vec_id = e.vec_id
+  CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 _ANN_TOPK_SQL = f"""
 WITH n AS ({_EMB_SQL})
 SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
@@ -1636,6 +1704,7 @@ WHERE rank <= {TOP_K}
 # registry is capped at 50 driver entries: semantic dedup and PQ carry
 # their oracles through the pytest gate instead
 PYTEST_ORACLES = {
+    "ann_filtered_topk": (ann_filtered_topk, _ANN_FILTERED_SQL),
     "dedup_semantic": (dedup_semantic, _semdedup_sql()),
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_ivfadc_topk": (ann_ivfadc_topk, _ann_ivfadc_sql()),

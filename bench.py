@@ -109,6 +109,7 @@ HEADLINE = [
     "events_funnel",  # new round 8: ditto
     "events_retention_cohorts",  # new round 8: ditto
     "events_hll_union",  # new round 8: ditto
+    "ann_filtered_topk",  # new round 8: ditto
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
