@@ -254,7 +254,19 @@ def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]]) -> list[str]:
         .collect()
     )
     alphabet = sorted(r["c"] for r in chars)
-    return [UNK] + alphabet + [END] + [a + b for a, b in merges]
+    # Two distinct merges can produce the same string (('a','bc') and
+    # ('ab','c') both yield 'abc'); keep the FIRST occurrence so the id
+    # table stays a bijection with the vocab list — otherwise
+    # ids[vocab[i]] != i for the shadowed slot and embedding tables sized
+    # from len(vocab) carry dead rows.
+    vocab = [UNK] + alphabet + [END]
+    seen = set(vocab)
+    for a, b in merges:
+        s = a + b
+        if s not in seen:
+            vocab.append(s)
+            seen.add(s)
+    return vocab
 
 
 def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]], vocab: list[str]) -> DataFrame:

@@ -52,6 +52,9 @@ from artan_spark.sources import read_table, read_table_wide
 DSIR_BUCKETS = 4096  # hashed feature space (paper: 10k)
 DSIR_ALPHA = 0.5  # add-alpha smoothing for both distributions
 DSIR_FRAC = 0.25  # default selected fraction when k is not given
+# broadcast the selected id set only below this row count (matches
+# pipeline.BROADCAST_LOSER_LIMIT); above it, plain shuffled join
+DSIR_BROADCAST_LIMIT = 2_000_000
 
 _TWO60 = float(1 << 60)
 
@@ -161,9 +164,15 @@ def dsir_select(
         .limit(k)
         .select("doc_id")
     )
-    return scored.join(
-        F.broadcast(topk.withColumn("selected", F.lit(True))), "doc_id", "left"
-    ).select(
+    # TakeOrderedAndProject materializes k rows; broadcasting that set back
+    # is only sound while k is small. Count-gate it like
+    # pipeline.BROADCAST_LOSER_LIMIT — above the gate, fall back to a plain
+    # shuffled join (k id rows, still narrow) instead of an ungated
+    # driver-side broadcast of a corpus-sized id set.
+    sel = topk.withColumn("selected", F.lit(True))
+    if k <= DSIR_BROADCAST_LIMIT:
+        sel = F.broadcast(sel)
+    return scored.join(sel, "doc_id", "left").select(
         "doc_id", "source", "logw", "score", F.coalesce("selected", F.lit(False)).alias("selected")
     )
 

@@ -169,6 +169,22 @@ def test_bpe_encode_ids_roundtrip_and_replay(spark):
     assert 0 in list(enc.ids)
 
 
+def test_bpe_vocab_is_bijection_under_merge_collisions(spark):
+    """Two distinct merges can yield the same product string (('a','bc') and
+    ('ab','c') both give 'abc'); the vocab must keep the first occurrence
+    only so ids[vocab[i]] == i for every slot (embedding tables sized from
+    len(vocab) must carry no dead rows)."""
+    from artan_spark.plans.bpe import bpe_vocab
+
+    docs = spark.createDataFrame([(0, "abc abc ab a")], "doc_id long, text string")
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")]  # two make 'abc'
+    vocab = bpe_vocab(docs, merges)
+    assert len(vocab) == len(set(vocab))
+    ids = {s: i for i, s in enumerate(vocab)}
+    assert all(ids[s] == i for i, s in enumerate(vocab))
+    assert vocab.count("abc") == 1
+
+
 def test_pack_token_ids_replay(spark):
     """Packed sequences replay exactly: per stream, concatenating docs in
     doc_id order and cutting every seq_len reproduces each (seq_id, ids)
