@@ -10,6 +10,13 @@ Every number is a median of REPEATS (default 3) runs — single-run timings at
 these sub-second scales swing 1.3-1.8x with JVM/codegen/GC state (the round-2
 "regression" on untouched queries was exactly that), so one run is not a
 measurement. Override with SPARK_GRAFT_BENCH_REPEATS=1 for a quick pass.
+
+Round 9 protocol: each tier (sf0.1 headline suite, operator throughput,
+sf1.0 scale point) runs in its OWN subprocess — a fresh JVM and Python
+worker pool — because round 8 recorded 2-4x slowdowns on unchanged sf1.0
+queries that were pure within-session aging (the sf1.0 list ran after ~49
+headline queries). `python bench.py --tier headline|ops|sf2` runs one tier;
+no args orchestrates all and prints the combined JSON as the last line.
 """
 
 from __future__ import annotations
@@ -123,30 +130,32 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _resolve(name):
+    # headline entries may live beyond the 50-entry driver registry
+    # (PYTEST_ORACLES holds (fn, sql) pairs; NO_SQL_QUERIES holds the
+    # wrappers with no SQL-expressible oracle)
     from artan_spark.plans import NO_SQL_QUERIES, PYTEST_ORACLES, QUERIES
+
+    if name in QUERIES:
+        return QUERIES[name]
+    if name in PYTEST_ORACLES:
+        return PYTEST_ORACLES[name][0]
+    return NO_SQL_QUERIES[name]
+
+
+def _fresh_session(app_name: str):
+    """One bench session: AQE/arrow flags from the library builder, console
+    progress bars OFF so the driver's output capture stays parseable."""
     from artan_spark.sources import session_builder
 
-    def resolve(name):
-        # headline entries may live beyond the 50-entry driver registry
-        # (PYTEST_ORACLES holds (fn, sql) pairs; NO_SQL_QUERIES holds the
-        # wrappers with no SQL-expressible oracle)
-        if name in QUERIES:
-            return QUERIES[name]
-        if name in PYTEST_ORACLES:
-            return PYTEST_ORACLES[name][0]
-        return NO_SQL_QUERIES[name]
-
-    spark = session_builder(
-        app_name="artan_spark-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
-    ).getOrCreate()
+    spark = (
+        session_builder(
+            app_name=app_name, master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+        )
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
-
-    try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
-    except ValueError:
-        sf = -1.0
-
     # warm the JVM (codegen, parquet reader) and the Python worker pool so
     # the first timed query doesn't absorb session startup
     from artan_spark.sources import read_table
@@ -155,46 +164,45 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").groupBy("x").applyInPandas(
         lambda p: p, "x int"
     ).count()
+    return spark
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = resolve(name)
-        sec, n = _median_time(lambda: fn(spark, SF_DIR).count())
-        timings[name] = round(sec, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    # Per-operator throughput runs in a FRESH session: ~1000 accumulated
-    # stages of suite history (JVM heap/GC, listener state, worker pool)
-    # tax the Python-fold operators ~30% — measured 47.7k rows/s for
-    # vectorized LKF inside the suite session vs 73k fresh, which is what
-    # the round-1 baseline (75.1k, 21-query suite) actually recorded. The
-    # fresh session measures the operator, not the suite's wake.
-    spark.stop()
-    spark = session_builder(
-        app_name="artan_spark-bench-ops", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.createDataFrame([(1,)], "x int").groupBy("x").applyInPandas(
-        lambda p: p, "x int"
-    ).count()
-    throughput = _operator_throughput(spark)
+def _run_tier(tier: str) -> dict:
+    """One measurement tier in THIS process (the orchestrator spawns each
+    tier as its own subprocess = its own fresh JVM).
 
-    out = {
-        "metric": "headline_suite_runtime",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "operator_rows_per_sec": throughput,
-        "sf": sf,
-    }
+    Round-8 adjudication: the sf1.0 list used to run after ~49 headline
+    queries + the throughput sweep in an aged JVM, and the recorded numbers
+    inherited 2-4x within-session climb on queries whose code had not
+    changed (BENCH_r08 lkf_ols_multikey 31.8s vs 10s fresh). Per-tier
+    process isolation makes the recorded artifact a measurement of the
+    query, not of the suite's wake."""
+    if tier == "headline":
+        spark = _fresh_session("artan_spark-bench")
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = _resolve(name)
+            sec, n = _median_time(lambda: fn(spark, SF_DIR).count())
+            timings[name] = round(sec, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spark.stop()
+        return {"queries": timings}
 
-    if SF2:
-        from artan_spark.sources.datagen import ensure_generated
+    if tier == "ops":
+        # Per-operator throughput in its own session: suite history (JVM
+        # heap/GC, listener state, worker pool) taxes the Python-fold
+        # operators ~30% — measured 47.7k rows/s for vectorized LKF inside
+        # the suite session vs 73k fresh (the round-1 baseline's condition).
+        spark = _fresh_session("artan_spark-bench-ops")
+        throughput = _operator_throughput(spark)
+        spark.stop()
+        return {"operator_rows_per_sec": throughput}
 
-        ensure_generated(float(SF2), SF2_DIR)
+    if tier == "sf2":
+        spark = _fresh_session("artan_spark-bench-sf2")
         timings2: dict[str, float] = {}
         for name in SF2_QUERIES:
-            fn = resolve(name)
+            fn = _resolve(name)
             runs = []
             for _ in range(REPEATS2):
                 t0 = time.perf_counter()
@@ -203,12 +211,65 @@ def main() -> None:
             sec = statistics.median(runs)
             timings2[name] = round(sec, 3)
             print(f"# sf{SF2} {name}: {timings2[name]:.3f}s ({n} rows)", file=sys.stderr)
-        out["sf2"] = float(SF2)
-        out["queries_sf2"] = timings2
-        out["value_sf2"] = round(sum(timings2.values()), 3)
+        spark.stop()
+        return {"queries_sf2": timings2}
 
-    print(json.dumps(out))
-    spark.stop()
+    raise SystemExit(f"unknown tier {tier!r}")
+
+
+def main() -> None:
+    import subprocess
+
+    if "--tier" in sys.argv:
+        part = _run_tier(sys.argv[sys.argv.index("--tier") + 1])
+        print(json.dumps(part, separators=(",", ":")), flush=True)
+        return
+
+    # Orchestrator: each tier is a subprocess (fresh JVM + fresh Python
+    # worker pool), partial JSON on the child's last stdout line; progress
+    # lines pass through on stderr. Data generation is numpy/pyarrow-only
+    # (no JVM) so it runs here without aging any measured session.
+    if SF2:
+        from artan_spark.sources.datagen import ensure_generated
+
+        ensure_generated(float(SF2), SF2_DIR)
+
+    tiers = ["headline", "ops"] + (["sf2"] if SF2 else [])
+    parts: dict = {}
+    for tier in tiers:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tier", tier],
+            stdout=subprocess.PIPE,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            raise SystemExit(f"bench tier {tier!r} failed with rc={r.returncode}")
+        lines = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
+        parts.update(json.loads(lines[-1]))
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:
+        sf = -1.0
+
+    out = {
+        "metric": "headline_suite_runtime",
+        "value": round(sum(parts["queries"].values()), 3),
+        "unit": "sec",
+        "queries": parts["queries"],
+        "operator_rows_per_sec": parts["operator_rows_per_sec"],
+        "sf": sf,
+    }
+    if SF2:
+        out["sf2"] = float(SF2)
+        out["queries_sf2"] = parts["queries_sf2"]
+        out["value_sf2"] = round(sum(parts["queries_sf2"].values()), 3)
+
+    # The metric JSON must survive the driver's tail capture: compact form,
+    # printed as the very LAST line, flushed, with no Spark shutdown noise
+    # after it (every child session already stopped in its own process).
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 def _operator_throughput(spark) -> dict[str, int]:
