@@ -23,6 +23,7 @@ from artan_spark.plans import (
     sketch,
     temporal,
     textstats,
+    urls,
 )
 
 # Order matters: the driver's correctness harness checks a bounded prefix of
@@ -41,6 +42,7 @@ MODULES = (
     lm,
     dsir,
     bm25,
+    urls,
     multimodal,
 )
 

@@ -117,6 +117,7 @@ HEADLINE = [
     "events_retention_cohorts",  # new round 8: ditto
     "events_hll_union",  # new round 8: ditto
     "ann_filtered_topk",  # new round 8: ditto
+    "docs_url_dedup",  # new round 9: URL-level first-stage dedup
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
