@@ -414,6 +414,34 @@ def _oracle_scale_check(n: int) -> None:
         )
 
 
+def _assign_cells(vecs: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Attach each vector's nearest-centroid id MAP-SIDE: the KM_K
+    centroids collapse to one broadcast row of array<struct<cid,cv>>
+    and the argmax is a higher-order-function reduce per row — no
+    Exchange on the embeddings side (the old formulation was a
+    crossJoin + row_number window, i.e. a full-corpus hash shuffle
+    per assignment pass). First occurrence of the max dot wins, and
+    the array is cid-sorted, so ties break to the smallest cid —
+    identical to the window's (dot DESC, cid ASC) and the oracle.
+    Shared by the Lloyd fit and the incremental index append so the
+    tie-break contract has exactly one home."""
+    carr = cent_df.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    # one dot per centroid, computed once: argmax = array_max over
+    # struct(dot, -cid) (struct compare is lexicographic, so ties on
+    # dot resolve to the SMALLEST cid)
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(_dot(F.col("vn"), c["cv"]).alias("dot"), (-c["cid"]).alias("ncid")),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .withColumn("cid", -best["ncid"])
+        .drop("cents")
+    )
+
+
 def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K):
     """Deterministic spherical k-means fit over normalized vectors ``e``
     (vec_id, vn): init = first ``k`` vectors (or a caller-supplied
@@ -427,29 +455,7 @@ def _fit_kmeans_cells(e: DataFrame, init: DataFrame | None = None, k: int = KM_K
     )
 
     def with_cell(cent_df):
-        """Attach each vector's nearest-centroid id MAP-SIDE: the KM_K
-        centroids collapse to one broadcast row of array<struct<cid,cv>>
-        and the argmax is a higher-order-function reduce per row — no
-        Exchange on the embeddings side (the old formulation was a
-        crossJoin + row_number window, i.e. a full-corpus hash shuffle
-        per assignment pass). First occurrence of the max dot wins, and
-        the array is cid-sorted, so ties break to the smallest cid —
-        identical to the window's (dot DESC, cid ASC) and the oracle."""
-        carr = cent_df.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
-        # one dot per centroid, computed once: argmax = array_max over
-        # struct(dot, -cid) (struct compare is lexicographic, so ties on
-        # dot resolve to the SMALLEST cid)
-        best = F.array_max(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(_dot(F.col("vn"), c["cv"]).alias("dot"), (-c["cid"]).alias("ncid")),
-            )
-        )
-        return (
-            e.crossJoin(F.broadcast(carr))
-            .withColumn("cid", -best["ncid"])
-            .drop("cents")
-        )
+        return _assign_cells(e, cent_df)
 
     for _ in range(KM_ITERS):
         pos = with_cell(cent).select("cid", F.posexplode(F.col("vn")).alias("pos", "x"))
@@ -621,6 +627,13 @@ def build_ivf_index(
     member.select("vec_id", "vn", "cid").write.mode("overwrite").partitionBy("cid").parquet(
         out_dir + "/cells"
     )
+    # build-time fit quality, the anchor ivf_index_staleness compares
+    # against after appends: mean spherical distance (1 - cosine) of every
+    # member to its assigned centroid
+    member.join(F.broadcast(cent), "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.lit(1.0) - _dot(F.col("vn"), F.col("cv"))).alias("mean_dist"),
+    ).write.mode("overwrite").parquet(out_dir + "/stats")
     if quantize == "pq":
         means = (
             member.select("cid", F.posexplode("vn").alias("pos", "x"))
@@ -811,6 +824,93 @@ def ann_ivfadc_query(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Incremental index maintenance: assign ``new_vectors`` (vec_id,
+    embedding — the embeddings-table shape; vec_ids must be disjoint from
+    the indexed set) to the EXISTING centroids and append cell-partitioned
+    files. No refit, no rewrite of existing cells — the daily-append path
+    for a lake that can't afford a full rebuild per batch.
+
+    Centroids, cell means, and PQ codebooks stay FROZEN: appended vectors
+    are quantized against codebooks fitted before they existed (codebook
+    drift). Drift is measurable — ``ivf_index_staleness`` compares the
+    current mean distance-to-assigned-centroid against the build-time
+    anchor (``/stats``); rebuild when the ratio crosses the caller's
+    tolerance (FAISS practice: ~1.1-1.5x).
+
+    Layouts present in the index are maintained automatically: ``cells``
+    always; ``cells_q`` (int8) and ``cells_pq`` + residual encoding when
+    the build wrote them. Append is chunk-invariant: appending a batch in
+    one call or split across calls yields the same cell contents (assign
+    and encode are stateless per row given the frozen tables).
+
+    100-TB shape: assignment/quantization are map-side against broadcast
+    centroid/codebook tables (no shuffle on the new batch); writes go
+    only to the partitions the batch's cells touch."""
+    cent = spark.read.parquet(index_dir + "/centroids")
+    v = new_vectors.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    vn = v.select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
+    # reused by up to three layout writes below; batch-sized, not corpus-sized
+    member = _assign_cells(vn, cent).localCheckpoint()
+    member.select("vec_id", "vn", "cid").write.mode("append").partitionBy("cid").parquet(
+        index_dir + "/cells"
+    )
+    if os.path.isdir(index_dir + "/cells_q"):
+        scale = F.array_max(F.transform("vn", F.abs)) / F.lit(127.0)
+        scale = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+        member.select(
+            "vec_id",
+            "cid",
+            scale.alias("scale"),
+            F.transform("vn", lambda x: F.round(x / scale).cast("int")).alias("q"),
+        ).write.mode("append").partitionBy("cid").parquet(index_dir + "/cells_q")
+    if os.path.isdir(index_dir + "/cells_pq"):
+        means = spark.read.parquet(index_dir + "/means")
+        cb = spark.read.parquet(index_dir + "/pq_codebooks")
+        resid = member.join(F.broadcast(means), "cid").select(
+            "cid", "vec_id", F.zip_with("vn", "cm", lambda a, b: a - b).alias("vn")
+        )
+        dim = len(vn.select("vn").first()["vn"])
+        pq_encode(resid, cb, dim).write.mode("append").partitionBy("cid").parquet(
+            index_dir + "/cells_pq"
+        )
+
+
+def ivf_index_staleness(spark: SparkSession, index_dir: str) -> dict:
+    """Drift metric for an appended index: current mean spherical distance
+    (1 - cosine) of ALL members to their assigned centroid vs the
+    build-time anchor written by ``build_ivf_index``. Returns metadata
+    scalars (one corpus aggregate + one 1-row read):
+
+    - ``n_build`` / ``mean_dist_build`` — the fit-time anchor,
+    - ``n_now`` / ``mean_dist_now`` — the same aggregate today,
+    - ``drift_ratio`` — mean_dist_now / mean_dist_build (1.0 = fresh;
+      appends that land far from every frozen centroid push it up)."""
+    build = spark.read.parquet(index_dir + "/stats").first()
+    cent = spark.read.parquet(index_dir + "/centroids")
+    now = (
+        spark.read.parquet(index_dir + "/cells")
+        .join(F.broadcast(cent), "cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(F.lit(1.0) - _dot(F.col("vn"), F.col("cv"))).alias("mean_dist"),
+        )
+        .first()
+    )
+    base = build["mean_dist"] if build["mean_dist"] else 1e-12
+    return {
+        "n_build": build["n"],
+        "mean_dist_build": build["mean_dist"],
+        "n_now": now["n"],
+        "mean_dist_now": now["mean_dist"],
+        "drift_ratio": now["mean_dist"] / base,
+    }
 
 
 def _kmeans_cells_cte() -> str:

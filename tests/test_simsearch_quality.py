@@ -597,3 +597,141 @@ def test_semdedup_prune_engine_parity(spark):
     la2 = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 2, return_losers=True, engine="arrow").collect()}
     lc2 = {r.vec_id for r in S._semdedup_prune(sm, 3, 0.99, 2, return_losers=True, engine="catalyst").collect()}
     assert la2 == lc2
+
+
+# -- incremental index append (round 9) --------------------------------------
+
+
+def _queries_of(spark, sf_dir, n=None):
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.simsearch import N_QUERIES, _emb
+
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < (n or N_QUERIES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("v", lambda x: x / F.col("norm")).alias("qvn"),
+        )
+    )
+
+
+def _new_batch(spark, sf_dir, lo=0, hi=50):
+    """Deterministic append batch: reversed copies of vectors [lo, hi)
+    under fresh disjoint ids."""
+    from pyspark.sql import functions as F
+
+    from artan_spark.sources import read_table
+
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+    )
+
+
+def test_ivf_append_serve_matches_rebuilt_index(spark, tmp_path):
+    """Exact-rescore contract: with every cell probed, an appended index
+    serves the identical top-k as an index REBUILT from scratch over the
+    union corpus (cell layouts differ — only (neighbor, cosine) must
+    match), because assignment only routes candidates and the rescore is
+    exact. Staleness bookkeeping: n grows by the batch, drift ratio is a
+    positive scalar."""
+    from artan_spark.plans.simsearch import (
+        KM_K,
+        ann_ivf_query,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_staleness,
+    )
+
+    idx = str(tmp_path / "ivf_app")
+    build_ivf_index(spark, SF_DIR, idx)
+    new = _new_batch(spark, SF_DIR)
+    append_to_ivf_index(spark, idx, new)
+
+    # rebuilt reference over the union corpus, materialized as a table dir
+    from artan_spark.sources import read_table
+
+    union_dir = str(tmp_path / "sf_union")
+    read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").unionByName(
+        new
+    ).write.parquet(union_dir + "/embeddings.parquet")
+    idx2 = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(spark, union_dir, idx2)
+
+    q = _queries_of(spark, SF_DIR)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, idx, q, nprobe=KM_K).collect()
+    }
+    want = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, idx2, q, nprobe=KM_K).collect()
+    }
+    assert got == want and len(got) > 0
+
+    st = ivf_index_staleness(spark, idx)
+    assert st["n_now"] == st["n_build"] + 50
+    assert st["drift_ratio"] > 0
+    # the rebuilt index is its own anchor: drift ~1 by construction
+    st2 = ivf_index_staleness(spark, idx2)
+    assert abs(st2["drift_ratio"] - 1.0) < 1e-9
+
+
+def test_ivf_append_is_chunk_invariant(spark, tmp_path):
+    """Appending one batch in a single call or split across two calls
+    yields identical cell contents for BOTH maintained layouts (cells +
+    int8 cells_q): assignment and quantization are stateless per row
+    against the frozen centroid table."""
+    from artan_spark.plans.simsearch import append_to_ivf_index, build_ivf_index
+
+    ia, ib = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(spark, SF_DIR, ia, quantize=True)
+    build_ivf_index(spark, SF_DIR, ib, quantize=True)
+    append_to_ivf_index(spark, ia, _new_batch(spark, SF_DIR, 0, 50))
+    append_to_ivf_index(spark, ib, _new_batch(spark, SF_DIR, 0, 25))
+    append_to_ivf_index(spark, ib, _new_batch(spark, SF_DIR, 25, 50))
+
+    def rows(d, sub):
+        out = [tuple(r) for r in spark.read.parquet(d + sub).collect()]
+        return sorted((r[0], tuple(r[1]) if isinstance(r[1], list) else r[1], *r[2:]) for r in out)
+
+    assert rows(ia, "/cells") == rows(ib, "/cells")
+    assert rows(ia, "/cells_q") == rows(ib, "/cells_q")
+
+
+def test_ivfadc_append_exact_rescore_matches_full_precision(spark, tmp_path):
+    """After an append, the IVFADC layout (codes quantized against FROZEN
+    codebooks — documented drift) still serves exactly when the rerank
+    horizon covers the probed candidates: ADC only orders candidates, the
+    final rescore reads full-precision cells. Serve must equal the
+    full-precision serve of the SAME appended index."""
+    from artan_spark.plans.simsearch import (
+        KM_K,
+        ann_ivf_query,
+        ann_ivfadc_query,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivfadc_app")
+    build_ivf_index(spark, SF_DIR, idx, quantize="pq")
+    append_to_ivf_index(spark, idx, _new_batch(spark, SF_DIR))
+
+    q = _queries_of(spark, SF_DIR)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    adc = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivfadc_query(spark, idx, q, nprobe=KM_K, rerank=10000).collect()
+    }
+    full = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, idx, q, nprobe=KM_K).collect()
+    }
+    assert adc == full and len(adc) > 0
