@@ -23,6 +23,7 @@ from artan_spark.plans import (
     sketch,
     temporal,
     textstats,
+    unigram,
     urls,
 )
 
@@ -43,6 +44,7 @@ MODULES = (
     dsir,
     bm25,
     urls,
+    unigram,
     multimodal,
 )
 

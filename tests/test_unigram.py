@@ -1,0 +1,147 @@
+"""Unigram-LM tokenizer: forward-backward E-step checked against
+brute-force segmentation enumeration, Spark trainer replayed bit-exact in
+plain Python (the BPE contract), Viterbi encode round-trips, and the id
+stream composes with pack_token_ids."""
+
+import math
+
+import pytest
+
+from artan_spark.plans.unigram import (
+    MAX_PIECE_LEN,
+    UNK,
+    _e_step,
+    train_unigram_from_counts,
+    unigram_encode_ids,
+    unigram_train,
+    unigram_vocab,
+    viterbi_segment,
+    _unk_logp,
+)
+
+CORPUS = [
+    (0, "abab abab cd cd abcd " * 4),
+    (1, "ab cd abab abcd dcba"),
+    (2, "aaaa bbbb abab cdcd"),
+]
+
+
+def _enumerate_expected(word, wc, logp):
+    """Brute-force lattice expectations: enumerate EVERY segmentation."""
+    segs = []
+
+    def rec(i, acc):
+        if i == len(word):
+            segs.append(list(acc))
+            return
+        for j in range(i + 1, min(i + MAX_PIECE_LEN, len(word)) + 1):
+            p = word[i:j]
+            if p in logp:
+                acc.append(p)
+                rec(j, acc)
+                acc.pop()
+
+    rec(0, [])
+    if not segs:
+        return {}, None
+    logps = [sum(logp[p] for p in s) for s in segs]
+    m = max(logps)
+    total = m + math.log(sum(math.exp(x - m) for x in logps))
+    exp = {}
+    for s, lp in zip(segs, logps):
+        w = math.exp(lp - total) * wc
+        for p in s:
+            exp[p] = exp.get(p, 0.0) + w
+    return exp, total
+
+
+def test_e_step_matches_enumeration():
+    logp = {
+        "a": math.log(0.2), "b": math.log(0.2), "c": math.log(0.1),
+        "d": math.log(0.1), "ab": math.log(0.25), "cd": math.log(0.1),
+        "abab": math.log(0.05),
+    }
+    counts = [("abab", 3), ("abcd", 2), ("dcba", 1), ("aabb", 5)]
+    got, ll = _e_step(counts, logp)
+    want, want_ll = {}, 0.0
+    for w, c in counts:
+        e, tot = _enumerate_expected(w, c, logp)
+        want_ll += c * tot
+        for p, v in e.items():
+            want[p] = want.get(p, 0.0) + v
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9), p
+    assert ll == pytest.approx(want_ll, rel=1e-12)
+
+
+def test_spark_trainer_replays_bit_exact(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    trained = unigram_train(docs, vocab_size=12)
+    # plain-Python replay from plain-Python word counts
+    wc: dict = {}
+    for _i, text in CORPUS:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    replay = train_unigram_from_counts(sorted(wc.items()), vocab_size=12)
+    assert trained == replay  # bit-exact: same pure function, same input
+    assert len(trained) <= max(12, len({c for _, t in CORPUS for c in t if c != " "}))
+    assert any(len(p) > 1 for p in trained)  # learned real subwords
+    # determinism across invocations
+    assert unigram_train(docs, vocab_size=12) == trained
+
+
+def test_viterbi_segments_cover_and_score():
+    logp = {"a": -2.0, "b": -2.0, "ab": -1.0, "abc": -0.5, "c": -3.0}
+    unk = _unk_logp(logp)
+    assert viterbi_segment("abc", logp, unk) == ["abc"]
+    assert viterbi_segment("abab", logp, unk) == ["ab", "ab"]
+    # unknown char segments alone and survives mid-word
+    assert viterbi_segment("axb", logp, unk) == ["a", "x", "b"]
+    # tie (a+b = -4 vs ab = -1): higher score wins
+    assert viterbi_segment("ab", logp, unk) == ["ab"]
+    # every segmentation concatenates back to the word
+    for w in ("abcabc", "bca", "xyz"):
+        assert "".join(viterbi_segment(w, logp, unk)) == w
+
+
+def test_encode_ids_roundtrip_and_replay(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    logp = unigram_train(docs, vocab_size=12)
+    vocab = unigram_vocab(logp)
+    assert vocab[0] == UNK and len(vocab) == len(set(vocab))
+    ids = {s: i for i, s in enumerate(vocab)}
+    unk = _unk_logp(logp)
+
+    out = {r.doc_id: r for r in unigram_encode_ids(docs, logp).collect()}
+    assert set(out) == {0, 1, 2}
+    for doc_id, text in CORPUS:
+        expect = [
+            ids.get(p, 0)
+            for w in text.split()
+            for p in viterbi_segment(w, logp, unk)
+        ]
+        assert list(out[doc_id].ids) == expect
+        assert out[doc_id].n_tokens == len(expect)
+    # decode: no unks in-corpus, so ids invert to the exact text words
+    dec = "".join(vocab[i] for i in out[1].ids)
+    assert dec == CORPUS[1][1].replace(" ", "")
+
+    # unseen character -> <unk>=0
+    weird = spark.createDataFrame([(9, "abq")], "doc_id long, text string")
+    enc = unigram_encode_ids(weird, logp).collect()[0]
+    assert 0 in list(enc.ids)
+
+
+def test_composes_with_pack_token_ids(spark):
+    from pyspark.sql import functions as F
+
+    from artan_spark.plans.bpe import pack_token_ids
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    logp = unigram_train(docs, vocab_size=12)
+    enc = unigram_encode_ids(docs, logp)
+    total = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    packed = pack_token_ids(enc, seq_len=16, n_streams=2)
+    packed_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert packed_total == total
