@@ -1,0 +1,29 @@
+"""Single source of truth for the inventory tallies SURVEY.md cites —
+counted by import, never by hand (round-8 verdict found the prose tally
+drifting from the imported count)."""
+
+
+def test_registry_counts():
+    from artan_spark.plans import NO_SQL_QUERIES, ORACLES, PYTEST_ORACLES, QUERIES
+
+    # the driver's correctness window: exactly 50, every entry oracled
+    assert len(QUERIES) == 50
+    assert set(ORACLES) == set(QUERIES)
+    # pytest-side oracles and non-SQL-expressible wrappers live OUTSIDE
+    # the driver window and never shadow a registry name
+    assert len(PYTEST_ORACLES) == 43
+    assert len(NO_SQL_QUERIES) == 1
+    assert not set(PYTEST_ORACLES) & set(QUERIES)
+    assert not set(NO_SQL_QUERIES) & set(QUERIES)
+    assert not set(NO_SQL_QUERIES) & set(PYTEST_ORACLES)
+
+
+def test_bench_headline_names_resolve():
+    """Every benched query exists in exactly one of the three registries
+    (bench._resolve's contract)."""
+    import bench
+    from artan_spark.plans import NO_SQL_QUERIES, PYTEST_ORACLES, QUERIES
+
+    all_names = set(QUERIES) | set(PYTEST_ORACLES) | set(NO_SQL_QUERIES)
+    missing = [n for n in bench.HEADLINE + bench.SF2_QUERIES if n not in all_names]
+    assert not missing, missing
