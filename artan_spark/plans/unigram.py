@@ -46,9 +46,11 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from artan_spark.plans.bpe import word_counts
+from artan_spark.sources import read_table_wide
 
 UNK = "<unk>"
 MAX_PIECE_LEN = 8
@@ -168,18 +170,37 @@ def train_unigram_from_counts(
 
 
 def unigram_train(
-    docs: DataFrame, vocab_size: int = 120, max_vocab_rows: int = 2_000_000
+    docs: DataFrame,
+    vocab_size: int = 120,
+    max_vocab_rows: int = 2_000_000,
+    min_count: int = 1,
+    max_train_words: int | None = None,
 ) -> dict[str, float]:
     """Learn a unigram-LM piece table from a (text) corpus frame: ONE
     distributed word-count pass, then the size-gated EM loop on the
-    aggregate (the ``bpe_train`` contract)."""
+    aggregate (the ``bpe_train`` contract).
+
+    ``min_count`` / ``max_train_words`` bound the trainer INPUT the way
+    SentencePiece's ``--input_sentence_size`` does: drop the long tail
+    (count < min_count), then keep the top ``max_train_words`` by
+    (count desc, word asc) — a deterministic distributed TakeOrdered, so
+    the driver never holds more than that many rows and training cost is
+    corpus-size-independent (Zipf: the head carries the piece statistics).
+    Encoding still covers the FULL corpus; characters unseen in the
+    training subset encode to <unk> like any unknown."""
     wc = word_counts(docs)
-    n = wc.count()
-    if n > max_vocab_rows:
-        raise ValueError(
-            f"word vocabulary has {n} rows > max_vocab_rows={max_vocab_rows}; "
-            "raise the gate or pre-truncate (e.g. min-count filter) before training"
-        )
+    if min_count > 1:
+        wc = wc.filter(F.col("count") >= min_count)
+    if max_train_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_train_words)
+    else:
+        n = wc.count()
+        if n > max_vocab_rows:
+            raise ValueError(
+                f"word vocabulary has {n} rows > max_vocab_rows={max_vocab_rows}; "
+                "raise the gate, set max_train_words, or pre-truncate "
+                "(e.g. min-count filter) before training"
+            )
     counts = [(r["word"], int(r["count"])) for r in wc.collect()]
     return train_unigram_from_counts(counts, vocab_size=vocab_size)
 
@@ -271,6 +292,73 @@ def unigram_token_counts(docs: DataFrame, logp: dict[str, float]) -> DataFrame:
     return unigram_encode_ids(docs, logp).select("doc_id", "n_tokens")
 
 
+# -- corpus entry ------------------------------------------------------------
+
+UNIGRAM_VOCAB = 96
+UNIGRAM_MIN_COUNT = 2
+UNIGRAM_TRAIN_WORDS = 2048
+
+# session memo per (applicationId, documents path, freshness token): the
+# trained piece table is a pure function of the immutable parquet (the
+# simsearch _KMEANS_CACHE contract — fit once per session, every consumer
+# shares it; values are vocab-sized dicts, not frames)
+_TRAIN_CACHE: dict[tuple, dict] = {}
+
+
+def _corpus_table(spark: SparkSession, sf_dir: str, d: DataFrame) -> dict[str, float]:
+    from artan_spark.plans.simsearch import _evict_stale
+    from artan_spark.sources import _path_token
+
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, path, _path_token(path))
+    hit = _TRAIN_CACHE.get(key)
+    if hit is None:
+        hit = unigram_train(
+            d,
+            vocab_size=UNIGRAM_VOCAB,
+            min_count=UNIGRAM_MIN_COUNT,
+            max_train_words=UNIGRAM_TRAIN_WORDS,
+        )
+        _evict_stale(_TRAIN_CACHE, key)
+        _TRAIN_CACHE[key] = hit
+    return hit
+
+
+def docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, total_tokens, avg_tokens): the corpus tokenized
+    under a unigram-LM vocabulary trained on the corpus itself — the
+    per-language token-volume report a mixing/budget stage consumes
+    (``docs_token_budget`` shape, but under a LEARNED vocabulary).
+
+    NO_SQL entry: the EM trainer has no SQL expression (DuckDB cannot run
+    lattice forward-backward); correctness is pinned by a bit-exact
+    plain-Python replay of train + Viterbi + aggregate in
+    tests/test_unigram.py, the ``docs_compression_ratio`` contract.
+
+    100-TB shape: one distributed word-count pass bounded to the top
+    ``UNIGRAM_TRAIN_WORDS`` head for the driver EM (deterministic
+    TakeOrdered), one Arrow mapInPandas encode pass over the corpus, one
+    language-cardinality aggregate."""
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    logp = _corpus_table(spark, sf_dir, d)
+    enc = unigram_token_counts(d, logp)
+    return (
+        d.select("doc_id", "lang")
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 PYTEST_ORACLES: dict = {}
+NO_SQL_QUERIES = {
+    "docs_unigram_tokens": docs_unigram_tokens,
+}

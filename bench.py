@@ -118,6 +118,7 @@ HEADLINE = [
     "events_hll_union",  # new round 8: ditto
     "ann_filtered_topk",  # new round 8: ditto
     "docs_url_dedup",  # new round 9: URL-level first-stage dedup
+    "docs_unigram_tokens",  # new round 9: learned-vocab token report
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -12,7 +12,7 @@ def test_registry_counts():
     # pytest-side oracles and non-SQL-expressible wrappers live OUTSIDE
     # the driver window and never shadow a registry name
     assert len(PYTEST_ORACLES) == 43
-    assert len(NO_SQL_QUERIES) == 1
+    assert len(NO_SQL_QUERIES) == 2
     assert not set(PYTEST_ORACLES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(PYTEST_ORACLES)

@@ -145,3 +145,53 @@ def test_composes_with_pack_token_ids(spark):
     packed = pack_token_ids(enc, seq_len=16, n_streams=2)
     packed_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
     assert packed_total == total
+
+
+def test_docs_unigram_tokens_replay_sf001(spark):
+    """The NO_SQL corpus entry replays bit-exact in plain Python (train
+    input bounding + EM + Viterbi + per-lang aggregate), the
+    docs_compression_ratio contract for non-SQL-expressible entries."""
+    import pyarrow.parquet as pq
+
+    from artan_spark.plans.unigram import (
+        UNIGRAM_MIN_COUNT,
+        UNIGRAM_TRAIN_WORDS,
+        UNIGRAM_VOCAB,
+        docs_unigram_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lang"]: r for r in docs_unigram_tokens(spark, sf).collect()}
+
+    t = pq.read_table(sf + "/documents.parquet").to_pydict()
+    wc: dict = {}
+    for text in t["text"]:
+        for w in (text or "").split():
+            wc[w] = wc.get(w, 0) + 1
+    head = sorted(
+        ((w, c) for w, c in wc.items() if c >= UNIGRAM_MIN_COUNT),
+        key=lambda x: (-x[1], x[0]),
+    )[:UNIGRAM_TRAIN_WORDS]
+    logp = train_unigram_from_counts(head, vocab_size=UNIGRAM_VOCAB)
+    unk = _unk_logp(logp)
+
+    memo: dict = {}
+
+    def n_toks(w):
+        v = memo.get(w)
+        if v is None:
+            v = len(viterbi_segment(w, logp, unk))
+            memo[w] = v
+        return v
+
+    agg: dict = {}
+    for lang, text in zip(t["lang"], t["text"]):
+        n = sum(n_toks(w) for w in (text or "").split())
+        d = agg.setdefault(lang, [0, 0])
+        d[0] += 1
+        d[1] += n
+    assert set(got) == set(agg)
+    for lang, (n_docs, total) in agg.items():
+        assert got[lang]["n_docs"] == n_docs
+        assert got[lang]["total_tokens"] == total
+        assert got[lang]["avg_tokens"] == pytest.approx(total / n_docs, abs=1e-6)
