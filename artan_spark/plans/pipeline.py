@@ -44,7 +44,10 @@ BROADCAST_LOSER_LIMIT = 2_000_000
 
 
 def _gated_meta(
-    spark: SparkSession, sf_dir: str, rules: tuple = CURATION_RULES
+    spark: SparkSession,
+    sf_dir: str,
+    rules: tuple = CURATION_RULES,
+    url_keepers: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE heavy corpus pass of the curation pipeline: quality gate
     (A1.1 subset) -> repetition gate (all 13 A1.2 rules) -> project to
@@ -63,6 +66,12 @@ def _gated_meta(
         cache_key=os.path.join(sf_dir, "documents.parquet"),
         barrier=True,
     )
+    if url_keepers is not None:
+        # stage-1 URL dedup BEFORE the heavy gates: the keeper manifest is
+        # (doc_id)-narrow, the semi-join prunes the interpreted HOF work to
+        # keepers only (CCNet/RefinedWeb ordering — the URL pass needs no
+        # text, so it always runs first)
+        d = d.join(url_keepers, "doc_id", "left_semi")
     gate = F.lit(True)
     for r in rules:
         gate = gate & F.col(f"ok_{r}")
@@ -114,6 +123,19 @@ def corpus_curation_report(
       loser-count gate), like ``dedup_semantic``'s standalone use.
     """
     gated_meta = _gated_meta(spark, sf_dir, rules).localCheckpoint()
+    return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
+
+
+def _cap_dedup_report(
+    spark: SparkSession,
+    sf_dir: str,
+    gated_meta: DataFrame,
+    max_share: float,
+    threshold: float,
+) -> DataFrame:
+    """Shared pipeline tail: per-source token cap -> size-gated SemDeDup
+    anti-join -> per-source report (all over the ~30 B/doc metadata
+    checkpoint, never the corpus)."""
     capped = cap_source_share(gated_meta, max_share=max_share, n_tokens_col="n_tokens")
     losers = (
         dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True)
@@ -131,21 +153,64 @@ def corpus_curation_report(
     )
 
 
+def corpus_curation_with_urls(
+    spark: SparkSession,
+    sf_dir: str,
+    rules: tuple = CURATION_RULES,
+    max_share: float = SOURCE_CAP_SHARE,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """The full published-pipeline ordering: URL-level dedup FIRST
+    (stage 1 — needs no text), then the quality/repetition gates, token
+    cap, and semantic prune of ``corpus_curation_report``.
+
+    Plan shape: the keeper manifest is one narrow aggregate over a
+    column-pruned (doc_id, source) scan — the heavy gated scan then
+    semi-joins it so the ~25 ms/doc interpreted gate work runs on
+    keepers only. Everything downstream is the shared metadata-manifest
+    tail (``_cap_dedup_report``)."""
+    from artan_spark.plans.urls import docs_url_dedup
+
+    keepers = docs_url_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    gated_meta = _gated_meta(
+        spark, sf_dir, rules, url_keepers=keepers
+    ).localCheckpoint()
+    return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
+
+
 def _curation_sql(
     rules: tuple = CURATION_RULES,
     max_share: float = SOURCE_CAP_SHARE,
     threshold: float = SEMDEDUP_THRESHOLD,
+    url_stage: bool = False,
 ) -> str:
     # the flag predicates and metric CTE are textstats' own — a threshold
-    # or tokenization tweak there flows into this composed oracle
+    # or tokenization tweak there flows into this composed oracle (and the
+    # URL stage's derive/canonicalize CTEs are urls.py's own)
     gate = " AND ".join(_GOPHER_FLAG_SQL[r] for r in rules)
     rep_cte, rep_pass = _gopher_rep_cte(p="grp_")
+    url_ctes, url_pred = "", ""
+    if url_stage:
+        from artan_spark.plans.urls import _CANON_SQL_EXPRS, _URL_DERIVE_SQL
+
+        url_ctes = f""",
+u AS ({_URL_DERIVE_SQL}),
+uc AS (SELECT doc_id, {_CANON_SQL_EXPRS} FROM u),
+ukeep AS (
+  SELECT MIN(doc_id) AS doc_id FROM uc
+  GROUP BY c_host || c_path ||
+           CASE WHEN c_query = '' THEN '' ELSE '?' || c_query END
+)"""
+        url_pred = "\n            AND doc_id IN (SELECT doc_id FROM ukeep)"
     return (
         _kmeans_cells_cte()
         + ",\n"
         + rep_cte
         + ",\n"
         + _gopher_m_cte(p="g", keep=("source",))
+        + url_ctes
         + f""",
 losers AS (
   SELECT DISTINCT b.vec_id
@@ -157,7 +222,7 @@ losers AS (
 ),
 gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm
           WHERE {gate}
-            AND doc_id IN (SELECT doc_id FROM grp_flags WHERE {rep_pass})),
+            AND doc_id IN (SELECT doc_id FROM grp_flags WHERE {rep_pass}){url_pred}),
 t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM gated GROUP BY source),
 r AS (
   SELECT source,
@@ -187,4 +252,8 @@ ORACLES: dict = {}
 # oracle through the pytest gate
 PYTEST_ORACLES = {
     "corpus_curation_report": (corpus_curation_report, _curation_sql()),
+    "corpus_curation_with_urls": (
+        corpus_curation_with_urls,
+        _curation_sql(url_stage=True),
+    ),
 }

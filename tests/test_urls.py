@@ -94,7 +94,13 @@ def test_url_dedup_collapses_variant_groups(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["docs_url_canonical", "docs_url_dedup", "docs_host_stats"]
+    "name",
+    [
+        "docs_url_canonical",
+        "docs_url_dedup",
+        "docs_host_stats",
+        "corpus_curation_with_urls",
+    ],
 )
 def test_url_oracle_parity_sf001(spark, name):
     from artan_spark.plans import PYTEST_ORACLES
