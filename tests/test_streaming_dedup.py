@@ -136,3 +136,33 @@ def test_streaming_bloom_dedup_tiny_filter_suppresses_but_never_duplicates(spark
     assert len(streamed) == len(set(streamed))
     assert set(streamed) <= truth
     assert len(streamed) < len(truth)  # saturated filter must have suppressed
+
+
+def test_streaming_url_dedup_matches_batch(spark):
+    """Stage-1 URL dedup on a live stream: canonicalize in the stream
+    (stateless Catalyst projection) and key streaming_dedup_exact on the
+    canonical URL. Streamed survivors = one row per canonical page = the
+    batch docs_url_dedup groups."""
+    from artan_spark.plans.urls import canonical_url, with_synthetic_url
+    from artan_spark.plans.urls import docs_url_dedup
+
+    d = with_synthetic_url(
+        read_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    def t(df):
+        return streaming_dedup_exact(
+            df.withColumn("canonical_url", canonical_url(F.col("url"))),
+            keys=["canonical_url"],
+            event_time_col="ts",
+        )
+
+    streamed = stream_transform(spark, d, t, chunk_rows=17)
+    want = {r["canonical_url"]: r for r in docs_url_dedup(spark, SF_DIR).collect()}
+    got = streamed.select("canonical_url", "doc_id").collect()
+    assert len(got) == len(want)  # one survivor per canonical page
+    assert {r["canonical_url"] for r in got} == set(want)
+    # every survivor belongs to its page's duplicate group: the synthetic
+    # derivation groups docs by page = doc_id // 4 (within one source)
+    for r in got:
+        assert r["doc_id"] // 4 == want[r["canonical_url"]]["keep_doc_id"] // 4
