@@ -2,7 +2,8 @@
 """End-to-end training-corpus pipeline: the batch composition a 100 TB
 pretraining-data job runs, expressed entirely as artan_spark plan operators.
 
-    documents ──> PII scrub ──> cross-corpus line dedup ──> exact
+    documents ──> URL-level dedup (canonical page, stage 1)
+                  ──> PII scrub ──> cross-corpus line dedup ──> exact
                   substring (span) dedup ──> quality score ──> filter
                   ──> near-dup clusters ──> keep one per cluster
                   ──> SemDeDup semantic prune ──> Bloom eval
@@ -44,6 +45,20 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     out_dir = out_dir or tempfile.mkdtemp(prefix="corpus_pipeline_")
 
     docs = read_table(spark, sf_dir, "documents")
+
+    # -1. stage 1 of every published crawl pipeline: URL-level dedup — the
+    #     cheapest pass (needs no text; one narrow agg + a semi-join). The
+    #     driver tables carry no url column, so derive the synthetic one
+    #     (production: the crawl's own url column)
+    from artan_spark.plans.urls import canonical_url, with_synthetic_url
+
+    keep_urls = (
+        with_synthetic_url(docs.select("doc_id", "source"))
+        .groupBy(canonical_url(F.col("url")).alias("cu"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep_urls, "doc_id", "left_semi")
 
     # 0. scrub PII (stateless codegen projection), drop cross-corpus
     #    boilerplate lines (the C4 pass), then cut cross-doc duplicated
