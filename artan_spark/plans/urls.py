@@ -300,10 +300,76 @@ FROM r GROUP BY 1
 """
 
 
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN token cap: the MassiveText/Gopher domain cap keyed on
+    the registered domain instead of the ingest-time source label —
+    ``sampling.cap_source_share`` composes unchanged via ``key_col``
+    (the per-site cap ``docs_host_stats`` exists to feed). Same scale
+    shape: one domain-cardinality totals agg broadcast back, stateless
+    hash-Bernoulli keep filter, corpus never shuffles."""
+    from artan_spark.plans.sampling import cap_source_share
+
+    d = with_synthetic_url(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select(
+        "doc_id",
+        registered_domain(F.col("url")).alias("registered_domain"),
+        "text",
+    )
+    kept = cap_source_share(d, key_col="registered_domain")
+    return kept.groupBy("registered_domain").agg(
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+
+
+def _domain_cap_sql() -> str:
+    from artan_spark.plans.sampling import SOURCE_CAP_SHARE, _TWO60_SQL
+
+    return f"""
+WITH u AS ({_URL_DERIVE_SQL}),
+c AS (SELECT doc_id, {_CANON_SQL_EXPRS} FROM u),
+dom AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN h
+              WHEN len(t) >= 3 AND (t[-2] || '.' || t[-1]) IN ({_SUFFIX_LIST_SQL})
+                THEN t[-3] || '.' || t[-2] || '.' || t[-1]
+              ELSE t[-2] || '.' || t[-1]
+         END AS registered_domain
+  FROM (SELECT doc_id, regexp_replace(c_host, ':[0-9]+$', '') AS h,
+               string_split(regexp_replace(c_host, ':[0-9]+$', ''), '.') AS t
+        FROM c)
+),
+d AS (
+  SELECT dm.doc_id, dm.registered_domain,
+         len(regexp_split_to_array(trim(docs.text), '\\s+')) AS n_tokens
+  FROM dom dm JOIN documents docs ON dm.doc_id = docs.doc_id
+),
+t AS (SELECT registered_domain, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM d GROUP BY registered_domain),
+r AS (
+  SELECT registered_domain,
+         LEAST(1.0, {SOURCE_CAP_SHARE} * (SUM(src_tokens) OVER ())
+                      / CAST(src_tokens AS DOUBLE)) AS rate
+  FROM t
+)
+SELECT d.registered_domain,
+       ROUND(MIN(r.rate), 6) AS rate,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_kept
+FROM d JOIN r ON d.registered_domain = r.registered_domain
+WHERE (CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+        / {_TWO60_SQL} < r.rate
+GROUP BY d.registered_domain
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 PYTEST_ORACLES = {
     "docs_url_canonical": (docs_url_canonical, _URL_CANONICAL_SQL),
     "docs_url_dedup": (docs_url_dedup, _URL_DEDUP_SQL),
     "docs_host_stats": (docs_host_stats, _HOST_STATS_SQL),
+    "docs_domain_cap": (docs_domain_cap, _domain_cap_sql()),
 }

@@ -11,7 +11,7 @@ def test_registry_counts():
     assert set(ORACLES) == set(QUERIES)
     # pytest-side oracles and non-SQL-expressible wrappers live OUTSIDE
     # the driver window and never shadow a registry name
-    assert len(PYTEST_ORACLES) == 44
+    assert len(PYTEST_ORACLES) == 45
     assert len(NO_SQL_QUERIES) == 2
     assert not set(PYTEST_ORACLES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(QUERIES)

@@ -100,6 +100,7 @@ def test_url_dedup_collapses_variant_groups(spark):
         "docs_url_dedup",
         "docs_host_stats",
         "corpus_curation_with_urls",
+        "docs_domain_cap",
     ],
 )
 def test_url_oracle_parity_sf001(spark, name):
