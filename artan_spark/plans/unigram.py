@@ -79,7 +79,11 @@ def _seed(counts: list[tuple[str, int]], seed_size: int) -> dict[str, float]:
     for ch in chars:
         pieces[ch] = score.get(ch, 1)
     total = sum(pieces.values())
-    return {p: math.log(s / total) for p, s in sorted(pieces.items())}
+    # log(s) - log(total), NOT log(s/total): at corpus scale the ratio of a
+    # rare piece's score to a billions-sized total underflows to 0.0 and
+    # log() raises; the difference form is exact at any scale
+    lt = math.log(total)
+    return {p: math.log(s) - lt for p, s in sorted(pieces.items())}
 
 
 def _e_step(
@@ -143,12 +147,14 @@ def train_unigram_from_counts(
         for _ in range(em_iters):
             expected, _ll = _e_step(counts, logp)
             total = sum(expected.values())
-            # pieces never used keep a floor only if single-char (coverage)
+            lt = math.log(total)
+            # pieces never used keep a floor only if single-char (coverage);
+            # log(e) - log(total) form: see _seed (underflow at corpus scale)
             nxt = {}
             for p in logp:
                 e = expected.get(p, 0.0)
                 if e > 0.0:
-                    nxt[p] = math.log(e / total)
+                    nxt[p] = math.log(e) - lt
                 elif len(p) == 1:
                     nxt[p] = math.log(1e-12)
             logp = dict(sorted(nxt.items()))
