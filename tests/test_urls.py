@@ -133,3 +133,69 @@ def test_canonicalization_is_codegen_projection(spark):
     assert plan.count("Project") == 2
     # column pruning reached the scan: text/lang/n_chars never read
     assert "FileScan parquet [doc_id" in plan and "text" not in plan.split("ReadSchema")[-1]
+
+
+# -- property: canonicalization matches an independent reference -------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TRACK_RE = _re.compile(r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$")
+
+
+def _py_canonical(url: str) -> str:
+    """Plain-Python reference of the normalization table (module
+    docstring of plans/urls.py), written independently of the Catalyst
+    expression tree."""
+    u = _re.sub(r"#.*", "", url.strip(), count=1)
+    u = _re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u, count=1)
+    m = _re.match(r"^([^/?]+)", u)
+    hostport = (m.group(1) if m else "").lower()
+    host = _re.sub(r":(80|443)$", "", hostport)
+    host = _re.sub(r"^www\.", "", host)
+    rest = u[len(m.group(1)):] if m else u
+    pm = _re.match(r"^([^?]*)", rest)
+    path = pm.group(1) if pm else ""
+    path = _re.sub(r"/+$", "", _re.sub(r"/{2,}", "/", path))
+    qm = _re.search(r"\?(.*)$", rest)
+    q = qm.group(1) if qm else ""
+    params = sorted(p for p in q.split("&") if p and not _TRACK_RE.match(p))
+    qn = "&".join(params)
+    return host + path + ("?" + qn if qn else "")
+
+
+_label = st.text(alphabet="aBc9-", min_size=1, max_size=5)
+_param = st.one_of(
+    st.sampled_from(["utm_source=x", "utm_x", "fbclid=1", "ref", "ref=z", "refx=1"]),
+    st.text(alphabet="ab=1", min_size=1, max_size=6),
+)
+_urls = st.builds(
+    lambda scheme, www, labels, port, segs, params, frag: (
+        scheme
+        + ("www." if www else "")
+        + ".".join(labels)
+        + port
+        + "".join("/" + s for s in segs)
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    st.sampled_from(["http://", "https://", "HTTPS://", ""]),
+    st.booleans(),
+    st.lists(_label, min_size=1, max_size=4),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(st.text(alphabet="ab/%2", min_size=0, max_size=4), max_size=3),
+    st.lists(_param, max_size=4),
+    st.sampled_from(["", "frag", "a#b"]),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_urls, min_size=1, max_size=20))
+def test_canonical_matches_python_reference(spark, urls):
+    got = [c for c, _ in _apply(spark, urls)]
+    want = [_py_canonical(u) for u in urls]
+    assert got == want
+    # idempotence on arbitrary inputs
+    assert [c for c, _ in _apply(spark, got)] == got
