@@ -201,17 +201,20 @@ def _run_tier(tier: str) -> dict:
         return {"operator_rows_per_sec": throughput}
 
     if tier == "sf2":
+        # ONE timed pass per process: the round-9 A/B found fresh-process
+        # medians-of-3 still swinging 2-3x across runs (gmm_events_value
+        # 8.9 vs 24.0 s, both fresh JVMs, idle machine) — the three
+        # in-process repeats share one JVM's heap/JIT/GC draw, so the
+        # median inherits it. The orchestrator instead launches this tier
+        # REPEATS2 times and takes the per-query median ACROSS processes
+        # (independent JVM states), same total query executions.
         spark = _fresh_session("artan_spark-bench-sf2")
         timings2: dict[str, float] = {}
         for name in SF2_QUERIES:
             fn = _resolve(name)
-            runs = []
-            for _ in range(REPEATS2):
-                t0 = time.perf_counter()
-                n = fn(spark, SF2_DIR).count()
-                runs.append(time.perf_counter() - t0)
-            sec = statistics.median(runs)
-            timings2[name] = round(sec, 3)
+            t0 = time.perf_counter()
+            n = fn(spark, SF2_DIR).count()
+            timings2[name] = round(time.perf_counter() - t0, 3)
             print(f"# sf{SF2} {name}: {timings2[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.stop()
         return {"queries_sf2": timings2}
@@ -236,9 +239,7 @@ def main() -> None:
 
         ensure_generated(float(SF2), SF2_DIR)
 
-    tiers = ["headline", "ops"] + (["sf2"] if SF2 else [])
-    parts: dict = {}
-    for tier in tiers:
+    def run_tier(tier: str) -> dict:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--tier", tier],
             stdout=subprocess.PIPE,
@@ -247,7 +248,19 @@ def main() -> None:
         if r.returncode != 0:
             raise SystemExit(f"bench tier {tier!r} failed with rc={r.returncode}")
         lines = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
-        parts.update(json.loads(lines[-1]))
+        return json.loads(lines[-1])
+
+    parts: dict = {}
+    parts.update(run_tier("headline"))
+    parts.update(run_tier("ops"))
+    if SF2:
+        # median ACROSS independent processes (see the sf2 tier comment):
+        # each launch is one timed pass in its own JVM
+        samples = [run_tier("sf2")["queries_sf2"] for _ in range(REPEATS2)]
+        parts["queries_sf2"] = {
+            name: round(statistics.median(s[name] for s in samples), 3)
+            for name in samples[0]
+        }
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
