@@ -44,7 +44,10 @@ REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 # extra, and the recorded number means something. Set SPARK_GRAFT_SF2=""
 # to skip the scale point entirely.
 SF2 = os.environ.get("SPARK_GRAFT_SF2", "1.0")
-REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "3")))
+REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "2")))
+# independent sf1.0 tier processes; the recorded number is the median of
+# the per-process warm medians
+SF2_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_PROCS", "2")))
 SF2_DIR = os.environ.get(
     "SPARK_GRAFT_SF2_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"sf{SF2}"),
@@ -201,20 +204,28 @@ def _run_tier(tier: str) -> dict:
         return {"operator_rows_per_sec": throughput}
 
     if tier == "sf2":
-        # ONE timed pass per process: the round-9 A/B found fresh-process
-        # medians-of-3 still swinging 2-3x across runs (gmm_events_value
-        # 8.9 vs 24.0 s, both fresh JVMs, idle machine) — the three
-        # in-process repeats share one JVM's heap/JIT/GC draw, so the
-        # median inherits it. The orchestrator instead launches this tier
-        # REPEATS2 times and takes the per-query median ACROSS processes
-        # (independent JVM states), same total query executions.
+        # Two noise sources, handled separately (round-9 A/B):
+        # 1. COLD vs WARM: a query's first execution in a session pays
+        #    JIT/codegen/worker-pool/fit-memo costs 2-4x its steady state
+        #    (corpus_curation_report 22.0 s cold, 5.8 s warm, same idle
+        #    machine) — so each process runs REPEATS2 in-process repeats
+        #    and medians them, recording the WARM number (what r1-r8
+        #    recorded, so round-over-round deltas stay meaningful).
+        # 2. PER-JVM DRAW: whole fresh-process runs still swing 2-3x with
+        #    the JVM's heap/JIT/GC draw and host contention
+        #    (gmm_events_value warm-median 8.9 vs 24.0 s in back-to-back
+        #    sessions) — the orchestrator launches this tier SF2_PROCS
+        #    times and medians the process-medians.
         spark = _fresh_session("artan_spark-bench-sf2")
         timings2: dict[str, float] = {}
         for name in SF2_QUERIES:
             fn = _resolve(name)
-            t0 = time.perf_counter()
-            n = fn(spark, SF2_DIR).count()
-            timings2[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(REPEATS2):
+                t0 = time.perf_counter()
+                n = fn(spark, SF2_DIR).count()
+                runs.append(time.perf_counter() - t0)
+            timings2[name] = round(statistics.median(runs), 3)
             print(f"# sf{SF2} {name}: {timings2[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.stop()
         return {"queries_sf2": timings2}
@@ -254,9 +265,9 @@ def main() -> None:
     parts.update(run_tier("headline"))
     parts.update(run_tier("ops"))
     if SF2:
-        # median ACROSS independent processes (see the sf2 tier comment):
-        # each launch is one timed pass in its own JVM
-        samples = [run_tier("sf2")["queries_sf2"] for _ in range(REPEATS2)]
+        # median of per-process WARM medians across independent JVMs
+        # (see the sf2 tier comment for the two noise sources)
+        samples = [run_tier("sf2")["queries_sf2"] for _ in range(SF2_PROCS)]
         parts["queries_sf2"] = {
             name: round(statistics.median(s[name] for s in samples), 3)
             for name in samples[0]
