@@ -705,6 +705,22 @@ def test_ivf_append_is_chunk_invariant(spark, tmp_path):
     assert rows(ia, "/cells") == rows(ib, "/cells")
     assert rows(ia, "/cells_q") == rows(ib, "/cells_q")
 
+    # the appended int8 layout also SERVES: candidate generation from
+    # cells_q with a covering rerank equals the full-precision serve
+    from artan_spark.plans.simsearch import KM_K, ann_ivf_query
+
+    q = _queries_of(spark, SF_DIR)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    quant = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, ia, q, nprobe=KM_K, rerank=10000).collect()
+    }
+    full = {
+        key(r): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_query(spark, ia, q, nprobe=KM_K).collect()
+    }
+    assert quant == full and len(quant) > 0
+
 
 def test_ivfadc_append_exact_rescore_matches_full_precision(spark, tmp_path):
     """After an append, the IVFADC layout (codes quantized against FROZEN
