@@ -217,14 +217,12 @@ def unigram_vocab(logp: dict[str, float]) -> list[str]:
     return [UNK] + sorted(logp)
 
 
-def viterbi_segment(
-    word: str, logp: dict[str, float], unk_lp: float
-) -> list[str]:
-    """Best segmentation under the piece log-probs (max total logp).
-    Single unknown characters segment as themselves scored ``unk_lp``
-    (they encode to <unk>). Tie-break: for equal scores the segmentation
-    whose LAST piece is longest wins (j ascending, strict >), applied
-    recursively — deterministic for any input."""
+def _viterbi(word: str, logp: dict[str, float], unk_lp: float):
+    """Shared DP: (best, back) tables. best[n] is the max total logp of
+    any segmentation (single unknown characters allowed at ``unk_lp``).
+    Tie-break: for equal scores the segmentation whose LAST piece is
+    longest wins (j ascending, strict >), applied recursively —
+    deterministic for any input."""
     n = len(word)
     neg_inf = float("-inf")
     best = [neg_inf] * (n + 1)
@@ -241,13 +239,30 @@ def viterbi_segment(
             v = best[j] + lp
             if v > best[i]:
                 best[i], back[i] = v, j
+    return best, back
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], unk_lp: float
+) -> list[str]:
+    """Best segmentation under the piece log-probs (max total logp; see
+    ``_viterbi`` for the tie-break contract)."""
+    best, back = _viterbi(word, logp, unk_lp)
     out = []
-    i = n
+    i = len(word)
     while i > 0:
         j = back[i]
         out.append(word[j:i])
         i = j
     return out[::-1]
+
+
+def viterbi_logp(word: str, logp: dict[str, float], unk_lp: float) -> float:
+    """Total log-probability of the best segmentation — the word's score
+    under the unigram LM (the trained table IS a language model; this is
+    what SentencePiece's NBestEncoder scores with)."""
+    best, _back = _viterbi(word, logp, unk_lp)
+    return best[len(word)]
 
 
 def _unk_logp(logp: dict[str, float]) -> float:
@@ -362,9 +377,76 @@ def docs_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_doc_scores(docs: DataFrame, logp: dict[str, float]) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_tokens, nll, ppl): per-doc negative
+    log-likelihood per token and perplexity under the unigram LM — the
+    trained piece table IS a language model, so this is the subword
+    companion of the word-bigram CCNet gate (``plans/lm.py``): low-ppl
+    docs look like the training head, high-ppl docs are junk/outliers.
+    Same Arrow mapInPandas + per-batch word memo shape as the encoder;
+    nll/ppl round to 6 dp (cross-engine replay contract)."""
+    unk_lp = _unk_logp(logp)
+    table = dict(logp)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+
+        def score(word):
+            v = memo.get(word)
+            if v is None:
+                best, _ = _viterbi(word, table, unk_lp)
+                n = len(word)
+                # piece count of the best segmentation via backtrace-free
+                # recount: re-run segment (memoized per word, Zipf-cheap)
+                k = len(viterbi_segment(word, table, unk_lp))
+                v = (-best[n], k)
+                memo[word] = v
+            return v
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "nll": [], "ppl": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tot, k = 0.0, 0
+                for w in (text or "").split():
+                    nl, kk = score(w)
+                    tot += nl
+                    k += kk
+                nll = tot / k if k else 0.0
+                out["doc_id"].append(int(doc_id))
+                out["n_tokens"].append(k)
+                out["nll"].append(round(nll, 6))
+                out["ppl"].append(round(math.exp(min(nll, 700.0)), 6))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        emit, "doc_id long, n_tokens long, nll double, ppl double"
+    )
+
+
+def docs_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, avg_nll, max_ppl): per-language perplexity report
+    under the corpus-trained unigram LM (NO_SQL: driver EM; pinned by
+    bit-exact plain-Python replay). One encode-shaped corpus pass + a
+    language-cardinality aggregate."""
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    logp = _corpus_table(spark, sf_dir, d)
+    s = unigram_doc_scores(d, logp)
+    return (
+        d.select("doc_id", "lang")
+        .join(s, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+    )
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 PYTEST_ORACLES: dict = {}
 NO_SQL_QUERIES = {
     "docs_unigram_tokens": docs_unigram_tokens,
+    "docs_unigram_perplexity": docs_unigram_perplexity,
 }
