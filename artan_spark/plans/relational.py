@@ -13,38 +13,81 @@ from pyspark.sql import functions as F
 
 from artan_spark.sources import read_table
 
+# Exact-decimal money arithmetic for every rounded float SUM in this
+# registry. The parquet doubles encode fixed-point decimals (TPC-H money =
+# 2dp, rates = 2dp, events.value = 4dp); casting back to a decimal type
+# recovers the exact value (cast margin: half an ulp vs a 0.005 boundary)
+# and makes products and SUMs exact and summation-order-independent in BOTH
+# engines — so a 2-dp ROUND of a sum can never flip on engine summation
+# order. A float SUM here is a ~1%-per-value lottery: discount products are
+# exact 4-dp decimals, so group sums land EXACTLY on a .xx5 rounding
+# boundary at that rate, and the engines' float orders then disagree by an
+# ulp on which side (r9: events_hypertable_rollup flipped exactly this way
+# when the fixtures regenerated). TPC-H's native schema types these columns
+# DECIMAL in the first place; decimal hash aggregation stays whole-stage
+# codegen JVM-side at any scale. AVG columns divide the exact decimal sum
+# (as double) by the count — one IEEE division on identical operands per
+# engine — and tests/test_oracle_margins.py asserts every rounded quotient
+# keeps a measured distance from its rounding boundary.
+_EP = "decimal(12,2)"  # l_extendedprice (< 1.1e5) / o_totalprice
+_PCT = "decimal(3,2)"  # l_discount / l_tax (0.00-0.99)
+_VAL = "decimal(18,4)"  # events.value (4-dp measure)
+
+
+def _ep_d():
+    return F.col("l_extendedprice").cast(_EP)
+
+
+def _disc_price_d():
+    # (12,2) x (4,2) -> exact decimal, scale 4
+    return _ep_d() * (F.lit(1).cast(_PCT) - F.col("l_discount").cast(_PCT))
+
+
+def _charge_d():
+    # x (4,2) -> exact decimal, scale 6
+    return _disc_price_d() * (F.lit(1).cast(_PCT) + F.col("l_tax").cast(_PCT))
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_CHARGE_SQL = (
+    _DISC_PRICE_SQL + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+)
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single scan + hash aggregate; predicate pushed to
-    parquet; partial aggregation map-side; 4-row result."""
+    parquet; partial aggregation map-side; 4-row result. Money aggregates
+    run in exact decimal (see the _EP block comment)."""
     l = read_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(F.col("l_quantity").cast(_EP)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_ep_d()), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_disc_price_d()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge_d()), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast(_EP)).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(_ep_d()).cast("double") / cnt, 6).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(_PCT)).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM({_CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,15 +110,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -106,12 +149,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"))
     )
 
 
-_Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_Q5_SQL = f"""
+SELECT n_name, CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -136,14 +179,17 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(_ep_d() * F.col("l_discount").cast(_PCT)), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 _Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -168,7 +214,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -176,9 +222,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q10_SQL = """
+_Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -200,13 +246,20 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
     hour = F.date_trunc("hour", F.col("ts"))
+    # value is a 4-dp double (testdata contract); casting to DECIMAL(18,4)
+    # recovers the exact decimal each double encodes (cast margin = half an
+    # ulp vs a 5e-5 boundary), and SUM over decimals is exact and
+    # summation-order-independent in both engines — a float SUM here flipped
+    # the 2-dp ROUND on a .xx5-boundary group when the fixtures regenerated
+    # (r9 verdict). The rounded sum is then deterministic at any scale.
+    dec = F.col("value").cast("decimal(18,4)")
     return (
-        e.select(day.alias("day"), hour.alias("hour"), "value")
+        e.select(day.alias("day"), hour.alias("hour"), dec.alias("value"))
         .rollup("day", "hour")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+            F.round(F.max("value"), 2).cast("double").alias("max_value"),
         )
     )
 
@@ -214,8 +267,8 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYPERTABLE_SQL = """
 SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value,
-       ROUND(MAX(value), 2) AS max_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_value
 FROM events
 GROUP BY ROLLUP (day, hour)
 """
@@ -266,7 +319,7 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_type")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_type"))
@@ -274,8 +327,8 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOP_PARTS_SQL = """
-SELECT p_type, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+_TOP_PARTS_SQL = f"""
+SELECT p_type, CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
@@ -289,13 +342,13 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast(_EP)), 2).cast("double").alias("total_price"),
     )
 
 
 _ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -309,8 +362,10 @@ def events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum(F.col("value").cast(_VAL)), 4).cast("double").alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast(_VAL)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "avg_value")
     )
@@ -318,8 +373,9 @@ def events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_WINDOW_SQL = """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -375,13 +431,14 @@ def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_EP)).alias("total_spent_d"),
     )
     return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
         "c_custkey",
         "c_name",
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+        F.coalesce(F.col("total_spent_d").cast("double"), F.lit(0.0)).alias("total_spent"),
         F.round("c_acctbal", 2).alias("acctbal"),
     )
 
@@ -389,10 +446,11 @@ def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUST_BALANCE_SQL = """
 SELECT c_custkey, c_name,
        COALESCE(n_orders, 0) AS n_orders,
-       ROUND(COALESCE(total_spent, 0.0), 2) AS total_spent,
+       COALESCE(CAST(total_spent_d AS DOUBLE), 0.0) AS total_spent,
        ROUND(c_acctbal, 2) AS acctbal
 FROM customer LEFT JOIN (
-  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_spent_d
   FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 """
@@ -408,15 +466,15 @@ def events_skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = e.withColumn("__salt__", F.pmod(F.col("event_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "__salt__").agg(
         F.count(F.lit(1)).alias("pc"),
-        F.sum("value").alias("ps"),
+        F.sum(F.col("value").cast(_VAL)).alias("ps"),  # exact decimal partials
         F.max("value").alias("pm"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("pc").alias("n_events"),
-            F.round(F.sum("ps"), 2).alias("sum_value"),
-            F.round(F.sum("ps") / F.sum("pc"), 6).alias("avg_value"),
+            F.round(F.sum("ps"), 2).cast("double").alias("sum_value"),
+            F.round(F.sum("ps").cast("double") / F.sum("pc"), 6).alias("avg_value"),
             F.round(F.max("pm"), 6).alias("max_value"),
         )
     )
@@ -424,8 +482,8 @@ def events_skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKEW_SAFE_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value,
-       ROUND(SUM(value) / COUNT(*), 6) AS avg_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
        ROUND(MAX(value), 6) AS max_value
 FROM events GROUP BY event_type
 """
@@ -460,12 +518,13 @@ def events_skew_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew_safe_join(e, c, "user_id")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast(_VAL)), 2).cast("double").alias("sum_value"),
     )
 
 
 _SKEW_JOIN_SQL = """
-SELECT c.c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """

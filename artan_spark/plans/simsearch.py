@@ -858,6 +858,11 @@ def append_to_ivf_index(
     vn = v.select("vec_id", F.transform("v", lambda x: x / F.col("norm")).alias("vn"))
     # reused by up to three layout writes below; batch-sized, not corpus-sized
     member = _assign_cells(vn, cent).localCheckpoint()
+    if member.isEmpty():
+        # early-return BEFORE any layout write: an empty batch used to
+        # crash reading dim from first() AFTER partially appending /cells
+        # and /cells_q — a non-atomic no-op-gone-wrong (r9 ADVICE)
+        return
     member.select("vec_id", "vn", "cid").write.mode("append").partitionBy("cid").parquet(
         index_dir + "/cells"
     )
@@ -876,7 +881,7 @@ def append_to_ivf_index(
         resid = member.join(F.broadcast(means), "cid").select(
             "cid", "vec_id", F.zip_with("vn", "cm", lambda a, b: a - b).alias("vn")
         )
-        dim = len(vn.select("vn").first()["vn"])
+        dim = len(member.select("vn").first()["vn"])  # checkpointed, non-empty
         pq_encode(resid, cb, dim).write.mode("append").partitionBy("cid").parquet(
             index_dir + "/cells_pq"
         )

@@ -212,9 +212,15 @@ def unigram_train(
 
 
 def unigram_vocab(logp: dict[str, float]) -> list[str]:
-    """Deterministic id table: ``[<unk>] + sorted(pieces)`` — index IS the
-    token id (bijection asserted by construction: dict keys are unique)."""
-    return [UNK] + sorted(logp)
+    """Deterministic id table: ``[<unk>] + sorted(pieces)``. A corpus
+    containing the literal string ``<unk>`` (common in web text, within
+    MAX_PIECE_LEN) trains it as a piece — skip it so the table stays a
+    bijection (the ``bpe_vocab`` seen-set contract; r9 ADVICE). Encoding a
+    trained literal ``<unk>`` then resolves to id 0, which decodes back to
+    the same string — round-trip preserved."""
+    vocab = [UNK] + sorted(p for p in logp if p != UNK)
+    assert len(vocab) == len(set(vocab))
+    return vocab
 
 
 def _viterbi(word: str, logp: dict[str, float], unk_lp: float):

@@ -2,9 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (<1.2 KB so the driver's stdout-tail window captures
+it whole — r8/r9 both recorded "parsed": null from an overflowing line):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {10 slowest: sec}, "sf": ..., ...}
+and writes the FULL per-query/per-operator map to BENCH_DETAIL.json
+(tracked artifact).
 
 Every number is a median of REPEATS (default 3) runs — single-run timings at
 these sub-second scales swing 1.3-1.8x with JVM/codegen/GC state (the round-2
@@ -209,6 +212,12 @@ def _run_tier(tier: str) -> dict:
         return {"operator_rows_per_sec": throughput}
 
     if tier == "sf2":
+        # standalone `bench.py --tier sf2` must work on a clean checkout:
+        # generation is numpy/pyarrow-only (no JVM) and idempotent, so it
+        # does not age the measured session (r9 ADVICE)
+        from artan_spark.sources.datagen import ensure_generated
+
+        ensure_generated(float(SF2), SF2_DIR)
         # Two noise sources, handled separately (round-9 A/B):
         # 1. COLD vs WARM: a query's first execution in a session pays
         #    JIT/codegen/worker-pool/fit-memo costs 2-4x its steady state
@@ -283,7 +292,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    out = {
+    detail = {
         "metric": "headline_suite_runtime",
         "value": round(sum(parts["queries"].values()), 3),
         "unit": "sec",
@@ -292,15 +301,56 @@ def main() -> None:
         "sf": sf,
     }
     if SF2:
+        detail["sf2"] = float(SF2)
+        detail["sf2_procs"] = SF2_PROCS
+        detail["queries_sf2"] = parts["queries_sf2"]
+        detail["value_sf2"] = round(sum(parts["queries_sf2"].values()), 3)
+
+    # Full per-query map -> a tracked artifact; the driver's stdout-tail
+    # window is smaller than the full map (r8 AND r9 both recorded
+    # "parsed": null because the ~2.2 KB line overflowed it and the FRONT
+    # was clipped). The LAST stdout line is a <1.2 KB summary that fits:
+    # suite totals, the worst queries, per-tier medians.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    ops = sorted(parts["operator_rows_per_sec"].values())
+    worst = dict(
+        sorted(parts["queries"].items(), key=lambda kv: -kv[1])[:10]
+    )
+    out = {
+        "metric": "headline_suite_runtime",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(parts["queries"]),
+        "queries": worst,  # 10 slowest; full map in BENCH_DETAIL.json
+        "ops_rows_per_sec": {
+            "min": ops[0],
+            "median": int(statistics.median(ops)),
+            "max": ops[-1],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    if SF2:
         out["sf2"] = float(SF2)
+        out["value_sf2"] = detail["value_sf2"]
         out["queries_sf2"] = parts["queries_sf2"]
-        out["value_sf2"] = round(sum(parts["queries_sf2"].values()), 3)
 
     # The metric JSON must survive the driver's tail capture: compact form,
     # printed as the very LAST line, flushed, with no Spark shutdown noise
     # after it (every child session already stopped in its own process).
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1200:  # hard budget: drop sf2 per-query, then worst map
+        out.pop("queries_sf2", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1200:
+        out["queries"] = dict(list(worst.items())[:3])
+        line = json.dumps(out, separators=(",", ":"))
     sys.stderr.flush()
-    print(json.dumps(out, separators=(",", ":")), flush=True)
+    print(line, flush=True)
 
 
 def _operator_throughput(spark) -> dict[str, int]:

@@ -12,6 +12,7 @@ from artan_spark.plans.multimodal import (
     decode_media,
     multimodal_features,
 )
+from artan_spark.sources import read_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -135,11 +136,19 @@ def test_decode_audio_and_video_features(spark):
 def test_multimodal_features_aggregate(spark):
     out = {r.media_type: r for r in multimodal_features(spark, SF_DIR).collect()}
     assert set(out) == {"image/fake", "audio/fake", "video/fake"}
-    # 500 docs at sf0.001, cycled by doc_id % 3 (doc_ids 0..499)
-    assert out["image/fake"].n_items == 167
-    assert out["audio/fake"].n_items == 167
-    assert out["video/fake"].n_items == 166
-    assert out["image/fake"].total_bytes == 167 * 72
+    # media_type cycles by doc_id % 3 — derive expected counts from the
+    # actual doc_id column (never fixture-size pins: the driver regenerates
+    # sf0.001 and hardcoded cardinalities break — r9 verdict)
+    ids = [
+        r.doc_id
+        for r in read_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    ]
+    assert len(ids) >= 10
+    n_by_mod = {m: sum(1 for i in ids if i % 3 == m) for m in (0, 1, 2)}
+    assert out["image/fake"].n_items == n_by_mod[0]
+    assert out["audio/fake"].n_items == n_by_mod[1]
+    assert out["video/fake"].n_items == n_by_mod[2]
+    assert out["image/fake"].total_bytes == n_by_mod[0] * 72  # fixed 72 B/image
 
 
 def test_y4m_codec_real_bytes(spark):

@@ -171,3 +171,89 @@ def test_sigma_oracle_margin(spark, cls):
             f"{col}: boundary margin {margin:.3e} < {MIN_SAFETY_FACTOR}x "
             f"deviation {deviation:.3e} — 4dp oracle no longer safe"
         )
+
+
+# -- relational registry: every remaining FLOAT-rounded aggregate ------------
+#
+# Round 10 moved every rounded float SUM in plans/relational.py to exact
+# decimal arithmetic (order-independent, boundary-deterministic — the r9
+# events_hypertable_rollup flip cannot recur there). What remains rounded in
+# FLOAT are the AVG-style quotients (one IEEE division of identical operands
+# per engine) and 2dp rounds of values that are 2dp by construction. Guard
+# each one the same way as the estimation CTEs: strip the ROUND, measure the
+# raw value's distance to its rounding boundary at BOTH test SFs, and fail
+# loudly when a regeneration parks a value near a boundary — instead of a
+# mystery hash mismatch in the driver's correctness gate.
+
+_REL_MARGIN_CASES = [
+    (
+        "_Q1_SQL",
+        [
+            ("ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)", 6, "avg_qty", "quotient"),
+            ("ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)", 6, "avg_price", "quotient"),
+            ("ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 6)", 6, "avg_disc", "quotient"),
+        ],
+    ),
+    (
+        "_EVENTS_WINDOW_SQL",
+        [("ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)", 6, "avg_value", "quotient")],
+    ),
+    (
+        "_SKEW_SAFE_SQL",
+        [
+            ("ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)", 6, "avg_value", "quotient"),
+            ("ROUND(MAX(value), 6)", 6, "max_value", "quotient"),
+        ],
+    ),
+    # orders_priority_rollup / customer_order_balance total_spent moved to
+    # exact decimal sums when this guard showed that a float SUM of ~1e8
+    # 2-dp money values carries reorder noise comparable to its own
+    # boundary distance at 100-TB magnitudes — nothing left to measure
+    # there. Only acctbal (a single stored 2-dp value) stays float-rounded.
+    (
+        "_CUST_BALANCE_SQL",
+        [("ROUND(c_acctbal, 2)", 2, "acctbal", "quotient")],
+    ),
+]
+
+# Engine-disagreement noise per column class, in units of the SCALED value
+# (v * 10^dp, where the rounding boundary sits at .5):
+# - "quotient": both engines hold the IDENTICAL double (exact decimal sum /
+#   count, or a single stored value); the only cross-engine difference is the
+#   ROUND implementation itself (exact-expansion HALF_UP vs double-multiply
+#   rint), which disagrees only within ~2 ulps of the scaled value.
+# - "floatsum": the engines sum doubles in different orders; accumulated
+#   reorder noise is ~sqrt(n) ulps — budget 1e4 ulps (n up to ~1e8 terms).
+_NOISE_ULPS = {"quotient": 2.0, "floatsum": 1e4}
+_SAFETY = 100.0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sql_name, cols", _REL_MARGIN_CASES, ids=[c[0] for c in _REL_MARGIN_CASES])
+def test_relational_oracle_margin(sql_name, cols, sf_dir):
+    from artan_spark.plans import relational as rel
+
+    raw_sql = getattr(rel, sql_name)
+    for snippet, _dp, _col, _kind in cols:
+        assert snippet in raw_sql, f"{sql_name}: ROUND site moved — update this guard"
+        inner = snippet[len("ROUND("):snippet.rindex(",")]
+        raw_sql = raw_sql.replace(snippet, inner)
+    df = duckdb_frame(raw_sql, sf_dir)
+    for _snippet, dp, col, kind in cols:
+        if col is None:
+            continue
+        v = df[col].to_numpy(dtype=float)
+        v = v[np.isfinite(v)]
+        scaled = v * (10.0**dp)
+        # distance of each raw scaled value to its nearest half-boundary
+        # (max 0.5) vs the class noise budget with a 100x safety factor
+        dist = np.abs(scaled - np.floor(scaled) - 0.5)
+        tol = np.maximum(
+            1e-6, _SAFETY * _NOISE_ULPS[kind] * np.abs(scaled) * 2.3e-16
+        )
+        bad = dist <= tol
+        assert not bad.any(), (
+            f"{sql_name}.{col}@{sf_dir}: {int(bad.sum())} value(s) within "
+            f"{tol[bad].max():.1e} (scaled) of a {dp}dp rounding boundary "
+            f"(min dist {dist.min():.3e}) — regeneration made this oracle fragile"
+        )

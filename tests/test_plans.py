@@ -913,9 +913,10 @@ def test_gopher_repetition_engine_parity(spark):
         "doc_id", "text"
     ).unionByName(spark.createDataFrame(tricky, "doc_id long, text string"))
 
+    n_docs = docs.count()  # derived, never a fixture-size pin (r9 verdict)
     a = gopher_repetition_flags(docs, engine="arrow").orderBy("doc_id").collect()
     c = gopher_repetition_flags(docs, engine="catalyst").orderBy("doc_id").collect()
-    assert len(a) == len(c) and len(a) > 500
+    assert len(a) == len(c) == n_docs and n_docs > len(tricky)
     for ra, rc in zip(a, c):
         assert ra.asDict() == rc.asDict(), (ra, rc)
 

@@ -10,9 +10,17 @@ def test_registry_counts():
     assert len(QUERIES) == 50
     assert set(ORACLES) == set(QUERIES)
     # pytest-side oracles and non-SQL-expressible wrappers live OUTSIDE
-    # the driver window and never shadow a registry name
+    # the driver window and never shadow a registry name. NO_SQL is a
+    # membership assert, not a hand-count: the r9 verdict caught the count
+    # drifting the day a new entry landed (the exact failure mode this test
+    # exists to prevent) — names say WHICH entry is unexpected, a bare
+    # count only says that one is.
     assert len(PYTEST_ORACLES) == 45
-    assert len(NO_SQL_QUERIES) == 2
+    assert set(NO_SQL_QUERIES) == {
+        "docs_compression_ratio",
+        "docs_unigram_tokens",
+        "docs_unigram_perplexity",
+    }
     assert not set(PYTEST_ORACLES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(PYTEST_ORACLES)

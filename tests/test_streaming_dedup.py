@@ -11,8 +11,12 @@ from conftest import SF_DIR
 
 
 def test_streaming_dedup_matches_batch(spark):
-    d = read_table(spark, SF_DIR, "documents").limit(60)
-    # duplicate every doc, jitter one copy's id so only `text` collides
+    d = read_table(spark, SF_DIR, "documents")
+    # duplicate every doc, jitter one copy's id so only `text` collides.
+    # Expected counts derive from the data (never fixture-size constants:
+    # the driver regenerates sf0.001 and pins break — r9 verdict).
+    n_distinct_texts = d.select("text").distinct().count()
+    assert n_distinct_texts >= 10  # corpus sanity, any regeneration size
     dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
     both = d.unionByName(dup).withColumn(
         "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
@@ -26,7 +30,7 @@ def test_streaming_dedup_matches_batch(spark):
         chunk_rows=11,
     )
     n_batch, n_stream = batch.count(), streamed.count()
-    assert n_batch == 60  # every duplicate collapsed
+    assert n_batch == n_distinct_texts  # every duplicate collapsed
     assert n_stream == n_batch
     # same surviving text set
     a = {r["text"] for r in batch.select("text").collect()}

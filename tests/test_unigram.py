@@ -195,3 +195,76 @@ def test_docs_unigram_tokens_replay_sf001(spark):
         assert got[lang]["n_docs"] == n_docs
         assert got[lang]["total_tokens"] == total
         assert got[lang]["avg_tokens"] == pytest.approx(total / n_docs, abs=1e-6)
+
+
+def test_unigram_vocab_dedups_literal_unk():
+    """A corpus containing the literal string '<unk>' trains it as a piece
+    (len 5 <= MAX_PIECE_LEN); the id table must stay a bijection (r9
+    ADVICE found len(vocab) != len(set(vocab)) here — the bpe_vocab seen-set
+    contract)."""
+    logp = train_unigram_from_counts([("<unk>", 50), ("ab", 3)])
+    assert UNK in logp  # the literal piece did train
+    vocab = unigram_vocab(logp)
+    assert len(vocab) == len(set(vocab))
+    assert vocab[0] == UNK and vocab.count(UNK) == 1
+
+
+def test_docs_unigram_perplexity_replay_sf001(spark):
+    """docs_unigram_perplexity replays bit-exact in plain Python: same
+    bounded train input, same EM, same Viterbi scores (both sides run
+    Python float math), same per-doc 6dp rounding, then the per-lang
+    aggregate — the docs_unigram_tokens replay contract."""
+    import pyarrow.parquet as pq
+
+    from artan_spark.plans.unigram import (
+        UNIGRAM_MIN_COUNT,
+        UNIGRAM_TRAIN_WORDS,
+        UNIGRAM_VOCAB,
+        docs_unigram_perplexity,
+        viterbi_logp,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lang"]: r for r in docs_unigram_perplexity(spark, sf).collect()}
+
+    t = pq.read_table(sf + "/documents.parquet").to_pydict()
+    wc: dict = {}
+    for text in t["text"]:
+        for w in (text or "").split():
+            wc[w] = wc.get(w, 0) + 1
+    head = sorted(
+        ((w, c) for w, c in wc.items() if c >= UNIGRAM_MIN_COUNT),
+        key=lambda x: (-x[1], x[0]),
+    )[:UNIGRAM_TRAIN_WORDS]
+    logp = train_unigram_from_counts(head, vocab_size=UNIGRAM_VOCAB)
+    unk = _unk_logp(logp)
+
+    memo: dict = {}
+
+    def score(w):
+        v = memo.get(w)
+        if v is None:
+            v = (-viterbi_logp(w, logp, unk), len(viterbi_segment(w, logp, unk)))
+            memo[w] = v
+        return v
+
+    agg: dict = {}
+    for lang, text in zip(t["lang"], t["text"]):
+        tot, k = 0.0, 0
+        for w in (text or "").split():
+            nl, kk = score(w)
+            tot += nl
+            k += kk
+        nll = round(tot / k, 6) if k else 0.0
+        ppl = round(math.exp(min(tot / k if k else 0.0, 700.0)), 6)
+        d = agg.setdefault(lang, [0, 0.0, 0.0])
+        d[0] += 1
+        d[1] += nll
+        d[2] = max(d[2], ppl)
+    assert set(got) == set(agg)
+    for lang, (n_docs, nll_sum, max_ppl) in agg.items():
+        assert got[lang]["n_docs"] == n_docs
+        # per-doc values replay exactly (Python float math on both sides);
+        # the engine's avg may sum in another order -> 1-ulp-at-6dp slack
+        assert got[lang]["avg_nll"] == pytest.approx(nll_sum / n_docs, abs=2e-6)
+        assert got[lang]["max_ppl"] == max_ppl  # max is order-independent
