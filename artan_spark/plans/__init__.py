@@ -17,6 +17,7 @@ from artan_spark.plans import (
     lm,
     multimodal,
     pipeline,
+    quality_clf,
     relational,
     sampling,
     simsearch,
@@ -45,6 +46,7 @@ MODULES = (
     bm25,
     urls,
     unigram,
+    quality_clf,
     multimodal,
 )
 

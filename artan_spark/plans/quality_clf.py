@@ -1,0 +1,219 @@
+"""Model-based quality classifier — the curation stage the GPT-3 / LLaMA /
+CCNet pipelines run AFTER the heuristic gates: train a linear classifier to
+separate a small trusted ("curated") slice from the raw crawl, score every
+document, and keep docs whose score survives a Pareto-noise threshold
+(Brown et al. 2020, "Language Models are Few-Shot Learners", Appendix A;
+Wenzek et al. 2020, "CCNet", §4.3; Touvron et al. 2023, LLaMA §2).
+
+Model: multinomial Naive Bayes over hashed unigram+bigram features — the
+same feature map as DSIR (``plans/dsir.py``; CCNet hashes into a fixed
+bucket space the same way). NB **is** a linear classifier with a
+closed-form, summation-order-free fit: the per-bucket weight is
+
+    w[b] = ln P(b | curated) - ln P(b | crawl)          (add-alpha both)
+    bias = ln P(curated) - ln P(crawl)                   (doc-count prior)
+
+and a document's logit is ``bias + sum_b count_x[b] * w[b]``. No iterative
+optimizer, no learning-rate schedule — every quantity is an integer-count
+ratio, so the fit is exactly reproducible and (unlike an SGD logreg)
+expressible as four GROUP BYs in ANSI SQL, which is what makes the whole
+stage DuckDB-oracle-able like DSIR's log-weights.
+
+Selection follows GPT-3's documented rule: keep a document iff
+
+    prob > 1 - pareto_draw,   pareto_draw ~ Lomax(PARETO_SHAPE)
+
+where ``prob`` is the LENGTH-NORMALIZED logit squashed through a sigmoid
+(the raw logit grows linearly in document length and saturates any
+threshold; per-feature normalization is the standard fix). The Pareto draw
+is derandomized the way every sampler in ``plans/sampling.py`` is: the
+60-bit md5 prefix of ``doc_id`` gives u in (0,1), and
+``(1-u)^(-1/shape) - 1`` is the inverse-CDF Lomax draw — deterministic,
+portable, cross-engine.
+
+The reference engine (ozancicek/artan) has no counterpart; beyond-reference
+surface next to the Gopher/C4 heuristic gates and DSIR.
+
+100-TB shape (the DSIR contract, one corpus pass):
+- per-(doc, bucket) counts are the sufficient statistic: ONE explode +
+  hash-agg, localCheckpoint'd, reused for the class tables AND the scores;
+- the class-conditional tables are BUCKET-sized (4096 rows) and broadcast
+  by size into the scoring join; totals are 1-row broadcast aggregates;
+- scoring is a narrow join + one per-doc SUM — no second pass over text,
+  no driver-side fit, no collect of anything corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artan_spark.plans.dsir import DSIR_BUCKETS, _bucket, _doc_features
+from artan_spark.sources import read_table_wide
+
+QC_ALPHA = 0.5  # add-alpha smoothing for both class-conditional tables
+PARETO_SHAPE = 9.0  # GPT-3 Appendix A: np.random.pareto(9)
+
+_TWO60 = float(1 << 60)
+
+
+def nb_quality_scores(
+    d: DataFrame,
+    curated_source: str | None = None,
+    alpha: float = QC_ALPHA,
+    pareto_shape: float = PARETO_SHAPE,
+) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, n_feats, logit, prob,
+    keep): Naive-Bayes quality score against the curated slice.
+
+    ``curated_source`` names the trusted slice (default: lexicographically
+    smallest source — the ``dsir_select`` convention). ``logit`` is the
+    raw NB log-odds (grows with length), ``prob`` the sigmoid of the
+    per-feature logit, ``keep`` the GPT-3 Pareto-threshold decision.
+    Curated docs score against their own class like any other doc (the
+    GPT-3 setup scores the whole corpus with the trained model)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", "source", toks.alias("t"))
+
+    if curated_source is None:
+        ms = base.agg(F.min("source").alias("source"))
+        cur_ids = base.join(F.broadcast(ms), "source", "left_semi").select("doc_id")
+    else:
+        cur_ids = base.filter(F.col("source") == curated_source).select("doc_id")
+
+    # ONE corpus pass: (doc, bucket) occurrence counts (the DSIR shape)
+    docf = (
+        _doc_features(base)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    is_cur = F.col("cur").isNotNull()
+    tagged = docf.join(
+        F.broadcast(cur_ids.withColumn("cur", F.lit(True))), "doc_id", "left"
+    )
+    # class-conditional bucket counts: bucket-space-sized (<= QC buckets)
+    cls = tagged.groupBy("b").agg(
+        F.sum(F.when(is_cur, F.col("c")).otherwise(F.lit(0))).alias("cp"),
+        F.sum(F.when(is_cur, F.lit(0)).otherwise(F.col("c"))).alias("cn"),
+    )
+    tot = cls.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
+    # doc-count prior (1-row broadcast)
+    prior = (
+        base.join(F.broadcast(cur_ids.withColumn("cur", F.lit(True))), "doc_id", "left")
+        .agg(
+            F.sum(F.when(is_cur, 1).otherwise(0)).alias("dp"),
+            F.sum(F.when(is_cur, 0).otherwise(1)).alias("dn"),
+        )
+    )
+
+    denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
+    w = F.log((F.col("cp").cast("double") + alpha) / (F.col("np") + denom)) - F.log(
+        (F.col("cn").cast("double") + alpha) / (F.col("nn") + denom)
+    )
+    scored = (
+        docf.join(F.broadcast(cls), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * w).alias("dot"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.log(F.col("dp").cast("double")) - F.log(F.col("dn").cast("double")) + F.col("dot")).alias(
+                "raw_logit"
+            ),
+        )
+    )
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(_TWO60)
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_shape)) - F.lit(1.0)
+    per_feat = F.col("raw_logit") / F.greatest(F.col("n_feats"), F.lit(1)).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-per_feat))
+    return (
+        base.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            F.round("raw_logit", 6).alias("logit"),
+            F.round(prob, 6).alias("prob"),
+            (prob > F.lit(1.0) - pareto).alias("keep"),
+        )
+    )
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: NB quality scores over ``documents``, curated
+    slice = the lexicographically-smallest source."""
+    return nb_quality_scores(
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+_QUALITY_CLF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS f FROM base
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+    FROM base, unnest(range(1, len(t))) AS u(i)
+  )
+),
+cur AS (SELECT doc_id FROM base WHERE source = (SELECT MIN(source) FROM base)),
+docf AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
+cls AS (
+  SELECT b,
+         SUM(CASE WHEN cur.doc_id IS NOT NULL THEN c ELSE 0 END) AS cp,
+         SUM(CASE WHEN cur.doc_id IS NULL THEN c ELSE 0 END) AS cn
+  FROM docf LEFT JOIN cur ON docf.doc_id = cur.doc_id
+  GROUP BY b
+),
+tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM cls),
+prior AS (
+  SELECT SUM(CASE WHEN cur.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS dp,
+         SUM(CASE WHEN cur.doc_id IS NULL THEN 1 ELSE 0 END) AS dn
+  FROM base LEFT JOIN cur ON base.doc_id = cur.doc_id
+),
+scored AS (
+  SELECT docf.doc_id,
+         SUM(c) AS n_feats,
+         ln(dp * 1.0) - ln(dn * 1.0)
+         + SUM(c * (ln((cp + {QC_ALPHA}) / (np + {QC_ALPHA} * {DSIR_BUCKETS}))
+                  - ln((cn + {QC_ALPHA}) / (nn + {QC_ALPHA} * {DSIR_BUCKETS})))) AS raw_logit
+  FROM docf
+  JOIN cls USING (b)
+  CROSS JOIN tot CROSS JOIN prior
+  GROUP BY docf.doc_id, dp, dn
+)
+SELECT b.doc_id, b.source, s.n_feats,
+       ROUND(s.raw_logit, 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-(s.raw_logit / GREATEST(s.n_feats, 1)))), 6) AS prob,
+       1.0 / (1.0 + exp(-(s.raw_logit / GREATEST(s.n_feats, 1))))
+         > 1.0 - (POW(1.0 - (CAST(CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
+                            / {_TWO60}, -1.0 / {PARETO_SHAPE}) - 1.0) AS keep
+FROM base b JOIN scored s ON b.doc_id = s.doc_id
+"""
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+# the driver registry is at its 50-entry cap: this query carries its oracle
+# through the pytest gate (the docs_dsir_select contract)
+PYTEST_ORACLES = {
+    "docs_quality_classifier": (docs_quality_classifier, _QUALITY_CLF_SQL),
+}
+NO_SQL_QUERIES: dict = {}

@@ -130,6 +130,7 @@ HEADLINE = [
     "ann_filtered_topk",  # new round 8: ditto
     "docs_url_dedup",  # new round 9: URL-level first-stage dedup
     "docs_unigram_tokens",  # new round 9: learned-vocab token report
+    "docs_quality_classifier",  # new round 10: NB curated-vs-crawl scorer
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

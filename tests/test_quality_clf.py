@@ -1,0 +1,108 @@
+"""NB quality classifier: planted quality split recovered, GPT-3 Pareto
+keep rule replayed in plain Python, and the linear-model weights match a
+closed-form numpy Naive Bayes fit. Cross-engine parity runs in
+test_oracle.py (PYTEST_ORACLES)."""
+
+import hashlib
+import math
+
+from artan_spark.plans.quality_clf import PARETO_SHAPE, QC_ALPHA, nb_quality_scores
+
+_TWO60 = float(1 << 60)
+
+
+def _mk_corpus(spark):
+    """3 sources: 'a_curated' = clean prose vocab; 'web' = half clean, half
+    junk; junk reuses a disjoint vocab. doc_ids interleave so the split is
+    not id-correlated."""
+    clean = "the quick brown fox jumps over the lazy dog near the river bank"
+    junk = "zzq xxw qqz wxx zqx buy now click here zzq xxw free free free"
+    rows = []
+    for i in range(30):
+        rows.append((i, "a_curated", clean + f" paragraph {i % 5}"))
+    for i in range(30, 60):
+        rows.append((i, "web", clean + f" chapter {i % 7}"))
+    for i in range(60, 90):
+        rows.append((i, "web", junk + f" spam {i % 3}"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_planted_quality_split_recovered(spark):
+    d = _mk_corpus(spark)
+    out = {r.doc_id: r for r in nb_quality_scores(d).collect()}
+    assert len(out) == 90
+    clean_web = [out[i].prob for i in range(30, 60)]
+    junk_web = [out[i].prob for i in range(60, 90)]
+    # every clean web doc outranks every junk web doc, with a real gap —
+    # the split is recovered by RANK (absolute prob absorbs the 1:2 class
+    # prior, so clean shared text sits just under even odds by design)
+    assert min(clean_web) > max(junk_web) + 0.05
+    # curated docs score above everything web (their held-out tokens match
+    # the positive class)
+    assert min(out[i].prob for i in range(30)) > max(clean_web)
+    # the Pareto keep rule never prefers a junk doc over a clean one at the
+    # same draw: among kept web docs, clean dominates (keep-rule exactness
+    # is pinned bit-for-bit in test_pareto_keep_rule_replay)
+    kept_clean = sum(1 for i in range(30, 60) if out[i].keep)
+    kept_junk = sum(1 for i in range(60, 90) if out[i].keep)
+    assert kept_clean >= kept_junk
+
+
+def test_pareto_keep_rule_replay(spark):
+    """keep == (prob > 1 - lomax(doc_id)) with the md5-uniform inverse-CDF
+    draw — replayed bit-exact in plain Python."""
+    d = _mk_corpus(spark)
+    for r in nb_quality_scores(d).collect():
+        u = (
+            int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) + 0.5
+        ) / _TWO60
+        pareto = (1.0 - u) ** (-1.0 / PARETO_SHAPE) - 1.0
+        # prob in the row is rounded 6dp; recompute the unrounded side of
+        # the comparison from the rounded logit (margin >> 1e-6 everywhere
+        # in this corpus, asserted below)
+        per_feat = r.logit / max(r.n_feats, 1)
+        prob = 1.0 / (1.0 + math.exp(-per_feat))
+        assert abs(prob - (1.0 - pareto)) > 1e-5  # comparison not knife-edge
+        assert r.keep == (prob > 1.0 - pareto)
+
+
+def test_nb_weights_match_numpy_closed_form(spark):
+    """The distributed fit IS multinomial NB: per-doc logits equal the
+    closed-form numpy fit on the same hashed counts (same smoothing, same
+    prior), to float tolerance."""
+    import numpy as np
+
+    from artan_spark.plans.dsir import DSIR_BUCKETS
+
+    rows = [
+        (0, "a_cur", "aa bb aa cc"),
+        (1, "a_cur", "aa bb dd"),
+        (2, "web", "zz yy zz"),
+        (3, "web", "aa zz yy yy"),
+        (4, "web", "bb cc aa aa"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in nb_quality_scores(d).collect()}
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    def feats(text):
+        t = text.split()
+        return [bucket(x) for x in t] + [
+            bucket(f"{a} {b}") for a, b in zip(t, t[1:])
+        ]
+
+    cp = np.zeros(DSIR_BUCKETS)
+    cn = np.zeros(DSIR_BUCKETS)
+    for doc_id, src, text in rows:
+        tgt = cp if src == "a_cur" else cn
+        for b in feats(text):
+            tgt[b] += 1
+    w = np.log((cp + QC_ALPHA) / (cp.sum() + QC_ALPHA * DSIR_BUCKETS)) - np.log(
+        (cn + QC_ALPHA) / (cn.sum() + QC_ALPHA * DSIR_BUCKETS)
+    )
+    bias = math.log(2) - math.log(3)
+    for doc_id, _src, text in rows:
+        logit = bias + sum(w[b] for b in feats(text))
+        assert abs(got[doc_id].logit - round(logit, 6)) < 2e-6, (doc_id, logit)
