@@ -16,6 +16,7 @@ from artan_spark.plans import (
     estimation,
     lm,
     multimodal,
+    neardup_store,
     pipeline,
     quality_clf,
     relational,
@@ -47,6 +48,7 @@ MODULES = (
     urls,
     unigram,
     quality_clf,
+    neardup_store,
     multimodal,
 )
 
