@@ -27,6 +27,7 @@ from artan_spark.plans import (
     textstats,
     unigram,
     urls,
+    wordpiece,
 )
 
 # Order matters: the driver's correctness harness checks a bounded prefix of
@@ -49,6 +50,7 @@ MODULES = (
     unigram,
     quality_clf,
     neardup_store,
+    wordpiece,
     multimodal,
 )
 

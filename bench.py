@@ -131,6 +131,7 @@ HEADLINE = [
     "docs_url_dedup",  # new round 9: URL-level first-stage dedup
     "docs_unigram_tokens",  # new round 9: learned-vocab token report
     "docs_quality_classifier",  # new round 10: NB curated-vs-crawl scorer
+    "docs_wordpiece_tokens",  # new round 10: third tokenizer family
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -20,6 +20,7 @@ def test_registry_counts():
         "docs_compression_ratio",
         "docs_unigram_tokens",
         "docs_unigram_perplexity",
+        "docs_wordpiece_tokens",
     }
     assert not set(PYTEST_ORACLES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(QUERIES)
