@@ -56,6 +56,21 @@ REPEATS2 = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS2", "3")))
 # medians across JVM draws (deep adjudication; default 1 keeps total
 # bench wall-time at the r8 level for the driver)
 SF2_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_PROCS", "1")))
+# r9 watch items: queries whose fresh-process sf1.0 walls moved without a
+# code change. These ALWAYS get cross-process medians (SF2_WATCH_PROCS
+# independent JVMs, warm median each) so the recorded artifact adjudicates
+# per-JVM draw noise for them even when SF2_PROCS stays 1 — the extra cost
+# is bounded to this short list, not the full sf2 tier.
+SF2_WATCH = [
+    q for q in os.environ.get(
+        "SPARK_GRAFT_SF2_WATCH",
+        "rts_smoother_events,corpus_clean_stats,dedup_clusters",
+    ).split(",") if q
+]
+SF2_WATCH_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_WATCH_PROCS", "3")))
+# --tier sf2 subprocess restriction (set by the orchestrator for the extra
+# watch-item processes)
+SF2_ONLY = [q for q in os.environ.get("SPARK_GRAFT_SF2_ONLY", "").split(",") if q]
 SF2_DIR = os.environ.get(
     "SPARK_GRAFT_SF2_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"sf{SF2}"),
@@ -234,7 +249,7 @@ def _run_tier(tier: str) -> dict:
         #    times and medians the process-medians.
         spark = _fresh_session("artan_spark-bench-sf2")
         timings2: dict[str, float] = {}
-        for name in SF2_QUERIES:
+        for name in (SF2_ONLY or SF2_QUERIES):
             fn = _resolve(name)
             runs = []
             for _ in range(REPEATS2):
@@ -266,11 +281,15 @@ def main() -> None:
 
         ensure_generated(float(SF2), SF2_DIR)
 
-    def run_tier(tier: str) -> dict:
+    def run_tier(tier: str, only: list[str] | None = None) -> dict:
+        env = dict(os.environ)
+        if only:
+            env["SPARK_GRAFT_SF2_ONLY"] = ",".join(only)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--tier", tier],
             stdout=subprocess.PIPE,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env,
         )
         if r.returncode != 0:
             raise SystemExit(f"bench tier {tier!r} failed with rc={r.returncode}")
@@ -284,9 +303,21 @@ def main() -> None:
         # median of per-process WARM medians across independent JVMs
         # (see the sf2 tier comment for the two noise sources)
         samples = [run_tier("sf2")["queries_sf2"] for _ in range(SF2_PROCS)]
+        # watch items get SF2_WATCH_PROCS independent JVMs regardless:
+        # extra watch-only processes top the sample count up
+        watch = [q for q in SF2_WATCH if q in samples[0]]
+        for _ in range(max(0, SF2_WATCH_PROCS - SF2_PROCS)):
+            if not watch:
+                break
+            samples.append(run_tier("sf2", only=watch)["queries_sf2"])
         parts["queries_sf2"] = {
-            name: round(statistics.median(s[name] for s in samples), 3)
+            name: round(
+                statistics.median(s[name] for s in samples if name in s), 3
+            )
             for name in samples[0]
+        }
+        parts["queries_sf2_samples"] = {
+            name: [s[name] for s in samples if name in s] for name in samples[0]
         }
 
     try:
@@ -305,7 +336,10 @@ def main() -> None:
     if SF2:
         detail["sf2"] = float(SF2)
         detail["sf2_procs"] = SF2_PROCS
+        detail["sf2_watch"] = SF2_WATCH
+        detail["sf2_watch_procs"] = SF2_WATCH_PROCS
         detail["queries_sf2"] = parts["queries_sf2"]
+        detail["queries_sf2_samples"] = parts["queries_sf2_samples"]
         detail["value_sf2"] = round(sum(parts["queries_sf2"].values()), 3)
 
     # Full per-query map -> a tracked artifact; the driver's stdout-tail
