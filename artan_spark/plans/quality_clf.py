@@ -53,6 +53,10 @@ from artan_spark.sources import read_table_wide
 
 QC_ALPHA = 0.5  # add-alpha smoothing for both class-conditional tables
 PARETO_SHAPE = 9.0  # GPT-3 Appendix A: np.random.pareto(9)
+# broadcast the curated id set only below this row count (the
+# DSIR_BROADCAST_LIMIT / pipeline.BROADCAST_LOSER_LIMIT convention) —
+# above it, plain shuffled joins (the id set is narrow either way)
+QC_BROADCAST_LIMIT = 2_000_000
 
 _TWO60 = float(1 << 60)
 
@@ -80,6 +84,12 @@ def nb_quality_scores(
         cur_ids = base.join(F.broadcast(ms), "source", "left_semi").select("doc_id")
     else:
         cur_ids = base.filter(F.col("source") == curated_source).select("doc_id")
+    # count-gate the curated-set broadcast (EAGER, the dsir convention):
+    # a CCNet-style trusted slice is Wikipedia-sized, but nothing enforces
+    # that — past the gate the flag joins run shuffled on the narrow ids
+    cur_flag = cur_ids.withColumn("cur", F.lit(True))
+    if cur_ids.count() <= QC_BROADCAST_LIMIT:
+        cur_flag = F.broadcast(cur_flag)
 
     # ONE corpus pass: (doc, bucket) occurrence counts (the DSIR shape)
     docf = (
@@ -89,9 +99,7 @@ def nb_quality_scores(
         .localCheckpoint()
     )
     is_cur = F.col("cur").isNotNull()
-    tagged = docf.join(
-        F.broadcast(cur_ids.withColumn("cur", F.lit(True))), "doc_id", "left"
-    )
+    tagged = docf.join(cur_flag, "doc_id", "left")
     # class-conditional bucket counts: bucket-space-sized (<= QC buckets)
     cls = tagged.groupBy("b").agg(
         F.sum(F.when(is_cur, F.col("c")).otherwise(F.lit(0))).alias("cp"),
@@ -100,7 +108,7 @@ def nb_quality_scores(
     tot = cls.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
     # doc-count prior (1-row broadcast)
     prior = (
-        base.join(F.broadcast(cur_ids.withColumn("cur", F.lit(True))), "doc_id", "left")
+        base.join(cur_flag, "doc_id", "left")
         .agg(
             F.sum(F.when(is_cur, 1).otherwise(0)).alias("dp"),
             F.sum(F.when(is_cur, 0).otherwise(1)).alias("dn"),
