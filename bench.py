@@ -64,7 +64,10 @@ SF2_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_PROCS", "1")))
 SF2_WATCH = [
     q for q in os.environ.get(
         "SPARK_GRAFT_SF2_WATCH",
-        "rts_smoother_events,corpus_clean_stats,dedup_clusters",
+        # q5 joined r10: its money sums moved to exact decimal (same-session
+        # sf1.0 A/B: decimal 2.26 s warm vs float 1.91 s — 1.18x; the 11.55 s
+        # single-JVM record that round was a cold/draw artifact)
+        "rts_smoother_events,corpus_clean_stats,dedup_clusters,q5_nation_revenue",
     ).split(",") if q
 ]
 SF2_WATCH_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_WATCH_PROCS", "3")))
