@@ -45,6 +45,8 @@ surface next to the Gopher/C4 heuristic gates and DSIR.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,6 +146,128 @@ def nb_quality_scores(
         + 0.5
     ) / F.lit(_TWO60)
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_shape)) - F.lit(1.0)
+    per_feat = F.col("raw_logit") / F.greatest(F.col("n_feats"), F.lit(1)).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-per_feat))
+    return (
+        base.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            F.round("raw_logit", 6).alias("logit"),
+            F.round(prob, 6).alias("prob"),
+            (prob > F.lit(1.0) - pareto).alias("keep"),
+        )
+    )
+
+
+def persist_quality_model(
+    spark: SparkSession,
+    model_dir: str,
+    docs: DataFrame,
+    curated_source: str | None = None,
+    alpha: float = QC_ALPHA,
+    pareto_shape: float = PARETO_SHAPE,
+) -> None:
+    """Train once, serve many: materialize the NB class-conditional counts
+    so daily batches score against FROZEN statistics — the
+    ``build_ivf_index`` / ``build_neardup_index`` discipline applied to the
+    quality stage (a production pipeline trains the classifier on a fixed
+    snapshot and scores every later crawl with it; retraining per batch
+    would silently shift the decision boundary between days).
+
+    Layout: ``/counts`` (b, cp, cn — bucket-space-sized, raw counts so the
+    smoothing stays explicit and a rebuild can continue from them),
+    ``/meta`` (1 row: totals, doc-count prior, alpha, pareto_shape)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", "source", toks.alias("t"))
+    if curated_source is None:
+        ms = base.agg(F.min("source").alias("source"))
+        cur_ids = base.join(F.broadcast(ms), "source", "left_semi").select("doc_id")
+    else:
+        cur_ids = base.filter(F.col("source") == curated_source).select("doc_id")
+    cur_flag = cur_ids.withColumn("cur", F.lit(True))
+    if cur_ids.count() <= QC_BROADCAST_LIMIT:
+        cur_flag = F.broadcast(cur_flag)
+    docf = (
+        _doc_features(base)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    is_cur = F.col("cur").isNotNull()
+    cls = (
+        docf.join(cur_flag, "doc_id", "left")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(is_cur, F.col("c")).otherwise(F.lit(0))).alias("cp"),
+            F.sum(F.when(is_cur, F.lit(0)).otherwise(F.col("c"))).alias("cn"),
+        )
+    )
+    cls.write.mode("overwrite").parquet(model_dir + "/counts")
+    tot = spark.read.parquet(model_dir + "/counts").agg(
+        F.sum("cp").alias("np"), F.sum("cn").alias("nn")
+    )
+    prior = base.join(cur_flag, "doc_id", "left").agg(
+        F.sum(F.when(is_cur, 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(is_cur, 0).otherwise(1)).alias("dn"),
+    )
+    (
+        tot.crossJoin(prior)
+        .select(
+            "np", "nn", "dp", "dn",
+            F.lit(float(alpha)).alias("alpha"),
+            F.lit(float(pareto_shape)).alias("pareto_shape"),
+        )
+        .write.mode("overwrite")
+        .parquet(model_dir + "/meta")
+    )
+
+
+def score_with_quality_model(
+    spark: SparkSession, model_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Score a batch under the persisted (frozen) model: same output
+    contract as ``nb_quality_scores``. Features unseen at train time fall
+    back to the smoothed zero-count weight (add-alpha covers the whole
+    bucket space by construction). Scoring is one batch pass + a
+    broadcast join against the bucket-space-sized count table — no
+    retrain, no corpus read."""
+    meta = spark.read.parquet(model_dir + "/meta").first()
+    alpha, shape = meta["alpha"], meta["pareto_shape"]
+    cls = spark.read.parquet(model_dir + "/counts")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = new_docs.select("doc_id", "source", toks.alias("t"))
+    docf = _doc_features(base).groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
+    cp = F.coalesce(F.col("cp").cast("double"), F.lit(0.0))
+    cn = F.coalesce(F.col("cn").cast("double"), F.lit(0.0))
+    w = F.log((cp + alpha) / (F.lit(float(meta["np"])) + denom)) - F.log(
+        (cn + alpha) / (F.lit(float(meta["nn"])) + denom)
+    )
+    scored = (
+        docf.join(F.broadcast(cls), "b", "left")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_feats"), F.sum(F.col("c") * w).alias("dot"))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.lit(math.log(float(meta["dp"])) - math.log(float(meta["dn"])))
+                + F.col("dot")
+            ).alias("raw_logit"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(_TWO60)
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / shape)) - F.lit(1.0)
     per_feat = F.col("raw_logit") / F.greatest(F.col("n_feats"), F.lit(1)).cast("double")
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-per_feat))
     return (

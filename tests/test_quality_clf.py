@@ -106,3 +106,55 @@ def test_nb_weights_match_numpy_closed_form(spark):
     for doc_id, _src, text in rows:
         logit = bias + sum(w[b] for b in feats(text))
         assert abs(got[doc_id].logit - round(logit, 6)) < 2e-6, (doc_id, logit)
+
+
+def test_persisted_model_scores_match_inline(spark, tmp_path):
+    """Model trained on the full corpus, then scoring the same corpus as a
+    'batch', must reproduce nb_quality_scores row-for-row (every trained
+    bucket present -> no smoothing fallback divergence)."""
+    from artan_spark.plans.quality_clf import (
+        persist_quality_model,
+        score_with_quality_model,
+    )
+
+    d = _mk_corpus(spark)
+    md = str(tmp_path / "qm")
+    persist_quality_model(spark, md, d)
+    inline = {r.doc_id: r for r in nb_quality_scores(d).collect()}
+    stored = {r.doc_id: r for r in score_with_quality_model(spark, md, d).collect()}
+    assert set(inline) == set(stored)
+    for i in inline:
+        assert inline[i].asDict() == stored[i].asDict(), i
+
+
+def test_persisted_model_is_frozen(spark, tmp_path):
+    """Scoring is stateless against the stored statistics: a doc scores
+    identically across separate batch calls, and an unseen-vocabulary doc
+    falls back to the smoothed zero-count weight instead of erroring."""
+    from artan_spark.plans.quality_clf import (
+        persist_quality_model,
+        score_with_quality_model,
+    )
+
+    d = _mk_corpus(spark)
+    md = str(tmp_path / "qm2")
+    persist_quality_model(spark, md, d)
+    novel = spark.createDataFrame(
+        [(1000, "later", "the quick brown fox jumps over the lazy dog"),
+         (1001, "later", "zzq xxw qqz buy now click here free free zzq"),
+         (1002, "later", "xyzzy plugh qwop zzyzx qwop xyzzy plugh zzyzx")],
+        "doc_id long, source string, text string",
+    )
+    a = {r.doc_id: r for r in score_with_quality_model(spark, md, novel).collect()}
+    b = {r.doc_id: r for r in score_with_quality_model(spark, md, novel).collect()}
+    for i in a:
+        assert a[i].asDict() == b[i].asDict()
+    # clean-vocab doc outranks the junk-vocab doc under the frozen model
+    assert a[1000].prob > a[1001].prob
+    # a fully-UNSEEN-vocab doc scores without error: every bucket falls
+    # back to the smoothed zero-count weight ln((nn+aB)/(np+aB)) — which
+    # deliberately leans toward the SMALLER class total (standard NB
+    # smoothing; here curated < crawl, so unseen text reads mildly
+    # curated-ish rather than junk)
+    assert a[1002].n_feats > 0 and 0.0 < a[1002].prob < 1.0
+    assert a[1002].prob > a[1001].prob  # still above trained junk
