@@ -180,11 +180,55 @@ def corpus_curation_with_urls(
     return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
 
 
+def corpus_curation_with_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    rules: tuple = CURATION_RULES,
+    max_share: float = SOURCE_CAP_SHARE,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """The COMPLETE published-pipeline shape (CCNet/GPT-3/LLaMA ordering):
+    URL-level dedup (stage 1, text-free) -> Gopher quality + repetition
+    gates -> model-based NB classifier HEAD bucket (CCNet §4.3 thirds —
+    the rank rule; GPT-3's Pareto gamble can be vacuous when the curated
+    prior is tiny) -> per-source token cap -> SemDeDup prune, reported
+    per source.
+
+    The classifier stage is inherently its OWN corpus pass (its class
+    statistics must come from the FULL corpus — curated slice vs crawl —
+    including docs the heuristic gates drop, the GPT-3 setup), so this
+    pipeline reads text exactly twice: once for the classifier's hashed
+    feature counts, once for the heuristic gates. The head-id set (at
+    most n/3 ids) then semi-joins the ~30 B/doc gated metadata with the
+    same count-gated broadcast the semantic-loser join uses; everything
+    downstream is the shared metadata-manifest tail."""
+    from artan_spark.plans.quality_clf import nb_head_ids
+    from artan_spark.plans.urls import docs_url_dedup
+    from artan_spark.sources import read_table_wide
+
+    keepers = docs_url_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    gated_meta = _gated_meta(
+        spark, sf_dir, rules, url_keepers=keepers
+    ).localCheckpoint()
+    docs = read_table_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    qhead = nb_head_ids(docs).localCheckpoint()  # materialize: gate must not re-run
+    small = qhead.count() <= BROADCAST_LOSER_LIMIT
+    gated_meta = gated_meta.join(
+        F.broadcast(qhead) if small else qhead, "doc_id", "left_semi"
+    )
+    return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
+
+
 def _curation_sql(
     rules: tuple = CURATION_RULES,
     max_share: float = SOURCE_CAP_SHARE,
     threshold: float = SEMDEDUP_THRESHOLD,
     url_stage: bool = False,
+    quality_stage: bool = False,
 ) -> str:
     # the flag predicates and metric CTE are textstats' own — a threshold
     # or tokenization tweak there flows into this composed oracle (and the
@@ -204,6 +248,23 @@ ukeep AS (
            CASE WHEN c_query = '' THEN '' ELSE '?' || c_query END
 )"""
         url_pred = "\n            AND doc_id IN (SELECT doc_id FROM ukeep)"
+    q_ctes, q_pred = "", ""
+    if quality_stage:
+        from artan_spark.plans.quality_clf import _QC_CTES, QC_HEAD_FRAC
+
+        q_ctes = (
+            ",\n"
+            + _QC_CTES
+            + f""",
+qhead AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(raw_logit / GREATEST(n_feats, 1), 6) AS qs FROM qscored
+  )
+  ORDER BY qs DESC, doc_id ASC
+  LIMIT (SELECT CAST(CEIL(COUNT(*) * {QC_HEAD_FRAC}) AS BIGINT) FROM qbase)
+)"""
+        )
+        q_pred = "\n            AND doc_id IN (SELECT doc_id FROM qhead)"
     return (
         _kmeans_cells_cte()
         + ",\n"
@@ -211,6 +272,7 @@ ukeep AS (
         + ",\n"
         + _gopher_m_cte(p="g", keep=("source",))
         + url_ctes
+        + q_ctes
         + f""",
 losers AS (
   SELECT DISTINCT b.vec_id
@@ -222,7 +284,7 @@ losers AS (
 ),
 gated AS (SELECT doc_id, source, n_words AS n_tokens FROM gm
           WHERE {gate}
-            AND doc_id IN (SELECT doc_id FROM grp_flags WHERE {rep_pass}){url_pred}),
+            AND doc_id IN (SELECT doc_id FROM grp_flags WHERE {rep_pass}){url_pred}{q_pred}),
 t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM gated GROUP BY source),
 r AS (
   SELECT source,
@@ -255,5 +317,9 @@ PYTEST_ORACLES = {
     "corpus_curation_with_urls": (
         corpus_curation_with_urls,
         _curation_sql(url_stage=True),
+    ),
+    "corpus_curation_with_quality": (
+        corpus_curation_with_quality,
+        _curation_sql(url_stage=True, quality_stage=True),
     ),
 }

@@ -63,21 +63,14 @@ QC_BROADCAST_LIMIT = 2_000_000
 _TWO60 = float(1 << 60)
 
 
-def nb_quality_scores(
+def _nb_raw_scores(
     d: DataFrame,
     curated_source: str | None = None,
     alpha: float = QC_ALPHA,
-    pareto_shape: float = PARETO_SHAPE,
-) -> DataFrame:
-    """(doc_id, source, text) -> (doc_id, source, n_feats, logit, prob,
-    keep): Naive-Bayes quality score against the curated slice.
-
-    ``curated_source`` names the trusted slice (default: lexicographically
-    smallest source — the ``dsir_select`` convention). ``logit`` is the
-    raw NB log-odds (grows with length), ``prob`` the sigmoid of the
-    per-feature logit, ``keep`` the GPT-3 Pareto-threshold decision.
-    Curated docs score against their own class like any other doc (the
-    GPT-3 setup scores the whole corpus with the trained model)."""
+) -> tuple:
+    """Shared fit+score core: returns (base, scored) where scored is
+    (doc_id, n_feats, raw_logit) — UNROUNDED. Consumed by the public
+    formatters (``nb_quality_scores``, ``nb_head_ids``)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", "source", toks.alias("t"))
 
@@ -139,6 +132,28 @@ def nb_quality_scores(
         )
     )
 
+    return base, scored
+
+
+QC_HEAD_FRAC = 1.0 / 3.0  # CCNet §4.3: head bucket of per-corpus thirds
+
+
+def nb_quality_scores(
+    d: DataFrame,
+    curated_source: str | None = None,
+    alpha: float = QC_ALPHA,
+    pareto_shape: float = PARETO_SHAPE,
+) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, n_feats, logit, prob,
+    keep): Naive-Bayes quality score against the curated slice.
+
+    ``curated_source`` names the trusted slice (default: lexicographically
+    smallest source — the ``dsir_select`` convention). ``logit`` is the
+    raw NB log-odds (grows with length), ``prob`` the sigmoid of the
+    per-feature logit, ``keep`` the GPT-3 Pareto-threshold decision.
+    Curated docs score against their own class like any other doc (the
+    GPT-3 setup scores the whole corpus with the trained model)."""
+    base, scored = _nb_raw_scores(d, curated_source, alpha)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
             "double"
@@ -159,6 +174,35 @@ def nb_quality_scores(
             F.round(prob, 6).alias("prob"),
             (prob > F.lit(1.0) - pareto).alias("keep"),
         )
+    )
+
+
+def nb_head_ids(
+    d: DataFrame,
+    frac: float = QC_HEAD_FRAC,
+    curated_source: str | None = None,
+    alpha: float = QC_ALPHA,
+) -> DataFrame:
+    """(doc_id) of the classifier HEAD bucket: the top ``ceil(frac * n)``
+    docs by per-feature NB score — CCNet's thirds orientation (§4.3), the
+    keep rule a curation pipeline composes with (the GPT-3 Pareto rule in
+    ``nb_quality_scores`` is an expected-keep-rate gamble and can be
+    vacuous when the curated prior is tiny; a rank bucket always keeps
+    exactly its share). Deterministic cross-engine: the sort key is the
+    6dp-ROUNDED per-feature logit with doc_id tie-break (the dsir_select
+    top-k contract), selection is a distributed TakeOrdered."""
+    import math
+
+    base, scored = _nb_raw_scores(d, curated_source, alpha)
+    k = math.ceil(frac * base.count())  # EAGER, the dsir convention
+    qs = F.round(
+        F.col("raw_logit") / F.greatest(F.col("n_feats"), F.lit(1)).cast("double"), 6
+    )
+    return (
+        scored.select("doc_id", qs.alias("qs"))
+        .orderBy(F.desc("qs"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
     )
 
 
@@ -292,52 +336,62 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_CLF_SQL = f"""
-WITH base AS (
+# Composable q-prefixed CTE block (no WITH): the standalone oracle below
+# and the curation-pipeline oracle (plans/pipeline.py) share it verbatim,
+# so a feature-map or smoothing change here flows into both.
+_QC_KEEP_EXPR = (
+    "1.0 / (1.0 + exp(-(raw_logit / GREATEST(n_feats, 1))))"
+    " > 1.0 - (POW(1.0 - (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)"
+    f" / {_TWO60}, -1.0 / {PARETO_SHAPE}) - 1.0)"
+)
+
+_QC_CTES = f"""qbase AS (
   SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-feats AS (
+qfeats AS (
   SELECT doc_id, CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % {DSIR_BUCKETS} AS b
   FROM (
-    SELECT doc_id, unnest(t) AS f FROM base
+    SELECT doc_id, unnest(t) AS f FROM qbase
     UNION ALL
     SELECT doc_id, t[i] || ' ' || t[i+1] AS f
-    FROM base, unnest(range(1, len(t))) AS u(i)
+    FROM qbase, unnest(range(1, len(t))) AS u(i)
   )
 ),
-cur AS (SELECT doc_id FROM base WHERE source = (SELECT MIN(source) FROM base)),
-docf AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b),
-cls AS (
+qcur AS (SELECT doc_id FROM qbase WHERE source = (SELECT MIN(source) FROM qbase)),
+qdocf AS (SELECT doc_id, b, COUNT(*) AS c FROM qfeats GROUP BY doc_id, b),
+qcls AS (
   SELECT b,
-         SUM(CASE WHEN cur.doc_id IS NOT NULL THEN c ELSE 0 END) AS cp,
-         SUM(CASE WHEN cur.doc_id IS NULL THEN c ELSE 0 END) AS cn
-  FROM docf LEFT JOIN cur ON docf.doc_id = cur.doc_id
+         SUM(CASE WHEN qcur.doc_id IS NOT NULL THEN c ELSE 0 END) AS cp,
+         SUM(CASE WHEN qcur.doc_id IS NULL THEN c ELSE 0 END) AS cn
+  FROM qdocf LEFT JOIN qcur ON qdocf.doc_id = qcur.doc_id
   GROUP BY b
 ),
-tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM cls),
-prior AS (
-  SELECT SUM(CASE WHEN cur.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS dp,
-         SUM(CASE WHEN cur.doc_id IS NULL THEN 1 ELSE 0 END) AS dn
-  FROM base LEFT JOIN cur ON base.doc_id = cur.doc_id
+qtot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM qcls),
+qprior AS (
+  SELECT SUM(CASE WHEN qcur.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS dp,
+         SUM(CASE WHEN qcur.doc_id IS NULL THEN 1 ELSE 0 END) AS dn
+  FROM qbase LEFT JOIN qcur ON qbase.doc_id = qcur.doc_id
 ),
-scored AS (
-  SELECT docf.doc_id,
+qscored AS (
+  SELECT qdocf.doc_id,
          SUM(c) AS n_feats,
          ln(dp * 1.0) - ln(dn * 1.0)
          + SUM(c * (ln((cp + {QC_ALPHA}) / (np + {QC_ALPHA} * {DSIR_BUCKETS}))
                   - ln((cn + {QC_ALPHA}) / (nn + {QC_ALPHA} * {DSIR_BUCKETS})))) AS raw_logit
-  FROM docf
-  JOIN cls USING (b)
-  CROSS JOIN tot CROSS JOIN prior
-  GROUP BY docf.doc_id, dp, dn
-)
+  FROM qdocf
+  JOIN qcls USING (b)
+  CROSS JOIN qtot CROSS JOIN qprior
+  GROUP BY qdocf.doc_id, dp, dn
+),
+qkeep AS (SELECT doc_id FROM qscored WHERE {_QC_KEEP_EXPR})"""
+
+_QUALITY_CLF_SQL = f"""
+WITH {_QC_CTES}
 SELECT b.doc_id, b.source, s.n_feats,
        ROUND(s.raw_logit, 6) AS logit,
        ROUND(1.0 / (1.0 + exp(-(s.raw_logit / GREATEST(s.n_feats, 1)))), 6) AS prob,
-       1.0 / (1.0 + exp(-(s.raw_logit / GREATEST(s.n_feats, 1))))
-         > 1.0 - (POW(1.0 - (CAST(CAST('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 0.5)
-                            / {_TWO60}, -1.0 / {PARETO_SHAPE}) - 1.0) AS keep
-FROM base b JOIN scored s ON b.doc_id = s.doc_id
+       s.doc_id IN (SELECT doc_id FROM qkeep) AS keep
+FROM qbase b JOIN qscored s ON b.doc_id = s.doc_id
 """
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "docs_unigram_tokens",  # new round 9: learned-vocab token report
     "docs_quality_classifier",  # new round 10: NB curated-vs-crawl scorer
     "docs_wordpiece_tokens",  # new round 10: third tokenizer family
+    "corpus_curation_with_quality",  # new round 10: full pipeline + NB stage
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -158,3 +158,25 @@ def test_persisted_model_is_frozen(spark, tmp_path):
     # curated-ish rather than junk)
     assert a[1002].n_feats > 0 and 0.0 < a[1002].prob < 1.0
     assert a[1002].prob > a[1001].prob  # still above trained junk
+
+
+def test_curation_quality_stage_constrains(spark):
+    """corpus_curation_with_quality == corpus_curation_with_urls with the
+    head-bucket semi-join inserted: per-source kept counts can only shrink,
+    and the stage is non-vacuous (it drops something at sf0.001). sf0.01
+    parity runs in test_oracle.py."""
+    from artan_spark.plans.pipeline import (
+        corpus_curation_with_quality,
+        corpus_curation_with_urls,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.source: r for r in corpus_curation_with_urls(spark, sf).collect()}
+    qual = {r.source: r for r in corpus_curation_with_quality(spark, sf).collect()}
+    assert set(qual) <= set(base)  # a source can vanish, never appear
+    for s, r in qual.items():
+        assert r.n_docs_kept <= base[s].n_docs_kept
+        assert r.n_tokens_kept <= base[s].n_tokens_kept
+    assert sum(r.n_docs_kept for r in qual.values()) < sum(
+        r.n_docs_kept for r in base.values()
+    )
