@@ -328,6 +328,87 @@ def score_with_quality_model(
     )
 
 
+def quality_model_weight_row(spark: SparkSession, model_dir: str) -> DataFrame:
+    """1-row frame (w array<double> of DSIR_BUCKETS, bias double,
+    pareto_shape double): the persisted model flattened to a serving
+    vector — smoothing applied, buckets unseen at train time filled with
+    the zero-count weight. Bounded by the bucket space (4096), never the
+    corpus: the one collect here is model-sized by construction."""
+    meta = spark.read.parquet(model_dir + "/meta").first()
+    alpha = meta["alpha"]
+    np_, nn = float(meta["np"]), float(meta["nn"])
+    denom = alpha * DSIR_BUCKETS
+    default = math.log(alpha / (np_ + denom)) - math.log(alpha / (nn + denom))
+    w = [default] * DSIR_BUCKETS
+    for r in spark.read.parquet(model_dir + "/counts").collect():
+        w[int(r["b"])] = math.log((float(r["cp"]) + alpha) / (np_ + denom)) - math.log(
+            (float(r["cn"]) + alpha) / (nn + denom)
+        )
+    bias = math.log(float(meta["dp"])) - math.log(float(meta["dn"]))
+    return spark.createDataFrame(
+        [(w, bias, float(meta["pareto_shape"]))],
+        "w array<double>, bias double, pareto_shape double",
+    )
+
+
+def score_rowwise_with_quality_model(
+    spark: SparkSession, model_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """STATELESS row-wise scoring against the persisted model — the
+    live-ingest serving path: the weight vector rides a broadcast 1-row
+    stream-static cross join, features hash in-row, and the logit is one
+    ``F.aggregate`` over the feature array. No explode, no groupBy, no
+    state — the plan is a projection, so the same expression runs on a
+    readStream unchanged (streaming-replay == batch, tested).
+
+    Equals ``score_with_quality_model`` up to float summation order (the
+    join path sums per-bucket partials, this path sums in feature order);
+    the 6dp-rounded outputs agree except within an ulp of a rounding
+    boundary."""
+    w_row = quality_model_weight_row(spark, model_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uni = toks  # exactly dsir._doc_features' token stream (no "" filter)
+    big = F.when(
+        F.size(uni) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(uni) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(uni, i), F.element_at(uni, i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    feat_strs = F.concat(uni, big)
+    bucket = lambda x: (  # noqa: E731 — the dsir._bucket expression, in-row
+        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+    feats = F.transform(feat_strs, bucket)
+    logit = F.col("bias") + F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at("w", (b + 1).cast("int")),
+    )
+    n_feats = F.size(feats).cast("long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(_TWO60)
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0) / F.col("pareto_shape")) - F.lit(1.0)
+    per_feat = logit / F.greatest(n_feats, F.lit(1)).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-per_feat))
+    return (
+        new_docs.select("doc_id", "source", "text")
+        .crossJoin(F.broadcast(w_row))
+        .select(
+            "doc_id",
+            "source",
+            n_feats.alias("n_feats"),
+            F.round(logit, 6).alias("logit"),
+            F.round(prob, 6).alias("prob"),
+            (prob > F.lit(1.0) - pareto).alias("keep"),
+        )
+    )
+
+
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: NB quality scores over ``documents``, curated
     slice = the lexicographically-smallest source."""

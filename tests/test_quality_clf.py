@@ -180,3 +180,43 @@ def test_curation_quality_stage_constrains(spark):
     assert sum(r.n_docs_kept for r in qual.values()) < sum(
         r.n_docs_kept for r in base.values()
     )
+
+
+def test_rowwise_scoring_matches_join_path_and_streams(spark, tmp_path):
+    """The stateless row-wise scorer equals the join-path scorer (up to
+    summation order at 6dp), and — being a pure projection over a
+    stream-static broadcast — replays over a chunked stream identically
+    to its own batch run (live-ingest quality scoring)."""
+    from artan_spark.plans.quality_clf import (
+        persist_quality_model,
+        score_rowwise_with_quality_model,
+        score_with_quality_model,
+    )
+    from artan_spark.streaming import stream_transform
+
+    d = _mk_corpus(spark)
+    md = str(tmp_path / "qm3")
+    persist_quality_model(spark, md, d)
+
+    join_path = {r.doc_id: r for r in score_with_quality_model(spark, md, d).collect()}
+    row_path = {
+        r.doc_id: r for r in score_rowwise_with_quality_model(spark, md, d).collect()
+    }
+    assert set(join_path) == set(row_path)
+    for i in join_path:
+        a, b = join_path[i], row_path[i]
+        assert a.n_feats == b.n_feats
+        assert abs(a.logit - b.logit) <= 2e-6, i  # summation-order ulp at 6dp
+        assert abs(a.prob - b.prob) <= 2e-6, i
+        assert a.keep == b.keep, i
+
+    streamed = stream_transform(
+        spark,
+        d,
+        lambda df: score_rowwise_with_quality_model(spark, md, df),
+        chunk_rows=17,
+    )
+    got = {r.doc_id: r for r in streamed.collect()}
+    assert set(got) == set(row_path)
+    for i in got:
+        assert got[i].asDict() == row_path[i].asDict(), i
