@@ -25,6 +25,7 @@ from artan_spark.plans import (
     sketch,
     temporal,
     textstats,
+    tokenizer_store,
     unigram,
     urls,
     wordpiece,
@@ -50,6 +51,7 @@ MODULES = (
     unigram,
     quality_clf,
     neardup_store,
+    tokenizer_store,
     wordpiece,
     multimodal,
 )
