@@ -23,6 +23,7 @@ from artan_spark.plans import (
     sampling,
     simsearch,
     sketch,
+    sketch_store,
     temporal,
     textstats,
     tokenizer_store,
@@ -52,6 +53,7 @@ MODULES = (
     quality_clf,
     neardup_store,
     tokenizer_store,
+    sketch_store,
     wordpiece,
     multimodal,
 )
