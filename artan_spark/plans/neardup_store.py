@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from artan_spark.streaming.neardup import minhash_bands
+# NOTE: artan_spark.streaming.neardup is imported INSIDE the functions, not
+# here — streaming.neardup itself imports plans.dedup, and importing any
+# plans submodule runs the plans package __init__, which imports THIS
+# module: a top-level import here closes that cycle and breaks worker-side
+# deserialization with a partially-initialized-module ImportError (caught
+# by test_streaming_cms_batch_equals_stream in the round-10 full-suite run).
 
 N_PFX = 64  # sig-hash partition fan-out within each band
 
@@ -68,6 +73,8 @@ def build_neardup_index(
     """Materialize the signature store for an initial corpus. Docs shorter
     than 3 tokens emit no bands (they can never near-dup) but still count
     toward ``max_doc_id`` so the append contract covers them."""
+    from artan_spark.streaming.neardup import minhash_bands
+
     bands = minhash_bands(docs, id_col=id_col, text_col=text_col)
     _with_pfx(bands).write.mode("overwrite").partitionBy("band", "pfx").parquet(
         index_dir + "/bands"
@@ -104,6 +111,8 @@ def append_neardup_index(
             f"{stats['max_doc_id']}: appends must be id-monotone (new docs "
             "get new ids) for flags to match the full-corpus computation"
         )
+
+    from artan_spark.streaming.neardup import minhash_bands
 
     nb = _with_pfx(minhash_bands(batch)).localCheckpoint()
     # partition pruning: the batch touches a bounded set of pfx cells
