@@ -26,6 +26,7 @@ import examples.mmae_rate_source_ols as mmae
 import examples.rls_rate_source_ols as rls
 import examples.corpus_pipeline as corpus
 import examples.heavy_hitters_rate_source as hh
+import examples.incremental_lake as lake
 import examples.multimodal_pipeline as mm
 import examples.streaming_asof as asof
 import examples.sessionize_rate_source as sess
@@ -43,6 +44,7 @@ for name, mod, args in [
     ("streaming_asof", asof, (2, 50, 6)),
     ("sessionize_rate_source", sess, (50, 6)),
     ("corpus_pipeline", corpus, ()),
+    ("incremental_lake", lake, ()),
     ("multimodal_pipeline", mm, ()),
     ("heavy_hitters_rate_source", hh, (100, 6)),
 ]:
