@@ -275,3 +275,52 @@ def test_relational_oracle_margin(sql_name, cols, sf_dir):
             f"{tol[bad].max():.1e} (scaled) of a {dp}dp rounding boundary "
             f"(min dist {dist.min():.3e}) — regeneration made this oracle fragile"
         )
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_dsir_logw_margin(sf_dir):
+    """DSIR's 6dp-rounded log-weight is a float SUM of ~O(100) log terms
+    whose order differs between engines (noise bound: terms x ulp ~ 7e-13
+    abs -> 0.7 micro-units at the 6dp grid). Guard a 15x margin at both
+    SFs — the remaining ROUND(SUM(float)) pair outside relational.py,
+    audited per the r9 verdict."""
+    from artan_spark.plans import dsir
+
+    raw_sql = dsir._DSIR_SQL
+    tgt = "ROUND(SUM(c * (ln((COALESCE(cp, 0)"
+    assert tgt in raw_sql
+    # strip just the outer ROUND(...,6) of the logw aggregate
+    i = raw_sql.index(tgt)
+    j = raw_sql.index(", 6) AS logw", i)
+    inner = raw_sql[i + len("ROUND("):j]
+    raw_sql = raw_sql[:i] + inner + " AS logw_raw" + raw_sql[j + len(", 6) AS logw"):]
+    raw_sql = raw_sql.replace("lw.logw,", "lw.logw_raw AS logw,").replace(
+        "ROUND(lw.logw\n", "ROUND(lw.logw_raw\n"
+    )
+    df = duckdb_frame(raw_sql, sf_dir)
+    v = df["logw"].to_numpy(dtype=float)
+    scaled = v * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"dsir logw 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bm25_score_margin(sf_dir):
+    """BM25's 6dp-rounded score sums a handful of per-term float parts
+    (noise ~ ulp-scale). Same strip-and-measure guard."""
+    from artan_spark.plans import bm25
+
+    raw_sql = bm25._BM25_SQL if hasattr(bm25, "_BM25_SQL") else None
+    if raw_sql is None:
+        import re
+
+        cands = [v for k, v in vars(bm25).items() if isinstance(v, str) and "ROUND(SUM(part), 6)" in v]
+        assert cands, "bm25 oracle SQL moved — update this guard"
+        raw_sql = cands[0]
+    assert "ROUND(SUM(part), 6)" in raw_sql
+    raw_sql = raw_sql.replace("ROUND(SUM(part), 6)", "SUM(part)")
+    df = duckdb_frame(raw_sql, sf_dir)
+    v = df["score"].to_numpy(dtype=float)
+    scaled = v * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"bm25 score 6dp min boundary dist {dist.min():.3e}"
