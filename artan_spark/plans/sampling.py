@@ -846,3 +846,96 @@ PYTEST_ORACLES = {
     "docs_source_cap": (docs_source_cap, _SOURCE_CAP_SQL),
     "docs_temperature_mix": (docs_temperature_mix, _TEMP_MIX_SQL),
 }
+
+
+# -- fixed-window document chunking -------------------------------------------
+
+CHUNK_WINDOW = 64  # tokens per training window
+CHUNK_STRIDE = 48  # window start step (window - stride = 16-token overlap)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, chunk_id, n_tokens, chunk): split every
+    document into fixed-size overlapping token windows — the
+    context-window preparation step between cleaning and packing when
+    documents exceed the model's sequence length (the standard
+    sliding-window regime; stride < window keeps boundary context in two
+    chunks).
+
+    Semantics: windows start at 0, stride, 2*stride, ... while the start
+    is inside the document; the LAST window may be short (the tail is
+    never dropped, and a short doc yields exactly one chunk — an empty
+    doc yields one empty chunk, so every input row is represented).
+
+    100-TB shape: pure in-row Catalyst — tokenize once per row, window
+    starts via ``sequence``, slices via ``slice``, one ``posexplode``.
+    No shuffle, no Python, no state; output rows ~ corpus tokens /
+    stride."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - F.lit(1)).cast("double") / F.lit(stride)).cast("int"),
+            F.lit(0),
+        ),
+    )
+    chunks = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window))
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    n_tokens = F.when(
+        F.col("chunk") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("chunk"), r"\s+")))
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        "chunk",
+    )
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: per-(doc, chunk) report over ``documents`` at
+    the default window/stride (chunk text elided to its token count +
+    first token — the hash-stable summary; full text is corpus-sized)."""
+    from artan_spark.sources import read_table_wide
+
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    c = chunk_documents(d)
+    first_tok = F.when(F.col("chunk") == "", F.lit("")).otherwise(
+        F.split(F.col("chunk"), r"\s+")[0]
+    )
+    return c.select(
+        "doc_id", "chunk_id", "n_tokens", first_tok.alias("first_token")
+    )
+
+
+_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, GREATEST(CAST(FLOOR((len(t) - 1) * 1.0 / {CHUNK_STRIDE}) AS BIGINT), 0) + 1)) AS k
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_id,
+         t[k * {CHUNK_STRIDE} + 1 : LEAST(k * {CHUNK_STRIDE} + {CHUNK_WINDOW}, len(t))] AS ct
+  FROM starts
+)
+SELECT doc_id, chunk_id,
+       CAST(CASE WHEN len(ct) = 1 AND ct[1] = '' THEN 0 ELSE len(ct) END AS BIGINT) AS n_tokens,
+       COALESCE(ct[1], '') AS first_token
+FROM chunks
+"""
+
+PYTEST_ORACLES["docs_chunk_windows"] = (docs_chunk_windows, _CHUNK_SQL)

@@ -151,6 +151,7 @@ HEADLINE = [
     "docs_quality_classifier",  # new round 10: NB curated-vs-crawl scorer
     "docs_wordpiece_tokens",  # new round 10: third tokenizer family
     "corpus_curation_with_quality",  # new round 10: full pipeline + NB stage
+    "docs_chunk_windows",  # new round 10: sliding-window chunking
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

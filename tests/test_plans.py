@@ -1288,3 +1288,43 @@ def test_funnel_strict_order_pinned(spark):
     ).write.parquet(os.path.join(d, "events.parquet"))
     out = events_funnel(spark, d).collect()[0]
     assert (out.n_view, out.n_click, out.n_purchase) == (3, 2, 1), out
+
+
+def test_chunk_documents_semantics(spark):
+    """Sliding-window chunking: every doc represented, tail never dropped,
+    stride overlap exact, reconstruction from stride-strides equals the
+    original token stream; empty doc -> one empty chunk."""
+    from artan_spark.plans.sampling import chunk_documents
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(150))),  # multi-window + tail
+        (1, "a b c"),  # shorter than one window
+        (2, ""),  # empty
+        (3, " ".join(f"x{i}" for i in range(96))),  # exactly 2*stride
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, window=64, stride=48)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    assert set(by_doc) == {0, 1, 2, 3}
+
+    # doc 0: 150 tokens -> starts 0,48,96,144 -> sizes 64,64,54,6
+    c0 = by_doc[0]
+    assert [c0[i].n_tokens for i in range(4)] == [64, 64, 54, 6]
+    toks = rows[0][1].split()
+    for i, r in sorted(c0.items()):
+        assert r.chunk.split() == toks[i * 48 : i * 48 + 64]
+    # overlap: last 16 of chunk k == first 16 of... (window - stride = 16)
+    assert c0[0].chunk.split()[48:] == c0[1].chunk.split()[:16]
+    # reconstruction from the stride-aligned prefixes
+    rebuilt = []
+    for i in sorted(c0):
+        rebuilt.extend(c0[i].chunk.split()[:48])
+    assert rebuilt[: len(toks)] == toks
+
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 0 and by_doc[2][0].chunk == ""
+    # 96 tokens, stride 48: starts 0 and 48 (start 96 is past the end)
+    assert sorted(by_doc[3]) == [0, 1]
+    assert [by_doc[3][i].n_tokens for i in (0, 1)] == [64, 48]

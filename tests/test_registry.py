@@ -15,8 +15,9 @@ def test_registry_counts():
     # drifting the day a new entry landed (the exact failure mode this test
     # exists to prevent) — names say WHICH entry is unexpected, a bare
     # count only says that one is.
-    # round 10: + docs_quality_classifier, corpus_curation_with_quality
-    assert len(PYTEST_ORACLES) == 47
+    # round 10: + docs_quality_classifier, corpus_curation_with_quality,
+    # docs_chunk_windows
+    assert len(PYTEST_ORACLES) == 48
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
