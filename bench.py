@@ -65,9 +65,12 @@ SF2_WATCH = [
     q for q in os.environ.get(
         "SPARK_GRAFT_SF2_WATCH",
         # q5 joined r10: its money sums moved to exact decimal (same-session
-        # sf1.0 A/B: decimal 2.26 s warm vs float 1.91 s — 1.18x; the 11.55 s
-        # single-JVM record that round was a cold/draw artifact)
-        "rts_smoother_events,corpus_clean_stats,dedup_clusters,q5_nation_revenue",
+        # sf1.0 A/B: decimal 2.26 s warm vs float 1.91 s — 1.18x; watch
+        # medians settled it at 1.6-1.73 s, identical to the float-sum r9
+        # record). corpus_curation_report joined after drawing 21.3 s in one
+        # JVM vs 5.1 s in another the same day on identical code.
+        "rts_smoother_events,corpus_clean_stats,dedup_clusters,"
+        "q5_nation_revenue,corpus_curation_report",
     ).split(",") if q
 ]
 SF2_WATCH_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_WATCH_PROCS", "3")))
