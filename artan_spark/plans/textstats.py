@@ -1869,3 +1869,101 @@ PYTEST_ORACLES = {
     "docs_dedup_lines": (docs_dedup_lines, _DEDUP_LINES_SQL),
     "docs_dedup_substrings": (docs_dedup_substrings, _DEDUP_SUBSTR_SQL),
 }
+
+
+# -- text normalization --------------------------------------------------------
+
+# typographic -> ASCII mapping applied BEFORE whitespace handling: the
+# characters crawl text most often uses interchangeably with their ASCII
+# forms (curly quotes, primes, dashes, ellipsis). Deduplication hashes only
+# agree across sources after this pass — every published pipeline
+# normalizes before shingling (CCNet §3.1 lowercases + strips accents for
+# its hashes; this is the conservative subset that keeps text readable).
+NORM_MAP = {
+    "‘": "'", "’": "'", "‚": "'", "′": "'",
+    "“": '"', "”": '"', "„": '"', "″": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "−": "-",
+    "…": "...",
+}
+# every unicode space-ish char the \s class does NOT already fold plus the
+# zero-width family, normalized to a plain space before collapsing
+_SPACEY = "   -‍    　﻿"
+
+
+def normalize_text(d: DataFrame, text_col: str = "text", lowercase: bool = False) -> DataFrame:
+    """(..., text) -> same frame with ``text`` normalized: typographic
+    punctuation mapped to ASCII, control chars stripped, unicode
+    space/zero-width variants -> space, whitespace runs collapsed, ends
+    trimmed, optional lowercase. Idempotent (tested).
+
+    Pure Catalyst: ``translate`` + three ``regexp_replace`` inside one
+    whole-stage-codegen projection — stateless, no shuffle, no Python;
+    the ideal first pass before shingles/minhash so near-dup hashes agree
+    across typographically-divergent copies."""
+    txt = F.col(text_col)
+    # multi-char replacement (ellipsis) first — translate is 1:1 only
+    txt = F.regexp_replace(txt, "…", "...")
+    one = {k: v for k, v in NORM_MAP.items() if len(v) == 1}
+    txt = F.translate(txt, "".join(one), "".join(one.values()))
+    txt = F.regexp_replace(txt, f"[{_SPACEY}]", " ")
+    txt = F.regexp_replace(txt, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    if lowercase:
+        txt = F.lower(txt)
+    return d.withColumn(text_col, txt)
+
+
+def docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: normalization report over ``documents`` —
+    (doc_id, changed, n_chars_before, n_chars_after, text_norm elided to
+    its md5). The synthetic corpus is mostly ASCII, so ``changed`` counts
+    whitespace-run collapses; the typographic mapping is pinned by the
+    unit table in tests."""
+    d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    n = normalize_text(d)
+    before = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        d.select("doc_id", F.col("text").alias("orig"), before.alias("n_chars_before"))
+        .join(n.select("doc_id", F.col("text").alias("norm")), "doc_id")
+        .select(
+            "doc_id",
+            "n_chars_before",
+            F.length("norm").alias("n_chars_after"),
+            (F.col("orig") != F.col("norm")).alias("changed"),
+            F.md5("norm").alias("norm_md5"),
+        )
+    )
+
+
+# the oracle derives its translate() arguments from the SAME mapping the
+# engine uses (single-quote SQL escaping applied), so the two can't drift
+_NORM_ONE = {k: v for k, v in NORM_MAP.items() if len(v) == 1}
+_NORM_FROM_SQL = "".join(_NORM_ONE).replace("'", "''")
+_NORM_TO_SQL = "".join(_NORM_ONE.values()).replace("'", "''")
+
+_NORMALIZE_SQL = (
+    "WITH n AS (\n"
+    "  SELECT doc_id, length(COALESCE(text, '')) AS n_chars_before,\n"
+    "         trim(regexp_replace(\n"
+    "           regexp_replace(\n"
+    "             regexp_replace(\n"
+    "               translate(regexp_replace(text, '…', '...', 'g'),\n"
+    f"                         '{_NORM_FROM_SQL}',\n"
+    f"                         '{_NORM_TO_SQL}'),\n"
+    f"               '[{_SPACEY}]', ' ', 'g'),\n"
+    r"             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),"
+    "\n"
+    r"           '\s+', ' ', 'g')) AS norm,"
+    "\n"
+    "         text AS orig\n"
+    "  FROM documents\n"
+    ")\n"
+    "SELECT doc_id, n_chars_before,\n"
+    "       length(norm) AS n_chars_after,\n"
+    "       orig != norm AS changed,\n"
+    "       md5(norm) AS norm_md5\n"
+    "FROM n\n"
+)
+
+PYTEST_ORACLES["docs_normalize_text"] = (docs_normalize_text, _NORMALIZE_SQL)

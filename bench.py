@@ -155,6 +155,7 @@ HEADLINE = [
     "docs_wordpiece_tokens",  # new round 10: third tokenizer family
     "corpus_curation_with_quality",  # new round 10: full pipeline + NB stage
     "docs_chunk_windows",  # new round 10: sliding-window chunking
+    "docs_normalize_text",  # new round 10: pre-shingle normalization pass
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

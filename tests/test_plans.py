@@ -1328,3 +1328,44 @@ def test_chunk_documents_semantics(spark):
     # 96 tokens, stride 48: starts 0 and 48 (start 96 is past the end)
     assert sorted(by_doc[3]) == [0, 1]
     assert [by_doc[3][i].n_tokens for i in (0, 1)] == [64, 48]
+
+
+def test_normalize_text_semantics(spark):
+    """Typographic mapping applied char-for-char, control chars stripped,
+    unicode space/zero-width variants folded, runs collapsed, ends
+    trimmed, lowercase optional — and the whole pass is IDEMPOTENT."""
+    from artan_spark.plans.textstats import NORM_MAP, normalize_text
+
+    rows = [
+        (0, "“Hello” — it’s ‘fine’… ok"),
+        (1, "a b c​d﻿e"),  # nbsp, thin, zero-width, BOM
+        (2, "x\x00y\x07z\x7fw"),  # control chars
+        (3, "  spaced\t\tout\n\nlines  "),
+        (4, "MiXeD Case"),
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in normalize_text(d).collect()}
+    assert out[0] == "\"Hello\" - it's 'fine'... ok"
+    assert out[1] == "a b c d e"
+    assert out[2] == "xyzw"
+    assert out[3] == "spaced out lines"
+    assert out[4] == "MiXeD Case"
+    assert out[5] is None
+    lower = {r.doc_id: r.text for r in normalize_text(d, lowercase=True).collect()}
+    assert lower[4] == "mixed case"
+
+    # every mapping entry individually (the unit table)
+    pairs = spark.createDataFrame(
+        [(i, f"a{k}b") for i, k in enumerate(NORM_MAP)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in normalize_text(pairs).collect()}
+    for i, (k, v) in enumerate(NORM_MAP.items()):
+        assert got[i] == f"a{v}b", (k, v, got[i])
+
+    # idempotence: normalize(normalize(x)) == normalize(x)
+    once = normalize_text(d)
+    twice = normalize_text(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
