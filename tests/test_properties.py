@@ -214,3 +214,65 @@ def test_quantile_compress_preserves_upper_ranks(seed, n, capacity):
         assert orig_cum_by_value[v] == c
     # the last point is the maximum (q=1.0 stays exact)
     assert cv[-1] == sv[-1]
+
+
+# -- round-10 text operators: pure-Python cores under arbitrary input --------
+
+_word = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Zs", "Cc", "Cs")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_word, st.integers(1, 50)), min_size=1, max_size=12))
+def test_wordpiece_trainer_total_and_encode_cover(counts):
+    """For ANY corpus: the trained piece set contains the full alphabet
+    (both forms), so greedy encode never UNKs an in-corpus word; encoding
+    reconstructs the word exactly."""
+    from artan_spark.plans.wordpiece import (
+        UNK,
+        encode_word,
+        train_wordpiece_from_counts,
+    )
+
+    # dedupe words (the trainer contract: counts come from a hash-agg)
+    seen: dict = {}
+    for w, c in counts:
+        seen[w] = seen.get(w, 0) + c
+    counts = sorted(seen.items())
+    pieces = set(train_wordpiece_from_counts(counts, n_merges=5))
+    for w, _c in counts:
+        if len(w) > 100:
+            continue
+        toks = encode_word(w, pieces)
+        assert UNK not in toks, (w, toks)
+        rebuilt = toks[0] + "".join(t[2:] for t in toks[1:])
+        assert rebuilt == w
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_word, min_size=0, max_size=40),
+    st.integers(2, 16),
+    st.integers(1, 16),
+)
+def test_chunking_reference_reconstruction(tokens, window, stride):
+    """Plain-Python replica of chunk_documents' start/slice arithmetic:
+    every token appears in at least one chunk, stride-prefixes rebuild the
+    stream, and chunk count is ceil-like in len/stride."""
+    import math
+
+    stride = min(stride, window)  # stride > window would drop tokens
+    n = len(tokens)
+    n_chunks = max(math.floor((n - 1) / stride), 0) + 1
+    chunks = [tokens[k * stride : k * stride + window] for k in range(n_chunks)]
+    assert len(chunks) == n_chunks
+    covered = []
+    for c in chunks:
+        covered.extend(c[:stride])
+    assert covered[:n] == tokens  # reconstruction, tail never dropped
+    if n:
+        assert chunks[-1]  # last chunk non-empty when doc has tokens
+        assert (n_chunks - 1) * stride < n  # no start past the end
