@@ -240,3 +240,115 @@ ORACLES: dict = {}
 PYTEST_ORACLES = {
     "docs_dsir_select": (docs_dsir_select, _DSIR_SQL),
 }
+
+
+# -- source-distribution divergence --------------------------------------------
+
+
+def source_divergence(d: DataFrame, alpha: float = DSIR_ALPHA) -> DataFrame:
+    """(doc_id, source, text) -> (source, n_feats, js_divergence): per
+    source, the Jensen-Shannon divergence between that source's hashed
+    unigram+bigram distribution and the WHOLE corpus distribution — the
+    mixing diagnostic that says which sources are distributionally far
+    from the blend (a drifted crawl slice, a mis-tagged dump). JS is
+    symmetric and bounded by ln 2, so scores are comparable across
+    rounds; both distributions are add-alpha smoothed over the FULL
+    bucket space (zero-count buckets carry smoothed mass, so the sum runs
+    over all DSIR_BUCKETS cells per source).
+
+    100-TB shape: ONE corpus pass (the DSIR feature stream) into a
+    (source, bucket) hash-agg; everything after operates on the
+    sources x DSIR_BUCKETS grid (a few 10k rows at ANY corpus size) with
+    broadcast totals — the corpus text is never touched again."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", "source", toks.alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    feats = base.select("source", F.explode(F.concat(F.col("t"), bigrams)).alias("f")).select(
+        "source", _bucket(F.col("f"))
+    )
+    cs = feats.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    ct = cs.groupBy("b").agg(F.sum("c").alias("ctb"))
+    nt = ct.agg(F.sum("ctb").alias("nt"))
+
+    spark = d.sparkSession
+    grid = (
+        ns.select("source")
+        .crossJoin(
+            F.broadcast(
+                spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+            )
+        )
+        .join(cs, ["source", "b"], "left")
+        .join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+    )
+    denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
+    ps = (F.coalesce(F.col("c").cast("double"), F.lit(0.0)) + alpha) / (F.col("ns") + denom)
+    pc = (F.coalesce(F.col("ctb").cast("double"), F.lit(0.0)) + alpha) / (F.col("nt") + denom)
+    m = (ps + pc) / F.lit(2.0)
+    term = ps * F.log(ps / m) + pc * F.log(pc / m)
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.first("ns").alias("n_feats"),
+            F.round(F.lit(0.5) * F.sum(term), 6).alias("js_divergence"),
+        )
+        .select("source", F.col("n_feats").cast("long").alias("n_feats"), "js_divergence")
+    )
+
+
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-table entry: per-source JS divergence from the corpus blend
+    over ``documents``."""
+    return source_divergence(
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+_SOURCE_DIVERGENCE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+feats AS (
+  SELECT source, CAST('0x' || substring(md5(f), 1, 15) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, unnest(t) AS f FROM base
+    UNION ALL
+    SELECT doc_id, source, t[i] || ' ' || t[i+1] AS f
+    FROM base, unnest(range(1, len(t))) AS u(i)
+  )
+),
+cs AS (SELECT source, b, COUNT(*) AS c FROM feats GROUP BY source, b),
+ns AS (SELECT source, SUM(c) AS ns FROM cs GROUP BY source),
+ct AS (SELECT b, SUM(c) AS ctb FROM cs GROUP BY b),
+nt AS (SELECT SUM(ctb) AS nt FROM ct),
+grid AS (
+  SELECT s.source, g.b, cs.c, ct.ctb, s.ns, nt.nt
+  FROM ns s
+  CROSS JOIN (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) g
+  LEFT JOIN cs ON cs.source = s.source AND cs.b = g.b
+  LEFT JOIN ct ON ct.b = g.b
+  CROSS JOIN nt
+),
+terms AS (
+  SELECT source, ns,
+         ((COALESCE(c, 0) + {DSIR_ALPHA}) / (ns + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS ps,
+         ((COALESCE(ctb, 0) + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS pc
+  FROM grid
+)
+SELECT source, CAST(MIN(ns) AS BIGINT) AS n_feats,
+       ROUND(0.5 * SUM(ps * ln(ps / ((ps + pc) / 2.0))
+                     + pc * ln(pc / ((ps + pc) / 2.0))), 6) AS js_divergence
+FROM terms
+GROUP BY source
+"""
+
+PYTEST_ORACLES["docs_source_divergence"] = (docs_source_divergence, _SOURCE_DIVERGENCE_SQL)

@@ -156,6 +156,7 @@ HEADLINE = [
     "corpus_curation_with_quality",  # new round 10: full pipeline + NB stage
     "docs_chunk_windows",  # new round 10: sliding-window chunking
     "docs_normalize_text",  # new round 10: pre-shingle normalization pass
+    "docs_source_divergence",  # new round 10: mixing-drift diagnostic
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
