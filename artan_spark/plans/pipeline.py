@@ -250,20 +250,9 @@ ukeep AS (
         url_pred = "\n            AND doc_id IN (SELECT doc_id FROM ukeep)"
     q_ctes, q_pred = "", ""
     if quality_stage:
-        from artan_spark.plans.quality_clf import _QC_CTES, QC_HEAD_FRAC
+        from artan_spark.plans.quality_clf import _QC_CTES, _qc_head_cte
 
-        q_ctes = (
-            ",\n"
-            + _QC_CTES
-            + f""",
-qhead AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, ROUND(raw_logit / GREATEST(n_feats, 1), 6) AS qs FROM qscored
-  )
-  ORDER BY qs DESC, doc_id ASC
-  LIMIT (SELECT CAST(CEIL(COUNT(*) * {QC_HEAD_FRAC}) AS BIGINT) FROM qbase)
-)"""
-        )
+        q_ctes = ",\n" + _QC_CTES + ",\n" + _qc_head_cte()
         q_pred = "\n            AND doc_id IN (SELECT doc_id FROM qhead)"
     return (
         _kmeans_cells_cte()

@@ -484,3 +484,73 @@ PYTEST_ORACLES = {
     "docs_quality_classifier": (docs_quality_classifier, _QUALITY_CLF_SQL),
 }
 NO_SQL_QUERIES: dict = {}
+
+
+def _qc_head_cte(frac: float = QC_HEAD_FRAC) -> str:
+    """The head-bucket CTE (requires _QC_CTES in scope): top ceil(frac*n)
+    docs by 6dp-rounded per-feature score, doc_id tie-break — shared by
+    the curation-pipeline oracle and the domain report oracle."""
+    return f"""qhead AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(raw_logit / GREATEST(n_feats, 1), 6) AS qs FROM qscored
+  )
+  ORDER BY qs DESC, doc_id ASC
+  LIMIT (SELECT CAST(CEIL(COUNT(*) * {frac}) AS BIGINT) FROM qbase)
+)"""
+
+
+def docs_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(registered_domain, n_docs, avg_prob, head_rate): classifier
+    quality aggregated per registered domain — the input a RefinedWeb-
+    style blocklist curation reads (consistently-low domains get blocked
+    wholesale, which is far cheaper than per-doc gating at crawl time).
+
+    100-TB shape: the domain column is the pure-Catalyst URL projection
+    (no text), the scores are the one-pass NB fit, and the report is one
+    hash aggregate on the (doc -> domain, prob, in_head) rows — the only
+    corpus-scale work is the classifier's own feature pass."""
+    from artan_spark.plans.urls import docs_url_canonical
+    from artan_spark.sources import read_table_wide
+
+    dom = docs_url_canonical(spark, sf_dir).select("doc_id", "registered_domain")
+    docs = read_table_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scores = nb_quality_scores(docs).select("doc_id", "prob")
+    head = F.broadcast(nb_head_ids(docs).withColumn("h", F.lit(1)))
+    return (
+        dom.join(scores, "doc_id")
+        .join(head, "doc_id", "left")
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("prob"), 6).alias("avg_prob"),
+            F.round(F.avg(F.coalesce(F.col("h"), F.lit(0))), 6).alias("head_rate"),
+        )
+    )
+
+
+def _domain_quality_sql() -> str:
+    from artan_spark.plans.urls import _URL_CANONICAL_SQL
+
+    return f"""
+WITH {_QC_CTES},
+{_qc_head_cte()},
+dom AS ({_URL_CANONICAL_SQL}),
+probs AS (
+  SELECT s.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(s.raw_logit / GREATEST(s.n_feats, 1)))), 6) AS prob
+  FROM qscored s
+)
+SELECT d.registered_domain,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(p.prob), 6) AS avg_prob,
+       ROUND(AVG(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END), 6) AS head_rate
+FROM dom d
+JOIN probs p ON d.doc_id = p.doc_id
+LEFT JOIN qhead q ON d.doc_id = q.doc_id
+GROUP BY d.registered_domain
+"""
+
+
+PYTEST_ORACLES["docs_domain_quality"] = (docs_domain_quality, _domain_quality_sql())

@@ -157,6 +157,7 @@ HEADLINE = [
     "docs_chunk_windows",  # new round 10: sliding-window chunking
     "docs_normalize_text",  # new round 10: pre-shingle normalization pass
     "docs_source_divergence",  # new round 10: mixing-drift diagnostic
+    "docs_domain_quality",  # new round 10: per-domain blocklist-curation input
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -16,8 +16,9 @@ def test_registry_counts():
     # exists to prevent) — names say WHICH entry is unexpected, a bare
     # count only says that one is.
     # round 10: + docs_quality_classifier, corpus_curation_with_quality,
-    # docs_chunk_windows, docs_normalize_text, docs_source_divergence
-    assert len(PYTEST_ORACLES) == 50
+    # docs_chunk_windows, docs_normalize_text, docs_source_divergence,
+    # docs_domain_quality
+    assert len(PYTEST_ORACLES) == 51
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
