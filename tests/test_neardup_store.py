@@ -145,3 +145,42 @@ def test_store_read_is_partition_pruned(spark, tmp_path):
     # and the plan pushes the partition filter down to the file source
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "pfx" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_three_neardup_implementations_agree(spark, tmp_path):
+    """The batch window formulation (docs_minhash_dedup_flags), the
+    streaming operator (streaming_near_dup, full-history mode), and the
+    persisted-store append path must produce IDENTICAL flags for the same
+    corpus — three independent implementations of one contract.
+
+    The store is driven as a daily ingest (three id-ordered batches from
+    an empty build); streaming/batch run over the whole corpus at once.
+    Docs with <3 tokens emit no bands: the batch/streaming sides omit
+    them, the store reports them not-dup — both mean 'cannot near-dup'."""
+    from artan_spark.plans.dedup import docs_minhash_dedup_flags
+    from artan_spark.streaming.neardup import streaming_near_dup
+
+    d = _docs(spark)
+    batch = {r.doc_id: r for r in docs_minhash_dedup_flags(spark, SF_DIR).collect()}
+    stream = {r.doc_id: r for r in streaming_near_dup(d).collect()}
+
+    idx = str(tmp_path / "tri")
+    ids = sorted(r.doc_id for r in d.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    build_neardup_index(spark, idx, d.filter(F.col("doc_id") < cuts[0]))
+    f1 = append_neardup_index(
+        spark, idx, d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]))
+    )
+    f2 = append_neardup_index(spark, idx, d.filter(F.col("doc_id") >= cuts[1]))
+    store = {r.doc_id: r for r in f1.unionByName(f2).collect()}
+
+    # streaming emits one row per doc WITH bands; batch window likewise
+    assert set(stream) == set(batch)
+    for i in batch:
+        assert (stream[i].is_dup, stream[i].dup_of) == (batch[i].is_dup, batch[i].dup_of), i
+    # the store covers the appended two-thirds; agree on that slice
+    for i in store:
+        if i in batch:
+            assert (store[i].is_dup, store[i].dup_of) == (batch[i].is_dup, batch[i].dup_of), i
+        else:  # shingle-less doc: store says not-dup, others omit the row
+            assert (store[i].is_dup, store[i].dup_of) == (False, None), i
