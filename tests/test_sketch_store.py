@@ -110,3 +110,14 @@ def test_range_read_is_partition_pruned(spark, tmp_path):
     # (inputFiles() reports the pre-pruning index, so the row-level check
     # is semantic: exactly the 3 requested day directories contribute)
     assert days.select("day").distinct().count() == 3
+
+
+def test_empty_range_returns_empty(spark, tmp_path):
+    e = read_table(spark, SF_DIR, "events")
+    sd = str(tmp_path / "er")
+    build_sketch_store(spark, sd, e)
+    out = sketch_distinct_over(spark, sd, "2030-01-01", "2030-01-31")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "event_type", "kmv_estimate", "hll_estimate",
+    ]
