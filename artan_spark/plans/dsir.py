@@ -352,3 +352,102 @@ GROUP BY source
 """
 
 PYTEST_ORACLES["docs_source_divergence"] = (docs_source_divergence, _SOURCE_DIVERGENCE_SQL)
+
+
+# -- persisted importance-weight tables ----------------------------------------
+
+
+def persist_dsir_tables(
+    spark: SparkSession,
+    model_dir: str,
+    d: DataFrame,
+    target_source: str | None = None,
+    alpha: float = DSIR_ALPHA,
+) -> None:
+    """Fit DSIR's target/raw hashed-feature distributions ONCE and persist
+    them (the ``persist_quality_model`` discipline): a production pipeline
+    estimates p (trusted slice) and q (raw pool) on a fixed snapshot and
+    scores every later crawl batch against those FROZEN tables — refitting
+    per batch silently shifts every weight as the pool grows.
+
+    Layout: ``/tables`` (b, cp, cq — bucket-space-sized raw counts),
+    ``/meta`` (1 row: np, nq totals + alpha)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", "source", toks.alias("t"))
+    if target_source is None:
+        ms = base.agg(F.min("source").alias("source"))
+        tgt = base.join(F.broadcast(ms), "source", "left_semi")
+    else:
+        tgt = base.filter(F.col("source") == target_source)
+    docf = (
+        _doc_features(base)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    q_tab = docf.groupBy("b").agg(F.sum("c").alias("cq"))
+    p_tab = (
+        docf.join(tgt.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("c").alias("cp"))
+    )
+    tables = q_tab.join(p_tab, "b", "left").select(
+        "b", F.coalesce("cp", F.lit(0)).alias("cp"), "cq"
+    )
+    tables.write.mode("overwrite").parquet(model_dir + "/tables")
+    (
+        spark.read.parquet(model_dir + "/tables")
+        .agg(
+            F.sum("cp").alias("np"),
+            F.sum("cq").alias("nq"),
+            F.lit(float(alpha)).alias("alpha"),
+        )
+        .write.mode("overwrite")
+        .parquet(model_dir + "/meta")
+    )
+
+
+def dsir_score_batch(
+    spark: SparkSession, model_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, logw, score) under the
+    FROZEN tables: one batch feature pass + a broadcast join against the
+    bucket-space-sized count table; features unseen at fit time fall back
+    to the smoothed zero-count ratio. ``score`` is the Gumbel-perturbed
+    weight ``dsir_select`` orders by, so a caller can take its own top-k
+    across accumulated batches. Scoring the fit corpus itself reproduces
+    ``dsir_select``'s logw/score columns row-for-row (tested)."""
+    meta = spark.read.parquet(model_dir + "/meta").first()
+    alpha = meta["alpha"]
+    tab = spark.read.parquet(model_dir + "/tables")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = new_docs.select("doc_id", "source", toks.alias("t"))
+    docf = _doc_features(base).groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    denom = F.lit(alpha) * F.lit(DSIR_BUCKETS)
+    lp = F.log(
+        (F.coalesce(F.col("cp").cast("double"), F.lit(0.0)) + alpha)
+        / (F.lit(float(meta["np"])) + denom)
+    )
+    lq = F.log(
+        (F.coalesce(F.col("cq").cast("double"), F.lit(0.0)) + alpha)
+        / (F.lit(float(meta["nq"])) + denom)
+    )
+    logw = (
+        docf.join(F.broadcast(tab), "b", "left")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * (lp - lq)), 6).alias("logw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(_TWO60)
+    gumbel = -F.log(-F.log(u))
+    return (
+        base.select("doc_id", "source")
+        .join(logw, "doc_id")
+        .withColumn("score", F.round(F.col("logw") + gumbel, 6))
+    )
