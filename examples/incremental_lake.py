@@ -97,6 +97,13 @@ def main(sf_dir="/root/testdata/sf0.001"):
     print(f"encoded under loaded {kind}: "
           f"{enc.agg(F.sum('n_tokens')).first()[0]} tokens")
 
+    from artan_spark.plans.dsir import dsir_score_batch, persist_dsir_tables
+
+    persist_dsir_tables(spark, root + "/dsir", docs)
+    scored_w = dsir_score_batch(spark, root + "/dsir", new_docs)
+    print("DSIR importance scores (frozen p/q tables):")
+    scored_w.orderBy(F.desc("score")).show(3, truncate=40)
+
     # today's embedding batch: fresh ids past the indexed high-water mark
     vmax = vecs.agg(F.max("vec_id")).first()[0]
     new_vecs = vecs.limit(20).select(
