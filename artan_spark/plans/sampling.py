@@ -939,3 +939,126 @@ FROM chunks
 """
 
 PYTEST_ORACLES["docs_chunk_windows"] = (docs_chunk_windows, _CHUNK_SQL)
+
+# -- embedding-based (semantic) decontamination --------------------------------
+
+# A train doc whose embedding is this close to ANY eval doc is flagged.
+# Random 64-dim pairs in this corpus cosine at ~N(0, 1/8); 0.35 sits past the
+# p90 of the per-doc max, so the report is non-vacuous without flagging bulk.
+EMB_DECON_THRESHOLD = 0.35
+# Eval sets are benchmark-sized (1e4-1e6 rows). The collected eval matrix
+# costs n_eval * dim * 8 bytes on the driver and per executor (200k x 64
+# doubles ~= 100 MiB); past the gate, route through the LSH/IVF candidate
+# path (plans/simsearch.py) instead of dense scoring.
+EMB_DECON_EVAL_LIMIT = 200_000
+
+_EMB_DECON_SCHEMA = "train_vec_id long, eval_vec_id long, max_cosine double"
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_vecs: DataFrame,
+    *,
+    threshold: float = EMB_DECON_THRESHOLD,
+    eval_limit: int = EMB_DECON_EVAL_LIMIT,
+) -> DataFrame:
+    """Semantic decontamination: flag every ``train`` row whose embedding
+    has cosine >= ``threshold`` to ANY ``eval_vecs`` row — the embedding
+    twin of the n-gram ``docs_decontaminate`` (the overlap an exact-match
+    scan misses: paraphrased or lightly-edited benchmark leakage).
+
+    Both inputs need columns ``vec_id`` (long) and ``embedding``
+    (array<float>). Returns one row per contaminated train doc:
+    ``train_vec_id``, the closest eval doc ``eval_vec_id`` (smallest id on
+    ties), ``max_cosine`` (rounded 6dp).
+
+    Scale design: the eval side is the small one by construction, so it is
+    collected ONCE (size-gated at ``eval_limit``, actionable error past it)
+    and broadcast as a dense normalized numpy matrix; the corpus side
+    streams through ONE Arrow ``mapInPandas`` pass — a per-batch
+    (batch x eval) matmul, no shuffle, no pairwise blowup, corpus scan cost
+    only. This is exactly the shape that survives 100 TB: the eval matrix
+    is fixed-size however large the corpus is, and every batch is
+    independent. For eval sets past the gate, use the LSH/IVF bucketed
+    candidate generation in plans/simsearch.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = train.sparkSession
+    n_eval = eval_vecs.count()
+    if n_eval == 0:
+        return spark.createDataFrame([], _EMB_DECON_SCHEMA)
+    if n_eval > eval_limit:
+        raise ValueError(
+            f"eval set has {n_eval} rows > eval_limit={eval_limit}: the dense "
+            "broadcast matrix would tax the driver/executors — use the "
+            "LSH/IVF candidate path (plans/simsearch.py) for eval sets this "
+            "large, or raise eval_limit explicitly"
+        )
+    # sorted by vec_id so numpy argmax's first-occurrence tiebreak == the
+    # oracle's ORDER BY cosine DESC, eval_vec_id ASC
+    rows = eval_vecs.select("vec_id", "embedding").orderBy("vec_id").collect()
+    eval_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    emat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+    emat = emat / np.where(enorm == 0.0, 1.0, enorm)
+    bc = spark.sparkContext.broadcast((eval_ids, emat))
+
+    def score(batches):
+        ids_e, me = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norm == 0.0, 1.0, norm)
+            sims = m @ me.T
+            j = np.argmax(sims, axis=1)
+            mx = sims[np.arange(len(m)), j]
+            keep = mx >= threshold
+            yield pd.DataFrame(
+                {
+                    "train_vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "eval_vec_id": ids_e[j[keep]],
+                    "max_cosine": np.round(mx[keep], 6),
+                }
+            )
+
+    return train.select("vec_id", "embedding").mapInPandas(score, _EMB_DECON_SCHEMA)
+
+
+def docs_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the md5 80/10/10 split over ``embeddings.vec_id``
+    (same portable split as ``docs_split_assign``), test split = eval set,
+    train split = corpus to scrub."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = _hash_bucket(F.col("vec_id"))
+    return embedding_decontaminate(e.filter(b < _TRAIN), e.filter(b >= _VAL))
+
+
+_EMB_DECON_SQL = f"""
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % {_BUCKETS} AS b
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm, b FROM t),
+pairs AS (
+  SELECT tr.vec_id AS train_vec_id, te.vec_id AS eval_vec_id,
+         list_dot_product(tr.v, te.v) / (tr.norm * te.norm) AS c
+  FROM n tr JOIN n te ON tr.b < {_TRAIN} AND te.b >= {_VAL}
+),
+best AS (
+  SELECT train_vec_id, eval_vec_id, c,
+         row_number() OVER (PARTITION BY train_vec_id ORDER BY c DESC, eval_vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT train_vec_id, eval_vec_id, ROUND(c, 6) AS max_cosine
+FROM best WHERE rn = 1 AND c >= {EMB_DECON_THRESHOLD}
+"""
+
+PYTEST_ORACLES["docs_decontaminate_embedding"] = (
+    docs_decontaminate_embedding,
+    _EMB_DECON_SQL,
+)

@@ -324,3 +324,36 @@ def test_bm25_score_margin(sf_dir):
     scaled = v * 1e6
     dist = np.abs(scaled - np.floor(scaled) - 0.5)
     assert (dist > 1e-5).all(), f"bm25 score 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_embdecon_cosine_margin(sf_dir):
+    """docs_decontaminate_embedding rounds a 64-term float dot product at
+    6dp AND filters on it (c >= threshold): guard BOTH the rounding
+    boundary and the threshold crossing. Cross-engine noise is dot-sum
+    reorder, ~dim ulps of the value (64 x 2.3e-16 ~ 1.5e-14 abs for unit
+    cosines) — budget 1e-9 with safety, far under the measured distances."""
+    from artan_spark.plans import sampling as smp
+
+    raw_sql = smp._EMB_DECON_SQL
+    tgt = "ROUND(c, 6) AS max_cosine"
+    assert tgt in raw_sql, "embdecon ROUND site moved — update this guard"
+    raw_sql = raw_sql.replace(tgt, "c AS max_cosine")
+    # keep every best-match row (drop the threshold filter) so the
+    # threshold-distance check sees near-misses on BOTH sides
+    cut = f"AND c >= {smp.EMB_DECON_THRESHOLD}"
+    assert cut in raw_sql
+    raw_sql = raw_sql.replace(cut, "")
+    df = duckdb_frame(raw_sql, sf_dir)
+    v = df["max_cosine"].to_numpy(dtype=float)
+    scaled = v * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    # noise budget: 100x safety x 64 ulps of a unit value, in scaled units
+    assert (dist > 1e-5).all(), (
+        f"embdecon max_cosine 6dp min boundary dist {dist.min():.3e} (scaled)"
+    )
+    thr_dist = np.abs(v - smp.EMB_DECON_THRESHOLD).min()
+    assert thr_dist > 1e-9, (
+        f"a max_cosine sits {thr_dist:.3e} from the keep threshold — "
+        "regeneration made the row set itself fragile"
+    )
