@@ -15,7 +15,7 @@ from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from artan_spark.sources import read_table, read_table_wide, widen_scan
@@ -1967,3 +1967,100 @@ _NORMALIZE_SQL = (
 )
 
 PYTEST_ORACLES["docs_normalize_text"] = (docs_normalize_text, _NORMALIZE_SQL)
+
+
+# -- vocabulary growth / Zipf diagnostics --------------------------------------
+
+ZIPF_TOP_R = 1000  # ranks used for the log-log slope fit
+
+
+def docs_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary diagnostics: total/vocab/hapax token counts,
+    type-token ratio, and the Zipf slope (OLS of ln(freq) on ln(rank) over
+    the top ``ZIPF_TOP_R`` ranks, ties broken by token asc). Natural text
+    sits near slope -1; a corpus drifting toward 0 is template/boilerplate
+    heavy, steeper than -1.5 is repetitive — the one-look health check of a
+    corpus's token distribution.
+
+    Scale shape: ONE explode + hash-agg word-count pass (map-side partial
+    combine does the heavy lifting), then everything downstream runs on the
+    (lang, token) count table — vocabulary-sized, orders of magnitude
+    smaller than the corpus. The slope fit sorts only each language's
+    vocab rows (window row_number), and the final per-lang aggregate is a
+    handful of rows. No UDFs, whole-stage codegen end to end.
+    """
+    d = read_table(spark, sf_dir, "documents").select("lang", "text")
+    tok = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    wc = (
+        d.select("lang", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = wc.groupBy("lang").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_count"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top = (
+        wc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ZIPF_TOP_R)
+        .select("lang", F.log(F.col("rn").cast("double")).alias("x"), F.log("cnt").alias("y"))
+    )
+    slope = top.groupBy("lang").agg(
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("zipf_slope_raw")
+    )
+    return (
+        totals.join(slope, "lang")
+        .select(
+            "lang",
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias("type_token_ratio"),
+            F.round("zipf_slope_raw", 6).alias("zipf_slope"),
+        )
+    )
+
+
+_ZIPF_SQL = f"""
+WITH wc AS (
+  SELECT lang, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok != ''
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, SUM(cnt) AS total_tokens, COUNT(*) AS vocab_size,
+         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax_count
+  FROM wc GROUP BY 1
+),
+top AS (
+  SELECT lang, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM (
+    SELECT lang, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+    FROM wc
+  )
+  WHERE rn <= {ZIPF_TOP_R}
+),
+slope AS (
+  SELECT lang,
+         (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS zipf_slope_raw
+  FROM top GROUP BY 1
+)
+SELECT t.lang, t.total_tokens, t.vocab_size, t.hapax_count,
+       ROUND(t.vocab_size * 1.0 / t.total_tokens, 6) AS type_token_ratio,
+       ROUND(s.zipf_slope_raw, 6) AS zipf_slope
+FROM totals t JOIN slope s ON t.lang = s.lang
+"""
+
+PYTEST_ORACLES["docs_zipf_stats"] = (docs_zipf_stats, _ZIPF_SQL)

@@ -357,3 +357,21 @@ def test_embdecon_cosine_margin(sf_dir):
         f"a max_cosine sits {thr_dist:.3e} from the keep threshold — "
         "regeneration made the row set itself fragile"
     )
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_zipf_slope_margin(sf_dir):
+    """docs_zipf_stats rounds an OLS slope (float sums over <=1000 log
+    terms, engines sum in different orders) at 6dp — strip the ROUND and
+    measure boundary distance, same regime as dsir/bm25."""
+    from artan_spark.plans import textstats as ts
+
+    raw_sql = ts._ZIPF_SQL
+    tgt = "ROUND(s.zipf_slope_raw, 6) AS zipf_slope"
+    assert tgt in raw_sql, "zipf ROUND site moved — update this guard"
+    raw_sql = raw_sql.replace(tgt, "s.zipf_slope_raw AS zipf_slope")
+    df = duckdb_frame(raw_sql, sf_dir)
+    v = df["zipf_slope"].to_numpy(dtype=float)
+    scaled = v * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"zipf_slope 6dp min boundary dist {dist.min():.3e}"
