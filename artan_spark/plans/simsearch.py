@@ -1814,3 +1814,100 @@ PYTEST_ORACLES = {
     "ann_pq_topk": (ann_pq_topk, _ann_pq_sql()),
     "ann_ivfadc_topk": (ann_ivfadc_topk, _ann_ivfadc_sql()),
 }
+
+
+# -- embedding outlier scan ----------------------------------------------------
+
+OUTLIER_Z = 2.0  # flag vectors this many label-stddevs below the mean cohesion
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: vectors whose cosine to their OWN
+    label's centroid sits ``OUTLIER_Z`` standard deviations below the
+    label's mean cohesion — the mislabeled/garbage-vector scan you run
+    before trusting labels for IVF lists, SemDeDup cells, or supervised
+    fine-tuning slices.
+
+    Scale shape: the corpus is touched twice, both times narrowly — one
+    explode -> (label, pos) hash agg builds the centroid table
+    (label x dim, tiny, map-side combine), then ONE broadcast join puts
+    each row's centroid array alongside it and the cosine is a pure in-row
+    fold (zip_with/aggregate, whole-stage codegen, no Python). The z-stats
+    are a per-label aggregate (labels-sized, broadcast back). No pairwise
+    anything; cost is two corpus scans + label-sized tables.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    scored = (
+        e.join(F.broadcast(cent), "label")
+        .withColumn(
+            "cos",
+            _dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        )
+        .select("vec_id", "label", "cos")
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("cos").alias("mu"), F.stddev_pop("cos").alias("sigma")
+    )
+    # try_divide: a zero-variance label yields NULL z (nothing flaggable),
+    # not an ANSI divide-by-zero; the oracle mirrors with NULLIF
+    z = F.try_divide(F.col("cos") - F.col("mu"), F.col("sigma"))
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .withColumn("z", z)
+        .filter(F.col("z") <= -OUTLIER_Z)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos", 6).alias("cos_centroid"),
+            F.round("z", 6).alias("z_score"),
+        )
+    )
+
+
+_EMB_OUTLIER_SQL = f"""
+WITH t AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pos AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos FROM t
+),
+c AS (SELECT label, pos, AVG(x) AS m FROM pos GROUP BY 1, 2),
+carr AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY 1),
+scored AS (
+  SELECT t.vec_id, t.label,
+         list_dot_product(t.v, carr.cv)
+           / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(carr.cv, carr.cv))) AS cos
+  FROM t JOIN carr USING (label)
+),
+z AS (
+  SELECT vec_id, label, cos,
+         (cos - AVG(cos) OVER (PARTITION BY label))
+           / NULLIF(stddev_pop(cos) OVER (PARTITION BY label), 0) AS z
+  FROM scored
+)
+SELECT vec_id, label, ROUND(cos, 6) AS cos_centroid, ROUND(z, 6) AS z_score
+FROM z WHERE z <= -{OUTLIER_Z}
+"""
+
+PYTEST_ORACLES["embedding_outliers"] = (embedding_outliers, _EMB_OUTLIER_SQL)

@@ -375,3 +375,34 @@ def test_zipf_slope_margin(sf_dir):
     scaled = v * 1e6
     dist = np.abs(scaled - np.floor(scaled) - 0.5)
     assert (dist > 1e-5).all(), f"zipf_slope 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_emb_outlier_margin(sf_dir):
+    """embedding_outliers rounds cos (64-term dot) and z (a quotient of
+    label-sized float aggregates) at 6dp AND filters on raw z <= -2: guard
+    the rounding boundaries of the SURVIVING rows and the threshold
+    distance of EVERY row (either side can flip the row set)."""
+    from artan_spark.plans import simsearch as ss
+
+    raw_sql = ss._EMB_OUTLIER_SQL
+    for tgt, repl in [
+        ("ROUND(cos, 6) AS cos_centroid", "cos AS cos_centroid"),
+        ("ROUND(z, 6) AS z_score", "z AS z_score"),
+    ]:
+        assert tgt in raw_sql, "outlier ROUND site moved — update this guard"
+        raw_sql = raw_sql.replace(tgt, repl)
+    cut = f"WHERE z <= -{ss.OUTLIER_Z}"
+    assert cut in raw_sql
+    raw_sql = raw_sql.replace(cut, "")
+    df = duckdb_frame(raw_sql, sf_dir)
+    z = df["z_score"].to_numpy(dtype=float)
+    z = z[np.isfinite(z)]
+    thr = np.abs(z + ss.OUTLIER_Z).min()
+    assert thr > 1e-9, f"a z sits {thr:.3e} from the flag threshold"
+    kept = df[df["z_score"] <= -ss.OUTLIER_Z]
+    for col in ("cos_centroid", "z_score"):
+        v = kept[col].to_numpy(dtype=float)
+        scaled = v * 1e6
+        dist = np.abs(scaled - np.floor(scaled) - 0.5)
+        assert (dist > 1e-5).all(), f"{col} 6dp min boundary dist {dist.min():.3e}"

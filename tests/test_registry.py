@@ -17,8 +17,9 @@ def test_registry_counts():
     # count only says that one is.
     # round 10: + docs_quality_classifier, corpus_curation_with_quality,
     # docs_chunk_windows, docs_normalize_text, docs_source_divergence,
-    # docs_domain_quality, docs_decontaminate_embedding, docs_zipf_stats
-    assert len(PYTEST_ORACLES) == 53
+    # docs_domain_quality, docs_decontaminate_embedding, docs_zipf_stats,
+    # embedding_outliers
+    assert len(PYTEST_ORACLES) == 54
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
