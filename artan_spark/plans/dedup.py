@@ -512,23 +512,12 @@ def _propagation_join(edges: DataFrame, labels: DataFrame, small_enough: bool) -
 BROADCAST_NODE_LIMIT = 5_000_000
 
 
-def dedup_clusters(
+def _cluster_labels(
     spark: SparkSession, sf_dir: str, broadcast_limit: int = BROADCAST_NODE_LIMIT
 ) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the Jaccard>=0.5
-    pair graph, cluster id = min doc_id in the component.
-
-    Spark side: iterative min-label propagation, localCheckpoint per
-    iteration to cut lineage (same driver-loop pattern as batch EM / the
-    reference's MixtureBase.scala:257-316). The label table only contains
-    docs that appear in ANY pair — normally a tiny fraction of the corpus —
-    so each round's propagation join BROADCASTS it; but a pathological
-    corpus (everything near-dup) would blow the driver, so the broadcast is
-    gated on the node count (known for free from the materialized label
-    table) and falls back to a shuffled join past ``broadcast_limit``.
-    Converges in O(component diameter) rounds. Oracle: DuckDB recursive-CTE
-    reachability with min-label aggregation — identical result.
-    """
+    """Connected-component labels (doc_id -> cluster = min doc_id in the
+    component) over the Jaccard>=0.5 pair graph — the shared core of
+    ``dedup_clusters`` and ``dedup_keep_best``."""
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir, df_cap="auto")
         .select("doc_a", "doc_b")
@@ -560,7 +549,27 @@ def dedup_clusters(
         labels = updated.drop("moved")
         if changed == 0:
             break
+    return labels
 
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, broadcast_limit: int = BROADCAST_NODE_LIMIT
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the Jaccard>=0.5
+    pair graph, cluster id = min doc_id in the component.
+
+    Spark side: iterative min-label propagation, localCheckpoint per
+    iteration to cut lineage (same driver-loop pattern as batch EM / the
+    reference's MixtureBase.scala:257-316). The label table only contains
+    docs that appear in ANY pair — normally a tiny fraction of the corpus —
+    so each round's propagation join BROADCASTS it; but a pathological
+    corpus (everything near-dup) would blow the driver, so the broadcast is
+    gated on the node count (known for free from the materialized label
+    table) and falls back to a shuffled join past ``broadcast_limit``.
+    Converges in O(component diameter) rounds. Oracle: DuckDB recursive-CTE
+    reachability with min-label aggregation — identical result.
+    """
+    labels = _cluster_labels(spark, sf_dir, broadcast_limit)
     return labels.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
@@ -671,3 +680,64 @@ PYTEST_ORACLES = {
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "docs_minhash_dedup_flags": (docs_minhash_dedup_flags, _minhash_flags_sql()),
 }
+
+
+# -- cluster-representative selection ------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution that keeps the BEST document, not an
+    arbitrary one: within each Jaccard>=0.5 connected component, keep the
+    member with the highest heuristic quality score (ties -> smallest
+    doc_id) and mark the rest droppable — min-id keep rules silently
+    prefer whichever copy was crawled first; this prefers the cleanest.
+
+    Returns one row per clustered doc: ``doc_id, cluster, quality_score,
+    keep``. Downstream: ``filter(keep)`` or anti-join the drops against
+    the corpus.
+
+    Scale shape: the label table (docs that appear in ANY near-dup pair)
+    is a tiny fraction of the corpus, so it broadcasts into the join
+    against the quality projection (gated by the same node count as the
+    propagation loop); the keep rule is a per-cluster window over that
+    label-sized frame. The comparison runs on the 6dp-ROUNDED score, which
+    both engines compute identically — rank-stable by construction, no
+    margin to guard.
+    """
+    from pyspark.sql import Window
+
+    from artan_spark.plans.textstats import text_quality_score
+
+    labels = _cluster_labels(spark, sf_dir).localCheckpoint()
+    small_enough = labels.count() <= BROADCAST_NODE_LIMIT
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = q.join(F.broadcast(labels) if small_enough else labels, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _keep_best_sql() -> str:
+    from artan_spark.plans.textstats import _QUALITY_SQL
+
+    prefix = _CLUSTERS_SQL.split("\nSELECT cluster,")[0].rstrip()
+    assert prefix.endswith(")"), "clusters SQL shape changed — update keep_best"
+    return (
+        prefix
+        + f""",
+q AS ({_QUALITY_SQL})
+SELECT l.doc_id, l.cluster, q.quality_score,
+       (row_number() OVER (PARTITION BY l.cluster
+                           ORDER BY q.quality_score DESC, l.doc_id ASC) = 1) AS keep
+FROM labels l JOIN q ON l.doc_id = q.doc_id
+"""
+    )
+
+
+PYTEST_ORACLES["dedup_keep_best"] = (dedup_keep_best, _keep_best_sql())
