@@ -262,3 +262,81 @@ ORACLES = {
 PYTEST_ORACLES = {
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
 }
+
+
+# -- rolling z-score anomaly detection -----------------------------------------
+
+ANOMALY_WINDOW = 20  # trailing events per user in the baseline
+ANOMALY_MIN_N = 5  # baseline must have at least this many events
+ANOMALY_Z = 3.0  # |z| at or past this flags the event
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "user_id",
+    order: tuple[str, str] = ("ts", "event_id"),
+    window: int = ANOMALY_WINDOW,
+    min_n: int = ANOMALY_MIN_N,
+) -> DataFrame:
+    """Per-key rolling z-score of ``value_col`` against the trailing
+    ``window`` events (EXCLUDING the current one — the baseline must not
+    contain the point being judged). Rows with fewer than ``min_n``
+    baseline events get no score (warm-up). Zero-variance baselines yield
+    NULL (try_divide), not a flag.
+
+    The classical anomaly baseline that complements the model-based
+    estimation family (Kalman innovation/mahalanobis): no state to fit,
+    one hash exchange on the key + a per-partition sort — the same cost
+    as any keyed window; works identically as a batch backfill or a
+    foreachBatch scoring pass.
+    """
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(order[0]).asc(), F.col(order[1]).asc())
+        .rowsBetween(-window, -1)
+    )
+    return (
+        df.withColumn("mu", F.avg(value_col).over(w))
+        .withColumn("sd", F.stddev_samp(value_col).over(w))
+        .withColumn("n_baseline", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_baseline") >= min_n)
+        .withColumn("z", F.try_divide(F.col(value_col) - F.col("mu"), F.col("sd")))
+    )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: events whose value sits >= ``ANOMALY_Z`` trailing
+    standard deviations from the user's own recent baseline."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    z = rolling_zscore(e)
+    return z.filter(F.abs(F.col("z")) >= ANOMALY_Z).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("n_baseline").cast("long").alias("n_baseline"),
+        F.round("z", 6).alias("z_score"),
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH w AS (
+  SELECT user_id, event_id, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING) AS sd,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING) AS n_baseline
+  FROM events
+),
+z AS (
+  SELECT user_id, event_id, value, n_baseline,
+         (value - mu) / NULLIF(sd, 0) AS z
+  FROM w WHERE n_baseline >= {ANOMALY_MIN_N}
+)
+SELECT user_id, event_id, value, n_baseline, ROUND(z, 6) AS z_score
+FROM z WHERE abs(z) >= {ANOMALY_Z}
+"""
+
+PYTEST_ORACLES["events_anomaly_zscore"] = (events_anomaly_zscore, _ANOMALY_SQL)

@@ -406,3 +406,29 @@ def test_emb_outlier_margin(sf_dir):
         scaled = v * 1e6
         dist = np.abs(scaled - np.floor(scaled) - 0.5)
         assert (dist > 1e-5).all(), f"{col} 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_anomaly_zscore_margin(sf_dir):
+    """events_anomaly_zscore rounds z at 6dp and filters on |z| >= 3.
+    Measured cross-engine deviation (sliding AVG/STDDEV paths) is <=4e-15
+    abs at both SFs; guard the boundary distance of surviving rows and the
+    threshold distance of ALL scored rows."""
+    from artan_spark.plans import temporal as tp
+
+    raw_sql = tp._ANOMALY_SQL
+    tgt = "ROUND(z, 6) AS z_score"
+    assert tgt in raw_sql, "anomaly ROUND site moved — update this guard"
+    raw_sql = raw_sql.replace(tgt, "z AS z_score")
+    cut = f"WHERE abs(z) >= {tp.ANOMALY_Z}"
+    assert cut in raw_sql
+    raw_sql = raw_sql.replace(cut, "")
+    df = duckdb_frame(raw_sql, sf_dir)
+    z = df["z_score"].to_numpy(dtype=float)
+    z = z[np.isfinite(z)]
+    thr = np.abs(np.abs(z) - tp.ANOMALY_Z).min()
+    assert thr > 1e-9, f"a |z| sits {thr:.3e} from the flag threshold"
+    kept = z[np.abs(z) >= tp.ANOMALY_Z]
+    scaled = kept * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"z_score 6dp min boundary dist {dist.min():.3e}"
