@@ -87,3 +87,30 @@ def test_empty_eval_set_flags_nothing(spark):
         "eval_vec_id",
         "max_cosine",
     ]
+
+
+def test_streaming_serving_matches_batch(spark):
+    """embedding_decontaminate is a pure Arrow projection against a
+    broadcast eval matrix, so the SAME definition runs on a readStream:
+    chunked replay == batch row-for-row (live-ingest leak screening,
+    the text twin of the quality model's streaming serving path)."""
+    from artan_spark.streaming import stream_transform
+
+    rng = np.random.default_rng(21)
+    ev = _frame(spark, [(100 + i, v) for i, v in enumerate(_rand(rng, 6))])
+    vecs = list(_rand(rng, 40))
+    vecs[7] = np.asarray(ev.collect()[2]["embedding"], dtype=float)  # planted leak
+    train = _frame(spark, [(i, v) for i, v in enumerate(vecs)])
+
+    batch = {r["train_vec_id"]: r for r in embedding_decontaminate(train, ev).collect()}
+    streamed = stream_transform(
+        spark,
+        train,
+        lambda df: embedding_decontaminate(df, ev),
+        chunk_rows=9,
+    )
+    got = {r["train_vec_id"]: r for r in streamed.collect()}
+    assert 7 in got and got[7]["max_cosine"] > 0.999999
+    assert set(got) == set(batch)
+    for k in got:
+        assert got[k].asDict() == batch[k].asDict(), k
