@@ -1062,3 +1062,31 @@ PYTEST_ORACLES["docs_decontaminate_embedding"] = (
     docs_decontaminate_embedding,
     _EMB_DECON_SQL,
 )
+
+
+def persist_eval_index(eval_vecs: DataFrame, index_dir: str) -> None:
+    """Persist the decontamination eval set as a reusable screening index:
+    the (vec_id, embedding) rows, parquet at ``index_dir``. Train-once /
+    screen-daily contract (same as the quality model and DSIR tables): a
+    daily ingest batch is screened against the FROZEN eval set without
+    re-shipping it through the driver of whatever job built it."""
+    eval_vecs.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        index_dir + "/eval"
+    )
+
+
+def screen_against_eval_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    *,
+    threshold: float = EMB_DECON_THRESHOLD,
+    eval_limit: int = EMB_DECON_EVAL_LIMIT,
+) -> DataFrame:
+    """Score ``batch`` against a persisted eval index: identical output to
+    ``embedding_decontaminate(batch, <original eval frame>)`` row-for-row
+    (pinned by test). Reading the index is one parquet scan of an
+    eval-sized table; the batch pass is the same single Arrow projection,
+    so this runs on a readStream batch too."""
+    ev = spark.read.parquet(index_dir + "/eval")
+    return embedding_decontaminate(batch, ev, threshold=threshold, eval_limit=eval_limit)

@@ -114,3 +114,31 @@ def test_streaming_serving_matches_batch(spark):
     assert set(got) == set(batch)
     for k in got:
         assert got[k].asDict() == batch[k].asDict(), k
+
+
+def test_persisted_eval_index_matches_inline(spark, tmp_path):
+    """screen_against_eval_index(persisted) == embedding_decontaminate
+    (inline) row-for-row — the frozen-eval-set daily screening contract."""
+    from artan_spark.plans.sampling import (
+        persist_eval_index,
+        screen_against_eval_index,
+    )
+
+    rng = np.random.default_rng(31)
+    ev = _frame(spark, [(200 + i, v) for i, v in enumerate(_rand(rng, 8))])
+    vecs = list(_rand(rng, 30))
+    vecs[11] = np.asarray(ev.collect()[5]["embedding"], dtype=float)
+    batch = _frame(spark, [(i, v) for i, v in enumerate(vecs)])
+
+    idx = str(tmp_path / "evidx")
+    persist_eval_index(ev, idx)
+    inline = sorted(
+        (r.asDict() for r in embedding_decontaminate(batch, ev).collect()),
+        key=lambda d: d["train_vec_id"],
+    )
+    stored = sorted(
+        (r.asDict() for r in screen_against_eval_index(spark, idx, batch).collect()),
+        key=lambda d: d["train_vec_id"],
+    )
+    assert inline == stored
+    assert any(d["train_vec_id"] == 11 for d in stored)
