@@ -158,6 +158,11 @@ HEADLINE = [
     "docs_normalize_text",  # new round 10: pre-shingle normalization pass
     "docs_source_divergence",  # new round 10: mixing-drift diagnostic
     "docs_domain_quality",  # new round 10: per-domain blocklist-curation input
+    "docs_decontaminate_embedding",  # new round 10b: semantic eval-leak scan
+    "docs_zipf_stats",  # new round 10b: vocabulary/Zipf diagnostics
+    "embedding_outliers",  # new round 10b: label-cohesion outlier scan
+    "dedup_keep_best",  # new round 10b: quality-aware cluster resolution
+    "events_anomaly_zscore",  # new round 10b: rolling z-score anomalies
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
