@@ -1,3 +1,4 @@
+from artan_spark.streaming.anomaly import StreamingRollingZScore
 from artan_spark.streaming.cms import StreamingCountMin
 from artan_spark.streaming.dedup import StreamingBloomDedup, streaming_dedup_exact
 from artan_spark.streaming.funnel import StreamingFunnel
@@ -15,6 +16,7 @@ __all__ = [
     "StreamingFunnel",
     "StreamingHeavyHitters",
     "StreamingPacker",
+    "StreamingRollingZScore",
     "StreamingQuantiles",
     "StreamingWeightedReservoir",
     "streaming_dedup_exact",
