@@ -340,3 +340,50 @@ FROM z WHERE abs(z) >= {ANOMALY_Z}
 """
 
 PYTEST_ORACLES["events_anomaly_zscore"] = (events_anomaly_zscore, _ANOMALY_SQL)
+
+
+# -- robust (median/MAD) anomaly scores ----------------------------------------
+
+MAD_SCALE = 1.4826  # Phi^-1(3/4) reciprocal: MAD -> sigma under normality
+ROBUST_Z = 3.5  # the classical Iglewicz-Hoaglin cutoff
+
+
+def events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomalies: |value - median| measured in MAD units
+    (z = (v - med) / (1.4826 * MAD), flag at |z| >= 3.5). The
+    outlier-resistant complement of ``events_anomaly_zscore`` — a handful
+    of extreme points inflate a mean/stddev baseline enough to mask each
+    other; the median/MAD baseline is immune to <50% contamination.
+
+    Scale shape: two grouped EXACT medians (Spark's median == exact
+    percentile since 3.4; each is one hash exchange on the key + per-group
+    sort of that key's values) and two key-table joins back. Both engines
+    interpolate even counts as (a+b)/2 on identical doubles, so med/MAD
+    are bit-equal cross-engine and z is a quotient of identical scalars.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = e.join(med, "user_id").withColumn("d", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("user_id").agg(F.median("d").alias("mad"))
+    z = F.try_divide(F.col("value") - F.col("med"), F.lit(MAD_SCALE) * F.col("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ROBUST_Z)
+        .select("user_id", "event_id", "value", F.round("z", 6).alias("robust_z"))
+    )
+
+
+_ANOMALY_ROBUST_SQL = f"""
+WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+dev AS (SELECT e.user_id, e.event_id, e.value, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (user_id)),
+mad AS (SELECT user_id, median(d) AS mad FROM dev GROUP BY 1),
+z AS (SELECT dev.user_id, event_id, value,
+             (value - med) / NULLIF({MAD_SCALE} * mad.mad, 0) AS z
+      FROM dev JOIN mad ON dev.user_id = mad.user_id)
+SELECT user_id, event_id, value, ROUND(z, 6) AS robust_z
+FROM z WHERE abs(z) >= {ROBUST_Z}
+"""
+
+PYTEST_ORACLES["events_anomaly_robust"] = (events_anomaly_robust, _ANOMALY_ROBUST_SQL)

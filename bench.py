@@ -163,6 +163,7 @@ HEADLINE = [
     "embedding_outliers",  # new round 10b: label-cohesion outlier scan
     "dedup_keep_best",  # new round 10b: quality-aware cluster resolution
     "events_anomaly_zscore",  # new round 10b: rolling z-score anomalies
+    "events_anomaly_robust",  # new round 10b: median/MAD anomalies
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

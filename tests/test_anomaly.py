@@ -41,3 +41,38 @@ def test_constant_baseline_yields_null_z(spark):
     assert all(r["z"] is None or r["event_id"] == 8 for r in out)
     spike = [r for r in out if r["event_id"] == 8]
     assert spike and spike[0]["z"] is None  # sd of constant baseline is 0
+
+
+def test_robust_masks_nothing_under_double_spike(spark):
+    """Two equal extreme spikes in a short series: the mean/std baseline is
+    inflated by each spike when judging the other (masking), while the
+    median/MAD score flags both — the reason the robust variant exists."""
+    import artan_spark.plans.temporal as tp
+
+    vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 400.0, 10.1, 9.9, 400.0, 10.0, 10.05]
+    df = _events(spark, vals)
+    orig = tp.read_table
+    try:
+        tp.read_table = lambda _s, _d, _t: df
+        robust = tp.events_anomaly_robust(spark, "ignored").collect()
+    finally:
+        tp.read_table = orig
+    assert sorted(r["event_id"] for r in robust) == [6, 9]
+    for r in robust:
+        assert r["robust_z"] > 3.5
+
+
+def test_robust_zero_mad_flags_nothing(spark):
+    """Majority-constant values: MAD = 0, z NULL (try_divide), no flags —
+    never an ANSI error."""
+    import artan_spark.plans.temporal as tp
+
+    vals = [5.0] * 9 + [9.0]
+    df = _events(spark, vals)
+    orig = tp.read_table
+    try:
+        tp.read_table = lambda _s, _d, _t: df
+        out = tp.events_anomaly_robust(spark, "ignored").collect()
+    finally:
+        tp.read_table = orig
+    assert out == []

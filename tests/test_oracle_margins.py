@@ -432,3 +432,28 @@ def test_anomaly_zscore_margin(sf_dir):
     scaled = kept * 1e6
     dist = np.abs(scaled - np.floor(scaled) - 0.5)
     assert (dist > 1e-5).all(), f"z_score 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_anomaly_robust_margin(sf_dir):
+    """events_anomaly_robust: med/MAD are bit-equal cross-engine (exact
+    medians, identical interpolation), so z is a quotient — guard the 6dp
+    boundary of survivors and the |z| >= 3.5 threshold distance of all."""
+    from artan_spark.plans import temporal as tp
+
+    raw_sql = tp._ANOMALY_ROBUST_SQL
+    tgt = "ROUND(z, 6) AS robust_z"
+    assert tgt in raw_sql, "robust ROUND site moved — update this guard"
+    raw_sql = raw_sql.replace(tgt, "z AS robust_z")
+    cut = f"WHERE abs(z) >= {tp.ROBUST_Z}"
+    assert cut in raw_sql
+    raw_sql = raw_sql.replace(cut, "")
+    df = duckdb_frame(raw_sql, sf_dir)
+    z = df["robust_z"].to_numpy(dtype=float)
+    z = z[np.isfinite(z)]
+    thr = np.abs(np.abs(z) - tp.ROBUST_Z).min()
+    assert thr > 1e-9, f"a |z| sits {thr:.3e} from the flag threshold"
+    kept = z[np.abs(z) >= tp.ROBUST_Z]
+    scaled = kept * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"robust_z 6dp min boundary dist {dist.min():.3e}"

@@ -18,8 +18,9 @@ def test_registry_counts():
     # round 10: + docs_quality_classifier, corpus_curation_with_quality,
     # docs_chunk_windows, docs_normalize_text, docs_source_divergence,
     # docs_domain_quality, docs_decontaminate_embedding, docs_zipf_stats,
-    # embedding_outliers, dedup_keep_best, events_anomaly_zscore
-    assert len(PYTEST_ORACLES) == 56
+    # embedding_outliers, dedup_keep_best, events_anomaly_zscore,
+    # events_anomaly_robust
+    assert len(PYTEST_ORACLES) == 57
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
