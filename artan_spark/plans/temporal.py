@@ -387,3 +387,100 @@ FROM z WHERE abs(z) >= {ROBUST_Z}
 """
 
 PYTEST_ORACLES["events_anomaly_robust"] = (events_anomaly_robust, _ANOMALY_ROBUST_SQL)
+
+
+# -- CUSUM drift detection -----------------------------------------------------
+
+CUSUM_K = 0.5  # slack, in per-user sigma units (tuned for ~1-sigma shifts)
+CUSUM_H = 4.0  # alarm threshold, in sigma units
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift report: the largest upward/downward cumulative
+    drift of ``value`` from the user's own mean, in sigma units, with
+    alarms at ``CUSUM_H``. Detects the slow persistent shifts a point
+    z-score never sees (each step small, the SUM diagnostic).
+
+    Spark-first trick: the CUSUM recursion S_i = max(0, S_{i-1} + d_i) has
+    the closed form S_i = P_i - min(0, min_{j<=i} P_j) over the prefix sums
+    P — so the whole operator is TWO stacked running windows (cumsum, then
+    running min), pure Catalyst, no fold, no Python, no extra shuffle
+    beyond the one keyed exchange. Both engines accumulate the prefix sums
+    over the identical (ts, event_id) order.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    per_user = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(per_user).alias("mu"),
+        F.stddev_samp("value").over(per_user).alias("sd"),
+    )
+    d = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.try_divide(F.col("value") - F.col("mu") - CUSUM_K * F.col("sd"), F.col("sd")).alias("du"),
+        F.try_divide(F.col("mu") - CUSUM_K * F.col("sd") - F.col("value"), F.col("sd")).alias("dd"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.select(
+        "user_id", "event_id", "ts", F.sum("du").over(run).alias("pu"), F.sum("dd").over(run).alias("pd")
+    )
+    s = p.select(
+        "user_id",
+        (F.col("pu") - F.least(F.lit(0.0), F.min("pu").over(run))).alias("su"),
+        (F.col("pd") - F.least(F.lit(0.0), F.min("pd").over(run))).alias("sd"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("su"), 6).alias("max_cusum_up"),
+        F.round(F.max("sd"), 6).alias("max_cusum_down"),
+        (F.max("su") >= CUSUM_H).alias("alarm_up"),
+        (F.max("sd") >= CUSUM_H).alias("alarm_down"),
+    )
+
+
+_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+),
+d AS (
+  SELECT user_id, event_id, ts,
+         (value - mu - {CUSUM_K} * sd) / NULLIF(sd, 0) AS du,
+         (mu - {CUSUM_K} * sd - value) / NULLIF(sd, 0) AS dd
+  FROM base
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         SUM(du) OVER run AS pu, SUM(dd) OVER run AS pd
+  FROM d
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT user_id,
+         pu - LEAST(0, MIN(pu) OVER run) AS su,
+         pd - LEAST(0, MIN(pd) OVER run) AS sd
+  FROM p
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(MAX(su), 6) AS max_cusum_up,
+       ROUND(MAX(sd), 6) AS max_cusum_down,
+       (MAX(su) >= {CUSUM_H}) AS alarm_up,
+       (MAX(sd) >= {CUSUM_H}) AS alarm_down
+FROM s GROUP BY user_id
+"""
+
+PYTEST_ORACLES["events_cusum_drift"] = (events_cusum_drift, _CUSUM_SQL)

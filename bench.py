@@ -164,6 +164,7 @@ HEADLINE = [
     "dedup_keep_best",  # new round 10b: quality-aware cluster resolution
     "events_anomaly_zscore",  # new round 10b: rolling z-score anomalies
     "events_anomaly_robust",  # new round 10b: median/MAD anomalies
+    "events_cusum_drift",  # new round 10b: closed-form CUSUM drift report
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

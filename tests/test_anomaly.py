@@ -3,6 +3,8 @@ test_oracle.py via PYTEST_ORACLES['events_anomaly_zscore'])."""
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from artan_spark.plans.temporal import rolling_zscore
@@ -76,3 +78,58 @@ def test_robust_zero_mad_flags_nothing(spark):
     finally:
         tp.read_table = orig
     assert out == []
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The two-window closed form equals the textbook CUSUM recursion
+    S_i = max(0, S_{i-1} + d_i) replayed in plain Python, and a planted
+    mean shift raises the alarm (both directions: the full-sample mean
+    splits the shift between head and tail)."""
+    import numpy as np
+
+    import artan_spark.plans.temporal as tp
+
+    rng = np.random.default_rng(13)
+    vals = list(10 + 0.5 * rng.standard_normal(40)) + list(
+        11.5 + 0.5 * rng.standard_normal(40)
+    )
+    df = _events(spark, vals)
+    orig = tp.read_table
+    try:
+        tp.read_table = lambda _s, _d, _t: df
+        [row] = tp.events_cusum_drift(spark, "ignored").collect()
+    finally:
+        tp.read_table = orig
+
+    a = np.asarray(vals, dtype=float)
+    mu, sd = a.mean(), a.std(ddof=1)
+    su = sp = 0.0
+    max_up = max_dn = 0.0
+    for v in a:
+        su = max(0.0, su + (v - mu - tp.CUSUM_K * sd) / sd)
+        sp = max(0.0, sp + (mu - tp.CUSUM_K * sd - v) / sd)
+        max_up, max_dn = max(max_up, su), max(max_dn, sp)
+    assert row["max_cusum_up"] == pytest.approx(max_up, abs=1e-6)
+    assert row["max_cusum_down"] == pytest.approx(max_dn, abs=1e-6)
+    # with the full-sample mean baseline a mean SHIFT drifts both ways:
+    # the pre-shift head sits below mu, the post-shift tail above, so both
+    # alarms fire — the changepoint seen from both sides
+    assert row["alarm_up"] and row["alarm_down"]
+    assert row["n_events"] == len(vals)
+
+
+def test_cusum_stationary_series_stays_quiet(spark):
+    import numpy as np
+
+    import artan_spark.plans.temporal as tp
+
+    rng = np.random.default_rng(17)
+    vals = list(5 + rng.standard_normal(120))
+    df = _events(spark, vals)
+    orig = tp.read_table
+    try:
+        tp.read_table = lambda _s, _d, _t: df
+        [row] = tp.events_cusum_drift(spark, "ignored").collect()
+    finally:
+        tp.read_table = orig
+    assert not row["alarm_up"] and not row["alarm_down"]

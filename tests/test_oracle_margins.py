@@ -457,3 +457,29 @@ def test_anomaly_robust_margin(sf_dir):
     scaled = kept * 1e6
     dist = np.abs(scaled - np.floor(scaled) - 0.5)
     assert (dist > 1e-5).all(), f"robust_z 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_cusum_margin(sf_dir):
+    """events_cusum_drift rounds the max CUSUM stats at 6dp and compares
+    them to the alarm threshold: guard both (prefix sums accumulate in the
+    same (ts, event_id) order in both engines; residual noise is the
+    whole-partition mu/sd aggregates' reorder, ~1e-13 of O(1) values)."""
+    from artan_spark.plans import temporal as tp
+
+    raw_sql = tp._CUSUM_SQL
+    for tgt, repl in [
+        ("ROUND(MAX(su), 6) AS max_cusum_up", "MAX(su) AS max_cusum_up"),
+        ("ROUND(MAX(sd), 6) AS max_cusum_down", "MAX(sd) AS max_cusum_down"),
+    ]:
+        assert tgt in raw_sql, "cusum ROUND site moved — update this guard"
+        raw_sql = raw_sql.replace(tgt, repl)
+    df = duckdb_frame(raw_sql, sf_dir)
+    for col in ("max_cusum_up", "max_cusum_down"):
+        v = df[col].to_numpy(dtype=float)
+        v = v[np.isfinite(v)]
+        thr = np.abs(v - tp.CUSUM_H).min()
+        assert thr > 1e-9, f"{col}: a stat sits {thr:.3e} from the alarm threshold"
+        scaled = v * 1e6
+        dist = np.abs(scaled - np.floor(scaled) - 0.5)
+        assert (dist > 1e-5).all(), f"{col} 6dp min boundary dist {dist.min():.3e}"

@@ -19,8 +19,8 @@ def test_registry_counts():
     # docs_chunk_windows, docs_normalize_text, docs_source_divergence,
     # docs_domain_quality, docs_decontaminate_embedding, docs_zipf_stats,
     # embedding_outliers, dedup_keep_best, events_anomaly_zscore,
-    # events_anomaly_robust
-    assert len(PYTEST_ORACLES) == 57
+    # events_anomaly_robust, events_cusum_drift
+    assert len(PYTEST_ORACLES) == 58
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
