@@ -11,13 +11,17 @@ order-insensitive value hash is stable across engines.
 
 from artan_spark.plans import (
     bm25,
+    crosscorpus,
     dedup,
     dsir,
     estimation,
+    exact_store,
+    groupsplit,
     lm,
     multimodal,
     neardup_store,
     pipeline,
+    profile,
     quality_clf,
     relational,
     sampling,
@@ -55,6 +59,10 @@ MODULES = (
     tokenizer_store,
     sketch_store,
     wordpiece,
+    crosscorpus,
+    exact_store,
+    groupsplit,
+    profile,
     multimodal,
 )
 

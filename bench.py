@@ -165,6 +165,9 @@ HEADLINE = [
     "events_anomaly_zscore",  # new round 10b: rolling z-score anomalies
     "events_anomaly_robust",  # new round 10b: median/MAD anomalies
     "events_cusum_drift",  # new round 10b: closed-form CUSUM drift report
+    "docs_decontaminate_minhash",  # new round 10c: cross-split near-dup leak scan
+    "docs_group_split",  # new round 10c: domain-keyed leakage-safe split
+    "events_profile",  # new round 10c: one-pass per-column table profile
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

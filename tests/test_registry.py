@@ -20,7 +20,9 @@ def test_registry_counts():
     # docs_domain_quality, docs_decontaminate_embedding, docs_zipf_stats,
     # embedding_outliers, dedup_keep_best, events_anomaly_zscore,
     # events_anomaly_robust, events_cusum_drift
-    assert len(PYTEST_ORACLES) == 58
+    # round 10c: + docs_decontaminate_minhash, docs_group_split,
+    # events_profile
+    assert len(PYTEST_ORACLES) == 61
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
