@@ -634,6 +634,97 @@ GROUP BY 1, 2
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-side predicate, COUNT over the nullable side, then a
+    distribution over the counts — the canonical "how many customers
+    placed k orders" histogram (the o_comment exclusion becomes an
+    o_orderpriority exclusion on this schema). Two hash aggregates; the
+    outer join shuffles on custkey and the second agg's key space is the
+    count domain (tiny), so the output never scales with customers.
+
+    Parity note: the reference delegates relational shapes to Spark SQL
+    (artan exposes DataFrames; see SURVEY §2.6) — this extends the
+    delegation inventory, not the §2 operator surface."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    counted = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM c_orders GROUP BY c_count
+"""
+
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery ``l_quantity < 0.2 * (SELECT AVG(l_quantity) ... same
+    part)`` decorrelated into a per-part aggregate joined back — the
+    classic rewrite Catalyst itself performs for scalar subqueries.
+
+    Exactness: the per-part average divides an exact DECIMAL quantity sum
+    (as double) by the count — one IEEE division on identical operands per
+    engine — and the final revenue is an exact decimal sum divided by 7.0,
+    so no column needs rounding or a margin guard.
+
+    Scale shape: the brand's part list is a broadcast semi-filter into the
+    lineitem scan; the per-part averages are part-count-sized and broadcast
+    back; ONE lineitem pass feeds both the average and the final filter."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    l = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_l = l.join(
+        F.broadcast(p), l["l_partkey"] == p["p_partkey"], "inner"
+    ).select("l_partkey", "l_quantity", "l_extendedprice").localCheckpoint()
+    avg_q = brand_l.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(_EP)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small = brand_l.join(F.broadcast(avg_q), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (F.sum(_ep_d()).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q17_SQL = f"""
+WITH brand_l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM brand_l GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM brand_l b JOIN avg_q a ON a.l_partkey = b.l_partkey
+WHERE b.l_quantity < 0.2 * a.avg_qty
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -672,4 +763,6 @@ PYTEST_ORACLES = {
     "events_skew_safe_join": (events_skew_safe_join, _SKEW_JOIN_SQL),
     "events_funnel": (events_funnel, _FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, _RETENTION_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
 }
