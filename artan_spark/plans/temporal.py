@@ -484,3 +484,150 @@ FROM s GROUP BY user_id
 """
 
 PYTEST_ORACLES["events_cusum_drift"] = (events_cusum_drift, _CUSUM_SQL)
+
+
+# -- PSI distribution drift ----------------------------------------------------
+
+PSI_BINS = 10
+PSI_SMOOTH = 0.5  # additive count smoothing so empty bins stay finite
+
+
+def psi_report(
+    ref: DataFrame, cur: DataFrame, key_col: str, value_col: str, bins: int = PSI_BINS
+) -> DataFrame:
+    """Population Stability Index of ``value_col`` per ``key_col`` between
+    a reference snapshot and a current one — the standard drift score for
+    "did yesterday's ingest change the distribution" checks (PSI < 0.1
+    stable, 0.1-0.25 moderate, > 0.25 major shift, the usual reading).
+
+    Bins are ``bins`` equal-width cells of the REFERENCE value range per
+    key (current values outside it clamp into the edge cells — by
+    construction of the drift question, the grid must come from the
+    reference side only); probabilities are additively smoothed
+    ``(c + 0.5) / (n + 0.5 * bins)`` so empty cells contribute a finite
+    term. The PSI column is emitted UNROUNDED: every arithmetic step runs
+    on identical operands in both engines, so parity needs no rounding and
+    therefore no margin guard.
+
+    Scale shape: one pass per side (hash agg on (key, bin)); the per-key
+    bin edges and totals are key-cardinality-sized broadcast-backs; the
+    final PSI sums a keys x bins frame. Nothing corpus-sized shuffles
+    twice."""
+    edges = ref.groupBy(key_col).agg(
+        F.min(value_col).alias("__mn__"), F.max(value_col).alias("__mx__")
+    )
+
+    def binned(side: DataFrame, name: str) -> DataFrame:
+        # try_divide: a degenerate single-valued reference range (mx == mn)
+        # must yield NULL -> bin 0, not IEEE Inf/NaN (engines disagree on
+        # casting those to integers)
+        raw = F.try_divide(
+            F.col(value_col) - F.col("__mn__"), F.col("__mx__") - F.col("__mn__")
+        )
+        b = F.least(
+            F.greatest(F.floor(raw * bins), F.lit(0)), F.lit(bins - 1)
+        )
+        return (
+            side.join(F.broadcast(edges), key_col)
+            .select(key_col, F.coalesce(b, F.lit(0)).cast("long").alias("bin"))
+            .groupBy(key_col, "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    grid = (
+        edges.select(key_col)
+        .select(key_col, F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"))
+        .select(key_col, F.col("bin").cast("long").alias("bin"))
+    )
+    cells = (
+        grid.join(binned(ref, "c_ref"), [key_col, "bin"], "left")
+        .join(binned(cur, "c_cur"), [key_col, "bin"], "left")
+        .select(
+            key_col,
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    tot = Window.partitionBy(key_col)
+    p_ref = (F.col("c_ref") + PSI_SMOOTH) / (F.sum("c_ref").over(tot) + PSI_SMOOTH * bins)
+    p_cur = (F.col("c_cur") + PSI_SMOOTH) / (F.sum("c_cur").over(tot) + PSI_SMOOTH * bins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        cells.select(key_col, F.col("c_ref").alias("cr"), F.col("c_cur").alias("cc"), term.alias("t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum("cr").alias("n_ref"),
+            F.sum("cc").alias("n_cur"),
+            F.sum("t").alias("psi"),
+        )
+    )
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift report over the events table: PSI of ``value`` per
+    event_type between the first and second half of the observed time
+    range (the midpoint pivot is data-derived but deterministic)."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    rng = e.agg(
+        F.min(F.col("ts").cast("double")).alias("__lo__"),
+        F.max(F.col("ts").cast("double")).alias("__hi__"),
+    )
+    tagged = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "value",
+        (F.col("ts").cast("double") < (F.col("__lo__") + F.col("__hi__")) / 2).alias("is_ref"),
+    )
+    ref = tagged.filter(F.col("is_ref")).select("event_type", "value")
+    cur = tagged.filter(~F.col("is_ref")).select("event_type", "value")
+    return psi_report(ref, cur, "event_type", "value")
+
+
+_PSI_SQL = f"""
+WITH rng AS (
+  SELECT MIN(extract(epoch FROM ts)) AS lo, MAX(extract(epoch FROM ts)) AS hi FROM events
+),
+tagged AS (
+  SELECT event_type, value,
+         extract(epoch FROM ts) < (lo + hi) / 2 AS is_ref
+  FROM events, rng
+),
+edges AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM tagged WHERE is_ref GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.is_ref,
+         CAST(LEAST(GREATEST(COALESCE(
+           FLOOR((t.value - e.mn) / NULLIF(e.mx - e.mn, 0) * {PSI_BINS}), 0), 0),
+           {PSI_BINS - 1}) AS BIGINT) AS bin
+  FROM tagged t JOIN edges e ON e.event_type = t.event_type
+),
+grid AS (
+  SELECT event_type, CAST(g.range AS BIGINT) AS bin
+  FROM edges, range({PSI_BINS}) g
+),
+cells AS (
+  SELECT g.event_type, g.bin,
+         COALESCE(SUM(CASE WHEN b.is_ref THEN 1 END), 0) AS c_ref,
+         COALESCE(SUM(CASE WHEN NOT b.is_ref THEN 1 END), 0) AS c_cur
+  FROM grid g
+  LEFT JOIN binned b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY 1, 2
+),
+probs AS (
+  SELECT event_type, c_ref, c_cur,
+         (c_ref + {PSI_SMOOTH}) /
+           (SUM(c_ref) OVER (PARTITION BY event_type) + {PSI_SMOOTH * PSI_BINS}) AS p_ref,
+         (c_cur + {PSI_SMOOTH}) /
+           (SUM(c_cur) OVER (PARTITION BY event_type) + {PSI_SMOOTH * PSI_BINS}) AS p_cur
+  FROM cells
+)
+SELECT event_type,
+       SUM(c_ref) AS n_ref,
+       SUM(c_cur) AS n_cur,
+       SUM((p_cur - p_ref) * ln(p_cur / p_ref)) AS psi
+FROM probs GROUP BY event_type
+"""
+
+PYTEST_ORACLES["events_value_psi"] = (events_value_psi, _PSI_SQL)

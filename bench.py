@@ -168,6 +168,7 @@ HEADLINE = [
     "docs_decontaminate_minhash",  # new round 10c: cross-split near-dup leak scan
     "docs_group_split",  # new round 10c: domain-keyed leakage-safe split
     "events_profile",  # new round 10c: one-pass per-column table profile
+    "events_value_psi",  # new round 10c: PSI distribution-drift report
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

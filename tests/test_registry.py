@@ -21,8 +21,9 @@ def test_registry_counts():
     # embedding_outliers, dedup_keep_best, events_anomaly_zscore,
     # events_anomaly_robust, events_cusum_drift
     # round 10c: + docs_decontaminate_minhash, docs_group_split,
-    # events_profile, q13_customer_distribution, q17_small_quantity_revenue
-    assert len(PYTEST_ORACLES) == 63
+    # events_profile, q13_customer_distribution, q17_small_quantity_revenue,
+    # events_value_psi
+    assert len(PYTEST_ORACLES) == 64
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
