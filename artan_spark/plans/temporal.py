@@ -631,3 +631,86 @@ FROM probs GROUP BY event_type
 """
 
 PYTEST_ORACLES["events_value_psi"] = (events_value_psi, _PSI_SQL)
+
+
+def persist_psi_reference(
+    ref: DataFrame, store_dir: str, key_col: str, value_col: str, bins: int = PSI_BINS
+) -> None:
+    """Freeze a reference snapshot for drift monitoring: per-key bin edges
+    AND the reference bin probabilities, parquet at ``store_dir``. The
+    train-once / score-daily contract of the serving family (quality
+    model, eval index, sketch store): a daily batch is scored against the
+    FROZEN distribution without re-reading the reference corpus. The
+    store is keys x bins rows — metadata-sized however large the
+    reference was."""
+    edges = ref.groupBy(key_col).agg(
+        F.min(value_col).alias("__mn__"), F.max(value_col).alias("__mx__")
+    )
+    raw = F.try_divide(F.col(value_col) - F.col("__mn__"), F.col("__mx__") - F.col("__mn__"))
+    b = F.least(F.greatest(F.floor(raw * bins), F.lit(0)), F.lit(bins - 1))
+    counts = (
+        ref.join(F.broadcast(edges), key_col)
+        .select(key_col, F.coalesce(b, F.lit(0)).cast("long").alias("bin"))
+        .groupBy(key_col, "bin")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    grid = edges.select(
+        key_col, "__mn__", "__mx__", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+    ).select(key_col, "__mn__", "__mx__", F.col("bin").cast("long").alias("bin"))
+    tot = Window.partitionBy("key")
+    full = (
+        grid.join(counts, [key_col, "bin"], "left")
+        .select(
+            F.col(key_col).alias("key"),
+            "bin",
+            F.col("__mn__").alias("mn"),
+            F.col("__mx__").alias("mx"),
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        )
+        .withColumn(
+            "p_ref",
+            (F.col("c_ref") + PSI_SMOOTH) / (F.sum("c_ref").over(tot) + PSI_SMOOTH * bins),
+        )
+    )
+    full.write.mode("overwrite").parquet(store_dir + "/psi_ref")
+
+
+def score_against_psi_reference(
+    spark: SparkSession, store_dir: str, cur: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """PSI of ``cur`` against the frozen reference: (key, n_cur, psi) with
+    the identical binning/smoothing as ``psi_report`` — scoring the
+    ORIGINAL reference frame and scoring through the store agree exactly
+    (pinned by test). One hash agg over the batch + a broadcast of the
+    keys x bins store; bins count toward PSI even when the batch leaves
+    them empty (the smoothed zero term), so a collapsed batch
+    distribution reads as the major drift it is."""
+    store = spark.read.parquet(store_dir + "/psi_ref")
+    bins = int(store.groupBy("key").count().first()["count"])
+    edges = store.groupBy("key").agg(F.first("mn").alias("__mn__"), F.first("mx").alias("__mx__"))
+    raw = F.try_divide(F.col(value_col) - F.col("__mn__"), F.col("__mx__") - F.col("__mn__"))
+    b = F.least(F.greatest(F.floor(raw * bins), F.lit(0)), F.lit(bins - 1))
+    counts = (
+        cur.select(F.col(key_col).alias("key"), F.col(value_col).alias(value_col))
+        .join(F.broadcast(edges), "key")
+        .select("key", F.coalesce(b, F.lit(0)).cast("long").alias("bin"))
+        .groupBy("key", "bin")
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+    )
+    tot = Window.partitionBy("key")
+    cells = (
+        store.join(counts, ["key", "bin"], "left")
+        .select("key", "p_ref", F.coalesce("c_cur", F.lit(0)).alias("c_cur"))
+        .withColumn(
+            "p_cur",
+            (F.col("c_cur") + PSI_SMOOTH)
+            / (F.sum("c_cur").over(tot) + PSI_SMOOTH * F.lit(int(bins))),
+        )
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return (
+        cells.select("key", "c_cur", term.alias("t"))
+        .groupBy("key")
+        .agg(F.sum("c_cur").alias("n_cur"), F.sum("t").alias("psi"))
+        .withColumnRenamed("key", key_col)
+    )

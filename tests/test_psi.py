@@ -67,6 +67,49 @@ def test_psi_degenerate_reference_range(spark):
     assert math.isfinite(row["psi"]) and row["n_cur"] == 2
 
 
+def test_psi_store_matches_inline(spark, tmp_path):
+    """Scoring through the frozen reference store must equal psi_report on
+    the original frames exactly (same binning, same smoothing)."""
+    from artan_spark.plans.temporal import persist_psi_reference, score_against_psi_reference
+
+    rng = np.random.RandomState(3)
+    ref = spark.createDataFrame(
+        [(f"k{i % 3}", float(round(v, 3))) for i, v in enumerate(rng.normal(5, 1, 300))],
+        "grp string, value double",
+    )
+    cur = spark.createDataFrame(
+        [(f"k{i % 3}", float(round(v, 3))) for i, v in enumerate(rng.normal(5.8, 1.2, 200))],
+        "grp string, value double",
+    )
+    inline = {r["grp"]: (r["n_cur"], r["psi"]) for r in psi_report(ref, cur, "grp", "value").collect()}
+    store_dir = str(tmp_path / "psi")
+    persist_psi_reference(ref, store_dir, "grp", "value")
+    stored = {
+        r["grp"]: (r["n_cur"], r["psi"])
+        for r in score_against_psi_reference(spark, store_dir, cur, "grp", "value").collect()
+    }
+    assert stored.keys() == inline.keys()
+    for k in inline:
+        assert stored[k][0] == inline[k][0]
+        assert stored[k][1] == pytest.approx(inline[k][1], rel=1e-12)
+
+
+def test_psi_store_empty_batch_key_reads_as_major_drift(spark, tmp_path):
+    """A key the batch never produces any rows for simply drops out (no
+    rows to score), but a key whose batch values all collapse into one
+    bin must read as major drift against a spread reference."""
+    from artan_spark.plans.temporal import persist_psi_reference, score_against_psi_reference
+
+    ref = spark.createDataFrame(
+        [("k", float(v)) for v in range(100)], "grp string, value double"
+    )
+    store_dir = str(tmp_path / "psi")
+    persist_psi_reference(ref, store_dir, "grp", "value")
+    collapsed = spark.createDataFrame([("k", 1.0)] * 50, "grp string, value double")
+    row = score_against_psi_reference(spark, store_dir, collapsed, "grp", "value").collect()[0]
+    assert row["n_cur"] == 50 and row["psi"] > 0.25
+
+
 def test_events_psi_keys_complete(spark):
     rows = events_value_psi(spark, SF_DIR).collect()
     assert {r["event_type"] for r in rows} == {"click", "error", "purchase", "signup", "view"}
