@@ -11,6 +11,8 @@ every step costs batch work against persisted build-once artifacts.
       events    ─> daily KMV/HLL sketch store   (plans/sketch_store)
 
     EVERY DAY (new batch, batch-sized work only):
+      new docs  ─> exact-dup flags vs the WHOLE indexed corpus
+                   (partition-pruned hash-store read) + store append
       new docs  ─> near-dup flags vs the WHOLE indexed corpus
                    (partition-pruned bucket semi-join) + store append
       new docs  ─> quality scores under the FROZEN model
@@ -21,6 +23,8 @@ every step costs batch work against persisted build-once artifacts.
                    staleness ratio says when to rebuild
       new events─> per-day sketches appended; any-range distinct counts
                    answered from sketch rows (bit-equal to a full rescan)
+      new events─> PSI drift per event_type against the FROZEN day-0
+                   reference distribution (keys x bins store)
 
 Usage: python examples/incremental_lake.py [sf_dir]
 """
@@ -76,13 +80,32 @@ def main(sf_dir="/root/testdata/sf0.001"):
     base_docs, new_docs = docs.filter(F.col("doc_id") <= cut), docs.filter(
         F.col("doc_id") > cut
     )
+    from artan_spark.plans.exact_store import append_exact_index, build_exact_index
+    from artan_spark.plans.temporal import (
+        persist_psi_reference,
+        score_against_psi_reference,
+    )
+
+    build_exact_index(spark, root + "/ex", base_docs)
     build_neardup_index(spark, root + "/nd", base_docs)
+    persist_psi_reference(
+        events.filter(day <= F.lit("2024-01-20")).select("event_type", "value"),
+        root + "/psi",
+        "event_type",
+        "value",
+    )
     persist_quality_model(spark, root + "/qm", docs)  # full-corpus stats
     save_tokenizer(spark, root + "/tok", "unigram", unigram_train(docs, vocab_size=64, max_train_words=512))
     build_ivf_index(spark, sf_dir, root + "/ivf")
     build_sketch_store(spark, root + "/sk", events.filter(day <= F.lit("2024-01-20")))
 
     # ---- daily batch: everything below is batch-cost ----------------------
+    ex_flags = append_exact_index(spark, root + "/ex", new_docs)
+    print(
+        f"exact-dup flags: {ex_flags.count()} batch docs, "
+        f"{ex_flags.filter('is_dup').count()} exact dups vs corpus"
+    )
+
     flags = append_neardup_index(spark, root + "/nd", new_docs)
     n_dup = flags.filter("is_dup").count()
     print(f"near-dup flags: {flags.count()} batch docs, {n_dup} dups vs corpus")
@@ -115,6 +138,15 @@ def main(sf_dir="/root/testdata/sf0.001"):
     append_sketch_days(spark, root + "/sk", events.filter(day > F.lit("2024-01-20")))
     print("distinct users 2024-01-10..2024-01-25, from sketch rows only:")
     sketch_distinct_over(spark, root + "/sk", "2024-01-10", "2024-01-25").show()
+
+    print("PSI drift of today's events vs the frozen day-0 reference:")
+    score_against_psi_reference(
+        spark,
+        root + "/psi",
+        events.filter(day > F.lit("2024-01-20")).select("event_type", "value"),
+        "event_type",
+        "value",
+    ).orderBy(F.desc("psi")).show()
 
     spark.stop()
 
