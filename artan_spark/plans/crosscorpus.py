@@ -132,17 +132,58 @@ def docs_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup decontamination of the held-out split: every LSH candidate
     (test, train) pair under the shared 80/10/10 hash split, with exact
     integer Jaccard evidence. Columns: test_doc_id, train_doc_id, n_inter,
-    n_union, is_contaminated."""
+    n_union, is_contaminated.
+
+    Unlike the generic two-frame ``crosscorpus_neardup``, both "corpora"
+    here are splits of ONE table, so band signatures are computed in a
+    single tagged corpus pass and split afterwards — halving the scan work
+    of the candidate stage (the split predicate is a pure function of
+    doc_id, so the tagged form is exactly the two-frame form)."""
+    from artan_spark.streaming.neardup import minhash_bands
+
     docs = read_table_wide(spark, sf_dir, "documents")
     b = _hash_bucket(F.col("doc_id"))
-    test = docs.filter(b >= _VAL)
-    train = docs.filter(b < _TRAIN)
-    return crosscorpus_neardup(test, train).select(
-        F.col("probe_id").alias("test_doc_id"),
-        F.col("corpus_id").alias("train_doc_id"),
-        "n_inter",
-        "n_union",
-        "is_contaminated",
+    bands = minhash_bands(docs).withColumn("__b__", _hash_bucket(F.col("doc_id")))
+    tb = bands.filter(F.col("__b__") >= _VAL).select(
+        F.col("doc_id").alias("test_doc_id"), "band", "sig"
+    )
+    rb = bands.filter(F.col("__b__") < _TRAIN).select(
+        F.col("doc_id").alias("train_doc_id"), "band", "sig"
+    )
+    cand = tb.join(rb, ["band", "sig"]).select("test_doc_id", "train_doc_id").distinct()
+
+    t_sh = shingles_of(
+        docs.filter(b >= _VAL).join(
+            cand.select(F.col("test_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
+        )
+    ).select(F.col("doc_id").alias("test_doc_id"), "shingle")
+    r_sh = shingles_of(
+        docs.filter(b < _TRAIN).join(
+            cand.select(F.col("train_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
+        )
+    ).select(F.col("doc_id").alias("train_doc_id"), "shingle")
+
+    inter = (
+        cand.join(t_sh, "test_doc_id")
+        .join(r_sh, ["train_doc_id", "shingle"])
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    t_n = t_sh.groupBy("test_doc_id").agg(F.count(F.lit(1)).alias("na"))
+    r_n = r_sh.groupBy("train_doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    o = F.coalesce(F.col("o"), F.lit(0))
+    u = F.col("na") + F.col("nb") - o
+    return (
+        cand.join(inter, ["test_doc_id", "train_doc_id"], "left")
+        .join(t_n, "test_doc_id")
+        .join(r_n, "train_doc_id")
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            o.alias("n_inter"),
+            u.alias("n_union"),
+            (F.lit(JACCARD_DEN) * o >= F.lit(JACCARD_NUM) * u).alias("is_contaminated"),
+        )
     )
 
 
