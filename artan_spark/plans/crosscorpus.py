@@ -135,32 +135,47 @@ def docs_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_union, is_contaminated.
 
     Unlike the generic two-frame ``crosscorpus_neardup``, both "corpora"
-    here are splits of ONE table, so band signatures are computed in a
-    single tagged corpus pass and split afterwards — halving the scan work
-    of the candidate stage (the split predicate is a pure function of
-    doc_id, so the tagged form is exactly the two-frame form)."""
+    here are splits of ONE table, so the whole query costs exactly TWO
+    corpus passes (plan-audited: the naive branching form re-scanned the
+    parquet 16x):
+    1. the tagged bands pass, CHECKPOINTED (~50 B/doc of signatures — the
+       dedup_ngram_jaccard docsets pattern) so the test/train branches and
+       every candidate reuse derive from the materialization;
+    2. one shingle pass over CANDIDATE docs only (semi-join pushdown),
+       checkpointed and shared by both sides of the verification —
+       candidate-pair-bounded, not corpus-bounded."""
     from artan_spark.streaming.neardup import minhash_bands
 
     docs = read_table_wide(spark, sf_dir, "documents")
-    b = _hash_bucket(F.col("doc_id"))
-    bands = minhash_bands(docs).withColumn("__b__", _hash_bucket(F.col("doc_id")))
+    bands = (
+        minhash_bands(docs)
+        .withColumn("__b__", _hash_bucket(F.col("doc_id")))
+        .localCheckpoint()
+    )
     tb = bands.filter(F.col("__b__") >= _VAL).select(
         F.col("doc_id").alias("test_doc_id"), "band", "sig"
     )
     rb = bands.filter(F.col("__b__") < _TRAIN).select(
         F.col("doc_id").alias("train_doc_id"), "band", "sig"
     )
-    cand = tb.join(rb, ["band", "sig"]).select("test_doc_id", "train_doc_id").distinct()
+    cand = (
+        tb.join(rb, ["band", "sig"])
+        .select("test_doc_id", "train_doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
 
-    t_sh = shingles_of(
-        docs.filter(b >= _VAL).join(
-            cand.select(F.col("test_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
-        )
+    cand_ids = (
+        cand.select(F.col("test_doc_id").alias("doc_id"))
+        .union(cand.select(F.col("train_doc_id").alias("doc_id")))
+        .distinct()
+    )
+    csh = shingles_of(docs.join(cand_ids, "doc_id", "semi")).localCheckpoint()
+    t_sh = csh.join(
+        cand.select(F.col("test_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
     ).select(F.col("doc_id").alias("test_doc_id"), "shingle")
-    r_sh = shingles_of(
-        docs.filter(b < _TRAIN).join(
-            cand.select(F.col("train_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
-        )
+    r_sh = csh.join(
+        cand.select(F.col("train_doc_id").alias("doc_id")).distinct(), "doc_id", "semi"
     ).select(F.col("doc_id").alias("train_doc_id"), "shingle")
 
     inter = (
