@@ -169,6 +169,7 @@ HEADLINE = [
     "docs_group_split",  # new round 10c: domain-keyed leakage-safe split
     "events_profile",  # new round 10c: one-pass per-column table profile
     "events_value_psi",  # new round 10c: PSI distribution-drift report
+    "docs_kn_perplexity",  # new round 10c: interpolated-KN perplexity buckets
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -483,3 +483,26 @@ def test_cusum_margin(sf_dir):
         scaled = v * 1e6
         dist = np.abs(scaled - np.floor(scaled) - 0.5)
         assert (dist > 1e-5).all(), f"{col} 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("which", ["stupid_backoff", "kneser_ney"])
+def test_lm_perplexity_margin(which, sf_dir):
+    """Both LM perplexity oracles round ppl at 6dp AND rank on the rounded
+    value for the head/middle/tail buckets. exp(-AVG(ln p)) averages
+    O(doc-length) log terms whose summation order differs between engines
+    (noise ~ terms x ulp x ppl ~ 1e-10 abs): guard every raw ppl's
+    distance to its 6dp boundary with a >=1e4x margin (strip-and-measure,
+    the regime every rounded float oracle column lives under)."""
+    from artan_spark.plans import lm
+
+    raw_sql = (lm._LM_PPL_SQL if which == "stupid_backoff" else lm._KN_PPL_SQL)
+    tgt = "ROUND(exp(-AVG(ln(p))), 6) AS ppl"
+    assert tgt in raw_sql, "lm ppl ROUND site moved — update this guard"
+    raw_sql = raw_sql.replace(tgt, "exp(-AVG(ln(p))) AS ppl")
+    df = duckdb_frame(raw_sql, sf_dir)
+    v = df["ppl"].to_numpy(dtype=float)
+    assert np.isfinite(v).all(), "a document scored a non-finite perplexity"
+    scaled = v * 1e6
+    dist = np.abs(scaled - np.floor(scaled) - 0.5)
+    assert (dist > 1e-5).all(), f"{which} ppl 6dp min boundary dist {dist.min():.3e}"

@@ -958,6 +958,46 @@ def test_lm_perplexity_buckets_pinned(spark):
     assert alt[1].ppl != out[1].ppl
 
 
+def test_kn_perplexity_pinned(spark):
+    """Hand-computed interpolated Kneser-Ney: with ref "a b a b a" the
+    bigram types are {ab: 2, ba: 2}, so c(a.)=2, c(b.)=2, N1+(a.)=1,
+    N1+(.a)=1, N1+(.b)=1, N1+(..)=2, D=0.75.
+
+      p(b|a) = (2-0.75)/2 + (0.75*1/2)*(1/2) = 0.625 + 0.1875 = 0.8125
+      p(a|b) = same by symmetry = 0.8125
+      first token p_cont(a) = 1/2
+      OOV continuation floors at 0.5/2 = 0.25; unseen context z -> p_cont
+    """
+    import math
+
+    from artan_spark.plans.lm import kn_perplexity_buckets
+
+    rows = [
+        (0, "ref", "a b a b a"),
+        (1, "x", "a b a"),   # p = 1/2, 0.8125, 0.8125
+        (2, "x", "z z"),     # p_cont floor 0.25, then unseen-context 0.25
+        (3, "x", "a z a"),   # 1/2, then (0-term + lam(a)*0.25), then p_cont(a)=0.5 (z unseen context)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in kn_perplexity_buckets(docs).collect()}
+
+    p_ab = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 2)
+    exp1 = math.exp(-(math.log(1 / 2) + 2 * math.log(p_ab)) / 3)
+    exp2 = math.exp(-(2 * math.log(0.25)) / 2)
+    p_za = 0.0 / 2 + (0.75 * 1 / 2) * 0.25  # p(z|a): unseen bigram, seen context
+    exp3 = math.exp(-(math.log(1 / 2) + math.log(p_za) + math.log(1 / 2)) / 3)
+    assert abs(out[1].ppl - round(exp1, 6)) < 1e-9
+    assert abs(out[2].ppl - round(exp2, 6)) < 1e-9
+    assert abs(out[3].ppl - round(exp3, 6)) < 1e-9
+    assert out[1].ppl < out[3].ppl < out[2].ppl
+    # KN and stupid backoff must DISAGREE on these probabilities (the
+    # discount mass exists): same corpus, different scores
+    from artan_spark.plans.lm import lm_perplexity_buckets
+
+    sb = {r.doc_id: r for r in lm_perplexity_buckets(docs).collect()}
+    assert sb[1].ppl != out[1].ppl
+
+
 def test_dsir_importance_weights_pinned(spark):
     """DSIR semantics: a raw doc sharing the target slice's hashed n-gram
     mass outweighs a disjoint-vocabulary doc; selection is Gumbel top-k

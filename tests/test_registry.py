@@ -22,8 +22,8 @@ def test_registry_counts():
     # events_anomaly_robust, events_cusum_drift
     # round 10c: + docs_decontaminate_minhash, docs_group_split,
     # events_profile, q13_customer_distribution, q17_small_quantity_revenue,
-    # events_value_psi
-    assert len(PYTEST_ORACLES) == 64
+    # events_value_psi, docs_kn_perplexity
+    assert len(PYTEST_ORACLES) == 65
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
