@@ -725,6 +725,206 @@ WHERE b.l_quantity < 0.2 * a.avg_qty
 """
 
 
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS-correlated
+    subquery — count orders per priority in a quarter having at least one
+    returned lineitem. The schema has no l_commitdate/l_receiptdate, so
+    the qualifying-lineitem predicate is ``l_returnflag = 'R'``; the
+    relational shape (semi-join decorrelation) is identical.
+
+    Scale shape: Catalyst turns the EXISTS into a LEFT SEMI join — no
+    duplication of the orders side however many lineitems match, and the
+    lineitem scan reads only (l_orderkey, l_returnflag) with the flag
+    filter pushed to parquet. Integer counts: exact, no margins."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): fact-fact join
+    with conditional aggregation — per lineitem status (standing in for
+    the absent l_shipmode), how many joined orders are high-priority vs
+    low. SUM(CASE ...) over integers: exact, no margins.
+
+    Scale shape: both sides shuffle on orderkey (fact x fact — broadcast
+    is wrong at scale); the CASE runs post-join in whole-stage codegen and
+    the result key space is |linestatus| = 2."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "inner")
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional revenue ratio over
+    one month — 100 * promo revenue / total revenue, where promo is
+    ``p_type = 'PROMO'`` (this schema's p_type is the bare class name, not
+    a TPC-H 'PROMO ...' prefix).
+
+    Exactness: both revenue sums are exact decimals; the ratio is ONE
+    IEEE division on identical operands per engine — emitted unrounded.
+
+    Scale shape: part is the dimension (broadcast), lineitem the fact;
+    the month filter pushes to the scan; single hash aggregate."""
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "inner")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price_d()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_disc_price_d()).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN anti-join +
+    multi-key COUNT(DISTINCT). The schema has no partsupp table, so
+    lineitem is the part-supplier bridge; excluded suppliers are those in
+    deficit (s_acctbal < 0, standing in for the complaints predicate).
+
+    Scale shape: the exclusion list is supplier-sized — Catalyst plans a
+    broadcast LEFT ANTI (null-aware NOT IN is safe here: the subquery
+    column is a non-null key). COUNT(DISTINCT suppkey) expands per group;
+    group key space is brand x type x size (bounded). Integer counts:
+    exact."""
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 19, 25, 38, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    l = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "inner")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 9, 19, 25, 38, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery
+    threshold + NOT EXISTS anti-join — customers whose balance exceeds the
+    positive-balance average and who placed no orders, rolled up by market
+    segment (standing in for the absent phone country code).
+
+    Exactness: the threshold divides an exact DECIMAL(12,2) balance sum
+    (as double) by a count — identical operands per engine, so the filter
+    selects identical rows; the output sum is again exact decimal.
+
+    Scale shape: the threshold is a 1-row broadcast cross join; the
+    NOT EXISTS is a LEFT ANTI on custkey (shuffle — orders is a fact);
+    final agg key space is |mktsegment|."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_EP)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(_EP)), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -765,4 +965,9 @@ PYTEST_ORACLES = {
     "events_retention_cohorts": (events_retention_cohorts, _RETENTION_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q4_order_priority_exists": (q4_order_priority_exists, _Q4_SQL),
+    "q12_priority_line_classes": (q12_priority_line_classes, _Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q16_supplier_part_variety": (q16_supplier_part_variety, _Q16_SQL),
+    "q22_idle_customer_balance": (q22_idle_customer_balance, _Q22_SQL),
 }

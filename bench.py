@@ -170,6 +170,11 @@ HEADLINE = [
     "events_profile",  # new round 10c: one-pass per-column table profile
     "events_value_psi",  # new round 10c: PSI distribution-drift report
     "docs_kn_perplexity",  # new round 10c: interpolated-KN perplexity buckets
+    "q4_order_priority_exists",  # new round 10d: EXISTS semi-join shape
+    "q12_priority_line_classes",  # new round 10d: fact-fact CASE aggregation
+    "q14_promo_revenue",  # new round 10d: conditional revenue ratio
+    "q16_supplier_part_variety",  # new round 10d: anti-join + COUNT DISTINCT
+    "q22_idle_customer_balance",  # new round 10d: scalar-subquery threshold + anti-join
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -23,7 +23,9 @@ def test_registry_counts():
     # round 10c: + docs_decontaminate_minhash, docs_group_split,
     # events_profile, q13_customer_distribution, q17_small_quantity_revenue,
     # events_value_psi, docs_kn_perplexity
-    assert len(PYTEST_ORACLES) == 65
+    # round 10d: + q4_order_priority_exists, q12_priority_line_classes,
+    # q14_promo_revenue, q16_supplier_part_variety, q22_idle_customer_balance
+    assert len(PYTEST_ORACLES) == 70
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
