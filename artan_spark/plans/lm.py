@@ -56,35 +56,25 @@ OOV_ALPHA = 0.5  # OOV unigram floor numerator: p = OOV_ALPHA / N
 _BUCKETS = ("head", "middle", "tail")
 
 
-def lm_perplexity_buckets(
-    d: DataFrame,
-    ref_source: str | None = None,
-    backoff: float = BACKOFF,
-    oov_alpha: float = OOV_ALPHA,
-) -> DataFrame:
-    """(doc_id, source, text) -> (doc_id, source, ppl, n_tokens, bucket).
-
-    ``ref_source`` names the reference slice the model is trained on;
-    ``None`` (default) trains on the lexicographically-smallest source —
-    deterministic for any corpus without a driver-side collect.
-    """
+def _tok_base(d: DataFrame) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, t: array<string>)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", "source", toks.alias("t"))
+    return d.select("doc_id", "source", toks.alias("t"))
 
+
+def _ref_slice(base: DataFrame, ref_source: str | None) -> DataFrame:
+    """The reference (training) slice: a named source, or the
+    lexicographically-smallest one via a broadcast 1-row semi-join."""
     if ref_source is None:
         ms = base.agg(F.min("source").alias("source"))
-        ref = base.join(F.broadcast(ms), "source", "left_semi")
-    else:
-        ref = base.filter(F.col("source") == ref_source)
+        return base.join(F.broadcast(ms), "source", "left_semi")
+    return base.filter(F.col("source") == ref_source)
 
-    uni = (
-        ref.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint()  # read 3x: totals + two scoring joins
-    )
-    tot = uni.agg(F.sum("cw").alias("n"))
-    pairs = F.when(
+
+def _pairs():
+    # built lazily: F.transform's lambda needs an active SparkContext, so
+    # this must NOT run at import time
+    return F.when(
         F.size("t") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size("t") - 1),
@@ -93,23 +83,49 @@ def lm_perplexity_buckets(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<v:string,w:string>>)"))
-    bi = (
-        ref.select(F.explode(pairs).alias("p"))
-        .select("p.v", "p.w")
-        .groupBy("v", "w")
-        .agg(F.count(F.lit(1)).alias("cvw"))
-    )
 
-    items = F.transform(
+
+def _items():
+    return F.transform(
         F.sequence(F.lit(1), F.size("t")),
         lambda i: F.struct(
             F.when(i > 1, F.element_at("t", (i - 1).cast("int"))).alias("v"),
             F.element_at("t", i.cast("int")).alias("w"),
         ),
     )
-    stream = base.select("doc_id", "source", F.explode(items).alias("s")).select(
+
+
+def _token_stream(base: DataFrame) -> DataFrame:
+    """Explode docs into (doc_id, source, v=prev token|null, w=token)."""
+    return base.select("doc_id", "source", F.explode(_items()).alias("s")).select(
         "doc_id", "source", "s.v", "s.w"
     )
+
+
+def _bigram_counts(ref: DataFrame) -> DataFrame:
+    return (
+        ref.select(F.explode(_pairs()).alias("p"))
+        .select("p.v", "p.w")
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cvw"))
+    )
+
+
+def _unigram_counts(ref: DataFrame) -> DataFrame:
+    return (
+        ref.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+
+
+def _sb_ppl(
+    stream: DataFrame, uni: DataFrame, bi: DataFrame, backoff: float, oov_alpha: float
+) -> DataFrame:
+    """Stupid-backoff per-doc perplexity from count tables — shared verbatim
+    between the inline scorer and the frozen-store serving path so the two
+    are bit-identical by construction."""
+    tot = uni.agg(F.sum("cw").alias("n"))
     uw = uni.select(F.col("w"), F.col("cw"))
     uv = uni.select(F.col("w").alias("v"), F.col("cw").alias("cv"))
     sc = (
@@ -127,11 +143,43 @@ def lm_perplexity_buckets(
             F.lit(backoff) * p_uni
         )
     )
-    pp = sc.groupBy("doc_id", "source").agg(
+    return sc.groupBy("doc_id", "source").agg(
         F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
 
+
+def _kn_ppl(
+    stream: DataFrame, bi: DataFrame, discount: float, oov_alpha: float
+) -> DataFrame:
+    """Interpolated-KN per-doc perplexity from the bigram count table
+    (context totals, continuation counts and N1+ totals all derive from
+    it) — shared between the inline scorer and the frozen-store path."""
+    ctx = bi.groupBy("v").agg(F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1v"))
+    cont = bi.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    n1tot = bi.agg(F.count(F.lit(1)).alias("n1tot"))
+    sc = (
+        stream.join(bi, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(n1tot))
+    )
+    p_cont = F.coalesce(F.col("n1w").cast("double"), F.lit(oov_alpha)) / F.col("n1tot")
+    backed = (
+        F.greatest(F.col("cvw").cast("double") - F.lit(discount), F.lit(0.0))
+        / F.col("cv")
+        + (F.lit(discount) * F.col("n1v") / F.col("cv")) * p_cont
+    )
+    p = F.when(F.col("v").isNull() | F.col("cv").isNull(), p_cont).otherwise(backed)
+    return sc.groupBy("doc_id", "source").agg(
+        F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def _rank_buckets(pp: DataFrame) -> DataFrame:
+    """Per-source equal-thirds rank buckets over (doc_id, source, ppl,
+    n_tokens) — integer-exact, bit-portable across engines."""
     wrank = Window.partitionBy("source").orderBy("ppl", "doc_id")
     wsrc = Window.partitionBy("source")
     bidx = F.floor((F.row_number().over(wrank) - 1) * 3 / F.count(F.lit(1)).over(wsrc))
@@ -144,6 +192,27 @@ def lm_perplexity_buckets(
             "bucket"
         ),
     )
+
+
+def lm_perplexity_buckets(
+    d: DataFrame,
+    ref_source: str | None = None,
+    backoff: float = BACKOFF,
+    oov_alpha: float = OOV_ALPHA,
+) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, ppl, n_tokens, bucket).
+
+    ``ref_source`` names the reference slice the model is trained on;
+    ``None`` (default) trains on the lexicographically-smallest source —
+    deterministic for any corpus without a driver-side collect.
+    """
+    base = _tok_base(d)
+    ref = _ref_slice(base, ref_source)
+    # read 3x inside _sb_ppl: totals + two scoring joins
+    uni = _unigram_counts(ref).localCheckpoint()
+    bi = _bigram_counts(ref)
+    pp = _sb_ppl(_token_stream(base), uni, bi, backoff, oov_alpha)
+    return _rank_buckets(pp)
 
 
 def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,77 +295,12 @@ def kn_perplexity_buckets(
     under interpolated Kneser-Ney. Same scale shape as the stupid-backoff
     scorer: model tables are bigram-type-sized aggregates of the reference
     slice; scoring is explode + equi-joins + one per-doc agg."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", "source", toks.alias("t"))
-
-    if ref_source is None:
-        ms = base.agg(F.min("source").alias("source"))
-        ref = base.join(F.broadcast(ms), "source", "left_semi")
-    else:
-        ref = base.filter(F.col("source") == ref_source)
-
-    pairs = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
-            lambda i: F.struct(
-                F.element_at("t", i).alias("v"), F.element_at("t", i + 1).alias("w")
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<struct<v:string,w:string>>)"))
-    bi = (
-        ref.select(F.explode(pairs).alias("p"))
-        .select("p.v", "p.w")
-        .groupBy("v", "w")
-        .agg(F.count(F.lit(1)).alias("cvw"))
-        .localCheckpoint()  # read 3x: context totals, continuation counts, scoring
-    )
-    ctx = bi.groupBy("v").agg(
-        F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1v")
-    )
-    cont = bi.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
-    n1tot = bi.agg(F.count(F.lit(1)).alias("n1tot"))
-
-    items = F.transform(
-        F.sequence(F.lit(1), F.size("t")),
-        lambda i: F.struct(
-            F.when(i > 1, F.element_at("t", (i - 1).cast("int"))).alias("v"),
-            F.element_at("t", i.cast("int")).alias("w"),
-        ),
-    )
-    stream = base.select("doc_id", "source", F.explode(items).alias("s")).select(
-        "doc_id", "source", "s.v", "s.w"
-    )
-    sc = (
-        stream.join(bi, ["v", "w"], "left")
-        .join(ctx, "v", "left")
-        .join(cont, "w", "left")
-        .crossJoin(F.broadcast(n1tot))
-    )
-    p_cont = F.coalesce(F.col("n1w").cast("double"), F.lit(oov_alpha)) / F.col("n1tot")
-    backed = (
-        F.greatest(F.col("cvw").cast("double") - F.lit(discount), F.lit(0.0))
-        / F.col("cv")
-        + (F.lit(discount) * F.col("n1v") / F.col("cv")) * p_cont
-    )
-    p = F.when(F.col("v").isNull() | F.col("cv").isNull(), p_cont).otherwise(backed)
-    pp = sc.groupBy("doc_id", "source").agg(
-        F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl"),
-        F.count(F.lit(1)).alias("n_tokens"),
-    )
-
-    wrank = Window.partitionBy("source").orderBy("ppl", "doc_id")
-    wsrc = Window.partitionBy("source")
-    bidx = F.floor((F.row_number().over(wrank) - 1) * 3 / F.count(F.lit(1)).over(wsrc))
-    return pp.select(
-        "doc_id",
-        "source",
-        "ppl",
-        "n_tokens",
-        F.element_at(F.array(*[F.lit(b) for b in _BUCKETS]), bidx.cast("int") + 1).alias(
-            "bucket"
-        ),
-    )
+    base = _tok_base(d)
+    ref = _ref_slice(base, ref_source)
+    # read 3x inside _kn_ppl: context totals, continuation counts, scoring
+    bi = _bigram_counts(ref).localCheckpoint()
+    pp = _kn_ppl(_token_stream(base), bi, discount, oov_alpha)
+    return _rank_buckets(pp)
 
 
 def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +351,72 @@ SELECT doc_id, source, ppl, n_tokens,
                     / (COUNT(*) OVER (PARTITION BY source))) AS INT) + 1] AS bucket
 FROM pp
 """
+
+
+# -- frozen LM store -----------------------------------------------------------
+#
+# Train once / score many: CCNet trains its KenLM on one fixed Wikipedia
+# snapshot and scores every later CommonCrawl dump with it — retraining per
+# batch would silently shift every perplexity and bucket boundary between
+# days. This is the same serving discipline as build_ivf_index /
+# build_neardup_index / persist_quality_model, applied to the LM stage.
+#
+# Layout: /unigrams (w, cw), /bigrams (v, w, cvw), /meta (1 row: params).
+# The two count tables are the sufficient statistic for BOTH scorers (the
+# KN context/continuation tables all derive from the bigram counts), so one
+# store serves stupid-backoff and Kneser-Ney scoring. Scoring a batch is
+# the SAME _sb_ppl/_kn_ppl composition the inline scorers run — stored
+# model == inline model bit-for-bit by construction — and is per-doc
+# independent, so daily batches are chunk-invariant.
+
+
+def persist_lm(
+    spark: SparkSession,
+    model_dir: str,
+    docs: DataFrame,
+    ref_source: str | None = None,
+    discount: float = KN_DISCOUNT,
+    backoff: float = BACKOFF,
+    oov_alpha: float = OOV_ALPHA,
+) -> None:
+    """Materialize the bigram-LM count tables trained on ``docs``'s
+    reference slice. Both tables are reference-vocabulary-sized (the
+    reference is a small curated subset by construction); the corpus is
+    never written."""
+    base = _tok_base(docs)
+    ref = _ref_slice(base, ref_source)
+    _unigram_counts(ref).write.mode("overwrite").parquet(model_dir + "/unigrams")
+    _bigram_counts(ref).write.mode("overwrite").parquet(model_dir + "/bigrams")
+    meta = spark.createDataFrame(
+        [(float(discount), float(backoff), float(oov_alpha))],
+        "discount double, backoff double, oov_alpha double",
+    )
+    meta.write.mode("overwrite").parquet(model_dir + "/meta")
+
+
+def score_with_lm(
+    spark: SparkSession,
+    model_dir: str,
+    new_docs: DataFrame,
+    smoothing: str = "kn",
+) -> DataFrame:
+    """Score a batch under the persisted (frozen) LM: (doc_id, source,
+    ppl, n_tokens). ``smoothing`` is ``"kn"`` (interpolated Kneser-Ney) or
+    ``"sb"`` (stupid backoff). Tokens/contexts unseen at train time hit
+    the scorers' OOV floors — the frozen model never learns from the
+    scored batch. Per-doc output: no rank buckets (those are a corpus
+    property, not a document property — rank the scored frame explicitly
+    with ``_rank_buckets`` if a per-batch split is wanted)."""
+    meta = spark.read.parquet(model_dir + "/meta").first()
+    stream = _token_stream(_tok_base(new_docs))
+    bi = spark.read.parquet(model_dir + "/bigrams")
+    if smoothing == "kn":
+        # read 3x inside _kn_ppl; checkpoint so the parquet scan runs once
+        return _kn_ppl(stream, bi.localCheckpoint(), meta["discount"], meta["oov_alpha"])
+    if smoothing == "sb":
+        uni = spark.read.parquet(model_dir + "/unigrams").localCheckpoint()
+        return _sb_ppl(stream, uni, bi, meta["backoff"], meta["oov_alpha"])
+    raise ValueError(f"unknown smoothing {smoothing!r}: expected 'kn' or 'sb'")
 
 
 QUERIES: dict = {}
