@@ -1911,3 +1911,117 @@ FROM z WHERE z <= -{OUTLIER_Z}
 """
 
 PYTEST_ORACLES["embedding_outliers"] = (embedding_outliers, _EMB_OUTLIER_SQL)
+
+
+# -- batch kNN join -------------------------------------------------------------
+#
+# The two-table retrieval shape: for EVERY row of a query table, the top-k
+# cosine neighbors from a (much larger) corpus table — kNN evaluation,
+# retrieval-augmented labeling, cross-lake record linkage. ann_cosine_topk
+# is the self-join special case with a fixed corpus-prefix query set; this
+# is the generic operator.
+#
+# 100-TB shape: the query side is the small one by construction (size-gated
+# like the embedding-decontamination eval matrix); it is collected once,
+# normalized, and broadcast as a dense numpy matrix. The corpus streams
+# through ONE Arrow mapInPandas pass computing a (batch x n_queries) matmul
+# and a per-batch STABLE top-k per query — so the shuffled candidate frame
+# is (n_partition_batches x n_queries x k) rows, never the |corpus| x
+# |queries| cross product the window-over-join formulation would move. A
+# global per-query top-k over the candidates finishes the merge (top-k of a
+# union == top-k of per-chunk top-k under a total order). Query sets past
+# the gate belong on the IVF index path (build_ivf_index + ann_ivf_query).
+
+KNN_JOIN_QUERY_LIMIT = 100_000
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = TOP_K,
+    query_limit: int = KNN_JOIN_QUERY_LIMIT,
+) -> DataFrame:
+    """(query_id, embedding) x (vec_id, embedding) -> per-query top-k:
+    (query_id, neighbor_id, rank, cosine 6dp). Rank order is full-precision
+    cosine DESC with neighbor_id ASC tie-break — exact, not approximate."""
+    import pandas as pd
+
+    spark = queries.sparkSession
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    n_q = queries.count()
+    if n_q == 0:
+        return spark.createDataFrame([], out_schema).select(
+            "query_id", "neighbor_id", F.lit(0).alias("rank"), "cosine"
+        )
+    if n_q > query_limit:
+        raise ValueError(
+            f"query side has {n_q} rows > query_limit={query_limit}: the dense "
+            "broadcast matrix would tax the driver/executors — build_ivf_index "
+            "+ ann_ivf_query is the path for query sets this large, or raise "
+            "query_limit explicitly"
+        )
+    rows = queries.select("query_id", "embedding").orderBy("query_id").collect()
+    qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def part_topk(batches):
+        ids_q, mq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # vec_id-ascending batch order + stable sort == neighbor_id ASC
+            # tie-break on equal cosines (duplicate vectors are real in
+            # deduplication corpora, so ties DO happen)
+            pdf = pdf.sort_values("vec_id")
+            vids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norm == 0.0, 1.0, norm)
+            sims = m @ mq.T  # (batch, n_q)
+            kk = min(k, len(pdf))
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, n_q)
+            qcol = np.repeat(ids_q, kk)
+            ncol = vids[top].T.ravel()
+            ccol = np.take_along_axis(sims, top, axis=0).T.ravel()
+            yield pd.DataFrame(
+                {"query_id": qcol, "neighbor_id": ncol, "cosine": ccol}
+            )
+
+    cand = corpus.select("vec_id", "embedding").mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the first N_QUERIES vectors as the query table, the
+    REST of the lake as the corpus (disjoint two-table retrieval — unlike
+    ann_cosine_topk's self-join, the query rows are not corpus members)."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(q, e.filter(F.col("vec_id") >= N_QUERIES))
+
+
+_KNN_JOIN_SQL = f"""
+WITH n AS ({_EMB_SQL})
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.v) / (e.norm * q.norm) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_dot_product(e.v, q.v) / (e.norm * q.norm) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM n e JOIN n q ON q.vec_id < {N_QUERIES} AND e.vec_id >= {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+"""
+
+PYTEST_ORACLES["ann_knn_join"] = (ann_knn_join, _KNN_JOIN_SQL)
