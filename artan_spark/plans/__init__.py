@@ -16,6 +16,7 @@ from artan_spark.plans import (
     dsir,
     estimation,
     exact_store,
+    export,
     groupsplit,
     lm,
     multimodal,
@@ -61,6 +62,7 @@ MODULES = (
     wordpiece,
     crosscorpus,
     exact_store,
+    export,
     groupsplit,
     profile,
     multimodal,

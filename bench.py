@@ -176,6 +176,7 @@ HEADLINE = [
     "q16_supplier_part_variety",  # new round 10d: anti-join + COUNT DISTINCT
     "q22_idle_customer_balance",  # new round 10d: scalar-subquery threshold + anti-join
     "ann_knn_join",  # new round 10d: two-table batch retrieval join
+    "docs_export_plan",  # new round 10d: sharded training-export manifest
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
