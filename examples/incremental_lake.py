@@ -25,6 +25,10 @@ every step costs batch work against persisted build-once artifacts.
                    answered from sketch rows (bit-equal to a full rescan)
       new events─> PSI drift per event_type against the FROZEN day-0
                    reference distribution (keys x bins store)
+      new docs  ─> perplexity under the FROZEN bigram LM (CCNet serving:
+                   train on the snapshot once, score every later batch)
+      keep set  ─> deterministic sharded training export (re-exports
+                   bit-reproduce; shard = training file)
 
 Usage: python examples/incremental_lake.py [sf_dir]
 """
@@ -147,6 +151,20 @@ def main(sf_dir="/root/testdata/sf0.001"):
         "event_type",
         "value",
     ).orderBy(F.desc("psi")).show()
+
+    from artan_spark.plans.lm import persist_lm, score_with_lm
+
+    persist_lm(spark, root + "/lm", base_docs)
+    ppl = score_with_lm(spark, root + "/lm", new_docs, "kn")
+    print("batch perplexity under the frozen day-0 KN bigram LM:")
+    ppl.orderBy("ppl").show(3)
+
+    from artan_spark.plans.export import export_plan, write_training_shards
+
+    keep = new_docs.join(flags.filter("is_dup").select("doc_id"), "doc_id", "left_anti")
+    write_training_shards(keep, root + "/shards")
+    print("training export manifest (8 shards, md5 order):")
+    export_plan(keep).orderBy("shard").show()
 
     spark.stop()
 
