@@ -419,6 +419,129 @@ def score_with_lm(
     raise ValueError(f"unknown smoothing {smoothing!r}: expected 'kn' or 'sb'")
 
 
+LM_ROWWISE_LIMIT = 2_000_000  # count-table rows collectible to the driver
+
+
+def score_rowwise_with_lm(
+    spark: SparkSession,
+    model_dir: str,
+    new_docs: DataFrame,
+    smoothing: str = "kn",
+    table_limit: int = LM_ROWWISE_LIMIT,
+) -> DataFrame:
+    """STATELESS row-wise serving path for the frozen LM: same output
+    contract as ``score_with_lm`` (doc_id, source, ppl, n_tokens), but the
+    count tables are collected once (size-gated), broadcast as plain
+    dicts, and each document scores inside ONE Arrow ``mapInPandas``
+    batch — a pure projection with no explode, no join, no per-doc
+    aggregation. Because it is a projection it runs unchanged on a
+    ``readStream`` (the quality model's ``score_rowwise`` contract,
+    applied to the LM stage). Parity with the join path is at the shared
+    6dp ppl round (the per-token float ops are identical and ordered
+    identically; only the log-sum order differs, inside the measured
+    margin the strip-and-measure regime pins for ppl)."""
+    import math
+
+    import pandas as pd
+
+    meta = spark.read.parquet(model_dir + "/meta").first()
+    bi_rows = spark.read.parquet(model_dir + "/bigrams")
+    n_bi = bi_rows.count()
+    if n_bi > table_limit:
+        raise ValueError(
+            f"bigram table has {n_bi} rows > table_limit={table_limit}: the "
+            "broadcast dicts would tax the driver/executors — use the "
+            "join-path score_with_lm for reference corpora this large, or "
+            "raise table_limit explicitly"
+        )
+    if smoothing == "kn":
+        discount, oov_alpha = meta["discount"], meta["oov_alpha"]
+        cvw = {}
+        cv = {}
+        n1v = {}
+        n1w = {}
+        for r in bi_rows.collect():
+            cvw[(r["v"], r["w"])] = r["cvw"]
+            cv[r["v"]] = cv.get(r["v"], 0) + r["cvw"]
+            n1v[r["v"]] = n1v.get(r["v"], 0) + 1
+            n1w[r["w"]] = n1w.get(r["w"], 0) + 1
+        n1tot = float(n_bi)
+        bc = spark.sparkContext.broadcast((cvw, cv, n1v, n1w))
+
+        def doc_ppl(text: str) -> tuple:
+            d_cvw, d_cv, d_n1v, d_n1w = bc.value
+            toks = _py_tokens(text)
+            s = 0.0
+            for i, w in enumerate(toks):
+                p_cont = d_n1w.get(w, oov_alpha) / n1tot
+                v = toks[i - 1] if i > 0 else None
+                if v is None or v not in d_cv:
+                    p = p_cont
+                else:
+                    c_v = d_cv[v]
+                    p = max(d_cvw.get((v, w), 0.0) - discount, 0.0) / c_v + (
+                        discount * d_n1v[v] / c_v
+                    ) * p_cont
+                s += math.log(p)
+            return round(math.exp(-s / len(toks)), 6), len(toks)
+
+    elif smoothing == "sb":
+        backoff, oov_alpha = meta["backoff"], meta["oov_alpha"]
+        uni_rows = spark.read.parquet(model_dir + "/unigrams").collect()
+        cw = {r["w"]: r["cw"] for r in uni_rows}
+        n = float(sum(cw.values()))
+        cvw = {(r["v"], r["w"]): r["cvw"] for r in bi_rows.collect()}
+        bc = spark.sparkContext.broadcast((cw, cvw))
+
+        def doc_ppl(text: str) -> tuple:
+            d_cw, d_cvw = bc.value
+            toks = _py_tokens(text)
+            s = 0.0
+            for i, w in enumerate(toks):
+                p_uni = d_cw.get(w, oov_alpha) / n
+                if i == 0:
+                    p = p_uni
+                else:
+                    key = (toks[i - 1], w)
+                    if key in d_cvw:
+                        p = d_cvw[key] / d_cw[toks[i - 1]]
+                    else:
+                        p = backoff * p_uni
+                s += math.log(p)
+            return round(math.exp(-s / len(toks)), 6), len(toks)
+
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r}: expected 'kn' or 'sb'")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scored = [doc_ppl(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "source": pdf["source"].to_numpy(),
+                    "ppl": [p for p, _ in scored],
+                    "n_tokens": [k for _, k in scored],
+                }
+            )
+
+    return new_docs.select("doc_id", "source", "text").mapInPandas(
+        score, "doc_id long, source string, ppl double, n_tokens long"
+    )
+
+
+def _py_tokens(text) -> list:
+    """Bit-match F.split(F.trim(text), r'\\s+'): java trim strips <= U+0020
+    only, and a leading separator yields an empty first element."""
+    import re
+
+    t = "" if text is None else str(text)
+    t = t.strip(" \t\n\r\f\v\x00")
+    return re.split(r"\s+", t) if t else [""]
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 # registry is at the driver's 50-entry cap: these queries carry their
