@@ -29,12 +29,14 @@ from artan_spark.plans import (
     simsearch,
     sketch,
     sketch_store,
+    skew,
     temporal,
     textstats,
     tokenizer_store,
     unigram,
     urls,
     wordpiece,
+    zorder,
 )
 
 # Order matters: the driver's correctness harness checks a bounded prefix of
@@ -65,6 +67,8 @@ MODULES = (
     export,
     groupsplit,
     profile,
+    skew,
+    zorder,
     multimodal,
 )
 

@@ -177,6 +177,8 @@ HEADLINE = [
     "q22_idle_customer_balance",  # new round 10d: scalar-subquery threshold + anti-join
     "ann_knn_join",  # new round 10d: two-table batch retrieval join
     "docs_export_plan",  # new round 10d: sharded training-export manifest
+    "events_skew_report",  # new round 10d: key-skew / salt-sizing diagnostics
+    "events_zorder_layout",  # new round 10d: Morton-tile lake-layout manifest
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -25,8 +25,9 @@ def test_registry_counts():
     # events_value_psi, docs_kn_perplexity
     # round 10d: + q4_order_priority_exists, q12_priority_line_classes,
     # q14_promo_revenue, q16_supplier_part_variety, q22_idle_customer_balance,
-    # ann_knn_join, docs_export_plan
-    assert len(PYTEST_ORACLES) == 72
+    # ann_knn_join, docs_export_plan, events_skew_report,
+    # events_zorder_layout
+    assert len(PYTEST_ORACLES) == 74
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
