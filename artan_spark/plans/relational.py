@@ -925,6 +925,206 @@ GROUP BY c_mktsegment
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flow between two nations
+    by year — lineitem joined to its SUPPLIER's nation and its ORDER's
+    CUSTOMER's nation, symmetric pair filter, grouped by (from, to, year).
+
+    Exactness: exact-decimal revenue sums; the year comes from an integer
+    YEAR() both engines evaluate identically on identical timestamps.
+
+    Scale shape: supplier/customer/nation are dimensions (broadcast);
+    orders x lineitem is the one fact-fact shuffle (orderkey). The pair
+    filter applies to the broadcast sides BEFORE the fact join, so
+    non-qualifying rows never reach the shuffle."""
+    n1 = "NATION_1"
+    n2 = "NATION_3"
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin(n1, n2))
+    )
+    cus = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin(n1, n2))
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    j = (
+        l.join(F.broadcast(sup), l["l_suppkey"] == sup["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cus), o["o_custkey"] == cus["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(dp), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         YEAR(l_shipdate) AS l_year, {_DISC_PRICE_SQL} AS dp
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_3')
+    AND nc.n_name IN ('NATION_1', 'NATION_3')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an aggregate VIEW joined against its
+    own MAX — suppliers whose quarterly revenue equals the global maximum
+    (the revenue-view + scalar-subquery form; exact decimals make the
+    equality safe where a float sum would make it a coin flip).
+
+    Scale shape: the revenue view is supplier-sized; its max is a 1-row
+    broadcast; supplier joins by key. ONE lineitem pass."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price_d()).alias("total_revenue_d"))
+    mx = rev.agg(F.max("total_revenue_d").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue_d"] == F.col("mx"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue_d", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE_SQL}) AS total_revenue_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_revenue_d, 2) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_d = (SELECT MAX(total_revenue_d) FROM revenue)
+"""
+
+
+Q18_QTY = 180
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery over a HAVING
+    aggregate — orders whose total lineitem quantity exceeds a threshold,
+    joined back to customer detail. Catalyst plans the IN as a semi-join
+    against the aggregated key set.
+
+    Exactness: quantities are exact decimals; counts are integers.
+
+    Scale shape: the HAVING aggregate is order-keyed (one fact pass,
+    map-side combined); only qualifying orderkeys (rare by construction)
+    reach the detail joins."""
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_EP)).alias("sum_qty_d"))
+        .filter(F.col("sum_qty_d") > Q18_QTY)
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "inner")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast(_EP).cast("double").alias("o_totalprice"),
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {Q18_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    OR-of-ANDs across both join sides — three (brand, size-range,
+    quantity-range) alternatives. Catalyst splits the common conjuncts out
+    of the OR and pushes them below the join (the Q19 optimization this
+    shape exists to exercise); the p_size/p_brand legs prune the broadcast
+    build side.
+
+    Exactness: one exact-decimal revenue sum + an integer count."""
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    alt = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(alt).agg(
+        F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -966,6 +1166,10 @@ PYTEST_ORACLES = {
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
     "q4_order_priority_exists": (q4_order_priority_exists, _Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, _Q7_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
     "q12_priority_line_classes": (q12_priority_line_classes, _Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q16_supplier_part_variety": (q16_supplier_part_variety, _Q16_SQL),

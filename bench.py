@@ -179,6 +179,10 @@ HEADLINE = [
     "docs_export_plan",  # new round 10d: sharded training-export manifest
     "events_skew_report",  # new round 10d: key-skew / salt-sizing diagnostics
     "events_zorder_layout",  # new round 10d: Morton-tile lake-layout manifest
+    "q7_nation_volume",  # new round 10d: two-nation volume (dim-prefiltered star)
+    "q15_top_supplier",  # new round 10d: revenue view == its own MAX
+    "q18_large_volume_customers",  # new round 10d: HAVING semi-join detail
+    "q19_disjunctive_revenue",  # new round 10d: OR-of-ANDs pushdown
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
