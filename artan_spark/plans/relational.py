@@ -998,12 +998,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality safe where a float sum would make it a coin flip).
 
     Scale shape: the revenue view is supplier-sized; its max is a 1-row
-    broadcast; supplier joins by key. ONE lineitem pass."""
+    broadcast; supplier joins by key. ONE lineitem pass — the view is
+    localCheckpoint'd because BOTH its max and the equality filter read it
+    (without the checkpoint Catalyst inlines the aggregation twice and the
+    fact is scanned twice, which the plan audit caught)."""
     l = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
-    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price_d()).alias("total_revenue_d"))
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_d()).alias("total_revenue_d"))
+        .localCheckpoint()
+    )
     mx = rev.agg(F.max("total_revenue_d").alias("mx"))
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
