@@ -13,6 +13,7 @@ from artan_spark.plans import (
     bm25,
     crosscorpus,
     dedup,
+    diff,
     dsir,
     estimation,
     exact_store,
@@ -69,6 +70,7 @@ MODULES = (
     profile,
     skew,
     zorder,
+    diff,
     multimodal,
 )
 

@@ -183,6 +183,7 @@ HEADLINE = [
     "q15_top_supplier",  # new round 10d: revenue view == its own MAX
     "q18_large_volume_customers",  # new round 10d: HAVING semi-join detail
     "q19_disjunctive_revenue",  # new round 10d: OR-of-ANDs pushdown
+    "docs_snapshot_diff",  # new round 10d: corpus snapshot diff report
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

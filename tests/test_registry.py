@@ -27,8 +27,9 @@ def test_registry_counts():
     # q14_promo_revenue, q16_supplier_part_variety, q22_idle_customer_balance,
     # ann_knn_join, docs_export_plan, events_skew_report,
     # events_zorder_layout, q7_nation_volume, q15_top_supplier,
-    # q18_large_volume_customers, q19_disjunctive_revenue
-    assert len(PYTEST_ORACLES) == 78
+    # q18_large_volume_customers, q19_disjunctive_revenue,
+    # docs_snapshot_diff
+    assert len(PYTEST_ORACLES) == 79
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
