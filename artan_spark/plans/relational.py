@@ -801,22 +801,29 @@ GROUP BY l_linestatus
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): conditional revenue ratio over
-    one month — 100 * promo revenue / total revenue, where promo is
-    ``p_type = 'PROMO'`` (this schema's p_type is the bare class name, not
-    a TPC-H 'PROMO ...' prefix).
+    one month — 100 * promo revenue / total revenue, where the "promo"
+    class is the lexicographically-smallest p_type — DERIVED, not pinned
+    (the driver fixtures carry a literal 'PROMO' class but the bench
+    tier's self-generated data does not; a pinned literal made the
+    numerator vacuously zero there).
 
     Exactness: both revenue sums are exact decimals; the ratio is ONE
     IEEE division on identical operands per engine — emitted unrounded.
 
-    Scale shape: part is the dimension (broadcast), lineitem the fact;
-    the month filter pushes to the scan; single hash aggregate."""
+    Scale shape: part is the dimension (broadcast, carrying a 1-row
+    is-promo flag join); the month filter pushes to the lineitem scan;
+    single hash aggregate."""
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo_type = p.agg(F.min("p_type").alias("promo_type"))
+    p = p.join(F.broadcast(promo_type)).select(
+        "p_partkey", (F.col("p_type") == F.col("promo_type")).alias("is_promo")
+    )
     l = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "inner")
-    promo = F.when(F.col("p_type") == "PROMO", _disc_price_d()).otherwise(
+    promo = F.when(F.col("is_promo"), _disc_price_d()).otherwise(
         F.lit(0).cast("decimal(12,2)")
     )
     return j.agg(
@@ -830,7 +837,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = f"""
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = (SELECT MIN(p_type) FROM part)
+                             THEN {_DISC_PRICE_SQL}
                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
              / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue_pct,
        COUNT(*) AS n_lineitems
@@ -933,24 +941,38 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: exact-decimal revenue sums; the year comes from an integer
     YEAR() both engines evaluate identically on identical timestamps.
 
-    Scale shape: supplier/customer/nation are dimensions (broadcast);
-    orders x lineitem is the one fact-fact shuffle (orderkey). The pair
-    filter applies to the broadcast sides BEFORE the fact join, so
-    non-qualifying rows never reach the shuffle."""
-    n1 = "NATION_1"
-    n2 = "NATION_3"
+    The nation pair is the two lexicographically-smallest names — DERIVED,
+    not pinned: the bench tier's self-generated data carries real TPC-H
+    nation names while the driver fixtures use NATION_n, and a literal pin
+    returned 0 rows at sf1.0 (the derive-don't-pin regime applies to
+    operator literals too).
+
+    Scale shape: supplier/customer/nation are dimensions (broadcast, the
+    2-row pair frame semi-joined into them); orders x lineitem is the one
+    fact-fact shuffle (orderkey). The pair filter applies to the broadcast
+    sides BEFORE the fact join, so non-qualifying rows never reach the
+    shuffle."""
     nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nat.select("n_name").orderBy("n_name").limit(2)
     sup = (
         read_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-        .filter(F.col("supp_nation").isin(n1, n2))
+        .join(
+            F.broadcast(pair.select(F.col("n_name").alias("supp_nation"))),
+            "supp_nation",
+            "left_semi",
+        )
     )
     cus = (
         read_table(spark, sf_dir, "customer")
         .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
-        .filter(F.col("cust_nation").isin(n1, n2))
+        .join(
+            F.broadcast(pair.select(F.col("n_name").alias("cust_nation"))),
+            "cust_nation",
+            "left_semi",
+        )
     )
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = read_table(spark, sf_dir, "lineitem").filter(
@@ -981,8 +1003,8 @@ FROM (
   JOIN orders ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
   JOIN nation nc ON nc.n_nationkey = c_nationkey
-  WHERE ns.n_name IN ('NATION_1', 'NATION_3')
-    AND nc.n_name IN ('NATION_1', 'NATION_3')
+  WHERE ns.n_name IN (SELECT n_name FROM nation ORDER BY n_name LIMIT 2)
+    AND nc.n_name IN (SELECT n_name FROM nation ORDER BY n_name LIMIT 2)
     AND ns.n_name <> nc.n_name
     AND l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1998-01-01'
