@@ -1,5 +1,6 @@
 from artan_spark.streaming.anomaly import StreamingRollingZScore
 from artan_spark.streaming.cms import StreamingCountMin
+from artan_spark.streaming.cusum import StreamingCusum
 from artan_spark.streaming.dedup import StreamingBloomDedup, streaming_dedup_exact
 from artan_spark.streaming.funnel import StreamingFunnel
 from artan_spark.streaming.harness import stream_transform
@@ -13,6 +14,7 @@ __all__ = [
     "stream_transform",
     "StreamingBloomDedup",
     "StreamingCountMin",
+    "StreamingCusum",
     "StreamingFunnel",
     "StreamingHeavyHitters",
     "StreamingPacker",

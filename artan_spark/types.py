@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
