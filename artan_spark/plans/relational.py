@@ -1154,6 +1154,137 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): name-filtered parts traced
+    through lineitem to the supplier's nation, profit grouped by (nation,
+    order-year). The profit formula adapts to this schema (no partsupp):
+    ``disc_price - 0.05 * p_retailprice * l_quantity`` — all exact
+    decimals, so the 2dp round is boundary-deterministic. The name filter
+    keeps parts whose first name-token is the lexicographically-smallest
+    one — DERIVED, not pinned (the two data generators use different
+    name vocabularies).
+
+    Scale shape: part/supplier/nation broadcast (part pre-filtered by the
+    1-row token semi); lineitem x orders is the one fact-fact shuffle."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.split(F.col("p_name"), " ").getItem(0).alias("tok")
+    )
+    tok = p.agg(F.min("tok").alias("tok"))
+    p = p.join(F.broadcast(tok), "tok", "left_semi").select("p_partkey", "p_retailprice")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    profit = _disc_price_d() - (
+        F.lit(0.05).cast(_PCT)
+        * F.col("p_retailprice").cast(_EP)
+        * F.col("l_quantity").cast(_EP)
+    )
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+    )
+    return j.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+    )
+
+
+_Q9_SQL = f"""
+SELECT nation, o_year, CAST(ROUND(SUM(profit), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+         {_DISC_PRICE_SQL}
+           - (CAST(0.05 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+              * CAST(l_quantity AS DECIMAL(12,2))) AS profit
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE split_part(p_name, ' ', 1)
+        = (SELECT MIN(split_part(p_name, ' ', 1)) FROM part)
+)
+GROUP BY nation, o_year
+"""
+
+
+Q11_MEAN_MULTIPLE = 2.0
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value share within ONE
+    nation's suppliers, kept when it exceeds a threshold share of the
+    nation total — a grouped aggregate HAVING against a global scalar
+    (1-row broadcast). The threshold is a MULTIPLE OF THE MEAN share
+    (2x), not a fixed fraction: TPC-H itself scales Q11's fraction by
+    1/SF because a constant goes vacuous as the part count grows (a
+    pinned 0.002 returned 0 rows at sf1.0). The nation is the
+    lexicographically-smallest name (derived); value = exact-decimal
+    extendedprice sum over the nation's lineitems (this schema's stand-in
+    for ps_supplycost * ps_availqty).
+
+    Scale shape: ONE lineitem pass, checkpointed part-keyed aggregate read
+    by both the total and the filter (the q15 single-scan discipline)."""
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = nat.orderBy("n_name").limit(1)
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(
+            F.broadcast(one.select("n_name")), "n_name", "left_semi"
+        )
+        .select("s_suppkey")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per_part = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_ep_d()).alias("value_d"))
+        .localCheckpoint()
+    )
+    tot = per_part.agg(
+        F.sum("value_d").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(
+            F.col("value_d").cast("double")
+            > Q11_MEAN_MULTIPLE * F.col("tot").cast("double") / F.col("n_parts")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_d").cast("double").alias("value"),
+        )
+    )
+
+
+_Q11_SQL = f"""
+WITH nation_suppliers AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = (SELECT MIN(n_name) FROM nation)
+),
+per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_d
+  FROM lineitem JOIN nation_suppliers ON s_suppkey = l_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value_d AS DOUBLE) AS value
+FROM per_part
+WHERE CAST(value_d AS DOUBLE)
+      > {Q11_MEAN_MULTIPLE} * (SELECT CAST(SUM(value_d) AS DOUBLE) FROM per_part)
+        / (SELECT COUNT(*) FROM per_part)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -1199,6 +1330,8 @@ PYTEST_ORACLES = {
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, _Q9_SQL),
+    "q11_important_stock": (q11_important_stock, _Q11_SQL),
     "q12_priority_line_classes": (q12_priority_line_classes, _Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q16_supplier_part_variety": (q16_supplier_part_variety, _Q16_SQL),

@@ -184,6 +184,8 @@ HEADLINE = [
     "q18_large_volume_customers",  # new round 10d: HAVING semi-join detail
     "q19_disjunctive_revenue",  # new round 10d: OR-of-ANDs pushdown
     "docs_snapshot_diff",  # new round 10d: corpus snapshot diff report
+    "q9_product_type_profit",  # new round 10d: multi-dim star profit rollup
+    "q11_important_stock",  # new round 10d: share-of-total HAVING scalar
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",
