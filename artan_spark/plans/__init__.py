@@ -32,6 +32,7 @@ from artan_spark.plans import (
     sketch_store,
     skew,
     temporal,
+    tokeval,
     textstats,
     tokenizer_store,
     unigram,
@@ -71,6 +72,7 @@ MODULES = (
     skew,
     zorder,
     diff,
+    tokeval,
     multimodal,
 )
 

@@ -186,6 +186,7 @@ HEADLINE = [
     "docs_snapshot_diff",  # new round 10d: corpus snapshot diff report
     "q9_product_type_profit",  # new round 10d: multi-dim star profit rollup
     "q11_important_stock",  # new round 10d: share-of-total HAVING scalar
+    "docs_tokenizer_eval",  # new round 10d: three-family tokenizer comparison
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

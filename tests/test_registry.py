@@ -35,6 +35,7 @@ def test_registry_counts():
         "docs_unigram_tokens",
         "docs_unigram_perplexity",
         "docs_wordpiece_tokens",
+        "docs_tokenizer_eval",
     }
     assert not set(PYTEST_ORACLES) & set(QUERIES)
     assert not set(NO_SQL_QUERIES) & set(QUERIES)
