@@ -1285,6 +1285,338 @@ WHERE CAST(value_d AS DOUBLE)
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    — for each qualifying part, the region's supplier(s) offering the
+    minimum cost — decorrelated into a per-part minimum joined back
+    (Catalyst's own rewrite). The part-supplier cost bridge is
+    MIN(l_extendedprice) per (part, supplier) from lineitem (no partsupp
+    on this schema); the region and the part size are DERIVED (smallest
+    r_name / smallest p_size), never pinned.
+
+    Exactness: costs and balances are exact decimals; the top-10 order is
+    a total order (acctbal DESC, nation, supplier, part) so the LIMIT is
+    deterministic.
+
+    Scale shape: region->nation->supplier is a broadcast dimension chain
+    that prefilters the bridge BEFORE the grouped min; the per-part min
+    frame is part-sized and joins back by key; TakeOrdered, no full sort."""
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rmin = r.orderBy("r_name").limit(1)
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).join(F.broadcast(rmin), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    psz = p.agg(F.min("p_size").alias("p_size"))
+    p = p.join(F.broadcast(psz), "p_size", "left_semi").select("p_partkey")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_ep_d()).alias("cost_d"))
+        .localCheckpoint()  # read twice: per-part min + the equality join
+    )
+    pmin = cost.groupBy("l_partkey").agg(F.min("cost_d").alias("min_cost_d"))
+    best = cost.join(F.broadcast(pmin), "l_partkey").filter(
+        F.col("cost_d") == F.col("min_cost_d")
+    )
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            F.col("s_acctbal").cast(_EP).cast("double").alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("cost_d").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("nation"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+_Q2_SQL = """
+WITH rsup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = (SELECT MIN(r_name) FROM region)
+),
+small_parts AS (
+  SELECT p_partkey FROM part WHERE p_size = (SELECT MIN(p_size) FROM part)
+),
+cost AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d
+  FROM lineitem
+  JOIN small_parts ON p_partkey = l_partkey
+  WHERE l_suppkey IN (SELECT s_suppkey FROM rsup)
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT c.* FROM cost c
+  WHERE cost_d = (SELECT MIN(cost_d) FROM cost m WHERE m.l_partkey = c.l_partkey)
+)
+SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+       s_name, n_name AS nation, l_partkey AS p_partkey,
+       CAST(cost_d AS DOUBLE) AS supply_cost
+FROM best JOIN rsup ON rsup.s_suppkey = best.l_suppkey
+ORDER BY s_acctbal DESC, nation ASC, s_name ASC, p_partkey ASC
+LIMIT 10
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's import volume by year — two-level conditional aggregation
+    over a 5-table star. Region, target nation and order-year window are
+    DERIVED (smallest r_name, smallest n_name inside it, the data's
+    min year + 1..2), never pinned.
+
+    Exactness: both volume sums are exact decimals; the share divides the
+    two identical-operand doubles — emitted unrounded.
+
+    Scale shape: all dimensions broadcast (customer prefiltered to the
+    region before the fact join); orders x lineitem is the one fact-fact
+    shuffle."""
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rmin = r.orderBy("r_name").limit(1)
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rnat = nat.join(
+        F.broadcast(rmin), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    target = rnat.agg(F.min("n_name").alias("target_nation"))
+    cus = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(rnat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    yr = o.agg((F.min(F.year("o_orderdate")) + 1).alias("y0"))
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cus), o["o_custkey"] == cus["c_custkey"], "left_semi")
+        .join(F.broadcast(sup), l["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(yr))
+        .join(F.broadcast(target))
+        .filter(F.year("o_orderdate").between(F.col("y0"), F.col("y0") + 1))
+    )
+    tgt = F.when(
+        F.col("supp_nation") == F.col("target_nation"), _disc_price_d()
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (
+            F.sum(tgt).cast("double") / F.sum(_disc_price_d()).cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q8_SQL = f"""
+WITH rmin AS (SELECT MIN(r_name) AS r_name FROM region),
+rnat AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON r_regionkey = n_regionkey, rmin
+  WHERE region.r_name = rmin.r_name
+),
+target AS (SELECT MIN(n_name) AS target_nation FROM rnat),
+y AS (SELECT MIN(YEAR(o_orderdate)) + 1 AS y0 FROM orders)
+SELECT YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN supp.n_name = target.target_nation
+                     THEN {_DISC_PRICE_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END)
+            AS DOUBLE)
+         / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation supp ON supp.n_nationkey = s_nationkey
+CROSS JOIN target CROSS JOIN y
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_nationkey IN (SELECT n_nationkey FROM rnat))
+  AND YEAR(o_orderdate) BETWEEN y.y0 AND y.y0 + 1
+GROUP BY YEAR(o_orderdate)
+"""
+
+
+def q20_excess_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): a doubly-nested
+    IN-subquery — suppliers of name-filtered parts whose shipping of some
+    part CONCENTRATES in one year (> half their all-time quantity for that
+    part shipped in the derived year — the availqty > 0.5*shipped
+    predicate of the original, re-expressed on this schema's lineitem
+    bridge). Selectors DERIVED: part name-token = the smallest first
+    token, the year = data min year + 1, nation = the smallest nation
+    that actually has suppliers.
+
+    Exactness: decimal quantity sums; 0.5x is an exact decimal product;
+    integer keys and strings everywhere else.
+
+    Scale shape: the (part, supplier) aggregate is bridge-sized and built
+    in ONE lineitem pass (conditional year sum beside the total — not two
+    scans); excess pair suppkeys semi-join into the nation-filtered
+    supplier dimension."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ").getItem(0).alias("tok")
+    )
+    tok = p.agg(F.min("tok").alias("tok"))
+    p = p.join(F.broadcast(tok), "tok", "left_semi").select("p_partkey")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    y0 = l.agg((F.min(F.year("l_shipdate")) + 1).alias("y0"))
+    qty_y = F.when(
+        F.year("l_shipdate") == F.col("y0"), F.col("l_quantity").cast(_EP)
+    ).otherwise(F.lit(0).cast(_EP))
+    pairs = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(F.broadcast(y0))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty_y).alias("qty_y"),
+            F.sum(F.col("l_quantity").cast(_EP)).alias("qty_tot"),
+        )
+        .filter(F.col("qty_y") > F.lit(0.5).cast("decimal(2,1)") * F.col("qty_tot"))
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    nmin = sup.agg(F.min("n_name").alias("n_name"))
+    return (
+        sup.join(F.broadcast(nmin), "n_name", "left_semi")
+        .join(
+            pairs.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+WITH tok AS (SELECT MIN(split_part(p_name, ' ', 1)) AS t FROM part),
+tparts AS (SELECT p_partkey FROM part, tok WHERE split_part(p_name, ' ', 1) = tok.t),
+y AS (SELECT MIN(YEAR(l_shipdate)) + 1 AS y0 FROM lineitem),
+pairs AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CASE WHEN YEAR(l_shipdate) = y.y0
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_y,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_tot
+  FROM lineitem, y
+  WHERE l_partkey IN (SELECT p_partkey FROM tparts)
+  GROUP BY l_partkey, l_suppkey, y.y0
+),
+nmin AS (
+  SELECT MIN(n_name) AS n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = (SELECT n_name FROM nmin)
+  AND s_suppkey IN (SELECT l_suppkey FROM pairs
+                    WHERE qty_y > CAST(0.5 AS DECIMAL(2,1)) * qty_tot)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT-EXISTS double correlation — count, per supplier in the
+    derived nation, the returned ('R') lineitems on MULTI-supplier orders
+    where this supplier was the ONLY one with a returned line. The Spark
+    side runs the decorrelated form (per-order distinct-supplier counts
+    joined back — the rewrite Catalyst applies); the DuckDB oracle states
+    the literal EXISTS/NOT-EXISTS form, so the parity check proves the
+    two formulations agree row-for-row.
+
+    Scale shape: the per-order counts aggregate ONE lineitem pass
+    (conditional distinct beside total distinct); the verdict join is
+    fact x order-sized on orderkey; supplier/nation broadcast; top-10 via
+    TakeOrdered with a total (numwait DESC, s_name) order."""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_rsupp"),
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    nmin = sup.agg(F.min("n_name").alias("n_name"))
+    sup = sup.join(F.broadcast(nmin), "n_name", "left_semi")
+    waiting = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_Q21_SQL = """
+WITH nmin AS (
+  SELECT MIN(n_name) AS n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = (SELECT n_name FROM nmin)
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_skew_safe_agg": events_skew_safe_agg,
@@ -1332,6 +1664,10 @@ PYTEST_ORACLES = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
     "q9_product_type_profit": (q9_product_type_profit, _Q9_SQL),
     "q11_important_stock": (q11_important_stock, _Q11_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q20_excess_shipping": (q20_excess_shipping, _Q20_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "q12_priority_line_classes": (q12_priority_line_classes, _Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q16_supplier_part_variety": (q16_supplier_part_variety, _Q16_SQL),

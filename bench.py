@@ -187,6 +187,10 @@ HEADLINE = [
     "q9_product_type_profit",  # new round 10d: multi-dim star profit rollup
     "q11_important_stock",  # new round 10d: share-of-total HAVING scalar
     "docs_tokenizer_eval",  # new round 10d: three-family tokenizer comparison
+    "q2_min_cost_supplier",  # new round 10d: correlated-MIN decorrelation
+    "q8_market_share",  # new round 10d: two-level conditional star agg
+    "q20_excess_shipping",  # new round 10d: doubly-nested IN semi-join
+    "q21_waiting_supplier",  # new round 10d: EXISTS/NOT-EXISTS double correlation
     "text_quality_score",
     "text_doc_features",
     "corpus_clean_stats",

@@ -28,8 +28,10 @@ def test_registry_counts():
     # ann_knn_join, docs_export_plan, events_skew_report,
     # events_zorder_layout, q7_nation_volume, q15_top_supplier,
     # q18_large_volume_customers, q19_disjunctive_revenue,
-    # docs_snapshot_diff, q9_product_type_profit, q11_important_stock
-    assert len(PYTEST_ORACLES) == 81
+    # docs_snapshot_diff, q9_product_type_profit, q11_important_stock,
+    # q2_min_cost_supplier, q8_market_share, q20_excess_shipping,
+    # q21_waiting_supplier — all 22 TPC-H shapes now present
+    assert len(PYTEST_ORACLES) == 85
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
