@@ -159,6 +159,18 @@ def main(sf_dir="/root/testdata/sf0.001"):
     print("batch perplexity under the frozen day-0 KN bigram LM:")
     ppl.orderBy("ppl").show(3)
 
+    from artan_spark.plans.diff import diff_report
+
+    print("what did today's batch change vs yesterday's corpus:")
+    diff_report(base_docs, base_docs.unionByName(new_docs)).groupBy("status").agg(
+        F.sum("n_docs").alias("n_docs")
+    ).orderBy("status").show()
+
+    from artan_spark.plans.skew import skew_report
+
+    print("events user_id skew profile (salt sizing for the keyed joins):")
+    skew_report(events, "user_id").show(truncate=False)
+
     from artan_spark.plans.export import export_plan, write_training_shards
 
     keep = new_docs.join(flags.filter("is_dup").select("doc_id"), "doc_id", "left_anti")
