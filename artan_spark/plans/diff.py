@@ -27,17 +27,27 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Row-level verdicts: (doc_id, source, status). Both inputs need
     (doc_id, source, text); source is taken from the side that has the
     row (new wins for changed/unchanged — it IS the current corpus)."""
+    # presence is an explicit flag, NOT hash nullness: a doc present with
+    # NULL text has a NULL md5 on that side and would otherwise be
+    # misclassified as added/removed; eqNullSafe makes NULL==NULL text
+    # 'unchanged' and a to/from-NULL transition 'changed'
     o = old.select(
-        F.col("doc_id"), F.col("source").alias("src_o"), F.md5("text").alias("h_o")
+        F.col("doc_id"),
+        F.col("source").alias("src_o"),
+        F.md5("text").alias("h_o"),
+        F.lit(True).alias("in_o"),
     )
     n = new.select(
-        F.col("doc_id"), F.col("source").alias("src_n"), F.md5("text").alias("h_n")
+        F.col("doc_id"),
+        F.col("source").alias("src_n"),
+        F.md5("text").alias("h_n"),
+        F.lit(True).alias("in_n"),
     )
     j = o.join(n, "doc_id", "full_outer")
     status = (
-        F.when(F.col("h_o").isNull(), F.lit("added"))
-        .when(F.col("h_n").isNull(), F.lit("removed"))
-        .when(F.col("h_o") == F.col("h_n"), F.lit("unchanged"))
+        F.when(F.col("in_o").isNull(), F.lit("added"))
+        .when(F.col("in_n").isNull(), F.lit("removed"))
+        .when(F.col("h_o").eqNullSafe(F.col("h_n")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(
@@ -81,11 +91,11 @@ new AS (
 ),
 verdicts AS (
   SELECT COALESCE(new.source, old.source) AS source,
-         CASE WHEN old.h IS NULL THEN 'added'
-              WHEN new.h IS NULL THEN 'removed'
-              WHEN old.h = new.h THEN 'unchanged'
+         CASE WHEN old.doc_id IS NULL THEN 'added'
+              WHEN new.doc_id IS NULL THEN 'removed'
+              WHEN old.h IS NOT DISTINCT FROM new.h THEN 'unchanged'
               ELSE 'changed' END AS status
-  FROM old FULL OUTER JOIN new USING (doc_id)
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 )
 SELECT source, status, COUNT(*) AS n_docs FROM verdicts GROUP BY source, status
 """

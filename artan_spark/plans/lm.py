@@ -445,8 +445,10 @@ def score_rowwise_with_lm(
     import pandas as pd
 
     meta = spark.read.parquet(model_dir + "/meta").first()
-    bi_rows = spark.read.parquet(model_dir + "/bigrams")
-    n_bi = bi_rows.count()
+    # ONE scan of the bigram table: the row list serves both the size gate
+    # and the dict builds (the parquet was scanned 2-3x before)
+    bi_list = spark.read.parquet(model_dir + "/bigrams").collect()
+    n_bi = len(bi_list)
     if n_bi > table_limit:
         raise ValueError(
             f"bigram table has {n_bi} rows > table_limit={table_limit}: the "
@@ -455,12 +457,22 @@ def score_rowwise_with_lm(
             "raise table_limit explicitly"
         )
     if smoothing == "kn":
+        if n_bi == 0:
+            # the join path degrades to NULL ppl here; the row-wise path
+            # would otherwise ZeroDivisionError inside every executor —
+            # fail fast on the driver with an actionable message instead
+            raise ValueError(
+                "KN model has an empty bigram table (reference corpus had "
+                "only single-token documents): Kneser-Ney continuation "
+                "counts are undefined — retrain with multi-token docs or "
+                "use smoothing='sb'"
+            )
         discount, oov_alpha = meta["discount"], meta["oov_alpha"]
         cvw = {}
         cv = {}
         n1v = {}
         n1w = {}
-        for r in bi_rows.collect():
+        for r in bi_list:
             cvw[(r["v"], r["w"])] = r["cvw"]
             cv[r["v"]] = cv.get(r["v"], 0) + r["cvw"]
             n1v[r["v"]] = n1v.get(r["v"], 0) + 1
@@ -490,7 +502,7 @@ def score_rowwise_with_lm(
         uni_rows = spark.read.parquet(model_dir + "/unigrams").collect()
         cw = {r["w"]: r["cw"] for r in uni_rows}
         n = float(sum(cw.values()))
-        cvw = {(r["v"], r["w"]): r["cvw"] for r in bi_rows.collect()}
+        cvw = {(r["v"], r["w"]): r["cvw"] for r in bi_list}
         bc = spark.sparkContext.broadcast((cw, cvw))
 
         def doc_ppl(text: str) -> tuple:
@@ -533,13 +545,21 @@ def score_rowwise_with_lm(
 
 
 def _py_tokens(text) -> list:
-    """Bit-match F.split(F.trim(text), r'\\s+'): java trim strips <= U+0020
-    only, and a leading separator yields an empty first element."""
+    """Bit-match ``F.split(F.trim(text), r'\\s+')``, empirically pinned
+    against the JVM (tests/test_lm.py::test_py_tokens_jvm_parity):
+
+    - Spark ``trim`` strips ONLY the ASCII space 0x20 — tabs, NUL,
+      \\x1c-\\x1f and Unicode spaces survive at the ends;
+    - Java regex ``\\s`` (no UNICODE_CHARACTER_CLASS) is the ASCII class
+      ``[ \\t\\n\\x0b\\f\\r]`` — NBSP/U+2028/U+3000 are NOT separators,
+      unlike Python's Unicode-aware ``\\s``;
+    - a leading separator after trim yields an empty first element, and
+      the empty string splits to ``['']``."""
     import re
 
     t = "" if text is None else str(text)
-    t = t.strip(" \t\n\r\f\v\x00")
-    return re.split(r"\s+", t) if t else [""]
+    t = t.strip(" ")
+    return re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
 
 
 QUERIES: dict = {}

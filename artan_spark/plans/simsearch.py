@@ -1942,8 +1942,15 @@ def knn_join(
     query_limit: int = KNN_JOIN_QUERY_LIMIT,
 ) -> DataFrame:
     """(query_id, embedding) x (vec_id, embedding) -> per-query top-k:
-    (query_id, neighbor_id, rank, cosine 6dp). Rank order is full-precision
-    cosine DESC with neighbor_id ASC tie-break — exact, not approximate."""
+    (query_id, neighbor_id, rank, cosine 6dp). Determinism contract (the
+    same one the other ANN oracles pin): the cosine is computed in the
+    oracle's op order — dot of RAW vectors divided by the norm product,
+    not normalize-then-dot — and every ranking stage (per-batch candidate
+    top-k AND the global winnow) orders by the 6dp-ROUNDED cosine with
+    neighbor_id ASC tie-break, so near-tie candidates order identically
+    across engines whenever the rounded cosines agree (the shared
+    cross-engine margin). The only residual is matmul accumulation order
+    inside one dot product, sub-1e-12 against a 1e-6 grid."""
     import pandas as pd
 
     spark = queries.sparkSession
@@ -1963,24 +1970,26 @@ def knn_join(
     rows = queries.select("query_id", "embedding").orderBy("query_id").collect()
     qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qmat = qmat / np.where(qnorm == 0.0, 1.0, qnorm)
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm = np.where(qnorm == 0.0, 1.0, qnorm)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def part_topk(batches):
-        ids_q, mq = bc.value
+        ids_q, mq, nq = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             # vec_id-ascending batch order + stable sort == neighbor_id ASC
-            # tie-break on equal cosines (duplicate vectors are real in
-            # deduplication corpora, so ties DO happen)
+            # tie-break on equal (rounded) cosines (duplicate vectors are
+            # real in deduplication corpora, so ties DO happen)
             pdf = pdf.sort_values("vec_id")
             vids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            norm = np.linalg.norm(m, axis=1, keepdims=True)
-            m = m / np.where(norm == 0.0, 1.0, norm)
-            sims = m @ mq.T  # (batch, n_q)
+            norm = np.linalg.norm(m, axis=1)
+            norm = np.where(norm == 0.0, 1.0, norm)
+            # oracle op order: raw dot, then divide by the norm product
+            sims = (m @ mq.T) / (norm[:, None] * nq[None, :])  # (batch, n_q)
+            sims = np.round(sims, 6)
             kk = min(k, len(pdf))
             top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, n_q)
             qcol = np.repeat(ids_q, kk)
@@ -1995,7 +2004,7 @@ def knn_join(
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.col("cosine"))
     )
 
 
@@ -2012,12 +2021,12 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_JOIN_SQL = f"""
 WITH n AS ({_EMB_SQL})
-SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+SELECT query_id, neighbor_id, rank, cosine
 FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(e.v, q.v) / (e.norm * q.norm) AS cosine,
+         ROUND(list_dot_product(e.v, q.v) / (e.norm * q.norm), 6) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                            ORDER BY list_dot_product(e.v, q.v) / (e.norm * q.norm) DESC,
+                            ORDER BY ROUND(list_dot_product(e.v, q.v) / (e.norm * q.norm), 6) DESC,
                                      e.vec_id ASC) AS rank
   FROM n e JOIN n q ON q.vec_id < {N_QUERIES} AND e.vec_id >= {N_QUERIES}
 )

@@ -33,12 +33,16 @@ TILE_BITS = 3  # bucket = top TILE_BITS of each dimension -> 8x8 = 64 tiles
 
 def _quantize(col: F.Column, mn: F.Column, mx: F.Column, bits: int = Q_BITS) -> F.Column:
     """Range-quantize to [0, 2^bits): identical-operand division + floor,
-    exact cross-engine; the max value clamps into the last cell."""
+    exact cross-engine; the max value clamps into the last cell. A
+    degenerate range (constant column, mx == mn) maps every row to cell 0
+    — without the guard 0/0 is NaN in Spark and engine-divergent in
+    DuckDB, poisoning the zkey."""
     cells = float(1 << bits)
     q = F.floor(
         (col.cast("double") - mn) / (mx - mn) * F.lit(cells)
     ).cast("int")
-    return F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1))
+    clamped = F.least(F.greatest(q, F.lit(0)), F.lit((1 << bits) - 1))
+    return F.when(mx == mn, F.lit(0)).otherwise(clamped)
 
 
 def _interleave(qx: F.Column, qy: F.Column, bits: int = Q_BITS) -> F.Column:
@@ -115,12 +119,14 @@ def _zorder_layout_sql() -> str:
     cells = float(1 << Q_BITS)
     hi = (1 << Q_BITS) - 1
     qx = (
+        f"CASE WHEN mxx = mnx THEN 0 ELSE "
         f"LEAST(GREATEST(CAST(FLOOR((CAST(user_id AS DOUBLE) - mnx) / (mxx - mnx) * {cells}) "
-        f"AS INT), 0), {hi})"
+        f"AS INT), 0), {hi}) END"
     )
     qy = (
+        f"CASE WHEN mxy = mny THEN 0 ELSE "
         f"LEAST(GREATEST(CAST(FLOOR((value - mny) / (mxy - mny) * {cells}) "
-        f"AS INT), 0), {hi})"
+        f"AS INT), 0), {hi}) END"
     )
     return f"""
 WITH rng AS (

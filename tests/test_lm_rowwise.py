@@ -56,3 +56,54 @@ def test_rowwise_size_gate(spark, tmp_path):
     persist_lm(spark, md, d)
     with pytest.raises(ValueError, match="table_limit"):
         score_rowwise_with_lm(spark, md, d, "kn", table_limit=1)
+
+
+def test_py_tokens_jvm_parity(spark):
+    """_py_tokens bit-matches F.split(F.trim(text), r'\\s+') on exotic
+    whitespace: NBSP/U+2028/U+3000/\\x1c-\\x1f are NOT separators in the
+    JVM (ASCII \\s, unlike Python's Unicode \\s), trim strips only 0x20,
+    and leading/trailing ASCII separators yield empty elements."""
+    from artan_spark.plans.lm import _py_tokens
+
+    cases = [
+        "a b  c",
+        " a b ",
+        " a b c",        # NBSP + line separator: kept in tokens
+        "\x1c\x1d x \x1e\x1f",     # file/group/record/unit separators: kept
+        "\ta\x0bb\x0cc\r\nd",      # leading tab -> empty first element
+        "\x01ctrl\x02 y \x00",     # control chars + NUL survive trim
+        "",
+        "   ",
+        "　wide　",        # ideographic space: not a separator
+        "a b\t",                   # trailing separator -> empty last element
+        "a\t\t",
+        "\t",
+        "a b \t ",
+        "x\r\n",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, t string"
+    )
+    jvm = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", F.split(F.trim("t"), r"\s+").alias("s")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        expect = jvm[i] if jvm[i] is not None else [""]
+        assert _py_tokens(c) == expect, (i, repr(c), jvm[i])
+
+
+def test_kn_empty_bigram_table_raises(spark, tmp_path):
+    """A reference corpus of only single-token docs persists an empty
+    bigram table; the KN row-wise path must fail fast on the driver with
+    an actionable error instead of ZeroDivisionError in every executor."""
+    d = spark.createDataFrame(
+        [(i, "ref", "solo") for i in range(5)], "doc_id long, source string, text string"
+    )
+    md = str(tmp_path / "lm1tok")
+    persist_lm(spark, md, d)
+    with pytest.raises(ValueError, match="empty bigram table"):
+        score_rowwise_with_lm(spark, md, d, "kn")

@@ -73,6 +73,24 @@ def test_zorder_keys_partitioning_invariant(spark):
     assert a == b
 
 
+def test_zorder_constant_dimension_is_guarded(spark):
+    """A constant column has mx == mn: without the degenerate-range guard
+    the quantizer divides 0/0 (NaN zkeys). All rows must land in cell 0
+    of that dimension — finite keys, and the varying dimension still
+    spreads across buckets."""
+    df = spark.createDataFrame(
+        [(7, float(i)) for i in range(256)], "k long, v double"
+    )
+    z = zorder_keys(df, "k", "v").collect()
+    assert all(r.zkey is not None and r.zkey >= 0 for r in z)
+    # constant x-dimension contributes 0 bits -> zkey is pure y-interleave
+    assert len({r.zbucket for r in z}) > 1
+    both_const = zorder_keys(
+        spark.createDataFrame([(1, 2.0)] * 5, "k long, v double"), "k", "v"
+    ).collect()
+    assert {(r.zkey, r.zbucket) for r in both_const} == {(0, 0)}
+
+
 def test_skew_report_suggests_salts_for_planted_skew(spark):
     # 900 rows on one key, 10 x 10 elsewhere: max_share = 0.9
     rows = [(0, i) for i in range(900)] + [(k, i) for k in range(1, 11) for i in range(10)]
