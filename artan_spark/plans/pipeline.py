@@ -202,7 +202,7 @@ def corpus_curation_with_quality(
     most n/3 ids) then semi-joins the ~30 B/doc gated metadata with the
     same count-gated broadcast the semantic-loser join uses; everything
     downstream is the shared metadata-manifest tail."""
-    from artan_spark.plans.quality_clf import nb_head_ids
+    from artan_spark.plans.quality_clf import _nb_memo_key, nb_head_ids
     from artan_spark.plans.urls import docs_url_dedup
     from artan_spark.sources import read_table_wide
 
@@ -215,7 +215,9 @@ def corpus_curation_with_quality(
     docs = read_table_wide(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    qhead = nb_head_ids(docs).localCheckpoint()  # materialize: gate must not re-run
+    qhead = nb_head_ids(
+        docs, memo_key=_nb_memo_key(spark, sf_dir)
+    ).localCheckpoint()  # materialize: gate must not re-run
     small = qhead.count() <= BROADCAST_LOSER_LIMIT
     gated_meta = gated_meta.join(
         F.broadcast(qhead) if small else qhead, "doc_id", "left_semi"

@@ -46,6 +46,7 @@ surface next to the Gopher/C4 heuristic gates and DSIR.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,14 +64,38 @@ QC_BROADCAST_LIMIT = 2_000_000
 _TWO60 = float(1 << 60)
 
 
+# session memo for the classifier's corpus feature pass: the checkpointed
+# (doc_id, bucket, count) frame is independent of curated_source/alpha, so
+# one fit serves docs_quality_classifier + docs_domain_quality (which runs
+# TWO score passes) + the curation pipeline in one session — the same
+# (appId, path, freshness-token) contract as simsearch's _KMEANS_CACHE
+_NB_DOCF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _nb_memo_key(spark: SparkSession, sf_dir: str) -> tuple:
+    from artan_spark.sources import _path_token
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return (spark.sparkContext.applicationId, path, _path_token(path))
+
+
+def _nb_evict_stale(key: tuple) -> None:
+    for stale in [kk for kk in _NB_DOCF_CACHE if kk[:2] == key[:2] and kk != key]:
+        del _NB_DOCF_CACHE[stale]
+
+
 def _nb_raw_scores(
     d: DataFrame,
     curated_source: str | None = None,
     alpha: float = QC_ALPHA,
+    memo_key: tuple | None = None,
 ) -> tuple:
     """Shared fit+score core: returns (base, scored) where scored is
     (doc_id, n_feats, raw_logit) — UNROUNDED. Consumed by the public
-    formatters (``nb_quality_scores``, ``nb_head_ids``)."""
+    formatters (``nb_quality_scores``, ``nb_head_ids``). ``memo_key``
+    (from ``_nb_memo_key``) caches the checkpointed feature-count pass
+    for the session; callers handing an arbitrary DataFrame leave it
+    None and pay the pass."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", "source", toks.alias("t"))
 
@@ -86,13 +111,19 @@ def _nb_raw_scores(
     if cur_ids.count() <= QC_BROADCAST_LIMIT:
         cur_flag = F.broadcast(cur_flag)
 
-    # ONE corpus pass: (doc, bucket) occurrence counts (the DSIR shape)
-    docf = (
-        _doc_features(base)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    # ONE corpus pass: (doc, bucket) occurrence counts (the DSIR shape) —
+    # session-memoized when the caller supplies a (appId, path, token) key
+    docf = _NB_DOCF_CACHE.get(memo_key) if memo_key is not None else None
+    if docf is None:
+        docf = (
+            _doc_features(base)
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        if memo_key is not None:
+            _nb_evict_stale(memo_key)
+            _NB_DOCF_CACHE[memo_key] = docf
     is_cur = F.col("cur").isNotNull()
     tagged = docf.join(cur_flag, "doc_id", "left")
     # class-conditional bucket counts: bucket-space-sized (<= QC buckets)
@@ -143,6 +174,7 @@ def nb_quality_scores(
     curated_source: str | None = None,
     alpha: float = QC_ALPHA,
     pareto_shape: float = PARETO_SHAPE,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, n_feats, logit, prob,
     keep): Naive-Bayes quality score against the curated slice.
@@ -153,7 +185,7 @@ def nb_quality_scores(
     per-feature logit, ``keep`` the GPT-3 Pareto-threshold decision.
     Curated docs score against their own class like any other doc (the
     GPT-3 setup scores the whole corpus with the trained model)."""
-    base, scored = _nb_raw_scores(d, curated_source, alpha)
+    base, scored = _nb_raw_scores(d, curated_source, alpha, memo_key)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
             "double"
@@ -182,6 +214,7 @@ def nb_head_ids(
     frac: float = QC_HEAD_FRAC,
     curated_source: str | None = None,
     alpha: float = QC_ALPHA,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(doc_id) of the classifier HEAD bucket: the top ``ceil(frac * n)``
     docs by per-feature NB score — CCNet's thirds orientation (§4.3), the
@@ -193,7 +226,7 @@ def nb_head_ids(
     top-k contract), selection is a distributed TakeOrdered."""
     import math
 
-    base, scored = _nb_raw_scores(d, curated_source, alpha)
+    base, scored = _nb_raw_scores(d, curated_source, alpha, memo_key)
     k = math.ceil(frac * base.count())  # EAGER, the dsir convention
     qs = F.round(
         F.col("raw_logit") / F.greatest(F.col("n_feats"), F.lit(1)).cast("double"), 6
@@ -413,7 +446,8 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: NB quality scores over ``documents``, curated
     slice = the lexicographically-smallest source."""
     return nb_quality_scores(
-        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        memo_key=_nb_memo_key(spark, sf_dir),
     )
 
 
@@ -516,8 +550,9 @@ def docs_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_wide(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    scores = nb_quality_scores(docs).select("doc_id", "prob")
-    head = F.broadcast(nb_head_ids(docs).withColumn("h", F.lit(1)))
+    mk = _nb_memo_key(spark, sf_dir)
+    scores = nb_quality_scores(docs, memo_key=mk).select("doc_id", "prob")
+    head = F.broadcast(nb_head_ids(docs, memo_key=mk).withColumn("h", F.lit(1)))
     return (
         dom.join(scores, "doc_id")
         .join(head, "doc_id", "left")

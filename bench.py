@@ -69,8 +69,13 @@ SF2_WATCH = [
         # medians settled it at 1.6-1.73 s, identical to the float-sum r9
         # record). corpus_curation_report joined after drawing 21.3 s in one
         # JVM vs 5.1 s in another the same day on identical code.
+        # corpus_curation_with_quality + docs_domain_quality joined r11:
+        # the r10 headline drew 32.2 s vs a 4.5 s fast-boot record on
+        # identical code — the NB-fit memo landed the same round, so the
+        # watch medians adjudicate what remains of the swing.
         "rts_smoother_events,corpus_clean_stats,dedup_clusters,"
-        "q5_nation_revenue,corpus_curation_report",
+        "q5_nation_revenue,corpus_curation_report,"
+        "corpus_curation_with_quality,docs_domain_quality",
     ).split(",") if q
 ]
 SF2_WATCH_PROCS = max(1, int(os.environ.get("SPARK_GRAFT_SF2_WATCH_PROCS", "3")))
@@ -87,6 +92,8 @@ SF2_QUERIES = [
     "ann_ivf_kmeans",
     "corpus_clean_stats",
     "corpus_curation_report",  # round 8: the composed pipeline's scale curve
+    "corpus_curation_with_quality",  # round 11: NB-memo adjudication (r10 flag)
+    "docs_domain_quality",  # round 11: same fit, halves in-suite with the memo
     "docs_gopher_repetition",  # round 8: the arrow gate's scale curve
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
@@ -98,14 +105,18 @@ SF2_QUERIES = [
 ]
 
 
-def _median_time(run) -> tuple[float, int]:
-    """Median wall-clock of REPEATS calls of run() (an action returning rowcount)."""
+def _median_time(run) -> tuple[float, int, list]:
+    """(median wall-clock, rowcount, raw per-repeat times) of REPEATS
+    calls of run(). The raw list is recorded in BENCH_DETAIL so a reader
+    can see the first-call/warm split per entry (times[0] is the cold
+    call that pays JIT/codegen/fit memos) instead of re-adjudicating
+    "is it the fit or the query" from the median alone."""
     times, n = [], 0
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         n = run()
         times.append(time.perf_counter() - t0)
-    return statistics.median(times), n
+    return statistics.median(times), n, [round(t, 3) for t in times]
 
 # representative slice: relational, windowed streaming-ish, dedup, simsearch,
 # text, and the stateful estimation operators
@@ -254,13 +265,15 @@ def _run_tier(tier: str) -> dict:
     if tier == "headline":
         spark = _fresh_session("artan_spark-bench")
         timings: dict[str, float] = {}
+        repeats: dict[str, list] = {}
         for name in HEADLINE:
             fn = _resolve(name)
-            sec, n = _median_time(lambda: fn(spark, SF_DIR).count())
+            sec, n, raw = _median_time(lambda: fn(spark, SF_DIR).count())
             timings[name] = round(sec, 3)
+            repeats[name] = raw
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.stop()
-        return {"queries": timings}
+        return {"queries": timings, "queries_repeats": repeats}
 
     if tier == "ops":
         # Per-operator throughput in its own session: suite history (JVM
@@ -293,6 +306,7 @@ def _run_tier(tier: str) -> dict:
         #    times and medians the process-medians.
         spark = _fresh_session("artan_spark-bench-sf2")
         timings2: dict[str, float] = {}
+        repeats2: dict[str, list] = {}
         for name in (SF2_ONLY or SF2_QUERIES):
             fn = _resolve(name)
             runs = []
@@ -301,9 +315,10 @@ def _run_tier(tier: str) -> dict:
                 n = fn(spark, SF2_DIR).count()
                 runs.append(time.perf_counter() - t0)
             timings2[name] = round(statistics.median(runs), 3)
+            repeats2[name] = [round(t, 3) for t in runs]
             print(f"# sf{SF2} {name}: {timings2[name]:.3f}s ({n} rows)", file=sys.stderr)
         spark.stop()
-        return {"queries_sf2": timings2}
+        return {"queries_sf2": timings2, "queries_sf2_repeats": repeats2}
 
     raise SystemExit(f"unknown tier {tier!r}")
 
@@ -346,14 +361,21 @@ def main() -> None:
     if SF2:
         # median of per-process WARM medians across independent JVMs
         # (see the sf2 tier comment for the two noise sources)
-        samples = [run_tier("sf2")["queries_sf2"] for _ in range(SF2_PROCS)]
+        sf2_parts = [run_tier("sf2") for _ in range(SF2_PROCS)]
+        samples = [sp["queries_sf2"] for sp in sf2_parts]
         # watch items get SF2_WATCH_PROCS independent JVMs regardless:
         # extra watch-only processes top the sample count up
         watch = [q for q in SF2_WATCH if q in samples[0]]
         for _ in range(max(0, SF2_WATCH_PROCS - SF2_PROCS)):
             if not watch:
                 break
-            samples.append(run_tier("sf2", only=watch)["queries_sf2"])
+            wp = run_tier("sf2", only=watch)
+            sf2_parts.append(wp)
+            samples.append(wp["queries_sf2"])
+        # per-process raw repeat lists: [cold, warm, ...] per entry
+        parts["queries_sf2_repeats"] = [
+            sp.get("queries_sf2_repeats", {}) for sp in sf2_parts
+        ]
         parts["queries_sf2"] = {
             name: round(
                 statistics.median(s[name] for s in samples if name in s), 3
@@ -375,6 +397,9 @@ def main() -> None:
         "unit": "sec",
         "queries": parts["queries"],
         "operator_rows_per_sec": parts["operator_rows_per_sec"],
+        # raw per-repeat times: [cold, warm, ...] per entry — the
+        # first/warm split that ends fit-vs-query adjudications
+        "queries_repeats": parts.get("queries_repeats", {}),
         "sf": sf,
     }
     if SF2:
@@ -384,6 +409,7 @@ def main() -> None:
         detail["sf2_watch_procs"] = SF2_WATCH_PROCS
         detail["queries_sf2"] = parts["queries_sf2"]
         detail["queries_sf2_samples"] = parts["queries_sf2_samples"]
+        detail["queries_sf2_repeats"] = parts["queries_sf2_repeats"]
         detail["value_sf2"] = round(sum(parts["queries_sf2"].values()), 3)
 
     # Full per-query map -> a tracked artifact; the driver's stdout-tail

@@ -220,3 +220,29 @@ def test_rowwise_scoring_matches_join_path_and_streams(spark, tmp_path):
     assert set(got) == set(row_path)
     for i in got:
         assert got[i].asDict() == row_path[i].asDict(), i
+
+
+def test_nb_fit_is_session_memoized(spark):
+    """The classifier's corpus feature pass runs ONCE per (session,
+    documents path, freshness token): a second entry over the same lake
+    reuses the identical checkpointed (doc, bucket) frame — the
+    _KMEANS_CACHE contract applied to the NB fit."""
+    from conftest import SF_DIR
+
+    from artan_spark.plans.quality_clf import (
+        _NB_DOCF_CACHE,
+        _nb_memo_key,
+        docs_domain_quality,
+        docs_quality_classifier,
+    )
+
+    _NB_DOCF_CACHE.clear()
+    docs_quality_classifier(spark, SF_DIR).count()
+    key = _nb_memo_key(spark, SF_DIR)
+    assert key in _NB_DOCF_CACHE
+    ckpt = _NB_DOCF_CACHE[key]
+    # domain report runs TWO score passes (scores + head ids): both must
+    # hit the same cached fit, and the cache must not grow
+    docs_domain_quality(spark, SF_DIR).count()
+    assert _NB_DOCF_CACHE[key] is ckpt
+    assert len(_NB_DOCF_CACHE) == 1
