@@ -40,6 +40,7 @@ __all__ = [
     "multiply_matrix_vector",
     "project_matrix",
     "rand_multi_gaussian",
+    "rand_multi_gaussian_with_col",
     "axpy_vector_aggregate",
     "axpy_matrix_aggregate",
     "latest_state_likelihood",
@@ -249,6 +250,34 @@ def rand_multi_gaussian(mean: np.ndarray, cov: np.ndarray, seed: int = 0) -> Col
                 expr = expr + F.lit(float(root[k, j])) * randn[j]
         dims.append(expr)
     return F.array(*dims)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _scale_mvn_udf(mean: pd.Series, cov: pd.Series, z: pd.Series) -> pd.Series:
+    # mean + chol(cov) @ z, per row — Arrow-batched; cov is the matrix
+    # struct (column-major values), z the pre-drawn standard normals
+    out = []
+    for mu, mc, vz in zip(mean, _mats_to_np(cov), z):
+        root = np.linalg.cholesky(mc)
+        out.append(np.asarray(mu, dtype=np.float64) + root @ np.asarray(vz, dtype=np.float64))
+    return pd.Series(out)
+
+
+def rand_multi_gaussian_with_col(mean_col, cov_col, size: int, seed: int = 0) -> Column:
+    """Per-row-parameter MVN sample column: for each row,
+    ``mean + chol(cov) @ z`` with ``z`` a fresh standard-normal vector —
+    the column variant of :func:`rand_multi_gaussian`
+    (SparkFunctions.scala:246-258 ``randMultiGaussianWithCol``).
+
+    ``mean_col`` is an ``array<double>`` column, ``cov_col`` a matrix
+    struct column, ``size`` the dimension (the reference requires it too:
+    the randn vector's width can't be inferred from an unevaluated
+    column). The normals are drawn JVM-side with ``F.randn(seed + j)``
+    exactly like the constant variant — only the per-row Cholesky + gemv
+    runs in the Arrow batch, so the randomness semantics (per-partition
+    seeded streams) match the reference's ``randnVector``."""
+    z = F.array(*[F.randn(seed + j) for j in range(size)])
+    return _scale_mvn_udf(_col(mean_col), _col(cov_col), z)
 
 
 # -- aggregates (LinalgUtils.scala:51-135) ----------------------------------

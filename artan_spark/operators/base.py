@@ -317,17 +317,39 @@ class StatefulTransformer(HasParams):
         Same fold, same packed state tuple — only the state-store plumbing
         differs: the packed state lives in a named ValueState managed by
         ``transformWithStateInPandas`` (RocksDB-backed, schema-evolvable)
-        instead of the ``applyInPandasWithState`` GroupState blob. Timeouts
-        map to engine timers; only the 'none' mode is wired so far (the
-        default backend covers process/event timeouts).
+        instead of the ``applyInPandasWithState`` GroupState blob. All
+        three timeout modes are wired, mirroring the default backend's
+        semantics exactly (tests/test_tws_backend.py runs the same
+        timeout suite against both): process = an engine timer re-armed
+        at now+duration per input batch; event = the lastEvent+horizon
+        timer PLUS the access-time gap check, because a timer only fires
+        in a batch where the key is silent — a row arriving beyond the
+        horizon must fold against a fresh state, not the expired one.
         """
+        # timeout-config validation BEFORE the protobuf probe: a semantic
+        # config error should surface identically whether or not the
+        # runner dependency is installed
+        timeout_mode = self.get("stateTimeoutMode")
+        timeout_duration = self.get("stateTimeoutDuration")
+        process_mode = timeout_mode == "process"
+        event_mode = timeout_mode == "event"
+        duration_ms = None
+        if process_mode:
+            if not timeout_duration:
+                raise ValueError(
+                    "process-time state timeout needs stateTimeoutDuration"
+                )
+            duration_ms = int(pd.Timedelta(timeout_duration).total_seconds() * 1000)
+        horizon_ms = None
+        if event_mode:
+            dur = timeout_duration or self.get("watermarkDuration")
+            if not dur:
+                raise ValueError(
+                    "event-time state timeout needs stateTimeoutDuration "
+                    "or watermarkDuration as the idleness horizon"
+                )
+            horizon_ms = int(pd.Timedelta(dur).total_seconds() * 1000)
         from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-        if self.get("stateTimeoutMode") != "none":
-            raise NotImplementedError(
-                "state timeouts on the transformWithState backend are not wired; "
-                "use the default applyInPandasWithState backend"
-            )
 
         try:
             # pyspark's transformWithState driver runner imports protobuf at
@@ -345,18 +367,68 @@ class StatefulTransformer(HasParams):
         pack, unpack = self._packState, self._unpackState
         state_schema = self._stateSchema()
         columns = [f.name for f in out_schema.fields]
+        if event_mode:
+            from pyspark.sql.types import LongType, StructField
+
+            state_schema = StructType(
+                state_schema.fields + [StructField("__lastEv__", LongType(), True)]
+            )
+        time_mode = {"none": "None", "process": "ProcessingTime", "event": "EventTime"}[
+            timeout_mode
+        ]
 
         class _FoldProcessor(StatefulProcessor):
             def init(self, handle):
+                self._handle = handle
                 self._vs = handle.getValueState("packed", state_schema)
+
+            def _rearm(self, expiry_ms: int) -> None:
+                # single-timer discipline: the engine keeps every
+                # registered timestamp, so drop stale ones before arming
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(expiry_ms)
 
             def handleInputRows(self, key, rows, timer_values):
                 pdf = pd.concat(list(rows), ignore_index=True)
-                packed = self._vs.get() if self._vs.exists() else None
-                state = None if packed is None else unpack(tuple(packed))
+                last_ev = None
+                state = None
+                if self._vs.exists():
+                    packed = tuple(self._vs.get())
+                    if event_mode:
+                        last_ev, packed = packed[-1], packed[:-1]
+                    state = unpack(packed)
+                if event_mode:
+                    ev = pdf[EVENT_TIME].dropna()
+                    if len(ev):
+                        mn_ms = pd.Timestamp(ev.min()).value // 1_000_000
+                        mx_ms = pd.Timestamp(ev.max()).value // 1_000_000
+                        if last_ev is not None and mn_ms - last_ev > horizon_ms:
+                            # idle past the horizon: expired at access time
+                            state, last_ev = None, None
+                        last_ev = mx_ms if last_ev is None else max(last_ev, mx_ms)
                 out, state = fold(sort_group(pdf), state)
-                self._vs.update(tuple(pack(state)))
+                self._vs.update(
+                    tuple(pack(state)) + ((last_ev,) if event_mode else ())
+                )
+                if process_mode:
+                    self._rearm(
+                        timer_values.getCurrentProcessingTimeInMs() + duration_ms
+                    )
+                elif event_mode:
+                    wm = timer_values.getCurrentWatermarkInMs()
+                    base_ts = wm if last_ev is None else last_ev
+                    # armed at lastEvent+horizon so the timer NEVER fires
+                    # before the key has truly been idle for the horizon
+                    self._rearm(max(base_ts + horizon_ms, wm + 1))
                 yield rows_to_pdf(out, columns)
+
+            def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+                # timeout clears state; the key restarts from the initial
+                # state on its next row (same contract as the default
+                # backend's hasTimedOut branch)
+                self._vs.clear()
+                return iter([])
 
             def close(self):
                 pass
@@ -365,7 +437,7 @@ class StatefulTransformer(HasParams):
             statefulProcessor=_FoldProcessor(),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="None",
+            timeMode=time_mode,
         )
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:

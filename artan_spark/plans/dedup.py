@@ -608,7 +608,6 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -617,7 +616,6 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
-    "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COSINE_SQL,
 }
@@ -677,6 +675,9 @@ FROM own GROUP BY doc_id
 # stays oracle-checked in pytest (tests/test_oracle.py). The minhash flag
 # query is the batch anchor for the streaming near-dup operators.
 PYTEST_ORACLES = {
+    # r11 window rotation: the simhash variant keeps its oracle in the
+    # pytest gate (minhash + jaccard stay windowed for the family)
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "docs_minhash_dedup_flags": (docs_minhash_dedup_flags, _minhash_flags_sql()),
 }

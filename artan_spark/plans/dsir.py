@@ -233,13 +233,10 @@ FROM scored s
 """
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-# registry is at the driver's 50-entry cap: this query carries its oracle
-# through the pytest gate
-PYTEST_ORACLES = {
-    "docs_dsir_select": (docs_dsir_select, _DSIR_SQL),
-}
+# r11 window rotation: DSIR selection joined the driver window
+QUERIES = {"docs_dsir_select": docs_dsir_select}
+ORACLES = {"docs_dsir_select": _DSIR_SQL}
+PYTEST_ORACLES: dict = {}
 
 
 # -- source-distribution divergence --------------------------------------------

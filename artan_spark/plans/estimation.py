@@ -719,8 +719,33 @@ FROM rec
 """
 
 
+STREAM_CHUNK_ROWS = 2000  # ~5 micro-batches at the driver gate's sf0.01
+
+
+def lkf_events_streamed(spark, sf_dir):
+    """The batch LKF entry executed through the STREAMING backend: the
+    same events feed replayed as a file stream (one micro-batch per chunk
+    via maxFilesPerTrigger) through ``applyInPandasWithState``, checked
+    against the SAME recursive-CTE oracle as ``lkf_events_local_level`` —
+    so the external gate pins streaming execution == batch == SQL, not
+    just the pytest replay tests. Correctness-gate shape only: the replay
+    harness collects the feed to the driver to chunk it (bounded at the
+    gate's SF; production streams read a real source)."""
+    from artan_spark.streaming.harness import stream_transform
+
+    flt = _local_level(LinearKalmanFilter)
+    out = stream_transform(
+        spark,
+        _events_measurements(spark, sf_dir),
+        flt.transform,
+        chunk_rows=STREAM_CHUNK_ROWS,
+    )
+    return _finalize_raw(out)
+
+
 QUERIES = {
     "lkf_events_local_level": lkf_events_local_level,
+    "lkf_events_streamed": lkf_events_streamed,
     "ekf_events_local_level": ekf_events_local_level,
     "ukf_events_local_level": ukf_events_local_level,
     "ckf_events_local_level": ckf_events_local_level,
@@ -738,6 +763,7 @@ QUERIES = {
 # variants via margin-guarded rounding (see comments above each SQL)
 ORACLES = {
     "lkf_events_local_level": _KF_1D_SQL,
+    "lkf_events_streamed": _KF_1D_SQL,
     "ekf_events_local_level": _KF_1D_SQL,
     "ukf_events_local_level": _KF_1D_ROUNDED_SQL,
     "ckf_events_local_level": _KF_1D_ROUNDED_SQL,

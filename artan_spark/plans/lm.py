@@ -562,11 +562,11 @@ def _py_tokens(text) -> list:
     return re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-# registry is at the driver's 50-entry cap: these queries carry their
-# oracles through the pytest gate
+# r11 window rotation: the stupid-backoff perplexity entry joined the
+# driver window (the external gate had never exercised the LM family);
+# the KN variant keeps its oracle in the pytest gate
+QUERIES = {"docs_lm_perplexity": docs_lm_perplexity}
+ORACLES = {"docs_lm_perplexity": _LM_PPL_SQL}
 PYTEST_ORACLES = {
-    "docs_lm_perplexity": (docs_lm_perplexity, _LM_PPL_SQL),
     "docs_kn_perplexity": (docs_kn_perplexity, _KN_PPL_SQL),
 }

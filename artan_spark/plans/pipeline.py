@@ -299,12 +299,11 @@ GROUP BY source
     )
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-# registry is at the driver's 50-entry cap: the composition carries its
-# oracle through the pytest gate
+# r11 window rotation: the composed curation pipeline joined the driver
+# window; the url/quality-staged variants keep pytest oracles
+QUERIES = {"corpus_curation_report": corpus_curation_report}
+ORACLES = {"corpus_curation_report": _curation_sql()}
 PYTEST_ORACLES = {
-    "corpus_curation_report": (corpus_curation_report, _curation_sql()),
     "corpus_curation_with_urls": (
         corpus_curation_with_urls,
         _curation_sql(url_stage=True),

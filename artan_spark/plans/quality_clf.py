@@ -510,13 +510,10 @@ FROM qbase b JOIN qscored s ON b.doc_id = s.doc_id
 """
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-# the driver registry is at its 50-entry cap: this query carries its oracle
-# through the pytest gate (the docs_dsir_select contract)
-PYTEST_ORACLES = {
-    "docs_quality_classifier": (docs_quality_classifier, _QUALITY_CLF_SQL),
-}
+# r11 window rotation: the NB classifier joined the driver window
+QUERIES = {"docs_quality_classifier": docs_quality_classifier}
+ORACLES = {"docs_quality_classifier": _QUALITY_CLF_SQL}
+PYTEST_ORACLES: dict = {}
 NO_SQL_QUERIES: dict = {}
 
 

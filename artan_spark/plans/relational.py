@@ -1625,38 +1625,42 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "events_hypertable_rollup": events_hypertable_rollup,
-    "events_json_extract": events_json_extract,
-    "top_parts_by_revenue": top_parts_by_revenue,
-    "orders_priority_rollup": orders_priority_rollup,
     "events_window_stats": events_window_stats,
     "events_user_activity": events_user_activity,
-    "customer_order_balance": customer_order_balance,
+    # r11 window rotation: json_extract/top_parts/priority_rollup/
+    # order_balance moved to the pytest gate after 9 stable rounds;
+    # the funnel + three previously-unwindowed TPC-H shapes take the slots
+    "events_funnel": events_funnel,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
 }
 
 ORACLES = {
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_items": _Q10_SQL,
     "events_hypertable_rollup": _HYPERTABLE_SQL,
-    "events_json_extract": _JSON_EXTRACT_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
-    "top_parts_by_revenue": _TOP_PARTS_SQL,
-    "orders_priority_rollup": _ROLLUP_SQL,
     "events_window_stats": _EVENTS_WINDOW_SQL,
     "events_user_activity": _EVENTS_SESSIONS_SQL,
-    "customer_order_balance": _CUST_BALANCE_SQL,
+    "events_funnel": _FUNNEL_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q21_waiting_supplier": _Q21_SQL,
 }
 
 # registry is at the driver's 50-entry cap; the salted-join demo keeps a
 # pytest oracle (the plain join — salting must be invisible in the result)
 PYTEST_ORACLES = {
     "events_skew_safe_join": (events_skew_safe_join, _SKEW_JOIN_SQL),
-    "events_funnel": (events_funnel, _FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, _RETENTION_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "events_json_extract": (events_json_extract, _JSON_EXTRACT_SQL),
+    "top_parts_by_revenue": (top_parts_by_revenue, _TOP_PARTS_SQL),
+    "orders_priority_rollup": (orders_priority_rollup, _ROLLUP_SQL),
+    "customer_order_balance": (customer_order_balance, _CUST_BALANCE_SQL),
     "q4_order_priority_exists": (q4_order_priority_exists, _Q4_SQL),
     "q7_nation_volume": (q7_nation_volume, _Q7_SQL),
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
@@ -1667,7 +1671,6 @@ PYTEST_ORACLES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q8_market_share": (q8_market_share, _Q8_SQL),
     "q20_excess_shipping": (q20_excess_shipping, _Q20_SQL),
-    "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "q12_priority_line_classes": (q12_priority_line_classes, _Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q16_supplier_part_variety": (q16_supplier_part_variety, _Q16_SQL),

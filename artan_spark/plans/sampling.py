@@ -656,16 +656,14 @@ GROUP BY d.source
 """
 
 
+# r11 window rotation: stratified/weighted moved to the pytest gate
+# (split_assign + decontaminate keep the sampler family in the window)
 QUERIES = {
     "docs_split_assign": docs_split_assign,
-    "docs_stratified_sample": docs_stratified_sample,
-    "docs_weighted_sample": docs_weighted_sample,
     "docs_decontaminate": docs_decontaminate,
 }
 ORACLES = {
     "docs_split_assign": _SPLIT_SQL,
-    "docs_stratified_sample": _STRATIFIED_SQL,
-    "docs_weighted_sample": _WEIGHTED_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
 }
 # registry is at the driver's 50-entry cap; these keep pytest oracles
@@ -839,6 +837,8 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_shingles FROM hits GROUP BY
 
 
 PYTEST_ORACLES = {
+    "docs_stratified_sample": (docs_stratified_sample, _STRATIFIED_SQL),
+    "docs_weighted_sample": (docs_weighted_sample, _WEIGHTED_SQL),
     "docs_decontaminate_bloom": (docs_decontaminate_bloom, _DECON_BLOOM_SQL),
     "docs_unimax_mix": (docs_unimax_mix, _UNIMAX_SQL),
     "docs_pack_sequences": (docs_pack_sequences, _PACK_SQL),

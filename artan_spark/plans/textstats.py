@@ -416,22 +416,18 @@ FROM r GROUP BY lang
 """
 
 
+# r11 window rotation: the per-feature text queries (quality score, lang
+# profile/id, quantiles) moved to the pytest gate — their compute is a
+# strict subset of corpus_clean_stats/text_doc_features, which stay in the
+# driver window — freeing slots for the LM/DSIR/classifier/TPC-H families.
 QUERIES = {
     "corpus_clean_stats": corpus_clean_stats,
     "text_doc_features": text_doc_features,
-    "docs_quality_quantiles": docs_quality_quantiles,
-    "text_quality_score": text_quality_score,
-    "text_lang_profile": text_lang_profile,
-    "text_lang_id": text_lang_id,
 }
 
 ORACLES = {
     "corpus_clean_stats": _CORPUS_CLEAN_SQL,
     "text_doc_features": _DOC_FEATURES_SQL,
-    "docs_quality_quantiles": _QUANTILES_SQL.format(quality=_QUALITY_SQL),
-    "text_quality_score": _QUALITY_SQL,
-    "text_lang_profile": _LANG_PROFILE_SQL,
-    "text_lang_id": _lang_id_sql(),
 }
 
 TFIDF_TOP_K = 3
@@ -1867,8 +1863,15 @@ PYTEST_ORACLES = {
     "docs_tfidf_topterms": (docs_tfidf_topterms, _TFIDF_SQL),
     "docs_pii_scrub": (docs_pii_scrub, _PII_SQL),
     "docs_dedup_lines": (docs_dedup_lines, _DEDUP_LINES_SQL),
-    "docs_dedup_substrings": (docs_dedup_substrings, _DEDUP_SUBSTR_SQL),
+    "docs_quality_quantiles": (docs_quality_quantiles, _QUANTILES_SQL.format(quality=_QUALITY_SQL)),
+    "text_quality_score": (text_quality_score, _QUALITY_SQL),
+    "text_lang_profile": (text_lang_profile, _LANG_PROFILE_SQL),
+    "text_lang_id": (text_lang_id, _lang_id_sql()),
 }
+# promoted to the driver window in the r11 rotation (ExactSubstr is the
+# Lee et al. dedup shape the external gate had never exercised)
+QUERIES["docs_dedup_substrings"] = docs_dedup_substrings
+ORACLES["docs_dedup_substrings"] = _DEDUP_SUBSTR_SQL
 
 
 # -- text normalization --------------------------------------------------------

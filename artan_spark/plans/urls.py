@@ -365,11 +365,11 @@ GROUP BY d.registered_domain
 """
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+# r11 window rotation: URL-level dedup joined the driver window
+QUERIES = {"docs_url_dedup": docs_url_dedup}
+ORACLES = {"docs_url_dedup": _URL_DEDUP_SQL}
 PYTEST_ORACLES = {
     "docs_url_canonical": (docs_url_canonical, _URL_CANONICAL_SQL),
-    "docs_url_dedup": (docs_url_dedup, _URL_DEDUP_SQL),
     "docs_host_stats": (docs_host_stats, _HOST_STATS_SQL),
     "docs_domain_cap": (docs_domain_cap, _domain_cap_sql()),
 }

@@ -71,6 +71,39 @@ def test_rand_multi_gaussian(spark):
     np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.1)
 
 
+def test_rand_multi_gaussian_with_col(spark):
+    """Column-parameter variant (SparkFunctions.scala:246-258): per-row
+    (mean, cov) MVN draws. On constant columns the sample moments must
+    recover the same distribution the constant variant draws from, and
+    rows with different parameters must follow their own row's mean."""
+    mean = np.array([1.0, -2.0])
+    cov = np.array([[2.0, 0.8], [0.8, 1.0]])
+    base = spark.range(20000).select(
+        F.lit(mean.tolist()).cast("array<double>").alias("mu"),
+        AF.array_to_matrix(2, 2, F.lit(cov.T.ravel().tolist()).cast("array<double>")).alias("sig"),
+    )
+    df = base.select(AF.rand_multi_gaussian_with_col("mu", "sig", 2, seed=7).alias("s"))
+    samples = np.stack([np.array(r.s) for r in df.collect()])
+    np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.1)
+
+    # per-row parameters: even ids centered at +10, odd at -10
+    mixed = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit([10.0, 10.0]).cast("array<double>"))
+        .otherwise(F.lit([-10.0, -10.0]).cast("array<double>"))
+        .alias("mu"),
+        AF.eye_matrix(2).alias("sig"),
+    )
+    out = mixed.select(
+        "id", AF.rand_multi_gaussian_with_col("mu", "sig", 2, seed=3).alias("s")
+    ).collect()
+    ev = np.stack([np.array(r.s) for r in out if r.id % 2 == 0])
+    od = np.stack([np.array(r.s) for r in out if r.id % 2 == 1])
+    np.testing.assert_allclose(ev.mean(axis=0), [10.0, 10.0], atol=0.15)
+    np.testing.assert_allclose(od.mean(axis=0), [-10.0, -10.0], atol=0.15)
+
+
 def test_aggregates(spark):
     df = spark.createDataFrame(
         [(1.0, [1.0, 0.0], np_to_mat(np.eye(2)), 1, -2.0),

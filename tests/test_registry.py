@@ -31,7 +31,14 @@ def test_registry_counts():
     # docs_snapshot_diff, q9_product_type_profit, q11_important_stock,
     # q2_min_cost_supplier, q8_market_share, q20_excess_shipping,
     # q21_waiting_supplier — all 22 TPC-H shapes now present
-    assert len(PYTEST_ORACLES) == 85
+    # round 11 window rotation (VERDICT r10 #2): promoted to the driver
+    # window docs_lm_perplexity, docs_dsir_select, docs_quality_classifier,
+    # corpus_curation_report, docs_dedup_substrings, q13, q17, q21,
+    # events_funnel, docs_url_dedup (+ the new lkf_events_streamed);
+    # demoted to this gate the four per-feature text queries, four
+    # long-stable relational shapes, dedup_simhash_pairs, and the
+    # stratified/weighted samplers
+    assert len(PYTEST_ORACLES) == 86
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",

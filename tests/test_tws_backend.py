@@ -111,16 +111,66 @@ def test_tws_backend_clear_error_without_protobuf(spark):
         flt.transform(df)
 
 
-def test_tws_backend_rejects_timeouts(spark):
+def _rate_stream(spark):
+    return spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS stateKey",
+        "timestamp AS ts",
+        "array(CAST(value AS DOUBLE)) AS measurement",
+    )
+
+
+def test_tws_backend_validates_timeout_config(spark):
+    """Timeout-config errors surface BEFORE the protobuf probe, so a
+    misconfigured pipeline fails identically with or without the runner
+    dependency installed: process mode needs a duration; event mode needs
+    a duration or a watermark as the idleness horizon."""
+    df = _rate_stream(spark)
     flt = (
         LinearKalmanFilter(1, 1)
         .setStateKeyCol("stateKey")
         .setStreamingBackend("transformWithState")
         .setStateTimeoutMode("process")
-        .setStateTimeoutDuration("10 seconds")
     )
-    df = spark.readStream.format("rate").load().selectExpr(
-        "CAST(value AS STRING) AS stateKey", "array(CAST(value AS DOUBLE)) AS measurement"
-    )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="stateTimeoutDuration"):
         flt.transform(df)
+    flt2 = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setStreamingBackend("transformWithState")
+        .setStateTimeoutMode("event")
+    )
+    with pytest.raises(ValueError, match="horizon"):
+        flt2.transform(df)
+
+
+@needs_tws
+def test_tws_backend_event_timeout_restarts_state(rocksdb):
+    """The same timeout-restart contract the default backend pins
+    (tests/test_streaming2.py): a key idle past the event-time horizon
+    restarts from the initial state — stateIndex resets to 1 — via the
+    TWS access-time gap check + engine timer."""
+    import pandas as pd
+
+    spark = rocksdb
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = (
+        [("a", t0 + pd.Timedelta(seconds=i), [float(i)]) for i in range(3)]
+        # 10-minute silence >> 1-minute horizon: state must restart
+        + [("a", t0 + pd.Timedelta(minutes=10 + i), [float(i)]) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "stateKey string, ts timestamp, measurement array<double>"
+    )
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setEventTimeCol("ts")
+        .setWatermarkDuration("5 seconds")
+        .setStateTimeoutMode("event")
+        .setStateTimeoutDuration("1 minute")
+        .setStreamingBackend("transformWithState")
+    )
+    got = stream_transform(spark, df, flt.transform, chunk_rows=1).collect()
+    idx = sorted(r.stateIndex for r in got)
+    # two independent runs of 3 rows each: stateIndex 1,2,3 twice
+    assert idx == [1, 1, 2, 2, 3, 3]
