@@ -509,6 +509,12 @@ class KalmanBase(StatefulTransformer):
         "outputSystemMatrices": False,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
+        # batch fold engine: "sequential" (default; bit-exact recursion,
+        # rows-per-key-bound) or "scan" (opt-in parallel-scan formulation,
+        # Särkkä & García-Fernández 2021 — O(log n) depth per key, ~1e-12
+        # relative parity; requires vectorizedBatch + the scalar
+        # constant-model shape, supports_scan)
+        "foldEngine": "sequential",
         "multipleModelAdaptiveEstimationEnabled": False,
         "multipleModelMeasurementWindowDuration": None,
     }
@@ -520,6 +526,15 @@ class KalmanBase(StatefulTransformer):
             # MMAE needs sliding likelihood (KalmanBase.scala:477-479);
             # restored below so the flag does not leak into later transforms
             self._set("calculateSlidingLikelihood", True)
+        if self.get("foldEngine") == "scan" and (
+            df.isStreaming or not self.get("vectorizedBatch")
+        ):
+            raise ValueError(
+                "foldEngine='scan' is a batch vectorized engine: call "
+                "setVectorizedBatch(True) and use batch input (streaming "
+                "micro-batches are rows-per-trigger-bound, not "
+                "rows-per-key-bound, so the scan buys nothing there)"
+            )
         try:
             if not df.isStreaming and self.get("vectorizedBatch"):
                 if self._supportsVectorized(self._constants()):
@@ -701,7 +716,22 @@ class KalmanBase(StatefulTransformer):
         scalar_lkf = self._kind == "lkf" and supports_scalar_vectorized(constants)
         scalar_sigma = supports_scalar_sigma(constants)
         scalar = scalar_lkf or scalar_sigma
-        if scalar_lkf:
+        if self.get("foldEngine") == "scan":
+            from artan_spark.operators.vectorized import (
+                supports_scan,
+                vectorized_scalar_lkf_scan_fold_factory,
+            )
+
+            if not supports_scan(constants):
+                raise ValueError(
+                    "foldEngine='scan' requires the 1-D constant-model LKF "
+                    "shape with fadingFactor=1 (no per-row models, control, "
+                    "or multi-step predict) — use the sequential engine for "
+                    "this configuration"
+                )
+            factory = vectorized_scalar_lkf_scan_fold_factory
+            scalar = True
+        elif scalar_lkf:
             factory = vectorized_scalar_lkf_fold_factory
         elif scalar_sigma:
             factory = vectorized_scalar_sigma_fold_factory

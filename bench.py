@@ -477,7 +477,7 @@ def _operator_throughput(spark) -> dict[str, int]:
     out: dict[str, int] = {}
 
     def rate(name: str, op, df) -> None:
-        sec, _ = _median_time(lambda: op.transform(df).count())
+        sec, _, _raw = _median_time(lambda: op.transform(df).count())
         out[name] = int(n_rows / sec)
         print(f"# {name}: {out[name]} rows/s", file=sys.stderr)
 
@@ -563,6 +563,24 @@ def _operator_throughput(spark) -> dict[str, int]:
             )
             for vec, tag in ((False, ""), (True, "_vectorized")):
                 rate(f"ekf_{n_keys}keys{tag}", ekf.copy().setVectorizedBatch(vec).setVectorizedFunctions(vec), df)
+
+    # the rows-per-key serial bound (base.py): ONE key, every row — the
+    # sequential fold is a single serial chain here, the scan engine
+    # (Särkkä & García-Fernández 2021 associative formulation) runs
+    # ~log2(N) full-width numpy passes instead (measured 22x at 1M
+    # rows/key standalone; at sf0.1's 100k rows the gap is smaller but
+    # the SHAPE is the recorded scale argument)
+    one_key = e.select(F.lit("k").alias("key"), F.array("value").alias("measurement"))
+    hot = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setVectorizedBatch(True)
+    )
+    rate("lkf_1key_sequential", hot, one_key)
+    rate("lkf_1key_scan", hot.copy().setFoldEngine("scan"), one_key)
     e.unpersist()
     return out
 

@@ -1,0 +1,168 @@
+"""Parallel-scan LKF engine (Särkkä & García-Fernández 2021): the
+associative-scan formulation must match the sequential fold to tight
+relative tolerance on every output projection, across key counts,
+missing measurements, and per-key initial states — and must break the
+rows-per-key serial bound (the documented 100x-scale risk, base.py)."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from artan_spark.operators import LinearKalmanFilter
+
+RTOL = 1e-9
+
+
+def _flt(**kw):
+    flt = (
+        LinearKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateMean(np.array([0.0]))
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setVectorizedBatch(True)
+    )
+    for k, v in kw.items():
+        flt._set(k, v)
+    return flt
+
+
+def _rows(n_keys, n_rows, missing_every=0):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(n_rows):
+        z = None if missing_every and i % missing_every == 0 else [
+            float(rng.normal(5.0 * (i % max(n_keys, 1)), 2.0))
+        ]
+        rows.append((f"k{i % n_keys}", z))
+    return rows
+
+
+def _collect(spark, flt, rows):
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    out = flt.transform(df).select(
+        "stateKey",
+        "stateIndex",
+        F.col("state.mean")[0].alias("m"),
+        F.col("state.covariance.values")[0].alias("p"),
+        F.col("residual.mean")[0].alias("r"),
+        F.col("residual.covariance.values")[0].alias("s"),
+    )
+    return {(row.stateKey, row.stateIndex): row for row in out.collect()}
+
+
+@pytest.mark.parametrize("n_keys,missing", [(1, 0), (4, 0), (3, 5)])
+def test_scan_matches_sequential_engine(spark, n_keys, missing):
+    rows = _rows(n_keys, 240, missing_every=missing)
+    seq = _collect(spark, _flt(), rows)
+    scan = _collect(spark, _flt(foldEngine="scan"), rows)
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        a, b = seq[k], scan[k]
+        np.testing.assert_allclose(b.m, a.m, rtol=RTOL, atol=1e-12)
+        np.testing.assert_allclose(b.p, a.p, rtol=RTOL, atol=1e-12)
+        if a.r is None:
+            assert b.r is None, k
+        else:
+            np.testing.assert_allclose(b.r, a.r, rtol=RTOL, atol=1e-12)
+            np.testing.assert_allclose(b.s, a.s, rtol=RTOL, atol=1e-12)
+
+
+def test_scan_matches_likelihood_projections(spark):
+    rows = _rows(2, 200)
+    mk = lambda eng: (  # noqa: E731
+        _flt(
+            foldEngine=eng,
+            calculateLoglikelihood=True,
+            calculateMahalanobis=True,
+            calculateSlidingLikelihood=True,
+            slidingLikelihoodWindow=5,
+        )
+    )
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    proj = lambda flt: {  # noqa: E731
+        (r.stateKey, r.stateIndex): r
+        for r in flt.transform(df)
+        .select("stateKey", "stateIndex", "loglikelihood", "mahalanobis", "slidingLikelihood")
+        .collect()
+    }
+    seq, scan = proj(mk("sequential")), proj(mk("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(
+            scan[k].loglikelihood, seq[k].loglikelihood, rtol=RTOL, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            scan[k].mahalanobis, seq[k].mahalanobis, rtol=RTOL, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            scan[k].slidingLikelihood, seq[k].slidingLikelihood, rtol=1e-6, atol=1e-12
+        )
+
+
+def test_scan_respects_per_key_initial_state(spark):
+    rows = [
+        ("a", [1.0], {"mean": [50.0], "covariance": {"numRows": 1, "numCols": 1, "values": [1.0]}}),
+        ("a", [2.0], None),
+        ("b", [1.0], {"mean": [-50.0], "covariance": {"numRows": 1, "numCols": 1, "values": [1.0]}}),
+        ("b", [2.0], None),
+    ]
+    schema = (
+        "stateKey string, measurement array<double>, "
+        "initialStateDistribution struct<mean:array<double>,"
+        "covariance:struct<numRows:int,numCols:int,values:array<double>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    seq = _flt().setInitialStateDistributionCol("initialStateDistribution")
+    scn = _flt(foldEngine="scan").setInitialStateDistributionCol("initialStateDistribution")
+    a = {(r.stateKey, r.stateIndex): r.state.mean[0] for r in seq.transform(df).collect()}
+    b = {(r.stateKey, r.stateIndex): r.state.mean[0] for r in scn.transform(df).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], rtol=RTOL)
+    # the priors actually took: key a starts near +50, key b near -50
+    assert b[("a", 1)] > 20 and b[("b", 1)] < -20
+
+
+def test_scan_rejects_unsupported_shapes(spark):
+    df = spark.createDataFrame([("a", [1.0])], "stateKey string, measurement array<double>")
+    with pytest.raises(ValueError, match="scan"):
+        _flt(foldEngine="scan", fadingFactor=1.2).transform(df)
+    with pytest.raises(ValueError, match="scan"):
+        _flt(foldEngine="scan").setVectorizedBatch(False).transform(df)
+
+
+def test_scan_breaks_rows_per_key_bound(spark):
+    """The worst case for the sequential fold: ONE key, many rows — a
+    serial chain. The scan engine must be >=4x faster at 200k rows/key
+    (VERDICT r10 #3's acceptance bar, measured in-process on the same
+    warmed session; the gap widens with N since the loop is O(N) Python
+    steps vs O(log N) numpy passes)."""
+    n = 200_000
+    rng = np.random.RandomState(7)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "stateKey": ["k"] * n,
+            "measurement": [[float(v)] for v in rng.normal(0, 1, n)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(1).cache()
+    df.count()
+
+    def run(flt):
+        t0 = time.perf_counter()
+        flt.transform(df).select(F.sum(F.col("state.mean")[0])).collect()
+        return time.perf_counter() - t0
+
+    # warm both paths once (worker pool, codegen), then measure
+    run(_flt())
+    run(_flt(foldEngine="scan"))
+    t_seq = min(run(_flt()) for _ in range(2))
+    t_scan = min(run(_flt(foldEngine="scan")) for _ in range(2))
+    df.unpersist()
+    assert t_scan * 4 <= t_seq, (t_seq, t_scan)
