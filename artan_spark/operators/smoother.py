@@ -283,16 +283,33 @@ class LinearKalmanSmoother(KalmanBase):
 
     def _vectorizedTransform(self, df):
         """Salted multi-key smoother fold (vectorized.py): same flat output
-        schemas as the sequential smoother, so _shapeOutput is shared."""
-        from artan_spark.operators.vectorized import vectorized_smoother_fold_factory
+        schemas as the sequential smoother, so _shapeOutput is shared.
+        ``foldEngine="scan"`` swaps in the parallel-scan forward pass +
+        anchor-vectorized backward window (rows-per-key no longer bounds
+        wall-clock; ~1e-12 relative parity, tests/test_scan_engine.py)."""
+        from artan_spark.operators.vectorized import (
+            supports_scan,
+            vectorized_scalar_smoother_scan_fold_factory,
+            vectorized_smoother_fold_factory,
+        )
 
         keyed = self._keyed(df)
         constants = self._constants()
+        if self.get("foldEngine") == "scan":
+            if not (supports_scan(constants) and self._scalarFold()):
+                raise ValueError(
+                    "foldEngine='scan' requires the 1-D constant-model "
+                    "smoother shape with fadingFactor=1 — use the "
+                    "sequential engine for this configuration"
+                )
+            factory = vectorized_scalar_smoother_scan_fold_factory
+        else:
+            factory = vectorized_smoother_fold_factory
         cell: list = []
 
         def fn(pdf):
             if not cell:
-                cell.append(vectorized_smoother_fold_factory(constants))
+                cell.append(factory(constants))
             cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
             pdf = pdf.sort_values(cols, kind="stable", na_position="first")
             out, _ = cell[0](pdf, None)

@@ -742,6 +742,99 @@ def supports_scan(c: dict) -> bool:
     )
 
 
+def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0):
+    """Shared forward pass of the scan engine (LKF + smoother): segmented
+    layout + per-row associative elements + Hillis-Steele doubling scan.
+    Returns (keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
+    filtered_mean, filtered_cov)."""
+    # rows arrive sorted (key, eventTime): keys are contiguous runs
+    keys_arr = pdf[STATE_KEY].to_numpy()
+    new_key = np.ones(N, dtype=bool)
+    new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+    seg = np.cumsum(new_key) - 1  # 0-based segment id per row
+    first_idx = np.nonzero(new_key)[0]
+    pos = np.arange(N) - first_idx[seg]  # 0-based position within key
+
+    z_cells = pdf["measurement"].values
+    has_z = np.array([z is not None for z in z_cells])
+    Z = extract_scalar_measurements(z_cells, has_z, N)
+    ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+    # per-key priors (initialStateDistribution col overrides params)
+    K = len(first_idx)
+    m0k = np.full(K, m0)
+    p0k = np.full(K, p0)
+    if "initialStateDistribution" in pdf.columns:
+        cells = pdf["initialStateDistribution"].values
+        for k, f0 in enumerate(first_idx):
+            d = cells[f0]
+            if d is None:
+                continue
+            if isinstance(d, dict):
+                m0k[k] = float(d["mean"][0])
+                p0k[k] = float(d["covariance"]["values"][0])
+            else:
+                m0k[k] = float(d.mean[0])
+                p0k[k] = float(d.covariance.values[0])
+
+    # ---- build the per-row elements --------------------------------
+    A = np.where(has_z, 0.0, f)
+    b = np.zeros(N)
+    C = np.where(has_z, 0.0, q)
+    eta = np.zeros(N)
+    J = np.zeros(N)
+    meas = np.nonzero(has_z)[0]
+    if len(meas):
+        s_g = h * q * h + rr
+        k_g = q * h / s_g
+        A[meas] = (1.0 - k_g * h) * f
+        b[meas] = k_g * Z[meas]
+        C[meas] = (1.0 - k_g * h) * q
+        eta[meas] = f * h * Z[meas] / s_g
+        J[meas] = (f * h) * (h * f) / s_g
+    # first row of each key folds the prior in: A=0, (b,C)=(m_1|1,P_1|1)
+    fm = f * m0k
+    fP = f * p0k * f + q
+    fz = has_z[first_idx]
+    s1 = h * fP * h + rr
+    k1 = fP * h / s1
+    b[first_idx] = np.where(fz, fm + k1 * (Z[first_idx] - h * fm), fm)
+    C[first_idx] = np.where(fz, fP - k1 * s1 * k1, fP)
+    A[first_idx] = 0.0
+    eta[first_idx] = 0.0
+    J[first_idx] = 0.0
+
+    # ---- segmented inclusive scan (Hillis-Steele doubling) ---------
+    # full-width SLICE arithmetic + np.where, no fancy-indexing
+    # gathers (measured 16.8 s -> ~2 s at 1M rows: contiguous reads
+    # beat 15 gather/scatter passes). Contiguous segments make the
+    # same-segment test a position check: seg[i]==seg[i-d] iff
+    # pos[i] >= d. All five new arrays are computed from the OLD
+    # values before any assignment (Hillis-Steele needs the double
+    # buffer; np.where supplies the unmasked old half).
+    d = 1
+    while d < N:
+        m = pos[d:] >= d
+        A1, b1, C1, e1, J1 = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
+        A2, b2, C2, e2, J2 = A[d:], b[d:], C[d:], eta[d:], J[d:]
+        den = 1.0 + C1 * J2
+        t = A2 / den
+        u = A1 / den
+        nA = t * A1
+        nb = t * (b1 + C1 * e2) + b2
+        nC = t * C1 * A2 + C2
+        ne = u * (e2 - J2 * b1) + e1
+        nJ = u * J2 * A1 + J1
+        A[d:] = np.where(m, nA, A2)
+        b[d:] = np.where(m, nb, b2)
+        C[d:] = np.where(m, nC, C2)
+        eta[d:] = np.where(m, ne, e2)
+        J[d:] = np.where(m, nJ, J2)
+        d *= 2
+
+    return keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k, b, C
+
+
 def vectorized_scalar_lkf_scan_fold_factory(c: dict):
     """PARALLEL-SCAN scalar LKF fold: the associative-operator formulation
     of Kalman filtering (Särkkä & García-Fernández 2021, "Temporal
@@ -798,92 +891,12 @@ def vectorized_scalar_lkf_scan_fold_factory(c: dict):
         if N == 0:
             return empty_pdf(names), None
 
-        # rows arrive sorted (key, eventTime): keys are contiguous runs
-        keys_arr = pdf[STATE_KEY].to_numpy()
-        new_key = np.ones(N, dtype=bool)
-        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
-        seg = np.cumsum(new_key) - 1  # 0-based segment id per row
-        first_idx = np.nonzero(new_key)[0]
-        pos = np.arange(N) - first_idx[seg]  # 0-based position within key
-
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = extract_scalar_measurements(z_cells, has_z, N)
-        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
-
-        # per-key priors (initialStateDistribution col overrides params)
-        K = len(first_idx)
-        m0k = np.full(K, m0)
-        p0k = np.full(K, p0)
-        if "initialStateDistribution" in pdf.columns:
-            cells = pdf["initialStateDistribution"].values
-            for k, f0 in enumerate(first_idx):
-                d = cells[f0]
-                if d is None:
-                    continue
-                if isinstance(d, dict):
-                    m0k[k] = float(d["mean"][0])
-                    p0k[k] = float(d["covariance"]["values"][0])
-                else:
-                    m0k[k] = float(d.mean[0])
-                    p0k[k] = float(d.covariance.values[0])
-
-        # ---- build the per-row elements --------------------------------
-        A = np.where(has_z, 0.0, f)
-        b = np.zeros(N)
-        C = np.where(has_z, 0.0, q)
-        eta = np.zeros(N)
-        J = np.zeros(N)
+        (
+            keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
+            out_mean, out_cov,
+        ) = _scalar_scan_forward(pdf, N, f, q, h, rr, m0, p0)
         meas = np.nonzero(has_z)[0]
-        if len(meas):
-            s_g = h * q * h + rr
-            k_g = q * h / s_g
-            A[meas] = (1.0 - k_g * h) * f
-            b[meas] = k_g * Z[meas]
-            C[meas] = (1.0 - k_g * h) * q
-            eta[meas] = f * h * Z[meas] / s_g
-            J[meas] = (f * h) * (h * f) / s_g
-        # first row of each key folds the prior in: A=0, (b,C)=(m_1|1,P_1|1)
-        fm = f * m0k
-        fP = f * p0k * f + q
-        fz = has_z[first_idx]
-        s1 = h * fP * h + rr
-        k1 = fP * h / s1
-        b[first_idx] = np.where(fz, fm + k1 * (Z[first_idx] - h * fm), fm)
-        C[first_idx] = np.where(fz, fP - k1 * s1 * k1, fP)
-        A[first_idx] = 0.0
-        eta[first_idx] = 0.0
-        J[first_idx] = 0.0
-
-        # ---- segmented inclusive scan (Hillis-Steele doubling) ---------
-        # full-width SLICE arithmetic + np.where, no fancy-indexing
-        # gathers (measured 16.8 s -> ~2 s at 1M rows: contiguous reads
-        # beat 15 gather/scatter passes). Contiguous segments make the
-        # same-segment test a position check: seg[i]==seg[i-d] iff
-        # pos[i] >= d. All five new arrays are computed from the OLD
-        # values before any assignment (Hillis-Steele needs the double
-        # buffer; np.where supplies the unmasked old half).
-        d = 1
-        while d < N:
-            m = pos[d:] >= d
-            A1, b1, C1, e1, J1 = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
-            A2, b2, C2, e2, J2 = A[d:], b[d:], C[d:], eta[d:], J[d:]
-            den = 1.0 + C1 * J2
-            t = A2 / den
-            u = A1 / den
-            nA = t * A1
-            nb = t * (b1 + C1 * e2) + b2
-            nC = t * C1 * A2 + C2
-            ne = u * (e2 - J2 * b1) + e1
-            nJ = u * J2 * A1 + J1
-            A[d:] = np.where(m, nA, A2)
-            b[d:] = np.where(m, nb, b2)
-            C[d:] = np.where(m, nC, C2)
-            eta[d:] = np.where(m, ne, e2)
-            J[d:] = np.where(m, nJ, J2)
-            d *= 2
-
-        out_mean, out_cov = b, C  # filtered (m_k|k, P_k|k)
+        K = len(first_idx)
 
         # ---- residual family from the one-step prediction --------------
         prev_m = np.empty(N)
@@ -1306,6 +1319,89 @@ def vectorized_lkf_fold_factory(c: dict):
                 "slidingLikelihood": np.nan,
             },
             columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        )
+        return out, None
+
+    return fold
+
+
+def vectorized_scalar_smoother_scan_fold_factory(c: dict):
+    """Scan-engine fixed-lag RTS smoother (scalar shape): forward pass =
+    the shared associative filtering scan (log2 N full-width passes);
+    backward pass = the fixed-lag window recursion vectorized over ALL
+    anchors at once — ``lag`` numpy passes instead of the per-trigger
+    Python loop, so wall-clock no longer scales with rows-per-key. Same
+    emission contract as the sequential queue fold (smoother.py): each
+    row with at least ``lag-1`` predecessors in its key anchors a window
+    emitting ``lag`` smoothed rows (stepIndex 0 = the anchor itself,
+    gain 0). Op order of the backward recursion mirrors the sequential
+    fold exactly; the forward state comes from the scan (~1e-12
+    relative vs the recursion, tests/test_scan_engine.py)."""
+    lag = c["fixedLag"]
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    names = [STATE_KEY, "stateIndex", "stepIndex", "mean", "cov", "gain", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        (
+            keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
+            filt_m, filt_P,
+        ) = _scalar_scan_forward(pdf, N, f, q, h, rr, m0, p0)
+
+        # per-row one-step predicts + RTS gains (row-local, fully batched;
+        # same expressions as the sequential fold's backward loop)
+        nm = f * filt_m
+        nc = (f * filt_P) * f + q
+        g = (filt_P * f) * (1.0 / nc)
+
+        anchors = np.nonzero(pos >= lag - 1)[0]
+        M = len(anchors)
+        if M == 0:
+            return empty_pdf(names), None
+        total = M * lag
+        o_row = np.empty(total, dtype=np.int64)
+        o_step = np.empty(total, dtype=np.int64)
+        o_mean = np.empty(total)
+        o_cov = np.empty(total)
+        o_gain = np.empty(total)
+
+        sm_m = filt_m[anchors]
+        sm_p = filt_P[anchors]
+        o_row[:M] = anchors
+        o_step[:M] = 0
+        o_mean[:M] = sm_m
+        o_cov[:M] = sm_p
+        o_gain[:M] = 0.0
+        for step in range(1, lag):
+            j = anchors - step  # same key: pos[anchor] >= lag-1 >= step
+            gj = g[j]
+            sm_m = filt_m[j] + gj * (sm_m - nm[j])
+            sm_p = filt_P[j] + (gj * (sm_p - nc[j])) * gj
+            w = step * M
+            o_row[w : w + M] = j
+            o_step[w : w + M] = step
+            o_mean[w : w + M] = sm_m
+            o_cov[w : w + M] = sm_p
+            o_gain[w : w + M] = gj
+        out = cols_to_pdf(
+            {
+                STATE_KEY: keys_arr[o_row],
+                "stateIndex": pos[o_row] + 1,
+                "stepIndex": o_step,
+                "mean": o_mean,
+                "cov": o_cov,
+                "gain": o_gain,
+                EVENT_TIME: ev[o_row] if ev is not None else None,
+            },
+            total,
+            names,
         )
         return out, None
 

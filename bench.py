@@ -581,6 +581,17 @@ def _operator_throughput(spark) -> dict[str, int]:
     )
     rate("lkf_1key_sequential", hot, one_key)
     rate("lkf_1key_scan", hot.copy().setFoldEngine("scan"), one_key)
+    hot_sm = (
+        LinearKalmanSmoother(1, 1)
+        .setStateKeyCol("key")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setFixedLag(10)
+        .setVectorizedBatch(True)
+    )
+    rate("smoother_1key_sequential", hot_sm, one_key)
+    rate("smoother_1key_scan", hot_sm.copy().setFoldEngine("scan"), one_key)
     e.unpersist()
     return out
 

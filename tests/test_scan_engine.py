@@ -166,3 +166,69 @@ def test_scan_breaks_rows_per_key_bound(spark):
     t_scan = min(run(_flt(foldEngine="scan")) for _ in range(2))
     df.unpersist()
     assert t_scan * 4 <= t_seq, (t_seq, t_scan)
+
+
+def _smoother(engine, lag=10):
+    from artan_spark.operators import LinearKalmanSmoother
+
+    sm = (
+        LinearKalmanSmoother(1, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setFixedLag(lag)
+        .setVectorizedBatch(True)
+    )
+    sm._set("foldEngine", engine)
+    return sm
+
+
+@pytest.mark.parametrize("n_keys,missing", [(1, 0), (3, 5)])
+def test_smoother_scan_matches_sequential(spark, n_keys, missing):
+    rows = _rows(n_keys, 180, missing_every=missing)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    proj = lambda sm: {  # noqa: E731
+        (r.stateKey, r.stateIndex, r.stepIndex): (r.state.mean[0], r.state.covariance.values[0])
+        for r in sm.transform(df).collect()
+    }
+    seq = proj(_smoother("sequential"))
+    scan = proj(_smoother("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k][0], seq[k][0], rtol=RTOL, atol=1e-12)
+        np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=RTOL, atol=1e-12)
+
+
+def test_smoother_scan_rejects_unsupported(spark):
+    df = spark.createDataFrame([("a", [1.0])], "stateKey string, measurement array<double>")
+    sm = _smoother("scan")._set("fadingFactor", 1.3)
+    with pytest.raises(ValueError, match="scan"):
+        _smoother("scan", lag=2)._set("fadingFactor", 1.3).transform(df)
+
+
+def test_smoother_scan_breaks_rows_per_key_bound(spark):
+    """One key, 50k rows, lag 10: the time-synchronous fold walks 50k
+    trigger windows in Python; the scan engine runs log2(N)+lag numpy
+    passes. Bar: >=4x on the warmed path."""
+    n = 50_000
+    rng = np.random.RandomState(7)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"stateKey": ["k"] * n, "measurement": [[float(v)] for v in rng.normal(0, 1, n)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(1).cache()
+    df.count()
+
+    def run(engine):
+        t0 = time.perf_counter()
+        _smoother(engine).transform(df).select(F.sum(F.col("state.mean")[0])).collect()
+        return time.perf_counter() - t0
+
+    run("sequential")
+    run("scan")
+    t_seq = min(run("sequential") for _ in range(2))
+    t_scan = min(run("scan") for _ in range(2))
+    df.unpersist()
+    assert t_scan * 4 <= t_seq, (t_seq, t_scan)
