@@ -166,9 +166,19 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         "regularizationMatrixCol": None,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
+        # "sequential" (bit-exact recursion) | "scan" (opt-in parallel
+        # information-form scan, 1-D only; ~1e-12 relative parity)
+        "foldEngine": "sequential",
     }
 
     def transform(self, df):
+        if self.get("foldEngine") == "scan" and (
+            df.isStreaming or not self.get("vectorizedBatch")
+        ):
+            raise ValueError(
+                "foldEngine='scan' is a batch vectorized engine: call "
+                "setVectorizedBatch(True) and use batch input"
+            )
         if (
             not df.isStreaming
             and self.get("vectorizedBatch")
@@ -181,15 +191,27 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
     def _vectorizedTransform(self, df):
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py vectorized_rls_fold_factory). Batch only."""
-        from artan_spark.operators.vectorized import vectorized_rls_fold_factory
+        from artan_spark.operators.vectorized import (
+            vectorized_rls_fold_factory,
+            vectorized_scalar_rls_scan_fold_factory,
+        )
 
         keyed = self._keyed(df)
         constants = self._constants()
+        if self.get("foldEngine") == "scan":
+            if int(constants["stateSize"]) != 1:
+                raise ValueError(
+                    "foldEngine='scan' supports the 1-D RLS shape only — "
+                    "use the sequential engine for n-D feature vectors"
+                )
+            factory = vectorized_scalar_rls_scan_fold_factory
+        else:
+            factory = vectorized_rls_fold_factory
         factory_cell: list = []
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not factory_cell:
-                factory_cell.append(vectorized_rls_fold_factory(constants))
+                factory_cell.append(factory(constants))
             cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
             pdf = pdf.sort_values(cols, kind="stable", na_position="first")
             out, _ = factory_cell[0](pdf, None)

@@ -191,6 +191,83 @@ def multi_key_layout(pdf: pd.DataFrame):
     return keys_arr, key_idx, K, counts, first, order
 
 
+def vectorized_scalar_rls_scan_fold_factory(c: dict):
+    """PARALLEL-SCAN scalar RLS fold. The forgetting-factor RLS recursion
+    is, in information form, a pair of exponentially-discounted sums
+    (derivation: P' = P/(lam + x^2 P) gives I' = lam*I + x^2 for
+    I = 1/P, and beta' = lam*beta + x*y for beta = I*m), i.e. each row
+    is the affine map v -> lam*v + c. Composed prefixes are one
+    segmented doubling scan over (S, aI, aBeta) — compose (right after
+    left): S = S_r*S_l, a = S_r*a_l + a_r — so ANY forgetting factor is
+    supported (lam=1 degenerates to plain cumulative sums; for lam<1
+    the composite scale underflows toward 0 exactly as old information
+    is forgotten). Then m_k = beta_k/I_k, P_k = 1/I_k with
+    I_k = S_k/p0 + aI_k, beta_k = S_k*(m0/p0) + aBeta_k.
+
+    Opt-in (``setFoldEngine("scan")``): op order differs from the
+    sequential recursion — ~1e-12 relative parity
+    (tests/test_scan_engine.py), not bit-exact; the driver oracle entry
+    stays sequential."""
+    lam = float(c["forgettingFactor"])
+    m0 = 0.0 if c["initialStateMean"] is None else float(np.ravel(c["initialStateMean"])[0])
+    p0 = (
+        1.0
+        if c["regularizationMatrix"] is None
+        else float(np.ravel(c["regularizationMatrix"])[0])
+    )
+    names = [STATE_KEY, "stateIndex", "mean", "cov", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        # rows arrive sorted (key, eventTime): keys are contiguous runs
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        new_key = np.ones(N, dtype=bool)
+        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+        first_idx = np.nonzero(new_key)[0]
+        seg = np.cumsum(new_key) - 1
+        pos = np.arange(N) - first_idx[seg]
+
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        feats = pdf["features"].values
+        X = np.fromiter((f[0] for f in feats), dtype=np.float64, count=N)
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        S = np.full(N, lam)
+        aI = X * X
+        aB = X * y
+        d = 1
+        while d < N:
+            m = pos[d:] >= d
+            Sl, Il, Bl = S[:-d], aI[:-d], aB[:-d]
+            Sr, Ir, Br = S[d:], aI[d:], aB[d:]
+            nS = Sr * Sl
+            nI = Sr * Il + Ir
+            nB = Sr * Bl + Br
+            S[d:] = np.where(m, nS, Sr)
+            aI[d:] = np.where(m, nI, Ir)
+            aB[d:] = np.where(m, nB, Br)
+            d *= 2
+
+        I = S * (1.0 / p0) + aI
+        beta = S * (m0 / p0) + aB
+        out = cols_to_pdf(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": pos + 1,
+                "mean": beta / I,
+                "cov": 1.0 / I,
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            N,
+            names,
+        )
+        return out, None
+
+    return fold
+
+
 def vectorized_rls_fold_factory(c: dict):
     """Time-synchronous multi-key RLS fold. The 1-D shape runs pure
     elementwise arithmetic in the EXACT op order of the sequential scalar

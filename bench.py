@@ -592,6 +592,14 @@ def _operator_throughput(spark) -> dict[str, int]:
     )
     rate("smoother_1key_sequential", hot_sm, one_key)
     rate("smoother_1key_scan", hot_sm.copy().setFoldEngine("scan"), one_key)
+    one_key_rls = e.select(
+        F.lit("k").alias("key"),
+        F.col("value").alias("label"),
+        F.array(F.lit(1.0)).alias("features"),
+    )
+    hot_rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key").setVectorizedBatch(True)
+    rate("rls_1key_sequential", hot_rls, one_key_rls)
+    rate("rls_1key_scan", hot_rls.copy().setFoldEngine("scan"), one_key_rls)
     e.unpersist()
     return out
 

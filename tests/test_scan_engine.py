@@ -232,3 +232,51 @@ def test_smoother_scan_breaks_rows_per_key_bound(spark):
     t_scan = min(run("scan") for _ in range(2))
     df.unpersist()
     assert t_scan * 4 <= t_seq, (t_seq, t_scan)
+
+
+def _rls(engine, lam=1.0):
+    from artan_spark.operators import RecursiveLeastSquaresFilter
+
+    rls = (
+        RecursiveLeastSquaresFilter(1)
+        .setStateKeyCol("stateKey")
+        .setForgettingFactor(lam)
+        .setVectorizedBatch(True)
+    )
+    rls._set("foldEngine", engine)
+    return rls
+
+
+@pytest.mark.parametrize("n_keys,lam", [(1, 1.0), (3, 1.0), (2, 0.95)])
+def test_rls_scan_matches_sequential(spark, n_keys, lam):
+    """The information-form scan must match the sequential RLS recursion
+    for any forgetting factor (lam=1 = plain cumulative sums; lam<1 =
+    exponentially discounted)."""
+    rng = np.random.RandomState(13)
+    rows = [
+        (f"k{i % n_keys}", float(2.0 + 0.5 * i + rng.normal(0, 0.2)), [float(1.0 + 0.01 * i)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "stateKey string, label double, features array<double>")
+    proj = lambda r: {  # noqa: E731
+        (row.stateKey, row.stateIndex): (row.state.mean[0], row.state.covariance.values[0])
+        for row in r.transform(df).collect()
+    }
+    seq = proj(_rls("sequential", lam))
+    scan = proj(_rls("scan", lam))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k][0], seq[k][0], rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=1e-8, atol=1e-12)
+
+
+def test_rls_scan_rejects_nd(spark):
+    from artan_spark.operators import RecursiveLeastSquaresFilter
+
+    df = spark.createDataFrame(
+        [("a", 1.0, [1.0, 2.0])], "stateKey string, label double, features array<double>"
+    )
+    rls = RecursiveLeastSquaresFilter(2).setStateKeyCol("stateKey").setVectorizedBatch(True)
+    rls._set("foldEngine", "scan")
+    with pytest.raises(ValueError, match="1-D"):
+        rls.transform(df)
