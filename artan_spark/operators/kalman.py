@@ -719,18 +719,26 @@ class KalmanBase(StatefulTransformer):
         if self.get("foldEngine") == "scan":
             from artan_spark.operators.vectorized import (
                 supports_scan,
+                supports_scan_general,
+                vectorized_lkf_scan_fold_factory,
                 vectorized_scalar_lkf_scan_fold_factory,
             )
 
-            if not supports_scan(constants):
+            if supports_scan(constants):
+                factory = vectorized_scalar_lkf_scan_fold_factory
+                scalar = True
+            elif supports_scan_general(constants):
+                # n-D matrix-element scan (incl. per-row measurementModel —
+                # the OLS regression shape)
+                factory = vectorized_lkf_scan_fold_factory
+                scalar = False
+            else:
                 raise ValueError(
-                    "foldEngine='scan' requires the 1-D constant-model LKF "
-                    "shape with fadingFactor=1 (no per-row models, control, "
-                    "or multi-step predict) — use the sequential engine for "
-                    "this configuration"
+                    "foldEngine='scan' requires a constant-model LKF shape "
+                    "with fadingFactor=1 (no EKF callables, control, "
+                    "multi-step predict, or sliding likelihood) — use the "
+                    "sequential engine for this configuration"
                 )
-            factory = vectorized_scalar_lkf_scan_fold_factory
-            scalar = True
         elif scalar_lkf:
             factory = vectorized_scalar_lkf_fold_factory
         elif scalar_sigma:

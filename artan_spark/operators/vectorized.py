@@ -1402,6 +1402,222 @@ def vectorized_lkf_fold_factory(c: dict):
     return fold
 
 
+def supports_scan_general(c: dict) -> bool:
+    """Scope of the n-D matrix-element scan: plain constant-model LKF
+    (per-row measurementModel allowed — the OLS regression shape), no
+    fading, no EKF callables, no sliding likelihood."""
+    per_row = set(c.get("perRowCols") or ())
+    no_fns = not any(
+        c.get(k)
+        for k in (
+            "processFunction", "processStateJacobian", "processNoiseJacobian",
+            "measurementFunction", "measurementStateJacobian",
+            "measurementNoiseJacobian",
+        )
+    )
+    return (
+        c["kind"] == "lkf"
+        and no_fns
+        and float(c["fadingFactor"]) == 1.0
+        and c["multiStepPredict"] == 0
+        and c.get("control") is None
+        and not c.get("outputSystemMatrices")
+        and not c.get("calculateSlidingLikelihood")
+        and per_row <= {"measurementModel"}
+    )
+
+
+def vectorized_lkf_scan_fold_factory(c: dict):
+    """General n-D parallel-scan LKF fold: the matrix form of the scalar
+    scan (same Särkkä & García-Fernández elements, now (n,n) matrices and
+    n-vectors; combination inverts I + C_i J_j with a batched LAPACK
+    solve — nonsingular since C, J are PSD). log2(N) passes of batched
+    (N,n,n) solves/matmuls replace the O(rows-per-key) Python loop;
+    covers the per-row-measurementModel OLS regression shape
+    (lkf_ols_multikey). Output contract mirrors the time-synchronous
+    general fold (VFLAT_OUT_SCHEMA); parity ~1e-9 relative."""
+    n = c["stateSize"]
+    mdim = c["measurementSize"]
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    compute_ll = c["calculateLoglikelihood"]
+    compute_maha = c["calculateMahalanobis"]
+    eye_n = np.eye(n)
+
+    def sym(M):
+        return (M + np.swapaxes(M, 1, 2)) * 0.5
+
+    def fold(pdf: pd.DataFrame, _state):
+        from artan_spark.types import mat_to_np
+
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
+
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        new_key = np.ones(N, dtype=bool)
+        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+        seg = np.cumsum(new_key) - 1
+        first_idx = np.nonzero(new_key)[0]
+        pos = np.arange(N) - first_idx[seg]
+        K = len(first_idx)
+
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros((N, mdim))
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+        if "measurementModel" in pdf.columns:
+            h_cells = pdf["measurementModel"].values
+            Hrows = np.empty((N, mdim, n))
+            for i in range(N):
+                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
+        else:
+            Hrows = None
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        m0k = np.tile(m0, (K, 1))
+        P0k = np.tile(P0, (K, 1, 1))
+        if "initialStateDistribution" in pdf.columns:
+            _seed_initial_state(pdf, first_idx, m0k, P0k)
+
+        # ---- per-row elements ------------------------------------------
+        A = np.broadcast_to(F_, (N, n, n)).copy()
+        b = np.zeros((N, n))
+        C = np.broadcast_to(Q, (N, n, n)).copy()
+        eta = np.zeros((N, n))
+        J = np.zeros((N, n, n))
+        meas = np.nonzero(has_z)[0]
+        if len(meas):
+            Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
+            HQ = Hm @ Q  # (a, m, n)
+            S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
+            S = sym(S)
+            Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
+            ikh = eye_n - Kg @ Hm
+            A[meas] = ikh @ F_
+            b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
+            C[meas] = sym(ikh @ Q)
+            SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
+            eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
+            J[meas] = sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
+        # first row per key: fold the per-key prior in (A=0)
+        fm = m0k @ F_.T
+        fP = F_ @ P0k @ F_.T + Q
+        fz = has_z[first_idx]
+        b1 = fm.copy()
+        C1 = fP.copy()
+        if fz.any():
+            rows_f = first_idx[fz]
+            Hf = Hrows[rows_f] if Hrows is not None else np.broadcast_to(H_const, (len(rows_f), mdim, n))
+            P1 = fP[fz]
+            S1 = sym(Hf @ P1 @ np.swapaxes(Hf, 1, 2) + R)
+            K1 = np.swapaxes(np.linalg.solve(S1, Hf @ P1), 1, 2)
+            r1 = Z[rows_f] - np.einsum("aij,aj->ai", Hf, fm[fz])
+            b1[fz] = fm[fz] + np.einsum("aij,aj->ai", K1, r1)
+            ikh1 = eye_n - K1 @ Hf
+            # Joseph form, like the sequential fold's update
+            C1[fz] = sym(
+                np.einsum("aij,ajk,alk->ail", ikh1, P1, ikh1)
+                + np.einsum("aij,jk,alk->ail", K1, R, K1)
+            )
+        A[first_idx] = 0.0
+        b[first_idx] = b1
+        C[first_idx] = C1
+        eta[first_idx] = 0.0
+        J[first_idx] = 0.0
+
+        # ---- segmented doubling scan (matrix combine) ------------------
+        d = 1
+        while d < N:
+            mk = pos[d:] >= d
+            mv = mk[:, None]
+            mm = mk[:, None, None]
+            Al, bl, Cl, el, Jl = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
+            Ar, br, Cr, er, Jr = A[d:], b[d:], C[d:], eta[d:], J[d:]
+            M1 = eye_n + Cl @ Jr
+            M2 = eye_n + Jr @ Cl
+            rhs1 = np.concatenate(
+                [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
+            )
+            X = np.linalg.solve(M1, rhs1)
+            XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
+            Y = np.linalg.solve(M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2))
+            Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
+            nA = Ar @ XA
+            nb = np.einsum("aij,aj->ai", Ar, Xbe) + br
+            nC = sym(np.einsum("aij,ajk,alk->ail", Ar, XC, Ar) + Cr)
+            ne = np.einsum("aji,aj->ai", Al, Ye) + el
+            nJ = sym(np.einsum("aji,ajk,akl->ail", Al, YJ, Al) + Jl)
+            A[d:] = np.where(mm, nA, Ar)
+            b[d:] = np.where(mv, nb, br)
+            C[d:] = np.where(mm, nC, Cr)
+            eta[d:] = np.where(mv, ne, er)
+            J[d:] = np.where(mm, nJ, Jr)
+            d *= 2
+
+        out_mean, out_cov = b, C
+
+        # ---- residual family from the one-step prediction --------------
+        prev_m = np.empty((N, n))
+        prev_P = np.empty((N, n, n))
+        prev_m[1:] = out_mean[:-1]
+        prev_P[1:] = out_cov[:-1]
+        prev_m[first_idx] = m0k
+        prev_P[first_idx] = P0k
+        out_res = np.full((N, mdim), np.nan)
+        out_rescov = np.full((N, mdim, mdim), np.nan)
+        out_ll = np.full(N, np.nan)
+        out_maha = np.full(N, np.nan)
+        if len(meas):
+            Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
+            pm = prev_m[meas] @ F_.T
+            pP = F_ @ prev_P[meas] @ F_.T + Q
+            r = Z[meas] - np.einsum("aij,aj->ai", Hm, pm)
+            S = sym(Hm @ pP @ np.swapaxes(Hm, 1, 2) + R)
+            out_res[meas] = r
+            out_rescov[meas] = S
+            if compute_ll or compute_maha:
+                if mdim == 1:
+                    L1 = np.sqrt(S[:, 0, 0] + 1e-300)
+                    sq = (r[:, 0] / L1) ** 2
+                    logdet = 2.0 * np.log(L1)
+                else:
+                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                    w = np.linalg.solve(L, r[..., None])[..., 0]
+                    sq = np.sum(w * w, axis=1)
+                    logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+                if compute_maha:
+                    out_maha[meas] = np.sqrt(np.maximum(sq, 0.0))
+                if compute_ll:
+                    out_ll[meas] = -0.5 * (mdim * _LOG2PI + logdet + sq)
+
+        resm = ~np.isnan(out_rescov[:, 0, 0])
+        out = pd.DataFrame(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": pos + 1,
+                "stepIndex": 0,
+                "mean": list(out_mean),
+                "cov": [cvals.T.ravel() for cvals in out_cov],
+                "res": [out_res[i] if resm[i] else None for i in range(N)],
+                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                EVENT_TIME: ev if ev is not None else None,
+                "loglikelihood": out_ll,
+                "mahalanobis": out_maha,
+                "slidingLikelihood": np.nan,
+            },
+            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        )
+        return out, None
+
+    return fold
+
+
 def vectorized_scalar_smoother_scan_fold_factory(c: dict):
     """Scan-engine fixed-lag RTS smoother (scalar shape): forward pass =
     the shared associative filtering scan (log2 N full-width passes);

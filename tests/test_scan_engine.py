@@ -280,3 +280,99 @@ def test_rls_scan_rejects_nd(spark):
     rls._set("foldEngine", "scan")
     with pytest.raises(ValueError, match="1-D"):
         rls.transform(df)
+
+
+def _ols_flt(engine):
+    flt = (
+        LinearKalmanFilter(3, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateCovariance(100.0 * np.eye(3))
+        .setMeasurementModelCol("measurementModel")
+        .setProcessNoise(np.zeros((3, 3)))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setVectorizedBatch(True)
+    )
+    flt._set("foldEngine", engine)
+    return flt
+
+
+def test_general_scan_matches_sequential_ols_shape(spark):
+    """The n-D matrix-element scan on the OLS regression shape (per-row
+    measurementModel, 3-D state, zero process noise): parity with the
+    time-synchronous general fold across multiple keys."""
+    rng = np.random.RandomState(17)
+    rows = []
+    for i in range(240):
+        x = float(i % 24)
+        h = [x, float(np.sqrt(x + 0.5)), 1.0]
+        y = 2.0 * x + 1.5 * h[1] - 3.0 + rng.normal(0, 0.5)
+        rows.append((f"k{i % 5}", [float(y)], (1, 3, h)))
+    schema = (
+        "stateKey string, measurement array<double>, "
+        "measurementModel struct<numRows:int,numCols:int,values:array<double>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    proj = lambda flt: {  # noqa: E731
+        (r.stateKey, r.stateIndex): (
+            np.array(r.state.mean),
+            np.array(r.state.covariance.values),
+            None if r.residual is None else np.array(r.residual.mean),
+        )
+        for r in flt.transform(df).collect()
+    }
+    seq = proj(_ols_flt("sequential"))
+    scan = proj(_ols_flt("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k][0], seq[k][0], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=1e-7, atol=1e-9)
+        if seq[k][2] is not None:
+            np.testing.assert_allclose(scan[k][2], seq[k][2], rtol=1e-7, atol=1e-9)
+
+
+def test_general_scan_matches_constant_model_nd(spark):
+    """2-D constant-velocity model, constant H, with missing measurements
+    and likelihood projections."""
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(200):
+        z = None if i % 9 == 0 else [float(0.5 * i + rng.normal(0, 2.0))]
+        rows.append((f"g{i % 3}", z))
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+
+    def mk(engine):
+        flt = (
+            LinearKalmanFilter(2, 1)
+            .setStateKeyCol("stateKey")
+            .setProcessModel(np.array([[1.0, 1.0], [0.0, 1.0]]))
+            .setMeasurementModel(np.array([[1.0, 0.0]]))
+            .setInitialStateCovariance(100.0 * np.eye(2))
+            .setProcessNoise(0.1 * np.eye(2))
+            .setMeasurementNoise(np.array([[5.0]]))
+            .setCalculateLoglikelihood(True)
+            .setCalculateMahalanobis(True)
+            .setVectorizedBatch(True)
+        )
+        flt._set("foldEngine", engine)
+        return flt
+
+    proj = lambda flt: {  # noqa: E731
+        (r.stateKey, r.stateIndex): (
+            np.array(r.state.mean),
+            np.array(r.state.covariance.values),
+            r.loglikelihood,
+            r.mahalanobis,
+        )
+        for r in flt.transform(df).collect()
+    }
+    seq = proj(mk("sequential"))
+    scan = proj(mk("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k][0], seq[k][0], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=1e-7, atol=1e-9)
+        if seq[k][2] is None:
+            assert scan[k][2] is None or np.isnan(scan[k][2])
+        else:
+            np.testing.assert_allclose(scan[k][2], seq[k][2], rtol=1e-7, atol=1e-9)
+            np.testing.assert_allclose(scan[k][3], seq[k][3], rtol=1e-7, atol=1e-9)
