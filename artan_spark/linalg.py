@@ -38,15 +38,159 @@ def sym(a: np.ndarray) -> np.ndarray:
     return (a + a.T) * 0.5
 
 
-def pinv(a: np.ndarray) -> np.ndarray:
-    """Moore-Penrose pseudo-inverse via SVD (LinalgUtils.scala:161-183)."""
-    return np.linalg.pinv(a)
+# -- selectable SVD driver (LinalgOptions, LinalgUtils.scala:31-44) ---------
+#
+# The reference selects the LAPACK driver per SparkConf: dgesdd (fast
+# divide-and-conquer default) or dgesvd (slower, more robust) plus a
+# raiseExceptions escape hatch (Lapack.scala:157-163's "live with the
+# consequences" mode). numpy pins dgesdd, so the 'dgesvd' role — the
+# robust fallback when gesdd fails to converge — is filled by a pure-numpy
+# one-sided Jacobi SVD (Golub & Van Loan §8.6.3; documented substitution,
+# same config keys and semantics).
+
+from typing import NamedTuple
 
 
-def sqrt_spd(a: np.ndarray) -> np.ndarray:
+class LinalgOptions(NamedTuple):
+    svd_method: str = "dgesdd"  # "dgesdd" | "dgesvd"
+    raise_exceptions: bool = True
+
+
+DEFAULT_OPTIONS = LinalgOptions()
+
+
+def options_from_conf(spark) -> LinalgOptions:
+    """Mirror LinalgOptions.fromSparkConf (LinalgUtils.scala:36-44): the
+    same config keys, read at plan time and shipped into the fold."""
+    method = spark.conf.get("spark.artan.ml.linalg.svdMethod", "dgesdd")
+    if method not in ("dgesdd", "dgesvd"):
+        raise ValueError(
+            f"svdMethod must be either dgesdd or dgesvd, provided: {method}"
+        )
+    raise_exc = str(
+        spark.conf.get("spark.ml.linalg.raiseExceptions", "true")
+    ).lower() == "true"
+    return LinalgOptions(method, raise_exc)
+
+
+def _jacobi_svd(a: np.ndarray, max_sweeps: int = 60):
+    """One-sided Jacobi SVD (thin): always converges on finite input —
+    the robust/slow driver role of the reference's dgesvd."""
+    A = np.array(a, dtype=np.float64)
+    m, n = A.shape
+    transposed = m < n
+    if transposed:
+        A = A.T.copy()
+        m, n = n, m
+    V = np.eye(n)
+    for _ in range(max_sweeps):
+        off = 0.0
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app = float(A[:, p] @ A[:, p])
+                aqq = float(A[:, q] @ A[:, q])
+                apq = float(A[:, p] @ A[:, q])
+                denom = math.sqrt(app * aqq)
+                if denom == 0.0 or abs(apq) <= 1e-15 * denom:
+                    continue
+                off = max(off, abs(apq) / denom)
+                tau = (aqq - app) / (2.0 * apq)
+                t = math.copysign(1.0, tau) / (abs(tau) + math.sqrt(1.0 + tau * tau))
+                cth = 1.0 / math.sqrt(1.0 + t * t)
+                sth = cth * t
+                Ap, Aq = A[:, p].copy(), A[:, q].copy()
+                A[:, p] = cth * Ap - sth * Aq
+                A[:, q] = sth * Ap + cth * Aq
+                Vp, Vq = V[:, p].copy(), V[:, q].copy()
+                V[:, p] = cth * Vp - sth * Vq
+                V[:, q] = sth * Vp + cth * Vq
+        if off < 1e-14:
+            break
+    s = np.linalg.norm(A, axis=0)
+    order = np.argsort(-s)
+    s = s[order]
+    U = np.zeros((m, n))
+    nz = s > 0.0
+    cols = A[:, order]
+    U[:, nz] = cols[:, nz] / s[nz]
+    V = V[:, order]
+    if transposed:
+        return V, s, U.T  # a = (U S Vt)^T of the transposed problem
+    return U, s, V.T
+
+
+def _svd(a: np.ndarray, options: LinalgOptions):
+    if options.svd_method == "dgesvd":
+        return _jacobi_svd(a)
+    try:
+        return np.linalg.svd(a, full_matrices=False)
+    except np.linalg.LinAlgError:
+        if options.raise_exceptions:
+            raise np.linalg.LinAlgError(
+                "SVD (gesdd) failed to converge. Set "
+                "spark.artan.ml.linalg.svdMethod to 'dgesvd' for the slower "
+                "robust driver, or set spark.ml.linalg.raiseExceptions to "
+                "false and live with the consequences (zeros substituted)"
+            )
+        return None
+
+
+def pinv(a: np.ndarray, options: LinalgOptions = DEFAULT_OPTIONS) -> np.ndarray:
+    """Moore-Penrose pseudo-inverse via SVD (LinalgUtils.scala:161-183,
+    192-194: reciprocate nonzero singular values)."""
+    if options.svd_method == "dgesdd" and options.raise_exceptions:
+        return np.linalg.pinv(a)  # fast path, numerics unchanged
+    res = _svd(np.asarray(a, dtype=np.float64), options)
+    if res is None:
+        return np.zeros_like(np.asarray(a, dtype=np.float64).T)
+    u, s, vt = res
+    cutoff = np.finfo(np.float64).eps * max(a.shape) * (s[0] if len(s) else 0.0)
+    s_inv = np.where(s > cutoff, 1.0 / np.where(s == 0.0, 1.0, s), 0.0)
+    return (vt.T * s_inv) @ u.T
+
+
+def sqrt_spd(a: np.ndarray, options: LinalgOptions = DEFAULT_OPTIONS) -> np.ndarray:
     """Symmetric PSD square root via SVD (LinalgUtils.scala:185-196)."""
-    u, s, vt = np.linalg.svd(sym(np.asarray(a, dtype=np.float64)))
+    sa = sym(np.asarray(a, dtype=np.float64))
+    if options.svd_method == "dgesdd" and options.raise_exceptions:
+        u, s, vt = np.linalg.svd(sa)
+    else:
+        res = _svd(sa, options)
+        if res is None:
+            return np.zeros_like(sa)
+        u, s, vt = res
     return (u * np.sqrt(np.maximum(s, 0.0))) @ vt
+
+
+# -- sparse helper (LinalgUtils.scala:145-159) ------------------------------
+
+
+class SparseMatrix(NamedTuple):
+    """CSC sparse matrix, the Spark ML layout (colPtrs/rowIndices/values)."""
+
+    num_rows: int
+    num_cols: int
+    col_ptrs: tuple
+    row_indices: tuple
+    values: tuple
+
+    def toarray(self) -> np.ndarray:
+        out = np.zeros((self.num_rows, self.num_cols))
+        for j in range(self.num_cols):
+            for k in range(self.col_ptrs[j], self.col_ptrs[j + 1]):
+                out[self.row_indices[k], j] = self.values[k]
+        return out
+
+
+def lag_op(n: int) -> SparseMatrix:
+    """The lag operator L (ones on the subdiagonal: (L x)_k = x_{k-1}),
+    as the reference's CSC pattern (LinalgUtils.scala:154-159) — whose
+    ``values = Array.fill(n - 1)(0.0)`` makes it a ZERO matrix there; the
+    bug is deliberately NOT replicated (the zerosMatrix precedent)."""
+    col_ptrs = tuple([0] + list(range(1, n)) + [n - 1])
+    row_indices = tuple(range(1, n))
+    values = tuple([1.0] * (n - 1))
+    return SparseMatrix(n, n, col_ptrs, row_indices, values)
 
 
 def squared_mahalanobis(r: np.ndarray, cov: np.ndarray) -> float:
@@ -149,7 +293,14 @@ def kf_predict(
     return m1, sym(P1)
 
 
-def kf_estimate(m: np.ndarray, P: np.ndarray, z: np.ndarray, H: np.ndarray, R: np.ndarray):
+def kf_estimate(
+    m: np.ndarray,
+    P: np.ndarray,
+    z: np.ndarray,
+    H: np.ndarray,
+    R: np.ndarray,
+    options: LinalgOptions = DEFAULT_OPTIONS,
+):
     """Measurement update: gain via pinv(S), Joseph-form covariance
     (LinearKalmanFilter.scala:204-259).
 
@@ -157,7 +308,7 @@ def kf_estimate(m: np.ndarray, P: np.ndarray, z: np.ndarray, H: np.ndarray, R: n
     """
     r = z - H @ m
     S = sym(H @ P @ H.T + R)
-    K = P @ H.T @ pinv(S)
+    K = P @ H.T @ pinv(S, options)
     m1 = m + K @ r
     ikh = np.eye(len(m)) - K @ H
     P1 = ikh @ P @ ikh.T + K @ R @ K.T  # Joseph form
@@ -186,12 +337,19 @@ def lms_update(m: np.ndarray, y: float, x: np.ndarray, learning_rate: float, reg
 # --- sigma/cubature point sets ---------------------------------------------
 
 
-def merwe_sigma_points(m: np.ndarray, P: np.ndarray, alpha: float, beta: float, kappa: float):
+def merwe_sigma_points(
+    m: np.ndarray,
+    P: np.ndarray,
+    alpha: float,
+    beta: float,
+    kappa: float,
+    options: LinalgOptions = DEFAULT_OPTIONS,
+):
     """Van der Merwe scaled sigma points + mean/cov weights
     (UnscentedKalmanFilter.scala:431-472)."""
     n = len(m)
     lam = alpha**2 * (n + kappa) - n
-    root = sqrt_spd((n + lam) * P)
+    root = sqrt_spd((n + lam) * P, options)
     pts = np.empty((2 * n + 1, n))
     pts[0] = m
     pts[1 : n + 1] = m + root
@@ -203,10 +361,12 @@ def merwe_sigma_points(m: np.ndarray, P: np.ndarray, alpha: float, beta: float, 
     return pts, wm, wc
 
 
-def julier_sigma_points(m: np.ndarray, P: np.ndarray, kappa: float):
+def julier_sigma_points(
+    m: np.ndarray, P: np.ndarray, kappa: float, options: LinalgOptions = DEFAULT_OPTIONS
+):
     """Julier sigma points (UnscentedKalmanFilter.scala:393-427)."""
     n = len(m)
-    root = sqrt_spd((n + kappa) * P)
+    root = sqrt_spd((n + kappa) * P, options)
     pts = np.empty((2 * n + 1, n))
     pts[0] = m
     pts[1 : n + 1] = m + root
@@ -216,11 +376,11 @@ def julier_sigma_points(m: np.ndarray, P: np.ndarray, kappa: float):
     return pts, wm, wm.copy()
 
 
-def cubature_points(m: np.ndarray, P: np.ndarray):
+def cubature_points(m: np.ndarray, P: np.ndarray, options: LinalgOptions = DEFAULT_OPTIONS):
     """3rd-degree spherical-radial cubature points: 2n symmetric points,
     uniform weights 1/2n (CubatureKalmanFilter.scala:231-279)."""
     n = len(m)
-    root = sqrt_spd(float(n) * P)
+    root = sqrt_spd(float(n) * P, options)
     pts = np.empty((2 * n, n))
     pts[:n] = m + root
     pts[n:] = m - root

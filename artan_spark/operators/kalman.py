@@ -327,7 +327,9 @@ def _kalman_fold_factory(c: dict):
 
     def estimate(m, P, z, H, R):
         if kind == "lkf":
-            m1, P1, r, S = linalg.kf_estimate(m, P, z, H, R)
+            m1, P1, r, S = linalg.kf_estimate(
+                m, P, z, H, R, c.get("linalgOptions", linalg.DEFAULT_OPTIONS)
+            )
             return m1, P1, r, S, None
         if kind == "ekf":
             mf, mj, mnj = c["measurementFunction"], c["measurementStateJacobian"], c["measurementNoiseJacobian"]
@@ -339,7 +341,7 @@ def _kalman_fold_factory(c: dict):
                 Re = L @ R @ L.T
             r = z - zhat
             S = linalg.sym(Hj @ P @ Hj.T + Re)
-            K = P @ Hj.T @ linalg.pinv(S)
+            K = P @ Hj.T @ linalg.pinv(S, c.get("linalgOptions", linalg.DEFAULT_OPTIONS))
             m1 = m + K @ r
             ikh = np.eye(len(m)) - K @ Hj
             P1 = ikh @ P @ ikh.T + K @ Re @ K.T
@@ -458,13 +460,23 @@ def _kalman_fold_factory(c: dict):
     return fold
 
 
+def _session_linalg_options():
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return linalg.DEFAULT_OPTIONS
+    return linalg.options_from_conf(sess)
+
+
 def _points(kind, c, m, P):
+    ops = c.get("linalgOptions", linalg.DEFAULT_OPTIONS)
     if kind == "ckf":
-        pts, wm, wc = linalg.cubature_points(m, P)
+        pts, wm, wc = linalg.cubature_points(m, P, ops)
     elif c["sigmaPoints"] == "julier":
-        pts, wm, wc = linalg.julier_sigma_points(m, P, c["kappa"])
+        pts, wm, wc = linalg.julier_sigma_points(m, P, c["kappa"], ops)
     else:
-        pts, wm, wc = linalg.merwe_sigma_points(m, P, c["alpha"], c["beta"], c["kappa"])
+        pts, wm, wc = linalg.merwe_sigma_points(m, P, c["alpha"], c["beta"], c["kappa"], ops)
     # optional elementwise sigma-point clipping
     # (UnscentedKalmanFilter.scala:347-362 applyBounds)
     lb, ub = c.get("sigmaPointLowerBound"), c.get("sigmaPointUpperBound")
@@ -594,6 +606,10 @@ class KalmanBase(StatefulTransformer):
             "control": self._vecParam("control", None),
             "controlFunction": self._mat("controlFunction", None),
             "fadingFactor": float(self.get("fadingFactor")),
+            # read at plan time and shipped into the fold, the reference's
+            # StatefulTransformer.scala:183-185 contract (default =
+            # numpy's dgesdd path, numerics unchanged)
+            "linalgOptions": _session_linalg_options(),
             "multiStepPredict": int(self.get("multiStepPredict")),
             "calculateLoglikelihood": bool(self.get("calculateLoglikelihood")),
             "calculateMahalanobis": bool(self.get("calculateMahalanobis")),
