@@ -489,7 +489,7 @@ qprior AS (
 ),
 qscored AS (
   SELECT qdocf.doc_id,
-         SUM(c) AS n_feats,
+         CAST(SUM(c) AS BIGINT) AS n_feats,
          ln(dp * 1.0) - ln(dn * 1.0)
          + SUM(c * (ln((cp + {QC_ALPHA}) / (np + {QC_ALPHA} * {DSIR_BUCKETS}))
                   - ln((cn + {QC_ALPHA}) / (nn + {QC_ALPHA} * {DSIR_BUCKETS})))) AS raw_logit
