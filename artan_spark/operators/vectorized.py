@@ -170,6 +170,9 @@ def cols_to_pdf(cols: dict, n: int, names) -> pd.DataFrame:
             data[k] = pd.Series(np.full(n, None, dtype=object), copy=False)
         elif isinstance(v, np.ndarray):
             data[k] = pd.Series(v, copy=False)
+        elif isinstance(v, list):
+            # per-row array cells (vector/matrix columns): object dtype
+            data[k] = pd.Series(v, dtype=object, copy=False)
         else:
             data[k] = pd.Series(np.full(n, v), copy=False)
     return pd.concat(data, axis=1, copy=False)
@@ -651,7 +654,7 @@ def vectorized_sigma_fold_factory(c: dict):
                 "mean": list(out_mean),
                 "cov": [cv.T.ravel() for cv in out_cov],
                 "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
@@ -1387,9 +1390,9 @@ def vectorized_lkf_fold_factory(c: dict):
                 "stateIndex": out_idx,
                 "stepIndex": 0,
                 "mean": list(out_mean),
-                "cov": [cvals.T.ravel() for cvals in out_cov],
+                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
                 "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
@@ -1603,9 +1606,9 @@ def vectorized_lkf_scan_fold_factory(c: dict):
                 "stateIndex": pos + 1,
                 "stepIndex": 0,
                 "mean": list(out_mean),
-                "cov": [cvals.T.ravel() for cvals in out_cov],
+                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
                 "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [out_rescov[i].T.ravel() if resm[i] else None for i in range(N)],
+                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
@@ -1746,9 +1749,12 @@ def vectorized_smoother_fold_factory(c: dict):
         return N, keys_arr, key_codes, key_idx, K, counts, first, pos, order
 
     def _emit_frame(cols, names):
-        if len(cols[0]) == 0:
+        n_out = len(cols[0])
+        if n_out == 0:
             return empty_pdf(names)
-        return pd.DataFrame(dict(zip(names, cols)), columns=names)
+        # block-consolidation-free (the cols_to_pdf rationale): the float
+        # columns here are N*lag long
+        return cols_to_pdf(dict(zip(names, cols)), n_out, names)
 
     def fold_scalar(pdf: pd.DataFrame, _state):
         names = [STATE_KEY, "stateIndex", "stepIndex", "mean", "cov", "gain", EVENT_TIME]
