@@ -31,6 +31,7 @@ import examples.multimodal_pipeline as mm
 import examples.streaming_asof as asof
 import examples.sessionize_rate_source as sess
 import examples.ukf_rate_source_glm_log as ukf
+import examples.lkf_scan_hot_key as scan_hot
 
 for name, mod, args in [
     ("lkf_rate_source_ols", ols, (2, 50, 6)),
@@ -47,6 +48,7 @@ for name, mod, args in [
     ("incremental_lake", lake, ()),
     ("multimodal_pipeline", mm, ()),
     ("heavy_hitters_rate_source", hh, (100, 6)),
+    ("lkf_scan_hot_key", scan_hot, (20000,)),
 ]:
     print(f"### running {name}", flush=True)
     mod.main(*args)
