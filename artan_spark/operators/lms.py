@@ -82,12 +82,21 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         "initialStateCol": None,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
+        # "sequential" | "scan" (opt-in 1-D affine scan; ~1e-12 parity)
+        "foldEngine": "sequential",
     }
 
     def setInitialEstimate(self, value):
         return self._set("initialState", np.asarray(value, dtype=np.float64))
 
     def transform(self, df):
+        if self.get("foldEngine") == "scan" and (
+            df.isStreaming or not self.get("vectorizedBatch")
+        ):
+            raise ValueError(
+                "foldEngine='scan' is a batch vectorized engine: call "
+                "setVectorizedBatch(True) and use batch input"
+            )
         if (
             not df.isStreaming
             and self.get("vectorizedBatch")
@@ -101,15 +110,29 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         (operators/vectorized.py vectorized_lms_fold_factory). Batch only.
         The fold already emits the public (state VECTOR) schema — no
         JVM-side reassembly needed."""
-        from artan_spark.operators.vectorized import vectorized_lms_fold_factory
+        from artan_spark.operators.vectorized import (
+            vectorized_lms_fold_factory,
+            vectorized_scalar_lms_scan_fold_factory,
+        )
 
         keyed = self._keyed(df)
         constants = self._constants()
+        if self.get("foldEngine") == "scan":
+            init = constants["initialState"]
+            feat_1d = init is None or len(np.ravel(init)) == 1
+            if not feat_1d:
+                raise ValueError(
+                    "foldEngine='scan' supports the 1-D LMS shape only — "
+                    "use the sequential engine for n-D feature vectors"
+                )
+            factory = vectorized_scalar_lms_scan_fold_factory
+        else:
+            factory = vectorized_lms_fold_factory
         factory_cell: list = []
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not factory_cell:
-                factory_cell.append(vectorized_lms_fold_factory(constants))
+                factory_cell.append(factory(constants))
             cols = [STATE_KEY] + ([EVENT_TIME] if EVENT_TIME in pdf.columns else [])
             pdf = pdf.sort_values(cols, kind="stable", na_position="first")
             out, _ = factory_cell[0](pdf, None)

@@ -436,6 +436,73 @@ def vectorized_lms_fold_factory(c: dict):
     return fold
 
 
+def vectorized_scalar_lms_scan_fold_factory(c: dict):
+    """PARALLEL-SCAN scalar normalized-LMS fold: the 1-D update
+    m' = m + lr*(y - x*m)/(reg + x^2)*x is the affine map
+    m' = s_i*m + a_i with s_i = 1 - lr*x^2/(reg + x^2) and
+    a_i = lr*x*y/(reg + x^2) — one segmented doubling scan over
+    (scale, add), the RLS-scan pattern without the information form.
+    Opt-in via ``setFoldEngine("scan")``; ~1e-12 relative parity with the
+    sequential recursion (tests/test_scan_engine.py)."""
+    lr = float(c["learningRate"])
+    reg = float(c["regularizationConstant"])
+    init = c["initialState"]
+    m0 = 0.0 if init is None else float(np.ravel(init)[0])
+    names = [STATE_KEY, "stateIndex", "state", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        new_key = np.ones(N, dtype=bool)
+        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+        first_idx = np.nonzero(new_key)[0]
+        seg = np.cumsum(new_key) - 1
+        pos = np.arange(N) - first_idx[seg]
+
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        feats = pdf["features"].values
+        if len(np.ravel(feats[0])) != 1:
+            raise ValueError(
+                "foldEngine='scan' supports the 1-D LMS shape only — use "
+                "the sequential engine for n-D feature vectors"
+            )
+        X = np.fromiter((np.ravel(f)[0] for f in feats), dtype=np.float64, count=N)
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        denom = reg + X * X
+        g = lr * X / denom
+        S = 1.0 - g * X
+        a = g * y
+        d = 1
+        while d < N:
+            mk = pos[d:] >= d
+            Sl, al = S[:-d], a[:-d]
+            Sr, ar = S[d:], a[d:]
+            nS = Sr * Sl
+            na = Sr * al + ar
+            S[d:] = np.where(mk, nS, Sr)
+            a[d:] = np.where(mk, na, ar)
+            d *= 2
+        state = S * m0 + a
+
+        out = cols_to_pdf(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": pos + 1,
+                # 1-element vector cells for the public (state VECTOR) schema
+                "state": list(state[:, None]),
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            N,
+            names,
+        )
+        return out, None
+
+    return fold
+
+
 def _seed_initial_state(pdf: pd.DataFrame, first, m, P):
     """Overwrite per-key (m, P) rows from the first row's
     ``initialStateDistribution`` struct (same semantics as the sequential

@@ -376,3 +376,53 @@ def test_general_scan_matches_constant_model_nd(spark):
         else:
             np.testing.assert_allclose(scan[k][2], seq[k][2], rtol=1e-7, atol=1e-9)
             np.testing.assert_allclose(scan[k][3], seq[k][3], rtol=1e-7, atol=1e-9)
+
+
+def _lms(engine, lr=0.7, reg=1.0):
+    from artan_spark.operators import LeastMeanSquaresFilter
+
+    lms = (
+        LeastMeanSquaresFilter()
+        .setStateKeyCol("stateKey")
+        .setLearningRate(lr)
+        .setRegularizationConstant(reg)
+        .setInitialEstimate(np.array([0.0]))
+        .setVectorizedBatch(True)
+    )
+    lms._set("foldEngine", engine)
+    return lms
+
+
+@pytest.mark.parametrize("n_keys,lr", [(1, 1.0), (3, 0.5)])
+def test_lms_scan_matches_sequential(spark, n_keys, lr):
+    rng = np.random.RandomState(29)
+    rows = [
+        (f"k{i % n_keys}", float(3.0 + rng.normal(0, 0.3)), [float(1.0 + 0.05 * (i % 7))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "stateKey string, label double, features array<double>")
+    proj = lambda op: {  # noqa: E731
+        (r.stateKey, r.stateIndex): r.state[0] for r in op.transform(df).collect()
+    }
+    seq = proj(_lms("sequential", lr))
+    scan = proj(_lms("scan", lr))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k], seq[k], rtol=1e-9, atol=1e-12)
+
+
+def test_lms_scan_rejects_nd(spark):
+    from artan_spark.operators import LeastMeanSquaresFilter
+
+    df = spark.createDataFrame(
+        [("a", 1.0, [1.0, 2.0])], "stateKey string, label double, features array<double>"
+    )
+    lms = (
+        LeastMeanSquaresFilter()
+        .setStateKeyCol("stateKey")
+        .setInitialEstimate(np.array([0.0, 0.0]))
+        .setVectorizedBatch(True)
+    )
+    lms._set("foldEngine", "scan")
+    with pytest.raises(ValueError, match="1-D"):
+        lms.transform(df)
