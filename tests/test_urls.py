@@ -104,10 +104,14 @@ def test_url_dedup_collapses_variant_groups(spark):
     ],
 )
 def test_url_oracle_parity_sf001(spark, name):
-    from artan_spark.plans import PYTEST_ORACLES
+    # docs_url_dedup moved to the driver window in the r11 rotation:
+    # resolve from whichever registry holds the entry now
+    from artan_spark.plans import ORACLES, PYTEST_ORACLES, QUERIES
     from artan_spark.plans.oracle import compare
 
-    fn, sql = PYTEST_ORACLES[name]
+    fn, sql = (
+        (QUERIES[name], ORACLES[name]) if name in QUERIES else PYTEST_ORACLES[name]
+    )
     r = compare(spark, fn, sql, "/root/testdata/sf0.01")
     assert r["match"], f"{name}: {r}"
 
