@@ -192,6 +192,7 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py vectorized_rls_fold_factory). Batch only."""
         from artan_spark.operators.vectorized import (
+            vectorized_nd_rls_scan_fold_factory,
             vectorized_rls_fold_factory,
             vectorized_scalar_rls_scan_fold_factory,
         )
@@ -199,12 +200,11 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         keyed = self._keyed(df)
         constants = self._constants()
         if self.get("foldEngine") == "scan":
-            if int(constants["stateSize"]) != 1:
-                raise ValueError(
-                    "foldEngine='scan' supports the 1-D RLS shape only — "
-                    "use the sequential engine for n-D feature vectors"
-                )
-            factory = vectorized_scalar_rls_scan_fold_factory
+            factory = (
+                vectorized_scalar_rls_scan_fold_factory
+                if int(constants["stateSize"]) == 1
+                else vectorized_nd_rls_scan_fold_factory
+            )
         else:
             factory = vectorized_rls_fold_factory
         factory_cell: list = []

@@ -194,6 +194,94 @@ def multi_key_layout(pdf: pd.DataFrame):
     return keys_arr, key_idx, K, counts, first, order
 
 
+def vectorized_nd_rls_scan_fold_factory(c: dict):
+    """n-D RLS parallel scan: the matrix information form. With
+    I = P^-1 and beta = I @ m the forgetting recursion is
+
+        I'    = lam * I + x x^T
+        beta' = lam * beta + y * x
+
+    (P' = (P - g (Px)^T)/lam gives P'^-1 = lam P^-1 + x x^T by
+    Sherman-Morrison), so each row is an affine map with a SCALAR scale
+    lam — the composed prefix is (lam^k, sum of discounted rank-1 terms),
+    one segmented doubling scan over (S, aI, aBeta). The per-row outputs
+    then need one batched solve (m = I^-1 beta) and one batched inverse
+    (P = I^-1); I is SPD (lam^k * P0^-1 + PSD sums), always invertible.
+    Opt-in via ``setFoldEngine("scan")``; ~1e-9 relative parity with the
+    sequential rank-1 recursion (tests/test_scan_engine.py)."""
+    lam = float(c["forgettingFactor"])
+    n = int(c["stateSize"])
+    m0v = (
+        np.zeros(n)
+        if c["initialStateMean"] is None
+        else np.asarray(c["initialStateMean"], dtype=np.float64).ravel()
+    )
+    P0m = (
+        np.eye(n)
+        if c["regularizationMatrix"] is None
+        else np.asarray(c["regularizationMatrix"], dtype=np.float64)
+    )
+    I0 = np.linalg.inv(P0m)
+    beta0 = I0 @ m0v
+    names = [STATE_KEY, "stateIndex", "mean", "cov", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        new_key = np.ones(N, dtype=bool)
+        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+        first_idx = np.nonzero(new_key)[0]
+        seg = np.cumsum(new_key) - 1
+        pos = np.arange(N) - first_idx[seg]
+
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        feats = pdf["features"].values
+        X = np.empty((N, n))
+        for i in range(N):
+            X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+        S = np.full(N, lam)
+        aI = np.einsum("ai,aj->aij", X, X)
+        aB = X * y[:, None]
+        d = 1
+        while d < N:
+            mk = pos[d:] >= d
+            mv = mk[:, None]
+            mm = mk[:, None, None]
+            Sl, Il, Bl = S[:-d], aI[:-d], aB[:-d]
+            Sr, Ir, Br = S[d:], aI[d:], aB[d:]
+            nS = Sr * Sl
+            nI = Sr[:, None, None] * Il + Ir
+            nB = Sr[:, None] * Bl + Br
+            S[d:] = np.where(mk, nS, Sr)
+            aI[d:] = np.where(mm, nI, Ir)
+            aB[d:] = np.where(mv, nB, Br)
+            d *= 2
+
+        Imat = S[:, None, None] * I0 + aI
+        beta = S[:, None] * beta0 + aB
+        mean = np.linalg.solve(Imat, beta[..., None])[..., 0]
+        P = np.linalg.inv(Imat)
+        P = (P + np.swapaxes(P, 1, 2)) * 0.5
+        out = cols_to_pdf(
+            {
+                STATE_KEY: keys_arr,
+                "stateIndex": pos + 1,
+                "mean": list(mean),
+                "cov": list(P.transpose(0, 2, 1).reshape(N, -1)),
+                EVENT_TIME: ev if ev is not None else None,
+            },
+            N,
+            names,
+        )
+        return out, None
+
+    return fold
+
+
 def vectorized_scalar_rls_scan_fold_factory(c: dict):
     """PARALLEL-SCAN scalar RLS fold. The forgetting-factor RLS recursion
     is, in information form, a pair of exponentially-discounted sums
@@ -1486,7 +1574,9 @@ def supports_scan_general(c: dict) -> bool:
         )
     )
     return (
-        c["kind"] == "lkf"
+        # an EKF with no callables runs the linear default semantics —
+        # admit it alongside plain LKF
+        c["kind"] in ("lkf", "ekf")
         and no_fns
         and float(c["fadingFactor"]) == 1.0
         and c["multiStepPredict"] == 0

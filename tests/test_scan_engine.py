@@ -270,16 +270,75 @@ def test_rls_scan_matches_sequential(spark, n_keys, lam):
         np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=1e-8, atol=1e-12)
 
 
-def test_rls_scan_rejects_nd(spark):
+@pytest.mark.parametrize("lam", [1.0, 0.97])
+def test_rls_scan_matches_sequential_nd(spark, lam):
+    """The matrix information-form scan on a 3-feature regression: parity
+    with the sequential rank-1 recursion for both forgetting factors."""
     from artan_spark.operators import RecursiveLeastSquaresFilter
 
-    df = spark.createDataFrame(
-        [("a", 1.0, [1.0, 2.0])], "stateKey string, label double, features array<double>"
-    )
-    rls = RecursiveLeastSquaresFilter(2).setStateKeyCol("stateKey").setVectorizedBatch(True)
-    rls._set("foldEngine", "scan")
-    with pytest.raises(ValueError, match="1-D"):
-        rls.transform(df)
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(200):
+        x = [1.0, float(i % 11), float((i % 7) ** 2) / 10.0]
+        y = 2.0 + 0.3 * x[1] - 0.8 * x[2] + rng.normal(0, 0.1)
+        rows.append((f"k{i % 3}", float(y), x))
+    df = spark.createDataFrame(rows, "stateKey string, label double, features array<double>")
+
+    def mk(engine):
+        r = (
+            RecursiveLeastSquaresFilter(3)
+            .setStateKeyCol("stateKey")
+            .setForgettingFactor(lam)
+            .setVectorizedBatch(True)
+        )
+        r._set("foldEngine", engine)
+        return r
+
+    proj = lambda r: {  # noqa: E731
+        (row.stateKey, row.stateIndex): (
+            np.array(row.state.mean),
+            np.array(row.state.covariance.values),
+        )
+        for row in r.transform(df).collect()
+    }
+    seq = proj(mk("sequential"))
+    scan = proj(mk("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k][0], seq[k][0], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(scan[k][1], seq[k][1], rtol=1e-7, atol=1e-9)
+
+
+def test_ekf_linear_defaults_run_on_scan(spark):
+    """An EKF with no callables runs the linear default semantics, so the
+    general scan admits it — parity with its own sequential fold."""
+    from artan_spark.operators import ExtendedKalmanFilter
+
+    rng = np.random.RandomState(37)
+    rows = [("a", [float(0.3 * i + rng.normal(0, 1.0))]) for i in range(150)]
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+
+    def mk(engine):
+        flt = (
+            ExtendedKalmanFilter(2, 1)
+            .setStateKeyCol("stateKey")
+            .setProcessModel(np.array([[1.0, 1.0], [0.0, 1.0]]))
+            .setMeasurementModel(np.array([[1.0, 0.0]]))
+            .setProcessNoise(0.1 * np.eye(2))
+            .setMeasurementNoise(np.array([[4.0]]))
+            .setVectorizedBatch(True)
+        )
+        flt._set("foldEngine", engine)
+        return flt
+
+    proj = lambda f: {  # noqa: E731
+        (r.stateKey, r.stateIndex): np.array(r.state.mean) for r in f.transform(df).collect()
+    }
+    seq = proj(mk("sequential"))
+    scan = proj(mk("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        np.testing.assert_allclose(scan[k], seq[k], rtol=1e-7, atol=1e-9)
 
 
 def _ols_flt(engine):
