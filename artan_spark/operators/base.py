@@ -212,13 +212,10 @@ class StatefulTransformer(HasParams):
 
             result = keyed.groupBy(STATE_KEY).applyInPandas(batch_fn, out_schema)
         elif self.get("streamingBackend") == "transformWithState":
+            # no downstream withWatermark here: the operator itself declares
+            # the output event-time column (eventTimeColumnName), and Spark
+            # rejects redefining a watermark on top of a TWS operator
             result = self._transformWithState(keyed, fold, out_schema)
-            if (
-                self.get("eventTimeCol")
-                and self.get("watermarkDuration")
-                and EVENT_TIME in result.columns
-            ):
-                result = result.withWatermark(EVENT_TIME, self.get("watermarkDuration"))
         else:
             pack, unpack = self._packState, self._unpackState
             columns = [f.name for f in out_schema.fields]
@@ -433,11 +430,25 @@ class StatefulTransformer(HasParams):
             def close(self):
                 pass
 
+        # when the fold's output carries the event-time column and the user
+        # declared a watermark, the operator itself must re-declare the
+        # output event-time column — a downstream withWatermark over a TWS
+        # operator raises "Redefining watermark is disallowed"
+        ev_out = (
+            EVENT_TIME
+            if (
+                self.get("eventTimeCol")
+                and self.get("watermarkDuration")
+                and any(f.name == EVENT_TIME for f in out_schema.fields)
+            )
+            else ""
+        )
         return keyed.groupBy(STATE_KEY).transformWithStateInPandas(
             statefulProcessor=_FoldProcessor(),
             outputStructType=out_schema,
             outputMode="Append",
             timeMode=time_mode,
+            eventTimeColumnName=ev_out,
         )
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:

@@ -5,6 +5,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Before any SparkSession exists: local-mode Python workers inherit the
+# driver environment at JVM launch, so the vendored-protobuf PYTHONPATH
+# shim (artan_spark/compat.py) must run here for the transformWithState
+# backend tests to reach the workers.
+from artan_spark.compat import ensure_protobuf
+
+ensure_protobuf()
+
 from pyspark.sql import SparkSession
 
 

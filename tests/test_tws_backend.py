@@ -12,9 +12,14 @@ from artan_spark.streaming import stream_transform
 
 
 def _tws_available() -> bool:
-    """pyspark's transformWithState streaming runner needs protobuf, which
-    this container lacks (no installs allowed) — the backend is gated
-    behind this probe exactly like the multimodal codec stub."""
+    """pyspark's transformWithState streaming runner needs protobuf; when
+    it is not pip-installed, artan_spark.compat.ensure_protobuf() probes
+    for a vendored pure-Python copy (conftest.py runs it before the JVM
+    starts so the Spark workers inherit the PYTHONPATH shim)."""
+    from artan_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -154,9 +159,9 @@ def test_tws_backend_event_timeout_restarts_state(rocksdb):
     spark = rocksdb
     t0 = pd.Timestamp("2024-01-01 00:00:00")
     rows = (
-        [("a", t0 + pd.Timedelta(seconds=i), [float(i)]) for i in range(3)]
+        [("a", (t0 + pd.Timedelta(seconds=i)).to_pydatetime(), [float(i)]) for i in range(3)]
         # 10-minute silence >> 1-minute horizon: state must restart
-        + [("a", t0 + pd.Timedelta(minutes=10 + i), [float(i)]) for i in range(3)]
+        + [("a", (t0 + pd.Timedelta(minutes=10 + i)).to_pydatetime(), [float(i)]) for i in range(3)]
     )
     df = spark.createDataFrame(
         rows, "stateKey string, ts timestamp, measurement array<double>"
