@@ -521,12 +521,17 @@ class KalmanBase(StatefulTransformer):
         "outputSystemMatrices": False,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
-        # batch fold engine: "sequential" (default; bit-exact recursion,
-        # rows-per-key-bound) or "scan" (opt-in parallel-scan formulation,
-        # Särkkä & García-Fernández 2021 — O(log n) depth per key, ~1e-12
-        # relative parity; requires vectorizedBatch + the scalar
-        # constant-model shape, supports_scan)
-        "foldEngine": "sequential",
+        # batch fold engine:
+        #   "auto"       (default) parallel-scan on scan-expressible linear
+        #                shapes in batch mode (Särkkä & García-Fernández
+        #                2021 — O(log n) depth per key instead of the
+        #                rows-per-key-bound recursion; ~1e-12 relative
+        #                parity), sequential otherwise
+        #   "sequential" bit-exact recursion (the escape hatch; also the
+        #                only streaming engine)
+        #   "scan"       force the scan; errors on unsupported shapes
+        #                (requires vectorizedBatch, batch input)
+        "foldEngine": "auto",
         "multipleModelAdaptiveEstimationEnabled": False,
         "multipleModelMeasurementWindowDuration": None,
     }
@@ -538,7 +543,8 @@ class KalmanBase(StatefulTransformer):
             # MMAE needs sliding likelihood (KalmanBase.scala:477-479);
             # restored below so the flag does not leak into later transforms
             self._set("calculateSlidingLikelihood", True)
-        if self.get("foldEngine") == "scan" and (
+        engine = self.get("foldEngine")
+        if engine == "scan" and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
@@ -548,12 +554,26 @@ class KalmanBase(StatefulTransformer):
                 "rows-per-key-bound, so the scan buys nothing there)"
             )
         try:
-            if not df.isStreaming and self.get("vectorizedBatch"):
-                if self._supportsVectorized(self._constants()):
-                    out = self._vectorizedTransform(df)
-                else:
-                    out = super().transform(df)
+            c = self._constants()
+            if engine == "auto":
+                # default engine resolution: batch + a scan-expressible
+                # linear shape -> the parallel-scan fold (rows-per-key no
+                # longer bounds wall-clock; ~1e-12 relative parity with the
+                # sequential recursion). setFoldEngine("sequential") is the
+                # bit-exact escape hatch.
+                engine = (
+                    "scan"
+                    if (not df.isStreaming and self._scanEligible(c))
+                    else "sequential"
+                )
+            if not df.isStreaming and (
+                engine == "scan"
+                or (self.get("vectorizedBatch") and self._supportsVectorized(c))
+            ):
+                self._lastFoldEngine = engine  # introspection (tests/bench)
+                out = self._vectorizedTransform(df, engine)
             else:
+                self._lastFoldEngine = "sequential"
                 out = super().transform(df)
         finally:
             if sll_forced:
@@ -708,7 +728,20 @@ class KalmanBase(StatefulTransformer):
 
         return supports_vectorized(c)
 
-    def _vectorizedTransform(self, df: DataFrame) -> DataFrame:
+    def _scanEligible(self, c: dict) -> bool:
+        """Shapes the auto engine promotes to the parallel-scan fold: the
+        scalar constant-model LKF (supports_scan) and the n-D constant-model
+        LKF / linear-default EKF incl. per-row measurementModel
+        (supports_scan_general). Sigma-point filters and EKF-with-callables
+        stay sequential (per-step linearization has no scan element)."""
+        from artan_spark.operators.vectorized import (
+            supports_scan,
+            supports_scan_general,
+        )
+
+        return supports_scan(c) or supports_scan_general(c)
+
+    def _vectorizedTransform(self, df: DataFrame, engine: str = "sequential") -> DataFrame:
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py). Batch only; falls back otherwise."""
         import pandas as pd
@@ -732,7 +765,7 @@ class KalmanBase(StatefulTransformer):
         scalar_lkf = self._kind == "lkf" and supports_scalar_vectorized(constants)
         scalar_sigma = supports_scalar_sigma(constants)
         scalar = scalar_lkf or scalar_sigma
-        if self.get("foldEngine") == "scan":
+        if engine == "scan":
             from artan_spark.operators.vectorized import (
                 supports_scan,
                 supports_scan_general,

@@ -82,30 +82,49 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         "initialStateCol": None,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
-        # "sequential" | "scan" (opt-in 1-D affine scan; ~1e-12 parity)
-        "foldEngine": "sequential",
+        # "auto" (default): 1-D affine scan in batch mode when the shape is
+        # provably scalar (initialState of length 1; ~1e-12 parity) |
+        # "sequential" (bit-exact, the escape hatch; also when initialState
+        # is None — the feature dim is unknowable before the data) |
+        # "scan" (force; requires vectorizedBatch)
+        "foldEngine": "auto",
     }
 
     def setInitialEstimate(self, value):
         return self._set("initialState", np.asarray(value, dtype=np.float64))
 
     def transform(self, df):
-        if self.get("foldEngine") == "scan" and (
+        engine = self.get("foldEngine")
+        if engine == "scan" and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
                 "foldEngine='scan' is a batch vectorized engine: call "
                 "setVectorizedBatch(True) and use batch input"
             )
+        if engine == "auto":
+            init = self.get("initialState")
+            scalar_known = init is not None and len(np.ravel(init)) == 1
+            engine = (
+                "scan"
+                if (
+                    not df.isStreaming
+                    and scalar_known
+                    and not self.get("initialStateCol")
+                )
+                else "sequential"
+            )
         if (
             not df.isStreaming
-            and self.get("vectorizedBatch")
             and not self.get("initialStateCol")
+            and (engine == "scan" or self.get("vectorizedBatch"))
         ):
-            return self._vectorizedTransform(df)
+            self._lastFoldEngine = engine  # introspection (tests/bench)
+            return self._vectorizedTransform(df, engine)
+        self._lastFoldEngine = "sequential"
         return super().transform(df)
 
-    def _vectorizedTransform(self, df):
+    def _vectorizedTransform(self, df, engine: str = "sequential"):
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py vectorized_lms_fold_factory). Batch only.
         The fold already emits the public (state VECTOR) schema — no
@@ -117,7 +136,7 @@ class LeastMeanSquaresFilter(StatefulTransformer):
 
         keyed = self._keyed(df)
         constants = self._constants()
-        if self.get("foldEngine") == "scan":
+        if engine == "scan":
             init = constants["initialState"]
             feat_1d = init is None or len(np.ravel(init)) == 1
             if not feat_1d:

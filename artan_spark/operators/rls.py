@@ -166,29 +166,36 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         "regularizationMatrixCol": None,
         "vectorizedBatch": False,
         "vectorizedBuckets": None,
-        # "sequential" (bit-exact recursion) | "scan" (opt-in parallel
-        # information-form scan, 1-D only; ~1e-12 relative parity)
-        "foldEngine": "sequential",
+        # "auto" (default): parallel information-form scan on batch
+        # constant-model shapes (~1e-12 relative parity; rows-per-key no
+        # longer bounds wall-clock) | "sequential" (bit-exact recursion,
+        # the escape hatch) | "scan" (force; requires vectorizedBatch)
+        "foldEngine": "auto",
     }
 
     def transform(self, df):
-        if self.get("foldEngine") == "scan" and (
+        engine = self.get("foldEngine")
+        if engine == "scan" and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
                 "foldEngine='scan' is a batch vectorized engine: call "
                 "setVectorizedBatch(True) and use batch input"
             )
-        if (
+        eligible = (
             not df.isStreaming
-            and self.get("vectorizedBatch")
             and not self._constants()["hasPerRowCols"]
             and self.get("stateSize")
-        ):
-            return self._vectorizedTransform(df)
+        )
+        if engine == "auto":
+            engine = "scan" if eligible else "sequential"
+        if eligible and (engine == "scan" or self.get("vectorizedBatch")):
+            self._lastFoldEngine = engine  # introspection (tests/bench)
+            return self._vectorizedTransform(df, engine)
+        self._lastFoldEngine = "sequential"
         return super().transform(df)
 
-    def _vectorizedTransform(self, df):
+    def _vectorizedTransform(self, df, engine: str = "sequential"):
         """Salted multi-key grouped fold, time-synchronous across keys
         (operators/vectorized.py vectorized_rls_fold_factory). Batch only."""
         from artan_spark.operators.vectorized import (
@@ -199,7 +206,7 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
 
         keyed = self._keyed(df)
         constants = self._constants()
-        if self.get("foldEngine") == "scan":
+        if engine == "scan":
             factory = (
                 vectorized_scalar_rls_scan_fold_factory
                 if int(constants["stateSize"]) == 1

@@ -281,12 +281,21 @@ class LinearKalmanSmoother(KalmanBase):
 
         return supports_vectorized(c) and supports_vectorized_smoother(c)
 
-    def _vectorizedTransform(self, df):
+    def _scanEligible(self, c):
+        # scalar constant-model only (the scan smoother's scope); the n-D
+        # smoother stays on the sequential backward pass
+        from artan_spark.operators.vectorized import supports_scan
+
+        return supports_scan(c) and self._scalarFold()
+
+    def _vectorizedTransform(self, df, engine: str = "sequential"):
         """Salted multi-key smoother fold (vectorized.py): same flat output
         schemas as the sequential smoother, so _shapeOutput is shared.
-        ``foldEngine="scan"`` swaps in the parallel-scan forward pass +
-        anchor-vectorized backward window (rows-per-key no longer bounds
-        wall-clock; ~1e-12 relative parity, tests/test_scan_engine.py)."""
+        The scan engine (auto-selected on the scalar constant-model shape,
+        or forced via ``foldEngine="scan"``) swaps in the parallel-scan
+        forward pass + anchor-vectorized backward window (rows-per-key no
+        longer bounds wall-clock; ~1e-12 relative parity,
+        tests/test_scan_engine.py)."""
         from artan_spark.operators.vectorized import (
             supports_scan,
             vectorized_scalar_smoother_scan_fold_factory,
@@ -295,7 +304,7 @@ class LinearKalmanSmoother(KalmanBase):
 
         keyed = self._keyed(df)
         constants = self._constants()
-        if self.get("foldEngine") == "scan":
+        if engine == "scan":
             if not (supports_scan(constants) and self._scalarFold()):
                 raise ValueError(
                     "foldEngine='scan' requires the 1-D constant-model "

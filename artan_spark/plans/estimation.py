@@ -82,11 +82,19 @@ def _finalize_raw(out: DataFrame) -> DataFrame:
 
 
 def lkf_events_local_level(spark, sf_dir):
-    # the scalar vectorized fold is bit-identical to the sequential scalar
-    # fold (test_vectorized_scalar_lkf_bit_exact) so the raw-double
-    # recursive-CTE oracle hash is unchanged
-    flt = _local_level(LinearKalmanFilter).setVectorizedBatch(True)
-    return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
+    # DEFAULT-ENGINE entry: foldEngine="auto" resolves this constant-model
+    # scalar shape to the PARALLEL-SCAN fold (kalman.py _scanEligible) —
+    # the driver gate pins the scan engine itself. The scan's float op
+    # order differs from the CTE recursion (~1e-15 rel measured at sf0.01),
+    # so the oracle is the exact recursion rounded to 4dp
+    # (_KF_1D_ROUNDED_SQL, same scheme as UKF/CKF); the margin is guarded
+    # by tests/test_oracle_margins.py. The bit-exact raw-double pins live
+    # on the sequential engine entries (lkf_events_streamed, ekf, lms).
+    flt = _local_level(LinearKalmanFilter)
+    out = _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    if flt._lastFoldEngine != "scan":  # pragma: no cover - contract guard
+        raise AssertionError("auto engine did not resolve to the scan fold")
+    return out
 
 
 def _ident_fn(m, H):
@@ -135,25 +143,29 @@ def rts_smoother_events(spark, sf_dir):
         .setVectorizedBatch(True)
     )
     out = sm.transform(_events_measurements(spark, sf_dir))
-    # raw doubles: the scalar smoother fold (smoother.py
-    # _scalar_smoother_fold_factory) is bit-identical to _SMOOTHER_1D_SQL
-    # below (same IEEE op order forward and backward); the vectorized
-    # multi-key variant batches the SAME elementwise ops across keys, so it
-    # is bit-identical too (verified 0 mismatches over sf0.01, 97120 rows)
+    # DEFAULT-ENGINE entry: auto resolves this scalar constant-model shape
+    # to the parallel-scan smoother (forward scan + anchor-vectorized
+    # backward window). Scan float op order differs from the CTE (~1e-15
+    # rel at sf0.01), so the oracle rounds to 4dp
+    # (_SMOOTHER_1D_ROUNDED_SQL); margin guarded in test_oracle_margins.py.
+    if sm._lastFoldEngine != "scan":  # pragma: no cover - contract guard
+        raise AssertionError("auto engine did not resolve to the scan fold")
     return out.select(
-        "stateKey", "stateIndex", "stepIndex", F.col("state.mean")[0].alias("state_mean")
+        "stateKey",
+        "stateIndex",
+        "stepIndex",
+        F.round(F.col("state.mean")[0], 4).alias("state_mean"),
     )
 
 
 def mmae_events(spark, sf_dir):
-    # SEQUENTIAL scalar fold on purpose: at this shape (33 keys x ~30k
-    # rows/key at sf0.1) per-key task parallelism beats the lock-step
-    # vectorized fold (measured A/B round 7: 1.2s vs 2.1s — few keys,
-    # long series is the vectorized fold's worst case; it exists for the
-    # 1000-keys-x-100-rows shape and now supports sliding likelihood
-    # there too). The consensus agg adds only ~0.25s of the ~1.2s wall;
-    # the rest is the longest key's fold — the designed rows-per-key
-    # bound, which keys parallelize away at production cardinalities.
+    # Auto engine: this scalar constant-model shape (with the sliding
+    # likelihood MMAE forces) resolves to the parallel-scan fold, which
+    # removes the rows-per-key serial bound that made this entry the
+    # r7-r11 sf1.0 watch item (33 keys x ~30k rows/key at sf0.1 was the
+    # sequential fold's worst case). The 4dp consensus rounding absorbs
+    # the scan's float-order noise (deviation 0 after rounding at sf0.01;
+    # margin guarded by test_mmae_oracle_margin).
     flt = _local_level(LinearKalmanFilter)
     flt.setSlidingLikelihoodWindow(5).setMultipleModelAdaptiveEstimationEnabled(True)
     out = flt.transform(_events_measurements(spark, sf_dir))
@@ -380,6 +392,16 @@ back(k, anchor, step, sm_m, sm_p) AS (
 )
 SELECT k AS stateKey, anchor - step AS stateIndex, step AS stepIndex, sm_m AS state_mean
 FROM back
+"""
+
+
+# auto engine runs the parallel-scan smoother (~1e-15 rel vs the exact
+# recursion at sf0.01) -> compare the rounded projection; margin guarded by
+# tests/test_oracle_margins.py
+_SMOOTHER_1D_ROUNDED_SQL = f"""
+SELECT stateKey, stateIndex, stepIndex,
+       ROUND(state_mean, 4) AS state_mean
+FROM ({_SMOOTHER_1D_SQL})
 """
 
 
@@ -642,7 +664,10 @@ def lms_events_1d(spark, sf_dir):
         "key", "ts", F.col("value").alias("label"), F.array(F.lit(1.0)).alias("features")
     )
     # vectorized multi-key fold: the 1-D normalized-LMS step is elementwise,
-    # so it is bit-identical to the sequential fold (test_filters.py)
+    # so it is bit-identical to the sequential fold (test_filters.py).
+    # initialState is deliberately unset, so the auto engine stays on the
+    # sequential fold (feature dim unknowable pre-data) — this entry is one
+    # of the window's bit-exact raw-double sequential pins.
     lms = (
         LeastMeanSquaresFilter()
         .setStateKeyCol("key")
@@ -683,9 +708,15 @@ def rls_events_1d(spark, sf_dir):
         .setEventTimeCol("ts")
         .setInitialEstimate(np.zeros(1))
         .setRegularizationMatrix(np.eye(1))
-        # scalar vectorized fold is bit-identical to the sequential one
-        # (test_vectorized_rls_scalar_bit_exact), so the raw-double oracle
-        # hash is unchanged
+        # EXPLICIT sequential pin (the auto engine's escape hatch,
+        # exercised by the driver gate): with x=[1] the recursion gives
+        # m_k = cent-sums / (k+1), which lands EXACTLY on 4dp rounding
+        # boundaries whenever k+1 is a power of two (p_31 = 1/32,
+        # m = .xxx75/.xx375 — measured dist-to-boundary 0.0 at sf0.001),
+        # so no rounded oracle is safe here and the scan's ~1e-15 noise
+        # breaks the raw hash. The sequential fold is bit-identical to
+        # the CTE; the RLS scan's parity is pinned in test_scan_engine.py.
+        .setFoldEngine("sequential")
         .setVectorizedBatch(True)
     )
     out = rls.transform(df)
@@ -762,12 +793,12 @@ QUERIES = {
 # scalar recursions are SQL-expressible bit-exactly; sigma-point/consensus
 # variants via margin-guarded rounding (see comments above each SQL)
 ORACLES = {
-    "lkf_events_local_level": _KF_1D_SQL,
+    "lkf_events_local_level": _KF_1D_ROUNDED_SQL,
     "lkf_events_streamed": _KF_1D_SQL,
     "ekf_events_local_level": _KF_1D_SQL,
     "ukf_events_local_level": _KF_1D_ROUNDED_SQL,
     "ckf_events_local_level": _KF_1D_ROUNDED_SQL,
-    "rts_smoother_events": _SMOOTHER_1D_SQL,
+    "rts_smoother_events": _SMOOTHER_1D_ROUNDED_SQL,
     "mmae_events": _MMAE_SQL,
     "gmm_events_value": _GMM_1D_SQL,
     "poisson_mixture_events": _POISSON_MIX_SQL,

@@ -506,3 +506,61 @@ def test_lm_perplexity_margin(which, sf_dir):
     scaled = v * 1e6
     dist = np.abs(scaled - np.floor(scaled) - 0.5)
     assert (dist > 1e-5).all(), f"{which} ppl 6dp min boundary dist {dist.min():.3e}"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_scan_engine_oracle_margins(spark, sf_dir):
+    """The auto engine runs the parallel-scan fold on the lkf/rls/smoother
+    driver entries, whose oracles therefore round to 4dp. Sound only while
+    (1) the scan tracks the exact CTE recursion tightly and (2) no exact
+    value sits near a 4dp boundary. Re-measure both at each gate SF."""
+    import pyspark.sql.functions as F
+
+    from artan_spark.operators import LinearKalmanFilter, LinearKalmanSmoother
+
+    def spark_lkf():
+        flt = est._local_level(LinearKalmanFilter)
+        out = est._finalize_raw(flt.transform(est._events_measurements(spark, sf_dir)))
+        assert flt._lastFoldEngine == "scan"
+        return out.toPandas(), ["state_mean", "state_var"], ["stateKey", "stateIndex"]
+
+    def spark_smoother():
+        sm = (
+            LinearKalmanSmoother(1, 1)
+            .setStateKeyCol("key")
+            .setEventTimeCol("ts")
+            .setInitialStateMean(np.zeros(1))
+            .setInitialStateCovariance(np.array([[100.0]]))
+            .setProcessNoise(np.array([[1.0]]))
+            .setMeasurementNoise(np.array([[10.0]]))
+            .setFixedLag(est.SMOOTHER_LAG)
+        )
+        out = sm.transform(est._events_measurements(spark, sf_dir)).select(
+            "stateKey", "stateIndex", "stepIndex", F.col("state.mean")[0].alias("state_mean")
+        )
+        assert sm._lastFoldEngine == "scan"
+        return out.toPandas(), ["state_mean"], ["stateKey", "stateIndex", "stepIndex"]
+
+    # NOTE no RLS case: with x=[1] the RLS recursion yields exactly-dyadic
+    # values (m_k = cent-sums/(k+1)) that land EXACTLY on 4dp boundaries
+    # when k+1 is a power of two, so rls_events_1d pins the sequential
+    # engine with a raw-double oracle instead of rounding (estimation.py).
+    cases = [
+        ("lkf", spark_lkf, est._KF_1D_SQL),
+        ("smoother", spark_smoother, est._SMOOTHER_1D_SQL),
+    ]
+    for name, fn, raw_sql in cases:
+        raw, cols, keys = fn()
+        ddf = duckdb_frame(raw_sql, sf_dir)
+        merged = ddf.merge(raw, on=keys, suffixes=("_d", "_s"), validate="1:1")
+        assert len(merged) == len(ddf) == len(raw), name
+        for c in cols:
+            dev = np.abs(merged[f"{c}_d"] - merged[f"{c}_s"]).max()
+            assert dev < 1e-10, f"{name}.{c}@{sf_dir}: scan deviation {dev:.3e}"
+            v = merged[f"{c}_d"].to_numpy()
+            scaled = v * 1e4
+            dist = (np.abs(scaled - np.floor(scaled) - 0.5) * 1e-4).min()
+            assert dist > MIN_SAFETY_FACTOR * max(dev, 1e-15), (
+                f"{name}.{c}@{sf_dir}: 4dp boundary distance {dist:.3e} "
+                f"vs scan deviation {dev:.3e}"
+            )

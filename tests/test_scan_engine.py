@@ -57,7 +57,7 @@ def _collect(spark, flt, rows):
 @pytest.mark.parametrize("n_keys,missing", [(1, 0), (4, 0), (3, 5)])
 def test_scan_matches_sequential_engine(spark, n_keys, missing):
     rows = _rows(n_keys, 240, missing_every=missing)
-    seq = _collect(spark, _flt(), rows)
+    seq = _collect(spark, _flt(foldEngine="sequential"), rows)
     scan = _collect(spark, _flt(foldEngine="scan"), rows)
     assert seq.keys() == scan.keys()
     for k in seq:
@@ -116,7 +116,7 @@ def test_scan_respects_per_key_initial_state(spark):
         "covariance:struct<numRows:int,numCols:int,values:array<double>>>"
     )
     df = spark.createDataFrame(rows, schema)
-    seq = _flt().setInitialStateDistributionCol("initialStateDistribution")
+    seq = _flt(foldEngine="sequential").setInitialStateDistributionCol("initialStateDistribution")
     scn = _flt(foldEngine="scan").setInitialStateDistributionCol("initialStateDistribution")
     a = {(r.stateKey, r.stateIndex): r.state.mean[0] for r in seq.transform(df).collect()}
     b = {(r.stateKey, r.stateIndex): r.state.mean[0] for r in scn.transform(df).collect()}
@@ -159,10 +159,12 @@ def test_scan_breaks_rows_per_key_bound(spark):
         flt.transform(df).select(F.sum(F.col("state.mean")[0])).collect()
         return time.perf_counter() - t0
 
-    # warm both paths once (worker pool, codegen), then measure
-    run(_flt())
+    # warm both paths once (worker pool, codegen), then measure; the
+    # sequential side needs the explicit escape hatch now that the auto
+    # engine resolves this shape to the scan
+    run(_flt(foldEngine="sequential"))
     run(_flt(foldEngine="scan"))
-    t_seq = min(run(_flt()) for _ in range(2))
+    t_seq = min(run(_flt(foldEngine="sequential")) for _ in range(2))
     t_scan = min(run(_flt(foldEngine="scan")) for _ in range(2))
     df.unpersist()
     assert t_scan * 4 <= t_seq, (t_seq, t_scan)
@@ -485,3 +487,89 @@ def test_lms_scan_rejects_nd(spark):
     lms._set("foldEngine", "scan")
     with pytest.raises(ValueError, match="1-D"):
         lms.transform(df)
+
+
+# ---- auto engine resolution (foldEngine="auto" is the default) ----------
+
+
+def test_auto_selects_scan_on_eligible_scalar_lkf(spark):
+    rows = _rows(3, 60)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    flt = _flt()  # default foldEngine ("auto"), vectorizedBatch irrelevant
+    auto = {
+        (r.stateKey, r.stateIndex): r.state.mean[0] for r in flt.transform(df).collect()
+    }
+    assert flt._lastFoldEngine == "scan"
+    seq = _flt(foldEngine="sequential")
+    ref = {
+        (r.stateKey, r.stateIndex): r.state.mean[0] for r in seq.transform(df).collect()
+    }
+    assert seq._lastFoldEngine == "sequential"
+    assert auto.keys() == ref.keys()
+    for k in ref:
+        np.testing.assert_allclose(auto[k], ref[k], rtol=RTOL, atol=1e-12)
+
+
+def test_auto_selects_scan_without_vectorized_batch(spark):
+    """The default path — no setVectorizedBatch call at all — must still
+    promote an eligible shape to the scan engine."""
+    rows = _rows(2, 40)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    flt = _flt()
+    flt._set("vectorizedBatch", False)
+    flt.transform(df).count()
+    assert flt._lastFoldEngine == "scan"
+
+
+def test_auto_falls_back_to_sequential_on_ineligible_shapes(spark):
+    rows = _rows(2, 40)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    # fading factor breaks the affine-Gaussian scan element
+    fad = _flt(fadingFactor=1.2)
+    fad.transform(df).count()
+    assert fad._lastFoldEngine == "sequential"
+    # sigma-point filters have no scan element at all
+    from artan_spark.operators import UnscentedKalmanFilter
+
+    ukf = (
+        UnscentedKalmanFilter(1, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setVectorizedBatch(True)
+    )
+    ukf.transform(df).count()
+    assert ukf._lastFoldEngine == "sequential"
+
+
+def test_auto_lms_requires_known_scalar_shape(spark):
+    from artan_spark.operators import LeastMeanSquaresFilter
+
+    df = spark.createDataFrame(
+        [("a", 1.0, [1.0]), ("a", 2.0, [1.0])],
+        "stateKey string, label double, features array<double>",
+    )
+    # initialState unset: the feature dim is unknowable pre-data -> sequential
+    unknown = LeastMeanSquaresFilter().setStateKeyCol("stateKey")
+    unknown.transform(df).count()
+    assert unknown._lastFoldEngine == "sequential"
+    known = (
+        LeastMeanSquaresFilter()
+        .setStateKeyCol("stateKey")
+        .setInitialEstimate(np.array([0.0]))
+    )
+    known.transform(df).count()
+    assert known._lastFoldEngine == "scan"
+
+
+def test_auto_rls_selects_scan(spark):
+    from artan_spark.operators import RecursiveLeastSquaresFilter
+
+    df = spark.createDataFrame(
+        [("a", 1.0, [1.0]), ("a", 2.0, [1.0])],
+        "stateKey string, label double, features array<double>",
+    )
+    rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("stateKey")
+    rls.transform(df).count()
+    assert rls._lastFoldEngine == "scan"
