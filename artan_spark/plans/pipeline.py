@@ -43,6 +43,33 @@ CURATION_RULES = ("words", "word_len", "symbols", "alpha")
 BROADCAST_LOSER_LIMIT = 2_000_000
 
 
+# Session memo for the pipeline's checkpointed tiers (gated metadata,
+# semantic-loser set, NB head ids). localCheckpoint blocks live for the
+# session; without the memo every repeated invocation laid down a NEW set
+# of blocks and re-ran the heavy gate — measured as monotonically GROWING
+# repeat times (r11 bench: 5.3 -> 9.2 -> 28.9 s). Same (appId, path,
+# freshness-token) contract as quality_clf._NB_DOCF_CACHE / simsearch's
+# fit caches; stale-token entries are evicted on the next build.
+_PIPE_CACHE: dict[tuple, tuple] = {}  # key -> (checkpointed DF, count|None)
+
+
+def _pipe_memo(spark: SparkSession, data_path: str, tag: str, extras: tuple, build):
+    from artan_spark.sources import _path_token
+
+    key = (
+        (spark.sparkContext.applicationId, data_path, tag)
+        + tuple(extras)
+        + (_path_token(data_path),)
+    )
+    hit = _PIPE_CACHE.get(key)
+    if hit is None:
+        hit = build()
+        for stale in [k for k in _PIPE_CACHE if k[:-1] == key[:-1] and k != key]:
+            del _PIPE_CACHE[stale]
+        _PIPE_CACHE[key] = hit
+    return hit
+
+
 def _gated_meta(
     spark: SparkSession,
     sf_dir: str,
@@ -122,7 +149,13 @@ def corpus_curation_report(
       internally); construction is EAGER (two localCheckpoints + the
       loser-count gate), like ``dedup_semantic``'s standalone use.
     """
-    gated_meta = _gated_meta(spark, sf_dir, rules).localCheckpoint()
+    gated_meta, _ = _pipe_memo(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "gated_meta",
+        (rules, False),
+        lambda: (_gated_meta(spark, sf_dir, rules).localCheckpoint(), None),
+    )
     return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
 
 
@@ -137,15 +170,26 @@ def _cap_dedup_report(
     anti-join -> per-source report (all over the ~30 B/doc metadata
     checkpoint, never the corpus)."""
     capped = cap_source_share(gated_meta, max_share=max_share, n_tokens_col="n_tokens")
-    losers = (
-        dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True)
-        .select(F.col("vec_id").alias("doc_id"))
-        .localCheckpoint()  # materialize once: the gate count must not re-join
+
+    def build_losers():
+        ck = (
+            dedup_semantic(spark, sf_dir, threshold=threshold, return_losers=True)
+            .select(F.col("vec_id").alias("doc_id"))
+            .localCheckpoint()  # materialize once: the gate count must not re-join
+        )
+        return ck, ck.count()
+
+    losers, n_losers = _pipe_memo(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "semdedup_losers",
+        (threshold,),
+        build_losers,
     )
     # "small by construction" only holds near the default threshold — a
     # caller-supplied low threshold can make losers a large corpus fraction,
     # and a hard broadcast hint would bypass AQE's size check; gate it
-    small = losers.count() <= BROADCAST_LOSER_LIMIT
+    small = n_losers <= BROADCAST_LOSER_LIMIT
     final = capped.join(F.broadcast(losers) if small else losers, "doc_id", "left_anti")
     return final.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
@@ -171,12 +215,22 @@ def corpus_curation_with_urls(
     tail (``_cap_dedup_report``)."""
     from artan_spark.plans.urls import docs_url_dedup
 
-    keepers = docs_url_dedup(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
+    def build():
+        keepers = docs_url_dedup(spark, sf_dir).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        return (
+            _gated_meta(spark, sf_dir, rules, url_keepers=keepers).localCheckpoint(),
+            None,
+        )
+
+    gated_meta, _ = _pipe_memo(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        "gated_meta",
+        (rules, True),
+        build,
     )
-    gated_meta = _gated_meta(
-        spark, sf_dir, rules, url_keepers=keepers
-    ).localCheckpoint()
     return _cap_dedup_report(spark, sf_dir, gated_meta, max_share, threshold)
 
 
@@ -206,19 +260,29 @@ def corpus_curation_with_quality(
     from artan_spark.plans.urls import docs_url_dedup
     from artan_spark.sources import read_table_wide
 
-    keepers = docs_url_dedup(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    gated_meta = _gated_meta(
-        spark, sf_dir, rules, url_keepers=keepers
-    ).localCheckpoint()
-    docs = read_table_wide(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    qhead = nb_head_ids(
-        docs, memo_key=_nb_memo_key(spark, sf_dir)
-    ).localCheckpoint()  # materialize: gate must not re-run
-    small = qhead.count() <= BROADCAST_LOSER_LIMIT
+    def build_gated():
+        keepers = docs_url_dedup(spark, sf_dir).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        return (
+            _gated_meta(spark, sf_dir, rules, url_keepers=keepers).localCheckpoint(),
+            None,
+        )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    gated_meta, _ = _pipe_memo(spark, docs_path, "gated_meta", (rules, True), build_gated)
+
+    def build_qhead():
+        docs = read_table_wide(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        ck = nb_head_ids(
+            docs, memo_key=_nb_memo_key(spark, sf_dir)
+        ).localCheckpoint()  # materialize: gate must not re-run
+        return ck, ck.count()
+
+    qhead, n_qhead = _pipe_memo(spark, docs_path, "qhead", (), build_qhead)
+    small = n_qhead <= BROADCAST_LOSER_LIMIT
     gated_meta = gated_meta.join(
         F.broadcast(qhead) if small else qhead, "doc_id", "left_semi"
     )
