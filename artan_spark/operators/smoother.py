@@ -282,11 +282,16 @@ class LinearKalmanSmoother(KalmanBase):
         return supports_vectorized(c) and supports_vectorized_smoother(c)
 
     def _scanEligible(self, c):
-        # scalar constant-model only (the scan smoother's scope); the n-D
-        # smoother stays on the sequential backward pass
-        from artan_spark.operators.vectorized import supports_scan
+        # scalar shape -> the scalar scan; otherwise the n-D matrix scan
+        # (constant models, no fading/control/per-row cols)
+        from artan_spark.operators.vectorized import (
+            supports_scan,
+            supports_scan_smoother,
+        )
 
-        return supports_scan(c) and self._scalarFold()
+        if supports_scan(c) and self._scalarFold():
+            return True
+        return supports_scan_smoother(c)
 
     def _vectorizedTransform(self, df, engine: str = "sequential"):
         """Salted multi-key smoother fold (vectorized.py): same flat output
@@ -298,6 +303,8 @@ class LinearKalmanSmoother(KalmanBase):
         tests/test_scan_engine.py)."""
         from artan_spark.operators.vectorized import (
             supports_scan,
+            supports_scan_smoother,
+            vectorized_nd_smoother_scan_fold_factory,
             vectorized_scalar_smoother_scan_fold_factory,
             vectorized_smoother_fold_factory,
         )
@@ -305,13 +312,17 @@ class LinearKalmanSmoother(KalmanBase):
         keyed = self._keyed(df)
         constants = self._constants()
         if engine == "scan":
-            if not (supports_scan(constants) and self._scalarFold()):
+            if supports_scan(constants) and self._scalarFold():
+                factory = vectorized_scalar_smoother_scan_fold_factory
+            elif supports_scan_smoother(constants):
+                factory = vectorized_nd_smoother_scan_fold_factory
+            else:
                 raise ValueError(
-                    "foldEngine='scan' requires the 1-D constant-model "
-                    "smoother shape with fadingFactor=1 — use the "
-                    "sequential engine for this configuration"
+                    "foldEngine='scan' requires a constant-model smoother "
+                    "shape with fadingFactor=1 (no control or per-row "
+                    "columns) — use the sequential engine for this "
+                    "configuration"
                 )
-            factory = vectorized_scalar_smoother_scan_fold_factory
         else:
             factory = vectorized_smoother_fold_factory
         cell: list = []

@@ -1587,6 +1587,123 @@ def supports_scan_general(c: dict) -> bool:
     )
 
 
+def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, P0):
+    """Shared n-D forward pass of the scan engine (LKF + smoother):
+    segmented layout + per-row matrix elements + doubling scan with
+    batched LAPACK solves. Returns (keys_arr, seg, pos, first_idx,
+    has_z, Z, Hrows, ev, m0k, P0k, filtered_mean, filtered_cov)."""
+    from artan_spark.types import mat_to_np
+
+    eye_n = np.eye(n)
+
+    def sym(M):
+        return (M + np.swapaxes(M, 1, 2)) * 0.5
+
+    keys_arr = pdf[STATE_KEY].to_numpy()
+    new_key = np.ones(N, dtype=bool)
+    new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+    seg = np.cumsum(new_key) - 1
+    first_idx = np.nonzero(new_key)[0]
+    pos = np.arange(N) - first_idx[seg]
+    K = len(first_idx)
+
+    z_cells = pdf["measurement"].values
+    has_z = np.array([z is not None for z in z_cells])
+    Z = np.zeros((N, mdim))
+    for i in np.nonzero(has_z)[0]:
+        Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+    if "measurementModel" in pdf.columns:
+        h_cells = pdf["measurementModel"].values
+        Hrows = np.empty((N, mdim, n))
+        for i in range(N):
+            Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
+    else:
+        Hrows = None
+    ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+    m0k = np.tile(m0, (K, 1))
+    P0k = np.tile(P0, (K, 1, 1))
+    if "initialStateDistribution" in pdf.columns:
+        _seed_initial_state(pdf, first_idx, m0k, P0k)
+
+    # ---- per-row elements ------------------------------------------
+    A = np.broadcast_to(F_, (N, n, n)).copy()
+    b = np.zeros((N, n))
+    C = np.broadcast_to(Q, (N, n, n)).copy()
+    eta = np.zeros((N, n))
+    J = np.zeros((N, n, n))
+    meas = np.nonzero(has_z)[0]
+    if len(meas):
+        Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
+        HQ = Hm @ Q  # (a, m, n)
+        S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
+        S = sym(S)
+        Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
+        ikh = eye_n - Kg @ Hm
+        A[meas] = ikh @ F_
+        b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
+        C[meas] = sym(ikh @ Q)
+        SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
+        eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
+        J[meas] = sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
+    # first row per key: fold the per-key prior in (A=0)
+    fm = m0k @ F_.T
+    fP = F_ @ P0k @ F_.T + Q
+    fz = has_z[first_idx]
+    b1 = fm.copy()
+    C1 = fP.copy()
+    if fz.any():
+        rows_f = first_idx[fz]
+        Hf = Hrows[rows_f] if Hrows is not None else np.broadcast_to(H_const, (len(rows_f), mdim, n))
+        P1 = fP[fz]
+        S1 = sym(Hf @ P1 @ np.swapaxes(Hf, 1, 2) + R)
+        K1 = np.swapaxes(np.linalg.solve(S1, Hf @ P1), 1, 2)
+        r1 = Z[rows_f] - np.einsum("aij,aj->ai", Hf, fm[fz])
+        b1[fz] = fm[fz] + np.einsum("aij,aj->ai", K1, r1)
+        ikh1 = eye_n - K1 @ Hf
+        # Joseph form, like the sequential fold's update
+        C1[fz] = sym(
+            np.einsum("aij,ajk,alk->ail", ikh1, P1, ikh1)
+            + np.einsum("aij,jk,alk->ail", K1, R, K1)
+        )
+    A[first_idx] = 0.0
+    b[first_idx] = b1
+    C[first_idx] = C1
+    eta[first_idx] = 0.0
+    J[first_idx] = 0.0
+
+    # ---- segmented doubling scan (matrix combine) ------------------
+    d = 1
+    while d < N:
+        mk = pos[d:] >= d
+        mv = mk[:, None]
+        mm = mk[:, None, None]
+        Al, bl, Cl, el, Jl = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
+        Ar, br, Cr, er, Jr = A[d:], b[d:], C[d:], eta[d:], J[d:]
+        M1 = eye_n + Cl @ Jr
+        M2 = eye_n + Jr @ Cl
+        rhs1 = np.concatenate(
+            [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
+        )
+        X = np.linalg.solve(M1, rhs1)
+        XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
+        Y = np.linalg.solve(M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2))
+        Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
+        nA = Ar @ XA
+        nb = np.einsum("aij,aj->ai", Ar, Xbe) + br
+        nC = sym(np.einsum("aij,ajk,alk->ail", Ar, XC, Ar) + Cr)
+        ne = np.einsum("aji,aj->ai", Al, Ye) + el
+        nJ = sym(np.einsum("aji,ajk,akl->ail", Al, YJ, Al) + Jl)
+        A[d:] = np.where(mm, nA, Ar)
+        b[d:] = np.where(mv, nb, br)
+        C[d:] = np.where(mm, nC, Cr)
+        eta[d:] = np.where(mv, ne, er)
+        J[d:] = np.where(mm, nJ, Jr)
+        d *= 2
+
+    return keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k, b, C
+
+
 def vectorized_lkf_scan_fold_factory(c: dict):
     """General n-D parallel-scan LKF fold: the matrix form of the scalar
     scan (same Särkkä & García-Fernández elements, now (n,n) matrices and
@@ -1612,115 +1729,15 @@ def vectorized_lkf_scan_fold_factory(c: dict):
         return (M + np.swapaxes(M, 1, 2)) * 0.5
 
     def fold(pdf: pd.DataFrame, _state):
-        from artan_spark.types import mat_to_np
-
         N = len(pdf)
         if N == 0:
             return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
-        keys_arr = pdf[STATE_KEY].to_numpy()
-        new_key = np.ones(N, dtype=bool)
-        new_key[1:] = keys_arr[1:] != keys_arr[:-1]
-        seg = np.cumsum(new_key) - 1
-        first_idx = np.nonzero(new_key)[0]
-        pos = np.arange(N) - first_idx[seg]
-        K = len(first_idx)
-
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = np.zeros((N, mdim))
-        for i in np.nonzero(has_z)[0]:
-            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
-        if "measurementModel" in pdf.columns:
-            h_cells = pdf["measurementModel"].values
-            Hrows = np.empty((N, mdim, n))
-            for i in range(N):
-                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
-        else:
-            Hrows = None
-        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
-
-        m0k = np.tile(m0, (K, 1))
-        P0k = np.tile(P0, (K, 1, 1))
-        if "initialStateDistribution" in pdf.columns:
-            _seed_initial_state(pdf, first_idx, m0k, P0k)
-
-        # ---- per-row elements ------------------------------------------
-        A = np.broadcast_to(F_, (N, n, n)).copy()
-        b = np.zeros((N, n))
-        C = np.broadcast_to(Q, (N, n, n)).copy()
-        eta = np.zeros((N, n))
-        J = np.zeros((N, n, n))
+        (
+            keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k,
+            out_mean, out_cov,
+        ) = _nd_scan_forward(pdf, N, n, mdim, F_, Q, R, H_const, m0, P0)
         meas = np.nonzero(has_z)[0]
-        if len(meas):
-            Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
-            HQ = Hm @ Q  # (a, m, n)
-            S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
-            S = sym(S)
-            Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
-            ikh = eye_n - Kg @ Hm
-            A[meas] = ikh @ F_
-            b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
-            C[meas] = sym(ikh @ Q)
-            SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
-            eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
-            J[meas] = sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
-        # first row per key: fold the per-key prior in (A=0)
-        fm = m0k @ F_.T
-        fP = F_ @ P0k @ F_.T + Q
-        fz = has_z[first_idx]
-        b1 = fm.copy()
-        C1 = fP.copy()
-        if fz.any():
-            rows_f = first_idx[fz]
-            Hf = Hrows[rows_f] if Hrows is not None else np.broadcast_to(H_const, (len(rows_f), mdim, n))
-            P1 = fP[fz]
-            S1 = sym(Hf @ P1 @ np.swapaxes(Hf, 1, 2) + R)
-            K1 = np.swapaxes(np.linalg.solve(S1, Hf @ P1), 1, 2)
-            r1 = Z[rows_f] - np.einsum("aij,aj->ai", Hf, fm[fz])
-            b1[fz] = fm[fz] + np.einsum("aij,aj->ai", K1, r1)
-            ikh1 = eye_n - K1 @ Hf
-            # Joseph form, like the sequential fold's update
-            C1[fz] = sym(
-                np.einsum("aij,ajk,alk->ail", ikh1, P1, ikh1)
-                + np.einsum("aij,jk,alk->ail", K1, R, K1)
-            )
-        A[first_idx] = 0.0
-        b[first_idx] = b1
-        C[first_idx] = C1
-        eta[first_idx] = 0.0
-        J[first_idx] = 0.0
-
-        # ---- segmented doubling scan (matrix combine) ------------------
-        d = 1
-        while d < N:
-            mk = pos[d:] >= d
-            mv = mk[:, None]
-            mm = mk[:, None, None]
-            Al, bl, Cl, el, Jl = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
-            Ar, br, Cr, er, Jr = A[d:], b[d:], C[d:], eta[d:], J[d:]
-            M1 = eye_n + Cl @ Jr
-            M2 = eye_n + Jr @ Cl
-            rhs1 = np.concatenate(
-                [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
-            )
-            X = np.linalg.solve(M1, rhs1)
-            XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
-            Y = np.linalg.solve(M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2))
-            Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
-            nA = Ar @ XA
-            nb = np.einsum("aij,aj->ai", Ar, Xbe) + br
-            nC = sym(np.einsum("aij,ajk,alk->ail", Ar, XC, Ar) + Cr)
-            ne = np.einsum("aji,aj->ai", Al, Ye) + el
-            nJ = sym(np.einsum("aji,ajk,akl->ail", Al, YJ, Al) + Jl)
-            A[d:] = np.where(mm, nA, Ar)
-            b[d:] = np.where(mv, nb, br)
-            C[d:] = np.where(mm, nC, Cr)
-            eta[d:] = np.where(mv, ne, er)
-            J[d:] = np.where(mm, nJ, Jr)
-            d *= 2
-
-        out_mean, out_cov = b, C
 
         # ---- residual family from the one-step prediction --------------
         prev_m = np.empty((N, n))
@@ -1851,6 +1868,106 @@ def vectorized_scalar_smoother_scan_fold_factory(c: dict):
                 "mean": o_mean,
                 "cov": o_cov,
                 "gain": o_gain,
+                EVENT_TIME: ev[o_row] if ev is not None else None,
+            },
+            total,
+            names,
+        )
+        return out, None
+
+    return fold
+
+
+def supports_scan_smoother(c: dict) -> bool:
+    """Scope of the n-D parallel-scan smoother: plain constant-model shape
+    (no per-row columns — the smoother never reads a measurementModel
+    column), no fading (the scan element cannot express it), no control,
+    no per-key initial-state column (the sequential smoother ignores it
+    too, so parity would silently diverge)."""
+    return (
+        c["kind"] == "lkf"
+        and not c.get("perRowCols")
+        and float(c["fadingFactor"]) == 1.0
+        and c["multiStepPredict"] == 0
+        and c.get("control") is None
+        and not c.get("hasInitDistCol")
+        and not c.get("outputSystemMatrices")
+    )
+
+
+def vectorized_nd_smoother_scan_fold_factory(c: dict):
+    """Scan-engine fixed-lag RTS smoother, n-D states: forward pass = the
+    shared matrix-element scan (``_nd_scan_forward``, log2 N batched
+    LAPACK passes); backward pass = the fixed-lag window recursion
+    vectorized over ALL anchors at once — ``lag`` batched einsum passes
+    instead of the per-trigger Python loop. Same emission contract and
+    backward op order as the sequential general fold
+    (``vectorized_smoother_fold_factory`` fold_general); the forward
+    state comes from the scan (~1e-9 relative,
+    tests/test_scan_engine.py)."""
+    lag = c["fixedLag"]
+    n = c["stateSize"]
+    mdim = c["measurementSize"]
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    names = [STATE_KEY, "stateIndex", "stepIndex", "mean", "cov", "gainVals", EVENT_TIME]
+
+    def fold(pdf: pd.DataFrame, _state):
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names), None
+        (
+            keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k,
+            filt_m, filt_P,
+        ) = _nd_scan_forward(pdf, N, n, mdim, F_, Q, R, H_const, m0, P0)
+
+        # per-row RTS predicts + gains, batched once (same expressions as
+        # the sequential general fold's backward loop)
+        nm = filt_m @ F_.T
+        nc = np.einsum("ij,ajk,lk->ail", F_, filt_P, F_) + Q
+        g = np.einsum("aij,kj,akl->ail", filt_P, F_, np.linalg.pinv(nc))
+
+        anchors = np.nonzero(pos >= lag - 1)[0]
+        M = len(anchors)
+        if M == 0:
+            return empty_pdf(names), None
+        total = M * lag
+        o_row = np.empty(total, dtype=np.int64)
+        o_step = np.empty(total, dtype=np.int64)
+        o_mean = np.empty((total, n))
+        o_cov = np.empty((total, n, n))
+        o_gain = np.empty((total, n, n))
+
+        sm_m = filt_m[anchors]
+        sm_P = filt_P[anchors]
+        o_row[:M] = anchors
+        o_step[:M] = 0
+        o_mean[:M] = sm_m
+        o_cov[:M] = sm_P
+        o_gain[:M] = 0.0
+        for step in range(1, lag):
+            j = anchors - step  # same key: pos[anchor] >= lag-1 >= step
+            gj = g[j]
+            sm_m = filt_m[j] + np.einsum("aij,aj->ai", gj, sm_m - nm[j])
+            sm_P = filt_P[j] + np.einsum("aij,ajk,alk->ail", gj, sm_P - nc[j], gj)
+            w = step * M
+            o_row[w : w + M] = j
+            o_step[w : w + M] = step
+            o_mean[w : w + M] = sm_m
+            o_cov[w : w + M] = sm_P
+            o_gain[w : w + M] = gj
+        out = cols_to_pdf(
+            {
+                STATE_KEY: keys_arr[o_row],
+                "stateIndex": pos[o_row] + 1,
+                "stepIndex": o_step,
+                "mean": list(o_mean),
+                "cov": [cv.T.ravel() for cv in o_cov],
+                "gainVals": [gv.T.ravel() for gv in o_gain],
                 EVENT_TIME: ev[o_row] if ev is not None else None,
             },
             total,

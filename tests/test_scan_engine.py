@@ -573,3 +573,87 @@ def test_auto_rls_selects_scan(spark):
     rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("stateKey")
     rls.transform(df).count()
     assert rls._lastFoldEngine == "scan"
+
+
+# ---- n-D smoother scan ----------------------------------------------------
+
+
+def _nd_smoother(engine, lag=6):
+    from artan_spark.operators import LinearKalmanSmoother
+
+    F2 = np.array([[1.0, 1.0], [0.0, 1.0]])  # local linear trend
+    sm = (
+        LinearKalmanSmoother(2, 1)
+        .setStateKeyCol("stateKey")
+        .setInitialStateMean(np.zeros(2))
+        .setInitialStateCovariance(100.0 * np.eye(2))
+        .setProcessModel(F2)
+        .setProcessNoise(np.array([[0.2, 0.0], [0.0, 0.05]]))
+        .setMeasurementModel(np.array([[1.0, 0.0]]))
+        .setMeasurementNoise(np.array([[8.0]]))
+        .setFixedLag(lag)
+        .setVectorizedBatch(True)
+    )
+    sm._set("foldEngine", engine)
+    return sm
+
+
+@pytest.mark.parametrize("n_keys,missing", [(1, 0), (3, 5)])
+def test_nd_smoother_scan_matches_sequential(spark, n_keys, missing):
+    rows = _rows(n_keys, 150, missing_every=missing)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    proj = lambda sm: {  # noqa: E731
+        (r.stateKey, r.stateIndex, r.stepIndex): (
+            np.array(r.state.mean),
+            np.array(r.state.covariance.values),
+            np.array(r.rtsGain.values),
+        )
+        for r in sm.transform(df).collect()
+    }
+    seq = proj(_nd_smoother("sequential"))
+    scan = proj(_nd_smoother("scan"))
+    assert seq.keys() == scan.keys()
+    for k in seq:
+        for a, b in zip(seq[k], scan[k]):
+            np.testing.assert_allclose(b, a, rtol=1e-7, atol=1e-9)
+
+
+def test_nd_smoother_auto_selects_scan(spark):
+    rows = _rows(2, 40)
+    df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
+    sm = _nd_smoother("auto")
+    sm._set("vectorizedBatch", False)  # the bare default path
+    sm.transform(df).count()
+    assert sm._lastFoldEngine == "scan"
+    # fading breaks the scan element -> sequential
+    fad = _nd_smoother("auto")
+    fad._set("fadingFactor", 1.1)
+    fad.transform(df).count()
+    assert fad._lastFoldEngine == "sequential"
+
+
+def test_nd_smoother_scan_breaks_rows_per_key_bound(spark):
+    """One key, 30k rows, lag 6, 2-D state: the sequential fold walks 30k
+    trigger windows; the scan runs log2(N)+lag batched passes. Bar: >=3x
+    warmed (matrix passes amortize less than scalar ones)."""
+    n = 30_000
+    rng = np.random.RandomState(7)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"stateKey": ["k"] * n, "measurement": [[float(v)] for v in rng.normal(0, 1, n)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(1).cache()
+    df.count()
+
+    def run(engine):
+        t0 = time.perf_counter()
+        _nd_smoother(engine).transform(df).select(F.sum(F.col("state.mean")[0])).collect()
+        return time.perf_counter() - t0
+
+    run("sequential")
+    run("scan")
+    t_seq = min(run("sequential") for _ in range(2))
+    t_scan = min(run("scan") for _ in range(2))
+    df.unpersist()
+    assert t_scan * 3 <= t_seq, (t_seq, t_scan)
