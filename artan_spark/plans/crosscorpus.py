@@ -242,9 +242,9 @@ JOIN sizes sb ON sb.doc_id = t.train_doc_id
 """
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-PYTEST_ORACLES: dict = {
-    "docs_decontaminate_minhash": (docs_decontaminate_minhash, _decontaminate_minhash_sql()),
-}
+# r12 window rotation: cross-corpus minhash decontamination promoted to
+# the driver window (never hard-gate-checked before)
+QUERIES: dict = {"docs_decontaminate_minhash": docs_decontaminate_minhash}
+ORACLES: dict = {"docs_decontaminate_minhash": _decontaminate_minhash_sql()}
+PYTEST_ORACLES: dict = {}
 NO_SQL_QUERIES: dict = {}

@@ -609,7 +609,6 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -617,7 +616,6 @@ ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
-    "dedup_embedding_cosine": _EMB_COSINE_SQL,
 }
 
 def docs_minhash_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,7 +674,11 @@ FROM own GROUP BY doc_id
 # query is the batch anchor for the streaming near-dup operators.
 PYTEST_ORACLES = {
     # r11 window rotation: the simhash variant keeps its oracle in the
-    # pytest gate (minhash + jaccard stay windowed for the family)
+    # pytest gate (minhash + jaccard stay windowed for the family).
+    # r12 rotation: embedding-cosine joins it (stable since r2; the
+    # embedding-space family stays windowed via docs_decontaminate_minhash
+    # + the semantic prune inside corpus_curation_report)
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_COSINE_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "docs_minhash_dedup_flags": (docs_minhash_dedup_flags, _minhash_flags_sql()),

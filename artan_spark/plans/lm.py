@@ -565,8 +565,14 @@ def _py_tokens(text) -> list:
 # r11 window rotation: the stupid-backoff perplexity entry joined the
 # driver window (the external gate had never exercised the LM family);
 # the KN variant keeps its oracle in the pytest gate
-QUERIES = {"docs_lm_perplexity": docs_lm_perplexity}
-ORACLES = {"docs_lm_perplexity": _LM_PPL_SQL}
-PYTEST_ORACLES = {
-    "docs_kn_perplexity": (docs_kn_perplexity, _KN_PPL_SQL),
+# r12 window rotation: the Kneser-Ney variant joins the stupid-backoff one
+# in the driver window (never hard-gate-checked before)
+QUERIES = {
+    "docs_lm_perplexity": docs_lm_perplexity,
+    "docs_kn_perplexity": docs_kn_perplexity,
 }
+ORACLES = {
+    "docs_lm_perplexity": _LM_PPL_SQL,
+    "docs_kn_perplexity": _KN_PPL_SQL,
+}
+PYTEST_ORACLES = {}

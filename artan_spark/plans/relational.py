@@ -1622,14 +1622,14 @@ QUERIES = {
     "events_skew_safe_agg": events_skew_safe_agg,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q10_returned_items": q10_returned_items,
     "events_hypertable_rollup": events_hypertable_rollup,
-    "events_window_stats": events_window_stats,
     "events_user_activity": events_user_activity,
     # r11 window rotation: json_extract/top_parts/priority_rollup/
     # order_balance moved to the pytest gate after 9 stable rounds;
-    # the funnel + three previously-unwindowed TPC-H shapes take the slots
+    # the funnel + three previously-unwindowed TPC-H shapes take the slots.
+    # r12 rotation: q6/q10/events_window_stats (stable since r1/r2) move to
+    # the pytest gate, freeing slots for never-window-checked families
+    # (anomaly, KN perplexity, kNN join, C4, minhash decon, batch EM)
     "events_funnel": events_funnel,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1637,14 +1637,11 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q6_forecast_revenue": _Q6_SQL,
-    "q10_returned_items": _Q10_SQL,
     "events_hypertable_rollup": _HYPERTABLE_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "events_skew_safe_agg": _SKEW_SAFE_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
-    "events_window_stats": _EVENTS_WINDOW_SQL,
     "events_user_activity": _EVENTS_SESSIONS_SQL,
     "events_funnel": _FUNNEL_SQL,
     "q13_customer_distribution": _Q13_SQL,
@@ -1655,6 +1652,9 @@ ORACLES = {
 # registry is at the driver's 50-entry cap; the salted-join demo keeps a
 # pytest oracle (the plain join — salting must be invisible in the result)
 PYTEST_ORACLES = {
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "events_window_stats": (events_window_stats, _EVENTS_WINDOW_SQL),
     "events_skew_safe_join": (events_skew_safe_join, _SKEW_JOIN_SQL),
     "events_retention_cohorts": (events_retention_cohorts, _RETENTION_SQL),
     "events_json_extract": (events_json_extract, _JSON_EXTRACT_SQL),

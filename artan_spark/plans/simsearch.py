@@ -1622,8 +1622,10 @@ WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
     )
 
 
+# r12 rotation: the brute-force baseline (stable since r2) moves to the
+# pytest gate; ann_knn_join (two-table retrieval, never window-checked)
+# takes the slot — see the PYTEST_ORACLES assignments below.
 QUERIES = {
-    "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -1631,7 +1633,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_cosine": _ann_lsh_sql(),
     "ann_ivf_topk": _ann_ivf_sql(1),
     "ann_ivf_kmeans": _ann_ivf_kmeans_sql(KM_NPROBE),
@@ -2033,4 +2034,6 @@ FROM (
 WHERE rank <= {TOP_K}
 """
 
-PYTEST_ORACLES["ann_knn_join"] = (ann_knn_join, _KNN_JOIN_SQL)
+PYTEST_ORACLES["ann_cosine_topk"] = (ann_cosine_topk, _ANN_TOPK_SQL)
+QUERIES["ann_knn_join"] = ann_knn_join
+ORACLES["ann_knn_join"] = _KNN_JOIN_SQL

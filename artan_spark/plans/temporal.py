@@ -339,7 +339,10 @@ SELECT user_id, event_id, value, n_baseline, ROUND(z, 6) AS z_score
 FROM z WHERE abs(z) >= {ANOMALY_Z}
 """
 
-PYTEST_ORACLES["events_anomaly_zscore"] = (events_anomaly_zscore, _ANOMALY_SQL)
+# r12 window rotation: promoted to the driver window (the anomaly family
+# had never been hard-gate-checked)
+QUERIES["events_anomaly_zscore"] = events_anomaly_zscore
+ORACLES["events_anomaly_zscore"] = _ANOMALY_SQL
 
 
 # -- robust (median/MAD) anomaly scores ----------------------------------------

@@ -1849,9 +1849,13 @@ NO_SQL_QUERIES = {
     "docs_compression_ratio": docs_compression_ratio,
 }
 
+# r12 window rotation: C4 quality joins the driver window (never
+# hard-gate-checked; Gopher stays covered via corpus_curation_report)
+QUERIES["docs_c4_quality"] = docs_c4_quality
+ORACLES["docs_c4_quality"] = _C4_SQL
+
 PYTEST_ORACLES = {
     "docs_collocations": (docs_collocations, _COLLOC_SQL),
-    "docs_c4_quality": (docs_c4_quality, _C4_SQL),
     "docs_gopher_quality": (docs_gopher_quality, _GOPHER_SQL),
     "docs_gopher_repetition": (docs_gopher_repetition, _GOPHER_REP_SQL),
     "docs_hash_embeddings": (docs_hash_embeddings, _HASH_EMB_SQL),

@@ -60,6 +60,16 @@ def _raw_sigma_run(spark, cls):
             "_BERNOULLI_MIX_SQL",
             [("ROUND(sw0, 5)", "sw0"), ("ROUND(sp0 / sw0, 5)", "sp0 / sw0"), ("ROUND(sp1 / sw1, 5)", "sp1 / sw1")],
         ),
+        (
+            "_GMM_BATCH_EM_SQL",
+            [
+                ("ROUND(sw0, 5)", "sw0"),
+                ("ROUND(sm0 / sw0, 5)", "sm0 / sw0"),
+                ("ROUND(sm1 / sw1, 5)", "sm1 / sw1"),
+                ("ROUND(sc0 / sw0, 5)", "sc0 / sw0"),
+                ("ROUND(sc1 / sw1, 5)", "sc1 / sw1"),
+            ],
+        ),
     ],
 )
 def test_mixture_oracle_margin(sql_name, repl, sf_dir):

@@ -38,7 +38,13 @@ def test_registry_counts():
     # demoted to this gate the four per-feature text queries, four
     # long-stable relational shapes, dedup_simhash_pairs, and the
     # stratified/weighted samplers
-    assert len(PYTEST_ORACLES) == 86
+    # round 12 window rotation (VERDICT r11 #6): promoted
+    # docs_decontaminate_minhash, events_anomaly_zscore, docs_kn_perplexity,
+    # ann_knn_join, docs_c4_quality (+ the new gmm_batch_em_events);
+    # demoted q6_forecast_revenue, q10_returned_items, events_window_stats,
+    # dedup_embedding_cosine, ann_cosine_topk, ckf_events_local_level
+    # (each keeps its oracle here)
+    assert len(PYTEST_ORACLES) == 87
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
