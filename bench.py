@@ -602,7 +602,10 @@ def _operator_throughput(spark) -> dict[str, int]:
         .setMeasurementNoise(np.array([[10.0]]))
         .setVectorizedBatch(True)
     )
-    rate("lkf_1key_sequential", hot, one_key)
+    # explicit pins: foldEngine="auto" (the default) resolves these shapes
+    # to the scan, so the sequential rows need the escape hatch to keep
+    # measuring the serial fold they are named after
+    rate("lkf_1key_sequential", hot.copy().setFoldEngine("sequential"), one_key)
     rate("lkf_1key_scan", hot.copy().setFoldEngine("scan"), one_key)
     hot_sm = (
         LinearKalmanSmoother(1, 1)
@@ -613,15 +616,31 @@ def _operator_throughput(spark) -> dict[str, int]:
         .setFixedLag(10)
         .setVectorizedBatch(True)
     )
-    rate("smoother_1key_sequential", hot_sm, one_key)
+    rate("smoother_1key_sequential", hot_sm.copy().setFoldEngine("sequential"), one_key)
     rate("smoother_1key_scan", hot_sm.copy().setFoldEngine("scan"), one_key)
+    # n-D (2-state local linear trend) smoother: the r12 scan extension —
+    # matrix elements + anchor-vectorized backward window
+    hot_sm2 = (
+        LinearKalmanSmoother(2, 1)
+        .setStateKeyCol("key")
+        .setInitialStateMean(np.zeros(2))
+        .setInitialStateCovariance(100.0 * np.eye(2))
+        .setProcessModel(np.array([[1.0, 1.0], [0.0, 1.0]]))
+        .setProcessNoise(np.array([[0.2, 0.0], [0.0, 0.05]]))
+        .setMeasurementModel(np.array([[1.0, 0.0]]))
+        .setMeasurementNoise(np.array([[8.0]]))
+        .setFixedLag(10)
+        .setVectorizedBatch(True)
+    )
+    rate("smoother2d_1key_sequential", hot_sm2.copy().setFoldEngine("sequential"), one_key)
+    rate("smoother2d_1key_scan", hot_sm2.copy().setFoldEngine("scan"), one_key)
     one_key_rls = e.select(
         F.lit("k").alias("key"),
         F.col("value").alias("label"),
         F.array(F.lit(1.0)).alias("features"),
     )
     hot_rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key").setVectorizedBatch(True)
-    rate("rls_1key_sequential", hot_rls, one_key_rls)
+    rate("rls_1key_sequential", hot_rls.copy().setFoldEngine("sequential"), one_key_rls)
     rate("rls_1key_scan", hot_rls.copy().setFoldEngine("scan"), one_key_rls)
     e.unpersist()
     return out
