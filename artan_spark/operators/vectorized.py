@@ -1960,14 +1960,17 @@ def vectorized_nd_smoother_scan_fold_factory(c: dict):
             o_mean[w : w + M] = sm_m
             o_cov[w : w + M] = sm_P
             o_gain[w : w + M] = gj
+        # one transpose+reshape per column, then row views — NOT 300k
+        # per-row .T.ravel() Python calls (the emission was the shared
+        # bound that compressed the scan's speedup)
         out = cols_to_pdf(
             {
                 STATE_KEY: keys_arr[o_row],
                 "stateIndex": pos[o_row] + 1,
                 "stepIndex": o_step,
                 "mean": list(o_mean),
-                "cov": [cv.T.ravel() for cv in o_cov],
-                "gainVals": [gv.T.ravel() for gv in o_gain],
+                "cov": list(o_cov.transpose(0, 2, 1).reshape(total, -1)),
+                "gainVals": list(o_gain.transpose(0, 2, 1).reshape(total, -1)),
                 EVENT_TIME: ev[o_row] if ev is not None else None,
             },
             total,
@@ -2226,13 +2229,14 @@ def vectorized_smoother_fold_factory(c: dict):
                 o_cov[w : w + A] = sm_P
                 o_gain[w : w + A] = gj
                 w += A
+        n_out = len(o_row)
         cols = [
             keys_arr[o_row],
             o_idx,
             o_step,
             list(o_mean),
-            [cv.T.ravel() for cv in o_cov],
-            [gv.T.ravel() for gv in o_gain],
+            list(o_cov.transpose(0, 2, 1).reshape(n_out, -1)),
+            list(o_gain.transpose(0, 2, 1).reshape(n_out, -1)),
             ev[o_row] if ev is not None else None,
         ]
         return _emit_frame(cols, names), None

@@ -3,13 +3,16 @@ hold in the executed plan, not just in intent."""
 
 import pytest
 
-from artan_spark.plans import QUERIES
+from artan_spark.plans import PYTEST_ORACLES, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # plan asserts survive window rotations: a demoted entry lives on in
+    # the pytest gate with the same callable
+    fn = QUERIES[name] if name in QUERIES else PYTEST_ORACLES[name][0]
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q1_pushdown_and_pruning(spark):

@@ -119,6 +119,11 @@ def test_bucketed_stateful_fold_no_exchange(spark):
             .setEventTimeCol("ts")
             .setProcessNoise(np.array([[0.1]]))
             .setMeasurementNoise(np.array([[1.0]]))
+            # the exchange-free layout contract belongs to the SEQUENTIAL
+            # fold: the auto-selected scan engine groups by a salt column,
+            # which (correctly) re-shuffles — a bucketed-by-key deployment
+            # that wants to stay shuffle-free pins the sequential engine
+            .setFoldEngine("sequential")
         )
         bucketed = lkf.transform(spark.table("t_ev_fold_bucketed"))
         plan = _plan(bucketed)

@@ -65,6 +65,9 @@ def test_lkf_tws_backend_equals_batch(rocksdb):
         .setInitialStateCovariance(np.array([[100.0]]))
         .setProcessNoise(np.array([[1.0]]))
         .setMeasurementNoise(np.array([[10.0]]))
+        # the bit-exact batch==stream contract is the SEQUENTIAL fold's
+        # (auto would run the scan in batch, ~1e-15 off the recursion)
+        .setFoldEngine("sequential")
     )
     batch = flt.transform(df).collect()
     tws = flt.copy().setStreamingBackend("transformWithState")
