@@ -730,16 +730,18 @@ class KalmanBase(StatefulTransformer):
 
     def _scanEligible(self, c: dict) -> bool:
         """Shapes the auto engine promotes to the parallel-scan fold: the
-        scalar constant-model LKF (supports_scan) and the n-D constant-model
-        LKF / linear-default EKF incl. per-row measurementModel
-        (supports_scan_general). Sigma-point filters and EKF-with-callables
-        stay sequential (per-step linearization has no scan element)."""
-        from artan_spark.operators.vectorized import (
-            supports_scan,
-            supports_scan_general,
-        )
+        SCALAR constant-model LKF only (supports_scan). The n-D matrix scan
+        (supports_scan_general) stays explicit opt-in: its log2(N) batched
+        LAPACK passes cost more than the time-synchronous fold on every
+        measured shape of this container (in-process A/B, n=3, N=200k:
+        K=1 0.39x, K=32 0.02x, K=512 0.02x — the r12 lkf_ols sf1.0
+        regression, 163 s vs ~30 s), while the scalar scan's elementwise
+        passes win 1.5-33x for chains >=3k rows and lose at most ~1.4x on
+        many-short-key shapes (K=4096/T=48: 0.72x). Sigma-point filters
+        and EKF-with-callables have no scan element at all."""
+        from artan_spark.operators.vectorized import supports_scan
 
-        return supports_scan(c) or supports_scan_general(c)
+        return supports_scan(c)
 
     def _vectorizedTransform(self, df: DataFrame, engine: str = "sequential") -> DataFrame:
         """Salted multi-key grouped fold, time-synchronous across keys

@@ -188,7 +188,15 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
             and self.get("stateSize")
         )
         if engine == "auto":
-            engine = "scan" if eligible else "sequential"
+            # auto promotes the SCALAR information-form scan only: the n-D
+            # scan wins big on hot keys (6.6x at K=1/T=100k, n=3) but loses
+            # ~1.6x on many-short-key shapes (K>=512: 0.6x) — keep it
+            # explicit opt-in for workloads that know their key shape
+            engine = (
+                "scan"
+                if (eligible and int(self.get("stateSize")) == 1)
+                else "sequential"
+            )
         if eligible and (engine == "scan" or self.get("vectorizedBatch")):
             self._lastFoldEngine = engine  # introspection (tests/bench)
             return self._vectorizedTransform(df, engine)

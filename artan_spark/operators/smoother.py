@@ -282,16 +282,15 @@ class LinearKalmanSmoother(KalmanBase):
         return supports_vectorized(c) and supports_vectorized_smoother(c)
 
     def _scanEligible(self, c):
-        # scalar shape -> the scalar scan; otherwise the n-D matrix scan
-        # (constant models, no fading/control/per-row cols)
-        from artan_spark.operators.vectorized import (
-            supports_scan,
-            supports_scan_smoother,
-        )
+        # SCALAR shape only: the scalar scan smoother wins or ties on every
+        # measured (K, T) shape (0.33 vs 0.45 s even at K=2048/T=97; 3.6x
+        # at one hot key). The n-D smoother scan stays explicit opt-in —
+        # its forward pass is the n-D matrix scan, which only wins on
+        # single-hot-key batches (K=1/T=100k: 2.4x) and loses 4-7x on
+        # many-key shapes (K>=32: 0.15-0.28x).
+        from artan_spark.operators.vectorized import supports_scan
 
-        if supports_scan(c) and self._scalarFold():
-            return True
-        return supports_scan_smoother(c)
+        return supports_scan(c) and self._scalarFold()
 
     def _vectorizedTransform(self, df, engine: str = "sequential"):
         """Salted multi-key smoother fold (vectorized.py): same flat output

@@ -618,18 +618,21 @@ def test_nd_smoother_scan_matches_sequential(spark, n_keys, missing):
             np.testing.assert_allclose(b, a, rtol=1e-7, atol=1e-9)
 
 
-def test_nd_smoother_auto_selects_scan(spark):
+def test_nd_smoother_auto_stays_sequential(spark):
+    """The n-D smoother scan is explicit opt-in (its forward pass is the
+    n-D matrix scan, which loses 4-7x on many-key shapes); auto promotes
+    only the scalar smoother."""
     rows = _rows(2, 40)
     df = spark.createDataFrame(rows, "stateKey string, measurement array<double>")
     sm = _nd_smoother("auto")
     sm._set("vectorizedBatch", False)  # the bare default path
     sm.transform(df).count()
-    assert sm._lastFoldEngine == "scan"
-    # fading breaks the scan element -> sequential
-    fad = _nd_smoother("auto")
-    fad._set("fadingFactor", 1.1)
-    fad.transform(df).count()
-    assert fad._lastFoldEngine == "sequential"
+    assert sm._lastFoldEngine == "sequential"
+    # the scalar smoother DOES auto-promote on the same default path
+    sc = _smoother("auto")
+    sc._set("vectorizedBatch", False)
+    sc.transform(df).count()
+    assert sc._lastFoldEngine == "scan"
 
 
 def test_nd_smoother_scan_breaks_rows_per_key_bound(spark):
