@@ -531,7 +531,20 @@ class KalmanBase(StatefulTransformer):
         #                only streaming engine)
         #   "scan"       force the scan; errors on unsupported shapes
         #                (requires vectorizedBatch, batch input)
+        #   "distributedScan"
+        #                two-pass cross-task scan (operators/distscan.py):
+        #                chunk by event time, per-chunk combine, tiny
+        #                driver prefix, seeded finalize — a hot key spans
+        #                MANY tasks instead of one. Batch + eventTimeCol +
+        #                the scan shape minus sliding likelihood.
         "foldEngine": "auto",
+        # distributedScan chunking: one (key, chunk) group per this much
+        # event time; size it so chunks carry >= ~100k rows (two shuffles
+        # amortize over chunk width, driver prefix is O(#chunks))
+        "scanChunkDuration": "1 hour",
+        # hard cap on driver prefix state (one 80-byte summary per
+        # (key, chunk) group); exceeding it errors with guidance
+        "distributedScanMaxGroups": 200_000,
         "multipleModelAdaptiveEstimationEnabled": False,
         "multipleModelMeasurementWindowDuration": None,
     }
@@ -544,11 +557,11 @@ class KalmanBase(StatefulTransformer):
             # restored below so the flag does not leak into later transforms
             self._set("calculateSlidingLikelihood", True)
         engine = self.get("foldEngine")
-        if engine == "scan" and (
+        if engine in ("scan", "distributedScan") and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
-                "foldEngine='scan' is a batch vectorized engine: call "
+                f"foldEngine={engine!r} is a batch vectorized engine: call "
                 "setVectorizedBatch(True) and use batch input (streaming "
                 "micro-batches are rows-per-trigger-bound, not "
                 "rows-per-key-bound, so the scan buys nothing there)"
@@ -566,7 +579,12 @@ class KalmanBase(StatefulTransformer):
                     if (not df.isStreaming and self._scanEligible(c))
                     else "sequential"
                 )
-            if not df.isStreaming and (
+            if engine == "distributedScan":
+                from artan_spark.operators.distscan import distributed_scan_transform
+
+                self._lastFoldEngine = engine  # introspection (tests/bench)
+                out = distributed_scan_transform(self, df)
+            elif not df.isStreaming and (
                 engine == "scan"
                 or (self.get("vectorizedBatch") and self._supportsVectorized(c))
             ):

@@ -977,42 +977,13 @@ def supports_scan(c: dict) -> bool:
     )
 
 
-def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0):
-    """Shared forward pass of the scan engine (LKF + smoother): segmented
-    layout + per-row associative elements + Hillis-Steele doubling scan.
-    Returns (keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
-    filtered_mean, filtered_cov)."""
-    # rows arrive sorted (key, eventTime): keys are contiguous runs
-    keys_arr = pdf[STATE_KEY].to_numpy()
-    new_key = np.ones(N, dtype=bool)
-    new_key[1:] = keys_arr[1:] != keys_arr[:-1]
-    seg = np.cumsum(new_key) - 1  # 0-based segment id per row
-    first_idx = np.nonzero(new_key)[0]
-    pos = np.arange(N) - first_idx[seg]  # 0-based position within key
-
-    z_cells = pdf["measurement"].values
-    has_z = np.array([z is not None for z in z_cells])
-    Z = extract_scalar_measurements(z_cells, has_z, N)
-    ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
-
-    # per-key priors (initialStateDistribution col overrides params)
-    K = len(first_idx)
-    m0k = np.full(K, m0)
-    p0k = np.full(K, p0)
-    if "initialStateDistribution" in pdf.columns:
-        cells = pdf["initialStateDistribution"].values
-        for k, f0 in enumerate(first_idx):
-            d = cells[f0]
-            if d is None:
-                continue
-            if isinstance(d, dict):
-                m0k[k] = float(d["mean"][0])
-                p0k[k] = float(d["covariance"]["values"][0])
-            else:
-                m0k[k] = float(d.mean[0])
-                p0k[k] = float(d.covariance.values[0])
-
-    # ---- build the per-row elements --------------------------------
+def _scalar_generic_elements(Z, has_z, N: int, f, q, h, rr):
+    """Per-row GENERIC scan elements (A, b, C, eta, J) for the scalar
+    constant-model LKF — the affine-Gaussian map of one predict(+update)
+    step with no prior folded in. Combining the prior as the degenerate
+    element (0, m0, P0, 0, 0) through ``_scalar_combine`` reproduces the
+    predict-update recursion exactly (the distributed engine relies on
+    this; pinned by tests/test_dist_scan.py)."""
     A = np.where(has_z, 0.0, f)
     b = np.zeros(N)
     C = np.where(has_z, 0.0, q)
@@ -1027,26 +998,19 @@ def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0):
         C[meas] = (1.0 - k_g * h) * q
         eta[meas] = f * h * Z[meas] / s_g
         J[meas] = (f * h) * (h * f) / s_g
-    # first row of each key folds the prior in: A=0, (b,C)=(m_1|1,P_1|1)
-    fm = f * m0k
-    fP = f * p0k * f + q
-    fz = has_z[first_idx]
-    s1 = h * fP * h + rr
-    k1 = fP * h / s1
-    b[first_idx] = np.where(fz, fm + k1 * (Z[first_idx] - h * fm), fm)
-    C[first_idx] = np.where(fz, fP - k1 * s1 * k1, fP)
-    A[first_idx] = 0.0
-    eta[first_idx] = 0.0
-    J[first_idx] = 0.0
+    return A, b, C, eta, J
 
-    # ---- segmented inclusive scan (Hillis-Steele doubling) ---------
-    # full-width SLICE arithmetic + np.where, no fancy-indexing
-    # gathers (measured 16.8 s -> ~2 s at 1M rows: contiguous reads
-    # beat 15 gather/scatter passes). Contiguous segments make the
-    # same-segment test a position check: seg[i]==seg[i-d] iff
-    # pos[i] >= d. All five new arrays are computed from the OLD
-    # values before any assignment (Hillis-Steele needs the double
-    # buffer; np.where supplies the unmasked old half).
+
+def _scalar_segmented_scan(A, b, C, eta, J, pos, N: int) -> None:
+    """In-place segmented inclusive scan (Hillis-Steele doubling) of scalar
+    scan elements. ``pos`` is the 0-based position within each segment;
+    the same-segment test at distance d is ``pos >= d`` (segments are
+    contiguous runs). Full-width SLICE arithmetic + np.where, no
+    fancy-indexing gathers (measured 16.8 s -> ~2 s at 1M rows:
+    contiguous reads beat 15 gather/scatter passes). All five new arrays
+    are computed from the OLD values before any assignment
+    (Hillis-Steele needs the double buffer; np.where supplies the
+    unmasked old half)."""
     d = 1
     while d < N:
         m = pos[d:] >= d
@@ -1066,6 +1030,86 @@ def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0):
         eta[d:] = np.where(m, ne, e2)
         J[d:] = np.where(m, nJ, J2)
         d *= 2
+
+
+def _scalar_combine(e1, e2):
+    """Scalar scan-element combination (e1 before e2), the same formula as
+    the vectorized doubling pass — driver-side use by the distributed
+    engine's tiny cross-chunk prefix."""
+    A1, b1, C1, h1, J1 = e1
+    A2, b2, C2, h2, J2 = e2
+    den = 1.0 + C1 * J2
+    t = A2 / den
+    u = A1 / den
+    return (
+        t * A1,
+        t * (b1 + C1 * h2) + b2,
+        t * C1 * A2 + C2,
+        u * (h2 - J2 * b1) + h1,
+        u * J2 * A1 + J1,
+    )
+
+
+def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0, prior_override=None):
+    """Shared forward pass of the scan engine (LKF + smoother): segmented
+    layout + per-row associative elements + Hillis-Steele doubling scan.
+    Returns (keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
+    filtered_mean, filtered_cov).
+
+    ``prior_override``: optional ``(m0k, p0k)`` arrays (one entry per
+    segment, in segment order) that replace the param/column prior — the
+    distributed engine seeds each (key, chunk) group with the incoming
+    distribution computed by the driver prefix."""
+    # rows arrive sorted (key, eventTime): keys are contiguous runs
+    keys_arr = pdf[STATE_KEY].to_numpy()
+    new_key = np.ones(N, dtype=bool)
+    new_key[1:] = keys_arr[1:] != keys_arr[:-1]
+    seg = np.cumsum(new_key) - 1  # 0-based segment id per row
+    first_idx = np.nonzero(new_key)[0]
+    pos = np.arange(N) - first_idx[seg]  # 0-based position within key
+
+    z_cells = pdf["measurement"].values
+    has_z = np.array([z is not None for z in z_cells])
+    Z = extract_scalar_measurements(z_cells, has_z, N)
+    ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+
+    # per-key priors (initialStateDistribution col overrides params)
+    K = len(first_idx)
+    if prior_override is not None:
+        m0k = np.asarray(prior_override[0], dtype=np.float64)
+        p0k = np.asarray(prior_override[1], dtype=np.float64)
+    else:
+        m0k = np.full(K, m0)
+        p0k = np.full(K, p0)
+    if prior_override is None and "initialStateDistribution" in pdf.columns:
+        cells = pdf["initialStateDistribution"].values
+        for k, f0 in enumerate(first_idx):
+            d = cells[f0]
+            if d is None:
+                continue
+            if isinstance(d, dict):
+                m0k[k] = float(d["mean"][0])
+                p0k[k] = float(d["covariance"]["values"][0])
+            else:
+                m0k[k] = float(d.mean[0])
+                p0k[k] = float(d.covariance.values[0])
+
+    # ---- build the per-row elements --------------------------------
+    A, b, C, eta, J = _scalar_generic_elements(Z, has_z, N, f, q, h, rr)
+    # first row of each key folds the prior in: A=0, (b,C)=(m_1|1,P_1|1)
+    fm = f * m0k
+    fP = f * p0k * f + q
+    fz = has_z[first_idx]
+    s1 = h * fP * h + rr
+    k1 = fP * h / s1
+    b[first_idx] = np.where(fz, fm + k1 * (Z[first_idx] - h * fm), fm)
+    C[first_idx] = np.where(fz, fP - k1 * s1 * k1, fP)
+    A[first_idx] = 0.0
+    eta[first_idx] = 0.0
+    J[first_idx] = 0.0
+
+    # ---- segmented inclusive scan (Hillis-Steele doubling) ---------
+    _scalar_segmented_scan(A, b, C, eta, J, pos, N)
 
     return keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k, b, C
 
@@ -1126,70 +1170,85 @@ def vectorized_scalar_lkf_scan_fold_factory(c: dict):
         if N == 0:
             return empty_pdf(names), None
 
-        (
-            keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
-            out_mean, out_cov,
-        ) = _scalar_scan_forward(pdf, N, f, q, h, rr, m0, p0)
-        meas = np.nonzero(has_z)[0]
-        K = len(first_idx)
-
-        # ---- residual family from the one-step prediction --------------
-        prev_m = np.empty(N)
-        prev_P = np.empty(N)
-        prev_m[1:] = out_mean[:-1]
-        prev_P[1:] = out_cov[:-1]
-        prev_m[first_idx] = m0k
-        prev_P[first_idx] = p0k
-        pm = f * prev_m
-        pP = f * prev_P * f + q
-        out_res = np.full(N, np.nan)
-        out_rescov = np.full(N, np.nan)
-        out_ll = np.full(N, np.nan)
-        out_maha = np.full(N, np.nan)
-        out_sll = np.full(N, np.nan)
-        if len(meas):
-            r = Z[meas] - h * pm[meas]
-            S = h * pP[meas] * h + rr
-            out_res[meas] = r
-            out_rescov[meas] = S
-            if compute_ll:
-                llv = -0.5 * (_LOG2PI + np.log(S) + (r * r) / S)
-                out_ll[meas] = llv
-                if compute_sll:
-                    # per-key rolling window over MEASURED rows via
-                    # segment-reset cumsum (zeros before the window start,
-                    # matching the sequential fold's zero-initialized slots)
-                    for k in range(K):
-                        sel = meas[seg[meas] == k]
-                        if len(sel) == 0:
-                            continue
-                        cs = np.cumsum(out_ll[sel])
-                        win = cs.copy()
-                        win[ll_window:] = cs[ll_window:] - cs[:-ll_window]
-                        out_sll[sel] = np.exp(win)
-            if compute_maha:
-                out_maha[meas] = np.sqrt(np.maximum((r * r) / S, 0.0))
-
-        out = cols_to_pdf(
-            {
-                STATE_KEY: keys_arr,
-                "stateIndex": pos + 1,
-                "stepIndex": 0,
-                "mean": out_mean,
-                "cov": out_cov,
-                "res": out_res,
-                "resCov": out_rescov,
-                EVENT_TIME: ev if ev is not None else None,
-                "loglikelihood": out_ll,
-                "mahalanobis": out_maha,
-                "slidingLikelihood": out_sll,
-            },
-            N,
-            names,
+        fwd = _scalar_scan_forward(pdf, N, f, q, h, rr, m0, p0)
+        out = _scalar_scan_emit(
+            fwd, N, f, q, h, rr,
+            compute_ll=compute_ll, compute_maha=compute_maha,
+            compute_sll=compute_sll, ll_window=ll_window, names=names,
         )
         return out, None
 
     return fold
+
+
+def _scalar_scan_emit(
+    fwd, N: int, f, q, h, rr, *,
+    compute_ll, compute_maha, compute_sll, ll_window, names, idx_offset=0,
+):
+    """Residual family + output frame from a `_scalar_scan_forward` result
+    (shared by the in-task scan fold and the distributed engine's seeded
+    pass 2; ``idx_offset`` shifts stateIndex for chunk continuation)."""
+    (
+        keys_arr, seg, pos, first_idx, has_z, Z, ev, m0k, p0k,
+        out_mean, out_cov,
+    ) = fwd
+    meas = np.nonzero(has_z)[0]
+    K = len(first_idx)
+
+    # ---- residual family from the one-step prediction --------------
+    prev_m = np.empty(N)
+    prev_P = np.empty(N)
+    prev_m[1:] = out_mean[:-1]
+    prev_P[1:] = out_cov[:-1]
+    prev_m[first_idx] = m0k
+    prev_P[first_idx] = p0k
+    pm = f * prev_m
+    pP = f * prev_P * f + q
+    out_res = np.full(N, np.nan)
+    out_rescov = np.full(N, np.nan)
+    out_ll = np.full(N, np.nan)
+    out_maha = np.full(N, np.nan)
+    out_sll = np.full(N, np.nan)
+    if len(meas):
+        r = Z[meas] - h * pm[meas]
+        S = h * pP[meas] * h + rr
+        out_res[meas] = r
+        out_rescov[meas] = S
+        if compute_ll:
+            llv = -0.5 * (_LOG2PI + np.log(S) + (r * r) / S)
+            out_ll[meas] = llv
+            if compute_sll:
+                # per-key rolling window over MEASURED rows via
+                # segment-reset cumsum (zeros before the window start,
+                # matching the sequential fold's zero-initialized slots)
+                for k in range(K):
+                    sel = meas[seg[meas] == k]
+                    if len(sel) == 0:
+                        continue
+                    cs = np.cumsum(out_ll[sel])
+                    win = cs.copy()
+                    win[ll_window:] = cs[ll_window:] - cs[:-ll_window]
+                    out_sll[sel] = np.exp(win)
+        if compute_maha:
+            out_maha[meas] = np.sqrt(np.maximum((r * r) / S, 0.0))
+
+    return cols_to_pdf(
+        {
+            STATE_KEY: keys_arr,
+            "stateIndex": pos + 1 + idx_offset,
+            "stepIndex": 0,
+            "mean": out_mean,
+            "cov": out_cov,
+            "res": out_res,
+            "resCov": out_rescov,
+            EVENT_TIME: ev if ev is not None else None,
+            "loglikelihood": out_ll,
+            "mahalanobis": out_maha,
+            "slidingLikelihood": out_sll,
+        },
+        N,
+        names,
+    )
 
 
 def supports_scalar_sigma(c: dict) -> bool:
