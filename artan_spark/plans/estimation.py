@@ -97,6 +97,24 @@ def lkf_events_local_level(spark, sf_dir):
     return out
 
 
+def lkf_events_distscan(spark, sf_dir):
+    # DISTRIBUTED-SCAN entry: the same local-level model and 4dp-rounded
+    # recursive-CTE oracle as lkf_events_local_level, executed by the
+    # cross-task engine (operators/distscan.py): chunk-by-event-time,
+    # per-chunk element combine, driver prefix, seeded finalize — one hot
+    # key spans many tasks. Engine parity vs the in-task scan is ~1e-15
+    # rel (same element algebra, different association order), so the
+    # audited 4dp margins carry over unchanged. "2 days" over the events
+    # table's 30-day span forces ~15 chunks per key — every cross-chunk
+    # seam is exercised, not just the degenerate one-chunk case.
+    flt = _local_level(LinearKalmanFilter).setVectorizedBatch(True)
+    flt.setFoldEngine("distributedScan").setScanChunkDuration("2 days")
+    out = _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    if flt._lastFoldEngine != "distributedScan":  # pragma: no cover - contract guard
+        raise AssertionError("distributedScan engine did not execute")
+    return out
+
+
 def _ident_fn(m, H):
     return H @ m
 
@@ -936,4 +954,7 @@ ORACLES = {
 # gate (UKF stays windowed for the sigma-point family)
 PYTEST_ORACLES = {
     "ckf_events_local_level": (ckf_events_local_level, _KF_1D_ROUNDED_SQL),
+    # the distributed cross-task scan, against the same rounded CTE as the
+    # windowed default-engine entry (driver window is capped at 50)
+    "lkf_events_distscan": (lkf_events_distscan, _KF_1D_ROUNDED_SQL),
 }

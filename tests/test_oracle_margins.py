@@ -534,6 +534,15 @@ def test_scan_engine_oracle_margins(spark, sf_dir):
         assert flt._lastFoldEngine == "scan"
         return out.toPandas(), ["state_mean", "state_var"], ["stateKey", "stateIndex"]
 
+    def spark_lkf_dist():
+        # the cross-task engine behind the lkf_events_distscan pytest-oracle
+        # entry: same 4dp rounding, so it needs the same margin audit
+        flt = est._local_level(LinearKalmanFilter).setVectorizedBatch(True)
+        flt.setFoldEngine("distributedScan").setScanChunkDuration("2 days")
+        out = est._finalize_raw(flt.transform(est._events_measurements(spark, sf_dir)))
+        assert flt._lastFoldEngine == "distributedScan"
+        return out.toPandas(), ["state_mean", "state_var"], ["stateKey", "stateIndex"]
+
     def spark_smoother():
         sm = (
             LinearKalmanSmoother(1, 1)
@@ -557,6 +566,7 @@ def test_scan_engine_oracle_margins(spark, sf_dir):
     # engine with a raw-double oracle instead of rounding (estimation.py).
     cases = [
         ("lkf", spark_lkf, est._KF_1D_SQL),
+        ("lkf_dist", spark_lkf_dist, est._KF_1D_SQL),
         ("smoother", spark_smoother, est._SMOOTHER_1D_SQL),
     ]
     for name, fn, raw_sql in cases:
