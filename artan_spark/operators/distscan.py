@@ -126,17 +126,6 @@ def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
     batch ``df`` with the two-pass distributed scan. Returns the same
     public schema as every other engine (via ``op._shapeOutput``)."""
     c = op._constants()
-    if df.isStreaming:
-        raise ValueError(
-            "foldEngine='distributedScan' is a batch engine (streaming "
-            "micro-batches are rows-per-trigger-bound, not "
-            "rows-per-key-bound)"
-        )
-    if not op.get("eventTimeCol"):
-        raise ValueError(
-            "foldEngine='distributedScan' requires setEventTimeCol: event "
-            "time is the chunking key and the distributed total order"
-        )
     if not supports_distributed_scan(c):
         raise ValueError(
             "foldEngine='distributedScan' requires a constant-model scalar "
@@ -154,18 +143,7 @@ def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
     compute_maha = bool(c["calculateMahalanobis"])
     names = [fld.name for fld in VFLAT_SCALAR_OUT_SCHEMA.fields]
 
-    width_s = pd.Timedelta(op.get("scanChunkDuration")).total_seconds()
-    if not width_s > 0:
-        raise ValueError("scanChunkDuration must be a positive duration")
-
-    keyed = op._keyed(df)
-    chunked = keyed.withColumn(
-        CHUNK,
-        F.coalesce(
-            F.floor(F.col(EVENT_TIME).cast("double") / F.lit(float(width_s))).cast("long"),
-            F.lit(_NULL_CHUNK),
-        ),
-    )
+    chunked = _chunked_frame(op, df)
 
     # ---- pass 1: one combined generic element per (key, chunk) ---------
     def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -193,27 +171,11 @@ def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
         )
 
     summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(reduce_fn, _PASS1_SCHEMA)
-    max_groups = int(op.get("distributedScanMaxGroups"))
-    # take() bounds the driver collect: > max_groups (key, chunk) summaries
-    # means the chunking is too fine (or the workload is many-key and does
-    # not want this engine at all) — fail with guidance, never OOM the
-    # driver. One extra job over the TINY summary frame only.
-    rows = summaries.take(max_groups + 1)
-    if len(rows) > max_groups:
-        raise ValueError(
-            f"distributedScan produced > {max_groups} (key, chunk) groups; "
-            "widen scanChunkDuration (driver prefix state is O(#groups)), "
-            "raise distributedScanMaxGroups, or use the in-task engines — "
-            "many-key workloads already parallelize across keys"
-        )
+    by_key = _collect_chunk_summaries(op, summaries)
 
     # ---- driver prefix: incoming (m, P, stateIndex offset) per chunk ----
-    by_key: dict = defaultdict(list)
-    for r in rows:
-        by_key[r[STATE_KEY]].append(r)
     seeds: dict = {}
     for k, lst in by_key.items():
-        lst.sort(key=lambda r: r[CHUNK])
         ovr_m, ovr_p = lst[0]["m0ovr"], lst[0]["p0ovr"]
         m = ovr_m if ovr_m is not None else m0
         p = ovr_p if ovr_p is not None else p0
@@ -249,3 +211,281 @@ def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
 
     res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, VFLAT_SCALAR_OUT_SCHEMA)
     return op._shapeOutput(res)
+
+
+# ---------------------------------------------------------------------------
+# shared two-pass scaffolding (RLS / LMS: plain affine composites)
+# ---------------------------------------------------------------------------
+
+
+def _chunked_frame(op, df: DataFrame) -> DataFrame:
+    """keyed + deterministic event-time chunk column (shared validation)."""
+    if df.isStreaming:
+        raise ValueError(
+            "foldEngine='distributedScan' is a batch engine (streaming "
+            "micro-batches are rows-per-trigger-bound, not "
+            "rows-per-key-bound)"
+        )
+    if not op.get("eventTimeCol"):
+        raise ValueError(
+            "foldEngine='distributedScan' requires setEventTimeCol: event "
+            "time is the chunking key and the distributed total order"
+        )
+    width_s = pd.Timedelta(op.get("scanChunkDuration")).total_seconds()
+    if not width_s > 0:
+        raise ValueError("scanChunkDuration must be a positive duration")
+    return op._keyed(df).withColumn(
+        CHUNK,
+        F.coalesce(
+            F.floor(F.col(EVENT_TIME).cast("double") / F.lit(float(width_s))).cast("long"),
+            F.lit(_NULL_CHUNK),
+        ),
+    )
+
+
+def _collect_chunk_summaries(op, summaries: DataFrame) -> dict:
+    """take()-bounded driver collect of pass-1 rows, grouped per key in
+    chunk order. O(#groups) driver state, capped with a guided error."""
+    max_groups = int(op.get("distributedScanMaxGroups"))
+    rows = summaries.take(max_groups + 1)
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"distributedScan produced > {max_groups} (key, chunk) groups; "
+            "widen scanChunkDuration (driver prefix state is O(#groups)), "
+            "raise distributedScanMaxGroups, or use the in-task engines — "
+            "many-key workloads already parallelize across keys"
+        )
+    by_key: dict = defaultdict(list)
+    for r in rows:
+        by_key[r[STATE_KEY]].append(r)
+    for lst in by_key.values():
+        lst.sort(key=lambda r: r[CHUNK])
+    return by_key
+
+
+def _affine_pass1_schema(fields) -> StructType:
+    return StructType(
+        [
+            StructField(STATE_KEY, StringType()),
+            StructField(CHUNK, LongType()),
+            StructField("n", LongType()),
+        ]
+        + [StructField(f, DoubleType()) for f in fields]
+    )
+
+
+def _scalar_feature_array(pdf: pd.DataFrame, N: int) -> np.ndarray:
+    feats = pdf["features"].values
+    if len(np.ravel(feats[0])) != 1:
+        raise ValueError(
+            "foldEngine='distributedScan' supports the 1-D shape only — "
+            "use the sequential engine for n-D feature vectors"
+        )
+    return np.fromiter((np.ravel(f)[0] for f in feats), dtype=np.float64, count=N)
+
+
+def _affine_doubling_scan(S: np.ndarray, adds: list[np.ndarray], N: int) -> None:
+    """In-place inclusive scan of the affine composite v -> S*v + a over a
+    single contiguous run (compose right-after-left: S = S_r*S_l,
+    a = S_r*a_l + a_r) — the RLS/LMS element algebra."""
+    d = 1
+    while d < N:
+        Sl, Sr = S[:-d], S[d:]
+        nS = Sr * Sl
+        news = [Sr * a[:-d] + a[d:] for a in adds]
+        S[d:] = nS
+        for a, na in zip(adds, news):
+            a[d:] = na
+        d *= 2
+
+
+def supports_distributed_rls(c: dict) -> bool:
+    return int(c.get("stateSize") or 0) == 1 and not c.get("hasPerRowCols")
+
+
+def distributed_rls_transform(op, df: DataFrame) -> DataFrame:
+    """Two-pass distributed information-form scan for the scalar RLS
+    (element algebra of vectorized_scalar_rls_scan_fold_factory: each row
+    is v -> lam*v + c on (I, beta); chunk composites compose the same
+    way, so the driver prefix is exact)."""
+    c = op._constants()
+    if not supports_distributed_rls(c):
+        raise ValueError(
+            "foldEngine='distributedScan' requires the scalar RLS shape "
+            "with param (not per-row) priors — use foldEngine='sequential'"
+        )
+    lam = float(c["forgettingFactor"])
+    m0 = 0.0 if c["initialStateMean"] is None else float(np.ravel(c["initialStateMean"])[0])
+    p0 = (
+        1.0
+        if c["regularizationMatrix"] is None
+        else float(np.ravel(c["regularizationMatrix"])[0])
+    )
+    chunked = _chunked_frame(op, df)
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        N = len(pdf)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        X = _scalar_feature_array(pdf, N)
+        S = np.full(N, lam)
+        aI = X * X
+        aB = X * y
+        _affine_doubling_scan(S, [aI, aB], N)
+        return pd.DataFrame(
+            {
+                STATE_KEY: [pdf[STATE_KEY].values[0]],
+                CHUNK: [np.int64(pdf[CHUNK].values[0])],
+                "n": [np.int64(N)],
+                "S": [S[-1]],
+                "aI": [aI[-1]],
+                "aB": [aB[-1]],
+            }
+        )
+
+    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(
+        reduce_fn, _affine_pass1_schema(["S", "aI", "aB"])
+    )
+    by_key = _collect_chunk_summaries(op, summaries)
+    # incoming composite per chunk, starting from the identity (1, 0, 0)
+    seeds: dict = {}
+    for k, lst in by_key.items():
+        S_in, aI_in, aB_in, off = 1.0, 0.0, 0.0, 0
+        for r in lst:
+            seeds[(k, r[CHUNK])] = (S_in, aI_in, aB_in, off)
+            S_in, aI_in, aB_in = (
+                r["S"] * S_in,
+                r["S"] * aI_in + r["aI"],
+                r["S"] * aB_in + r["aB"],
+            )
+            off += r["n"]
+    seeds_bc = df.sparkSession.sparkContext.broadcast(seeds)
+
+    from artan_spark.operators.rls import _FLAT_OUT_SCHEMA as RLS_FLAT
+
+    names = [fld.name for fld in RLS_FLAT.fields]
+
+    def scan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names)
+        S_in, aI_in, aB_in, off = seeds_bc.value[
+            (pdf[STATE_KEY].values[0], int(pdf[CHUNK].values[0]))
+        ]
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        X = _scalar_feature_array(pdf, N)
+        S = np.full(N, lam)
+        aI = X * X
+        aB = X * y
+        _affine_doubling_scan(S, [aI, aB], N)
+        # total prefix = compose(incoming, local)
+        S_t = S * S_in
+        aI_t = S * aI_in + aI
+        aB_t = S * aB_in + aB
+        info = S_t * (1.0 / p0) + aI_t
+        beta = S_t * (m0 / p0) + aB_t
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        return pd.DataFrame(
+            {
+                STATE_KEY: pdf[STATE_KEY].to_numpy(),
+                "stateIndex": np.arange(1, N + 1, dtype=np.int64) + off,
+                "mean": beta / info,
+                "cov": 1.0 / info,
+                EVENT_TIME: ev if ev is not None else [None] * N,
+            },
+            columns=names,
+        )
+
+    res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, RLS_FLAT)
+    return op._shapeOutput(res)
+
+
+def supports_distributed_lms(c: dict) -> bool:
+    init = c.get("initialState")
+    return init is not None and len(np.ravel(init)) == 1
+
+
+def distributed_lms_transform(op, df: DataFrame) -> DataFrame:
+    """Two-pass distributed affine scan for the scalar normalized LMS
+    (element algebra of vectorized_scalar_lms_scan_fold_factory:
+    m' = s_i*m + a_i)."""
+    c = op._constants()
+    if not supports_distributed_lms(c):
+        raise ValueError(
+            "foldEngine='distributedScan' requires a provably 1-D LMS shape "
+            "(setInitialEstimate of length 1) — use foldEngine='sequential'"
+        )
+    lr = float(c["learningRate"])
+    reg = float(c["regularizationConstant"])
+    m0 = float(np.ravel(c["initialState"])[0])
+    chunked = _chunked_frame(op, df)
+
+    def _elements(pdf: pd.DataFrame, N: int):
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        X = _scalar_feature_array(pdf, N)
+        denom = reg + X * X
+        g = lr * X / denom
+        S = 1.0 - g * X
+        a = g * y
+        return S, a
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        N = len(pdf)
+        S, a = _elements(pdf, N)
+        _affine_doubling_scan(S, [a], N)
+        return pd.DataFrame(
+            {
+                STATE_KEY: [pdf[STATE_KEY].values[0]],
+                CHUNK: [np.int64(pdf[CHUNK].values[0])],
+                "n": [np.int64(N)],
+                "S": [S[-1]],
+                "a": [a[-1]],
+            }
+        )
+
+    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(
+        reduce_fn, _affine_pass1_schema(["S", "a"])
+    )
+    by_key = _collect_chunk_summaries(op, summaries)
+    seeds: dict = {}
+    for k, lst in by_key.items():
+        S_in, a_in, off = 1.0, 0.0, 0
+        for r in lst:
+            seeds[(k, r[CHUNK])] = (S_in, a_in, off)
+            S_in, a_in = r["S"] * S_in, r["S"] * a_in + r["a"]
+            off += r["n"]
+    seeds_bc = df.sparkSession.sparkContext.broadcast(seeds)
+
+    from artan_spark.operators.lms import _OUT_SCHEMA as LMS_OUT
+
+    names = [fld.name for fld in LMS_OUT.fields]
+
+    def scan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names)
+        S_in, a_in, off = seeds_bc.value[
+            (pdf[STATE_KEY].values[0], int(pdf[CHUNK].values[0]))
+        ]
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        S, a = _elements(pdf, N)
+        _affine_doubling_scan(S, [a], N)
+        S_t = S * S_in
+        a_t = S * a_in + a
+        state = S_t * m0 + a_t
+        ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
+        return pd.DataFrame(
+            {
+                STATE_KEY: pdf[STATE_KEY].to_numpy(),
+                "stateIndex": np.arange(1, N + 1, dtype=np.int64) + off,
+                # 1-element vector cells for the public (state VECTOR) schema
+                "state": list(state[:, None]),
+                EVENT_TIME: ev if ev is not None else [None] * N,
+            },
+            columns=names,
+        )
+
+    res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, LMS_OUT)
+    return res if op.get("eventTimeCol") else res.drop(EVENT_TIME)

@@ -86,8 +86,12 @@ class LeastMeanSquaresFilter(StatefulTransformer):
         # provably scalar (initialState of length 1; ~1e-12 parity) |
         # "sequential" (bit-exact, the escape hatch; also when initialState
         # is None — the feature dim is unknowable before the data) |
-        # "scan" (force; requires vectorizedBatch)
+        # "scan" (force; requires vectorizedBatch) | "distributedScan"
+        # (cross-TASK two-pass scan, operators/distscan.py: a hot key spans
+        # #chunks tasks; provably-1-D shape + eventTimeCol)
         "foldEngine": "auto",
+        "scanChunkDuration": "1 hour",
+        "distributedScanMaxGroups": 200_000,
     }
 
     def setInitialEstimate(self, value):
@@ -95,13 +99,18 @@ class LeastMeanSquaresFilter(StatefulTransformer):
 
     def transform(self, df):
         engine = self.get("foldEngine")
-        if engine == "scan" and (
+        if engine in ("scan", "distributedScan") and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
-                "foldEngine='scan' is a batch vectorized engine: call "
+                f"foldEngine={engine!r} is a batch vectorized engine: call "
                 "setVectorizedBatch(True) and use batch input"
             )
+        if engine == "distributedScan":
+            from artan_spark.operators.distscan import distributed_lms_transform
+
+            self._lastFoldEngine = engine  # introspection (tests/bench)
+            return distributed_lms_transform(self, df)
         if engine == "auto":
             init = self.get("initialState")
             scalar_known = init is not None and len(np.ravel(init)) == 1

@@ -169,19 +169,28 @@ class RecursiveLeastSquaresFilter(StatefulTransformer):
         # "auto" (default): parallel information-form scan on batch
         # constant-model shapes (~1e-12 relative parity; rows-per-key no
         # longer bounds wall-clock) | "sequential" (bit-exact recursion,
-        # the escape hatch) | "scan" (force; requires vectorizedBatch)
+        # the escape hatch) | "scan" (force; requires vectorizedBatch) |
+        # "distributedScan" (cross-TASK two-pass scan, operators/distscan.py:
+        # a hot key spans #chunks tasks; scalar shape + eventTimeCol)
         "foldEngine": "auto",
+        "scanChunkDuration": "1 hour",
+        "distributedScanMaxGroups": 200_000,
     }
 
     def transform(self, df):
         engine = self.get("foldEngine")
-        if engine == "scan" and (
+        if engine in ("scan", "distributedScan") and (
             df.isStreaming or not self.get("vectorizedBatch")
         ):
             raise ValueError(
-                "foldEngine='scan' is a batch vectorized engine: call "
+                f"foldEngine={engine!r} is a batch vectorized engine: call "
                 "setVectorizedBatch(True) and use batch input"
             )
+        if engine == "distributedScan":
+            from artan_spark.operators.distscan import distributed_rls_transform
+
+            self._lastFoldEngine = engine  # introspection (tests/bench)
+            return distributed_rls_transform(self, df)
         eligible = (
             not df.isStreaming
             and not self._constants()["hasPerRowCols"]

@@ -607,6 +607,22 @@ def _operator_throughput(spark) -> dict[str, int]:
     # measuring the serial fold they are named after
     rate("lkf_1key_sequential", hot.copy().setFoldEngine("sequential"), one_key)
     rate("lkf_1key_scan", hot.copy().setFoldEngine("scan"), one_key)
+    # the CROSS-TASK engine (operators/distscan.py): two shuffles + a
+    # driver prefix buy #chunks-way task parallelism for the hot key. At
+    # sf0.1 (100k rows) shuffle overhead eats most of the win — the row
+    # records the SHAPE; the scale story is the standalone 1M-rows/key
+    # measurement in the module docstring / SURVEY.
+    one_key_ts = e.select(
+        F.lit("k").alias("key"), F.col("ts"), F.array("value").alias("measurement")
+    )
+    rate(
+        "lkf_1key_distscan",
+        hot.copy()
+        .setEventTimeCol("ts")
+        .setFoldEngine("distributedScan")
+        .setScanChunkDuration("12 hours"),
+        one_key_ts,
+    )
     hot_sm = (
         LinearKalmanSmoother(1, 1)
         .setStateKeyCol("key")

@@ -202,6 +202,110 @@ def test_rejects_sliding_likelihood(spark):
         flt.transform(df)
 
 
+@pytest.mark.parametrize("forgetting", [1.0, 0.97])
+def test_distributed_rls_matches_sequential(spark, forgetting):
+    from artan_spark.operators import RecursiveLeastSquaresFilter
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (
+            f"k{i % 3}",
+            T0 + datetime.timedelta(seconds=60 * i),
+            float(rng.normal(3.0, 1.5)),
+            [float(rng.normal(1.0, 0.3))],
+        )
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "stateKey string, ts timestamp, label double, features array<double>"
+    )
+
+    def run(engine):
+        flt = (
+            RecursiveLeastSquaresFilter(1)
+            .setStateKeyCol("stateKey")
+            .setEventTimeCol("ts")
+            .setForgettingFactor(forgetting)
+            .setVectorizedBatch(True)
+            .setFoldEngine(engine)
+        )
+        if engine == "distributedScan":
+            flt.setScanChunkDuration("11 minutes")
+        out = flt.transform(df).select(
+            "stateKey", "stateIndex",
+            F.col("state.mean")[0].alias("m"),
+            F.col("state.covariance.values")[0].alias("p"),
+        )
+        got = {(r.stateKey, r.stateIndex): (r.m, r.p) for r in out.collect()}
+        assert flt._lastFoldEngine == engine
+        return got
+
+    seq, dist = run("sequential"), run("distributedScan")
+    assert set(seq) == set(dist)
+    for k in seq:
+        np.testing.assert_allclose(dist[k], seq[k], rtol=RTOL, err_msg=str(k))
+
+
+def test_distributed_lms_matches_sequential(spark):
+    from artan_spark.operators import LeastMeanSquaresFilter
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (
+            f"k{i % 2}",
+            T0 + datetime.timedelta(seconds=60 * i),
+            float(rng.normal(2.0, 1.0)),
+            [float(rng.normal(1.0, 0.5))],
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "stateKey string, ts timestamp, label double, features array<double>"
+    )
+
+    def run(engine):
+        flt = (
+            LeastMeanSquaresFilter()
+            .setStateKeyCol("stateKey")
+            .setEventTimeCol("ts")
+            .setInitialEstimate([0.5])
+            .setLearningRate(0.6)
+            .setVectorizedBatch(True)
+            .setFoldEngine(engine)
+        )
+        if engine == "distributedScan":
+            flt.setScanChunkDuration("13 minutes")
+        out = flt.transform(df).select(
+            "stateKey", "stateIndex", F.col("state")[0].alias("m")
+        )
+        got = {(r.stateKey, r.stateIndex): r.m for r in out.collect()}
+        assert flt._lastFoldEngine == engine
+        return got
+
+    seq, dist = run("sequential"), run("distributedScan")
+    assert set(seq) == set(dist)
+    for k in seq:
+        np.testing.assert_allclose(dist[k], seq[k], rtol=RTOL, err_msg=str(k))
+
+
+def test_distributed_rls_rejects_nd(spark):
+    from artan_spark.operators import RecursiveLeastSquaresFilter
+
+    flt = (
+        RecursiveLeastSquaresFilter(2)
+        .setStateKeyCol("stateKey")
+        .setEventTimeCol("ts")
+        .setVectorizedBatch(True)
+        .setFoldEngine("distributedScan")
+    )
+    df = spark.createDataFrame(
+        [("a", T0, 1.0, [1.0, 2.0])],
+        "stateKey string, ts timestamp, label double, features array<double>",
+    )
+    with pytest.raises(ValueError, match="scalar"):
+        flt.transform(df)
+
+
 def test_max_groups_cap(spark):
     rows = _rows(2, 60)
     flt = _flt(
