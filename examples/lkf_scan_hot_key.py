@@ -9,10 +9,16 @@ smoother folds to the associative-scan formulation (Särkkä &
 García-Fernández 2021): ~log2(N) full-width numpy passes per key chain
 instead of an O(N) loop, measured 22x at 1M rows on one key.
 
-This example runs both engines on the same single-key feed and prints
-their wall-clocks plus the maximum state divergence (~1e-12 relative —
-the scan changes float op ORDER, not the math; keep the sequential
-engine where bit-exact replay matters).
+``setFoldEngine("distributedScan")`` goes one further: the in-task scan
+still puts the whole key on ONE task; the distributed engine chunks the
+chain by event time, combines each chunk's associative elements into one
+summary, prefix-combines the tiny summaries on the driver, and re-runs
+the seeded scan per chunk — the hot key spans #chunks tasks.
+
+This example runs all three engines on the same single-key feed and
+prints their wall-clocks plus the maximum state divergence (~1e-12
+relative — the scans change float op ORDER, not the math; keep the
+sequential engine where bit-exact replay matters).
 
 Usage: python examples/lkf_scan_hot_key.py [n_rows]
 """
@@ -35,9 +41,12 @@ def main(n_rows: int = 200_000):
 
     rng = np.random.RandomState(11)
     walk = np.cumsum(rng.normal(0.0, 1.0, n_rows)) + rng.normal(0.0, 3.0, n_rows)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(np.arange(n_rows), unit="s")
     feed = spark.createDataFrame(
-        pd.DataFrame({"stateKey": ["sensor-0"] * n_rows, "measurement": [[v] for v in walk]})
-    ).repartition(1).cache()
+        pd.DataFrame(
+            {"stateKey": ["sensor-0"] * n_rows, "ts": ts, "measurement": [[v] for v in walk]}
+        )
+    ).repartition(8).cache()
     feed.count()
 
     def run(engine: str):
@@ -48,12 +57,20 @@ def main(n_rows: int = 200_000):
             .setProcessNoise(np.array([[1.0]]))
             .setMeasurementNoise(np.array([[9.0]]))
             .setVectorizedBatch(True)
+            # the feed is multi-partition, so EVERY engine needs the
+            # event-time total order (shuffle order is not ts order)
+            .setEventTimeCol("ts")
             .setFoldEngine(engine)
         )
+        if engine == "distributedScan":
+            # 1-second cadence -> "1 hour" = 3600-row chunks; the driver
+            # prefix is #chunks tiny combines
+            flt.setScanChunkDuration("1 hour")
         t0 = time.perf_counter()
         out = (
             flt.transform(feed)
             .select("stateIndex", F.col("state.mean")[0].alias("m"))
+
             .toPandas()
             .sort_values("stateIndex")
         )
@@ -61,11 +78,14 @@ def main(n_rows: int = 200_000):
 
     t_seq, m_seq = run("sequential")
     t_scan, m_scan = run("scan")
+    t_dist, m_dist = run("distributedScan")
     rel = np.max(np.abs(m_scan - m_seq) / (np.abs(m_seq) + 1e-12))
+    rel_d = np.max(np.abs(m_dist - m_seq) / (np.abs(m_seq) + 1e-12))
     print(f"rows on the one hot key : {n_rows}")
     print(f"sequential engine       : {t_seq:6.2f} s")
     print(f"scan engine             : {t_scan:6.2f} s  ({t_seq / t_scan:.1f}x)")
-    print(f"max relative divergence : {rel:.2e}")
+    print(f"distributedScan engine  : {t_dist:6.2f} s  ({t_seq / t_dist:.1f}x, cross-task)")
+    print(f"max relative divergence : scan {rel:.2e}  distributed {rel_d:.2e}")
     feed.unpersist()
     spark.stop()
 
