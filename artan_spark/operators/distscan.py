@@ -26,9 +26,10 @@ This engine distributes the same associative scan across tasks:
      in-task scan per chunk, seeded with its broadcast incoming
      distribution, and emits the final rows.
 
-Cost: two linear shuffles of the input (Spark reuses the exchange when
-AQE sees the identical child plan) + one tiny driver job; wall-clock for
-a single hot key drops from one task to ``#chunks``-way parallelism.
+Cost: two linear shuffles of the input (pass 1 and pass 2 are separate
+actions, so the exchange runs twice; cache the input upstream if the
+scan source is expensive) + one tiny driver job; wall-clock for a
+single hot key drops from one task to ``#chunks``-way parallelism.
 Semantics: identical formulas to the in-task scan; float association
 order differs across chunk boundaries, so parity with the sequential
 recursion stays at the scan engine's ~1e-12 relative (same contract).
@@ -103,8 +104,16 @@ _PASS1_SCHEMA = StructType(
 
 def supports_distributed_scan(c: dict) -> bool:
     """The in-task scan's shape minus sliding likelihood (whose rolling
-    window crosses chunk boundaries with values only pass 2 produces)."""
-    return supports_scan(c) and not c.get("calculateSlidingLikelihood")
+    window crosses chunk boundaries with values only pass 2 produces).
+    The fixed-lag smoother (constants carry ``fixedLag``) is NOT this
+    transform — its backward window crosses chunk seams and needs the
+    overlap design; rejecting it here keeps the inherited KalmanBase
+    routing from silently running the filter on a smoother."""
+    return (
+        supports_scan(c)
+        and not c.get("calculateSlidingLikelihood")
+        and "fixedLag" not in c
+    )
 
 
 def _first_row_prior_override(pdf: pd.DataFrame):

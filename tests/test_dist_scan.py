@@ -306,6 +306,26 @@ def test_distributed_rls_rejects_nd(spark):
         flt.transform(df)
 
 
+def test_smoother_rejected(spark):
+    # KalmanBase routing is inherited by the fixed-lag smoother; the
+    # engine must refuse rather than silently run the FILTER on it
+    from artan_spark.operators import LinearKalmanSmoother
+
+    sm = (
+        LinearKalmanSmoother(1, 1)
+        .setStateKeyCol("stateKey")
+        .setEventTimeCol("ts")
+        .setFixedLag(3)
+        .setVectorizedBatch(True)
+        .setFoldEngine("distributedScan")
+    )
+    df = spark.createDataFrame(
+        [("a", T0, [1.0])], "stateKey string, ts timestamp, measurement array<double>"
+    )
+    with pytest.raises(ValueError, match="distributedScan"):
+        sm.transform(df)
+
+
 def test_max_groups_cap(spark):
     rows = _rows(2, 60)
     flt = _flt(
