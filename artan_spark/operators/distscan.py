@@ -73,11 +73,13 @@ from artan_spark.operators.vectorized import (
     supports_scan,
 )
 from artan_spark.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 CHUNK = "__scanChunk__"
@@ -130,6 +132,38 @@ def _first_row_prior_override(pdf: pd.DataFrame):
     return float(d.mean[0]), float(d.covariance.values[0])
 
 
+def _lkf_reduce_factory(f, q, h, rr):
+    """Pass-1 reducer shared by the LKF filter and smoother paths: sort
+    the (key, chunk) group by event time, combine its GENERIC elements
+    into one summary row, carry the first row's prior override."""
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        N = len(pdf)
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = extract_scalar_measurements(z_cells, has_z, N)
+        A, b, C, eta, J = _scalar_generic_elements(Z, has_z, N, f, q, h, rr)
+        _scalar_segmented_scan(A, b, C, eta, J, np.arange(N), N)
+        m0o, p0o = _first_row_prior_override(pdf)
+        return pd.DataFrame(
+            {
+                STATE_KEY: [pdf[STATE_KEY].values[0]],
+                CHUNK: [np.int64(pdf[CHUNK].values[0])],
+                "n": [np.int64(N)],
+                "elA": [A[-1]],
+                "elB": [b[-1]],
+                "elC": [C[-1]],
+                "elEta": [eta[-1]],
+                "elJ": [J[-1]],
+                "m0ovr": [m0o],
+                "p0ovr": [p0o],
+            }
+        )
+
+    return reduce_fn
+
+
 def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
     """Execute ``op`` (a scalar constant-model LinearKalmanFilter) over
     batch ``df`` with the two-pass distributed scan. Returns the same
@@ -155,31 +189,9 @@ def distributed_scan_transform(op, df: DataFrame) -> DataFrame:
     chunked = _chunked_frame(op, df)
 
     # ---- pass 1: one combined generic element per (key, chunk) ---------
-    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
-        N = len(pdf)
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = extract_scalar_measurements(z_cells, has_z, N)
-        A, b, C, eta, J = _scalar_generic_elements(Z, has_z, N, f, q, h, rr)
-        _scalar_segmented_scan(A, b, C, eta, J, np.arange(N), N)
-        m0o, p0o = _first_row_prior_override(pdf)
-        return pd.DataFrame(
-            {
-                STATE_KEY: [pdf[STATE_KEY].values[0]],
-                CHUNK: [np.int64(pdf[CHUNK].values[0])],
-                "n": [np.int64(N)],
-                "elA": [A[-1]],
-                "elB": [b[-1]],
-                "elC": [C[-1]],
-                "elEta": [eta[-1]],
-                "elJ": [J[-1]],
-                "m0ovr": [m0o],
-                "p0ovr": [p0o],
-            }
-        )
-
-    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(reduce_fn, _PASS1_SCHEMA)
+    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(
+        _lkf_reduce_factory(f, q, h, rr), _PASS1_SCHEMA
+    )
     by_key = _collect_chunk_summaries(op, summaries)
 
     # ---- driver prefix: incoming (m, P, stateIndex offset) per chunk ----
@@ -498,3 +510,212 @@ def distributed_lms_transform(op, df: DataFrame) -> DataFrame:
 
     res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, LMS_OUT)
     return res if op.get("eventTimeCol") else res.drop(EVENT_TIME)
+
+
+# ---------------------------------------------------------------------------
+# fixed-lag smoother: 3-pass design (filter passes + chunk-overlap backward)
+# ---------------------------------------------------------------------------
+
+
+def supports_distributed_smoother(c: dict) -> bool:
+    """Scalar constant-model fixed-lag smoother: the LKF scan shape
+    constraints (supports_scan only inspects the filter keys, so the
+    extra fixedLag entry is inert) — the smoother computes no likelihood
+    projections, so only the filter-shape constraints apply."""
+    return "fixedLag" in c and supports_scan(c)
+
+
+def distributed_smoother_transform(op, df: DataFrame) -> DataFrame:
+    """Cross-task fixed-lag RTS smoother (scalar constant-model shape):
+
+      pass 1  — the shared LKF chunk-element reduce + driver prefix;
+                the driver ALSO resolves, per chunk, which LATER chunks
+                need copies of its trailing rows: an anchor at global
+                index s smooths back to s-lag+1, so a chunk starting at
+                global offset ``off'`` needs every earlier row with
+                index >= off'-lag+2 (chunks smaller than the lag borrow
+                across SEVERAL predecessors — the target list handles
+                that, not just the adjacent chunk);
+      pass 2  — seeded forward scan per chunk emits (stateIndex,
+                filtered m, P) rows, each tagged with its own chunk and
+                duplicated to every target chunk that needs it;
+      pass 3  — per (key, targetChunk): rows are consecutive global
+                indices by construction; the anchor-vectorized backward
+                window (same op order as the in-task scan smoother) runs
+                positionally and emits only for OWN rows.
+
+    Three linear shuffles; duplication is bounded by lag-1 rows per
+    chunk seam."""
+    c = op._constants()
+    if not supports_distributed_smoother(c):
+        raise ValueError(
+            "foldEngine='distributedScan' requires the scalar constant-model "
+            "smoother shape with fadingFactor=1 — use foldEngine='scan' or "
+            "'sequential' for this configuration"
+        )
+    lag = int(c["fixedLag"])
+    f = float(c["processModel"][0, 0])
+    q = float(c["processNoise"][0, 0])
+    h = float(c["measurementModel"][0, 0])
+    rr = float(c["measurementNoise"][0, 0])
+    m0 = float(c["initialStateMean"][0])
+    p0 = float(c["initialStateCovariance"][0, 0])
+    chunked = _chunked_frame(op, df)
+
+    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(
+        _lkf_reduce_factory(f, q, h, rr), _PASS1_SCHEMA
+    )
+    by_key = _collect_chunk_summaries(op, summaries)
+
+    # driver prefix: incoming (m, P, offset) + overlap targets per chunk
+    seeds: dict = {}
+    for k, lst in by_key.items():
+        ovr_m, ovr_p = lst[0]["m0ovr"], lst[0]["p0ovr"]
+        m = ovr_m if ovr_m is not None else m0
+        p = ovr_p if ovr_p is not None else p0
+        off = 0
+        metas = []  # (chunk, off, n) in order
+        for r in lst:
+            metas.append((r[CHUNK], off, r["n"]))
+            seeds[(k, r[CHUNK])] = (m, p, off, [])
+            e = _scalar_combine(
+                (0.0, m, p, 0.0, 0.0),
+                (r["elA"], r["elB"], r["elC"], r["elEta"], r["elJ"]),
+            )
+            m, p = e[1], e[2]
+            off += r["n"]
+        # overlap targets: chunk i (rows off+1..off+n global) must copy its
+        # rows s >= off'-lag+2 to each later chunk starting at off' while
+        # that bound reaches back into it
+        for i, (ch, off_i, n_i) in enumerate(metas):
+            hi = off_i + n_i  # last global index in this chunk
+            targets = seeds[(k, ch)][3]
+            for ch2, off2, _n2 in metas[i + 1 :]:
+                lo_needed = off2 - lag + 2  # first global index chunk2 needs
+                if lo_needed > hi:
+                    break
+                targets.append((ch2, max(off_i + 1, lo_needed), hi))
+    seeds_bc = df.sparkSession.sparkContext.broadcast(seeds)
+
+    pass2_schema = StructType(
+        [
+            StructField(STATE_KEY, StringType()),
+            StructField("tchunk", LongType()),
+            StructField("own", BooleanType()),
+            StructField("stateIndex", LongType()),
+            StructField("fm", DoubleType()),
+            StructField("fP", DoubleType()),
+            StructField(EVENT_TIME, TimestampType(), True),
+        ]
+    )
+
+    def filter_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = len(pdf)
+        if N == 0:
+            return pd.DataFrame(columns=[fld.name for fld in pass2_schema.fields])
+        key = pdf[STATE_KEY].values[0]
+        m_in, p_in, off, targets = seeds_bc.value[(key, int(pdf[CHUNK].values[0]))]
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        fwd = _scalar_scan_forward(
+            pdf, N, f, q, h, rr, m0, p0,
+            prior_override=(np.array([m_in]), np.array([p_in])),
+        )
+        filt_m, filt_P = fwd[9], fwd[10]
+        ev = fwd[6]
+        idx = np.arange(1, N + 1, dtype=np.int64) + off
+        frames = [
+            pd.DataFrame(
+                {
+                    STATE_KEY: key,
+                    "tchunk": np.int64(pdf[CHUNK].values[0]),
+                    "own": True,
+                    "stateIndex": idx,
+                    "fm": filt_m,
+                    "fP": filt_P,
+                    EVENT_TIME: ev if ev is not None else [None] * N,
+                }
+            )
+        ]
+        for ch2, lo, hi in targets:
+            sl = slice(lo - off - 1, hi - off)  # global -> local positions
+            frames.append(
+                pd.DataFrame(
+                    {
+                        STATE_KEY: key,
+                        "tchunk": np.int64(ch2),
+                        "own": False,
+                        "stateIndex": idx[sl],
+                        "fm": filt_m[sl],
+                        "fP": filt_P[sl],
+                        EVENT_TIME: ev[sl] if ev is not None else [None] * (hi - lo + 1),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    filtered = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(filter_fn, pass2_schema)
+
+    from artan_spark.operators.smoother import _FLAT_OUT_SCHEMA as SM_FLAT
+
+    names = [fld.name for fld in SM_FLAT.fields]
+
+    def backward_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names)
+        pdf = pdf.sort_values("stateIndex", kind="stable")
+        idx = pdf["stateIndex"].to_numpy(dtype=np.int64)
+        filt_m = pdf["fm"].to_numpy(dtype=np.float64)
+        filt_P = pdf["fP"].to_numpy(dtype=np.float64)
+        own = pdf["own"].to_numpy(dtype=bool)
+        ev = pdf[EVENT_TIME].values
+        keys_arr = pdf[STATE_KEY].to_numpy()
+        # contract: the group holds consecutive global indices
+        if N > 1 and not np.all(np.diff(idx) == 1):
+            raise AssertionError("distributed smoother group has index gaps")
+        nm = f * filt_m
+        nc = (f * filt_P) * f + q
+        g = (filt_P * f) * (1.0 / nc)
+        anchors = np.nonzero(own & (idx >= lag))[0]
+        M = len(anchors)
+        if M == 0:
+            return empty_pdf(names)
+        total = M * lag
+        o_row = np.empty(total, dtype=np.int64)
+        o_step = np.empty(total, dtype=np.int64)
+        o_mean = np.empty(total)
+        o_cov = np.empty(total)
+        o_gain = np.empty(total)
+        sm_m = filt_m[anchors]
+        sm_p = filt_P[anchors]
+        o_row[:M] = anchors
+        o_step[:M] = 0
+        o_mean[:M] = sm_m
+        o_cov[:M] = sm_p
+        o_gain[:M] = 0.0
+        for step in range(1, lag):
+            j = anchors - step  # in-group: overlap guarantees presence
+            gj = g[j]
+            sm_m = filt_m[j] + gj * (sm_m - nm[j])
+            sm_p = filt_P[j] + (gj * (sm_p - nc[j])) * gj
+            w = step * M
+            o_row[w : w + M] = j
+            o_step[w : w + M] = step
+            o_mean[w : w + M] = sm_m
+            o_cov[w : w + M] = sm_p
+            o_gain[w : w + M] = gj
+        return pd.DataFrame(
+            {
+                STATE_KEY: keys_arr[o_row],
+                "stateIndex": idx[o_row],
+                "stepIndex": o_step,
+                "mean": o_mean,
+                "cov": o_cov,
+                "gain": o_gain,
+                EVENT_TIME: ev[o_row],
+            },
+            columns=names,
+        )
+
+    res = filtered.groupBy(STATE_KEY, "tchunk").applyInPandas(backward_fn, SM_FLAT)
+    return op._shapeOutput(res)

@@ -580,10 +580,17 @@ class KalmanBase(StatefulTransformer):
                     else "sequential"
                 )
             if engine == "distributedScan":
-                from artan_spark.operators.distscan import distributed_scan_transform
+                from artan_spark.operators.distscan import (
+                    distributed_scan_transform,
+                    distributed_smoother_transform,
+                )
 
                 self._lastFoldEngine = engine  # introspection (tests/bench)
-                out = distributed_scan_transform(self, df)
+                out = (
+                    distributed_smoother_transform(self, df)
+                    if "fixedLag" in c
+                    else distributed_scan_transform(self, df)
+                )
             elif not df.isStreaming and (
                 engine == "scan"
                 or (self.get("vectorizedBatch") and self._supportsVectorized(c))

@@ -306,23 +306,71 @@ def test_distributed_rls_rejects_nd(spark):
         flt.transform(df)
 
 
-def test_smoother_rejected(spark):
-    # KalmanBase routing is inherited by the fixed-lag smoother; the
-    # engine must refuse rather than silently run the FILTER on it
+def _smoother(lag=7, **kw):
     from artan_spark.operators import LinearKalmanSmoother
 
     sm = (
         LinearKalmanSmoother(1, 1)
         .setStateKeyCol("stateKey")
         .setEventTimeCol("ts")
-        .setFixedLag(3)
+        .setInitialStateMean(np.array([0.0]))
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setFixedLag(lag)
         .setVectorizedBatch(True)
-        .setFoldEngine("distributedScan")
     )
+    for k, v in kw.items():
+        sm._set(k, v)
+    return sm
+
+
+def _collect_smoothed(spark, sm, rows):
+    df = spark.createDataFrame(
+        rows, "stateKey string, ts timestamp, measurement array<double>"
+    )
+    out = sm.transform(df).select(
+        "stateKey", "stateIndex", "stepIndex",
+        F.col("state.mean")[0].alias("m"),
+        F.col("state.covariance.values")[0].alias("p"),
+        F.col("rtsGain.values")[0].alias("g"),
+        "eventTime",
+    )
+    return {(r.stateKey, r.stateIndex, r.stepIndex): r for r in out.collect()}
+
+
+@pytest.mark.parametrize(
+    "n_keys,chunk",
+    [
+        (1, "10 minutes"),
+        (3, "15 minutes"),
+        # 60 s cadence over 2 keys -> "3 minutes" chunks hold 1-2 rows per
+        # key, FAR below lag 7: the overlap targets must reach across
+        # SEVERAL predecessor chunks, not just the adjacent one
+        (2, "3 minutes"),
+    ],
+)
+def test_distributed_smoother_matches_sequential(spark, n_keys, chunk):
+    rows = _rows(n_keys, 260)
+    seq = _collect_smoothed(spark, _smoother(foldEngine="sequential"), rows)
+    sm = _smoother(foldEngine="distributedScan", scanChunkDuration=chunk)
+    dist = _collect_smoothed(spark, sm, rows)
+    assert sm._lastFoldEngine == "distributedScan"
+    assert set(seq) == set(dist)
+    for k in seq:
+        a, b = seq[k], dist[k]
+        assert a.eventTime == b.eventTime, k
+        np.testing.assert_allclose(
+            (b.m, b.p, b.g), (a.m, a.p, a.g), rtol=RTOL, atol=1e-12, err_msg=str(k)
+        )
+
+
+def test_distributed_smoother_rejects_fading(spark):
+    sm = _smoother(foldEngine="distributedScan", fadingFactor=1.2)
     df = spark.createDataFrame(
         [("a", T0, [1.0])], "stateKey string, ts timestamp, measurement array<double>"
     )
-    with pytest.raises(ValueError, match="distributedScan"):
+    with pytest.raises(ValueError, match="smoother shape"):
         sm.transform(df)
 
 
