@@ -97,6 +97,37 @@ def lkf_events_local_level(spark, sf_dir):
     return out
 
 
+def rts_smoother_distscan(spark, sf_dir):
+    # DISTRIBUTED-SMOOTHER entry: the 3-pass chunk-overlap engine
+    # (operators/distscan.py distributed_smoother_transform) against the
+    # same 4dp-rounded forward+backward CTE as the windowed entry. "2 days"
+    # chunks hold ~20 rows/key at sf0.001 — BELOW the lag of 10 only
+    # rarely, but the margin case in test_oracle_margins runs both gate
+    # SFs; cross-chunk borrowing is exercised at every seam.
+    sm = (
+        LinearKalmanSmoother(1, 1)
+        .setStateKeyCol("key")
+        .setEventTimeCol("ts")
+        .setInitialStateMean(np.zeros(1))
+        .setInitialStateCovariance(np.array([[100.0]]))
+        .setProcessNoise(np.array([[1.0]]))
+        .setMeasurementNoise(np.array([[10.0]]))
+        .setFixedLag(SMOOTHER_LAG)
+        .setVectorizedBatch(True)
+        .setFoldEngine("distributedScan")
+        .setScanChunkDuration("2 days")
+    )
+    out = sm.transform(_events_measurements(spark, sf_dir))
+    if sm._lastFoldEngine != "distributedScan":  # pragma: no cover - contract guard
+        raise AssertionError("distributedScan smoother did not execute")
+    return out.select(
+        "stateKey",
+        "stateIndex",
+        "stepIndex",
+        F.round(F.col("state.mean")[0], 4).alias("state_mean"),
+    )
+
+
 def lkf_events_distscan(spark, sf_dir):
     # DISTRIBUTED-SCAN entry: the same local-level model and 4dp-rounded
     # recursive-CTE oracle as lkf_events_local_level, executed by the
@@ -954,7 +985,8 @@ ORACLES = {
 # gate (UKF stays windowed for the sigma-point family)
 PYTEST_ORACLES = {
     "ckf_events_local_level": (ckf_events_local_level, _KF_1D_ROUNDED_SQL),
-    # the distributed cross-task scan, against the same rounded CTE as the
-    # windowed default-engine entry (driver window is capped at 50)
+    # the distributed cross-task engines, against the same rounded CTEs as
+    # the windowed default-engine entries (driver window is capped at 50)
     "lkf_events_distscan": (lkf_events_distscan, _KF_1D_ROUNDED_SQL),
+    "rts_smoother_distscan": (rts_smoother_distscan, _SMOOTHER_1D_ROUNDED_SQL),
 }

@@ -564,10 +564,31 @@ def test_scan_engine_oracle_margins(spark, sf_dir):
     # values (m_k = cent-sums/(k+1)) that land EXACTLY on 4dp boundaries
     # when k+1 is a power of two, so rls_events_1d pins the sequential
     # engine with a raw-double oracle instead of rounding (estimation.py).
+    def spark_smoother_dist():
+        sm = (
+            LinearKalmanSmoother(1, 1)
+            .setStateKeyCol("key")
+            .setEventTimeCol("ts")
+            .setInitialStateMean(np.zeros(1))
+            .setInitialStateCovariance(np.array([[100.0]]))
+            .setProcessNoise(np.array([[1.0]]))
+            .setMeasurementNoise(np.array([[10.0]]))
+            .setFixedLag(est.SMOOTHER_LAG)
+            .setVectorizedBatch(True)
+            .setFoldEngine("distributedScan")
+            .setScanChunkDuration("2 days")
+        )
+        out = sm.transform(est._events_measurements(spark, sf_dir)).select(
+            "stateKey", "stateIndex", "stepIndex", F.col("state.mean")[0].alias("state_mean")
+        )
+        assert sm._lastFoldEngine == "distributedScan"
+        return out.toPandas(), ["state_mean"], ["stateKey", "stateIndex", "stepIndex"]
+
     cases = [
         ("lkf", spark_lkf, est._KF_1D_SQL),
         ("lkf_dist", spark_lkf_dist, est._KF_1D_SQL),
         ("smoother", spark_smoother, est._SMOOTHER_1D_SQL),
+        ("smoother_dist", spark_smoother_dist, est._SMOOTHER_1D_SQL),
     ]
     for name, fn, raw_sql in cases:
         raw, cols, keys = fn()

@@ -44,9 +44,10 @@ def test_registry_counts():
     # demoted q6_forecast_revenue, q10_returned_items, events_window_stats,
     # dedup_embedding_cosine, ann_cosine_topk, ckf_events_local_level
     # (each keeps its oracle here)
-    # round 12 late add: lkf_events_distscan — the distributed cross-task
-    # scan engine against the same rounded CTE as the windowed LKF entry
-    assert len(PYTEST_ORACLES) == 88
+    # round 12 late adds: lkf_events_distscan + rts_smoother_distscan —
+    # the distributed cross-task engines against the same rounded CTEs as
+    # the windowed default-engine entries
+    assert len(PYTEST_ORACLES) == 89
     assert set(NO_SQL_QUERIES) == {
         "docs_compression_ratio",
         "docs_unigram_tokens",
