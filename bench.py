@@ -607,11 +607,14 @@ def _operator_throughput(spark) -> dict[str, int]:
     # measuring the serial fold they are named after
     rate("lkf_1key_sequential", hot.copy().setFoldEngine("sequential"), one_key)
     rate("lkf_1key_scan", hot.copy().setFoldEngine("scan"), one_key)
-    # the CROSS-TASK engine (operators/distscan.py): two shuffles + a
-    # driver prefix buy #chunks-way task parallelism for the hot key. At
-    # sf0.1 (100k rows) shuffle overhead eats most of the win — the row
-    # records the SHAPE; the scale story is the standalone 1M-rows/key
-    # measurement in the module docstring / SURVEY.
+    # the CROSS-TASK engine (operators/distscan.py): two/three shuffles +
+    # a driver prefix buy #chunks-way task parallelism for the hot key.
+    # At sf0.1 (100k rows) shuffle overhead eats part of the win — the
+    # rows record the SHAPE; the standalone 1M-rows/key medians-of-3
+    # (local[32], idle, r12) are the scale record: LKF sequential 14.3k /
+    # scan 60.4k / distributedScan 162k rows/s; RLS 27.4k / 38.5k / 159k;
+    # smoother(lag 10) scan 14.8k (the one-task backward emission binds
+    # at this length) / distributedScan 187k.
     one_key_ts = e.select(
         F.lit("k").alias("key"), F.col("ts"), F.array("value").alias("measurement")
     )
@@ -634,6 +637,14 @@ def _operator_throughput(spark) -> dict[str, int]:
     )
     rate("smoother_1key_sequential", hot_sm.copy().setFoldEngine("sequential"), one_key)
     rate("smoother_1key_scan", hot_sm.copy().setFoldEngine("scan"), one_key)
+    rate(
+        "smoother_1key_distscan",
+        hot_sm.copy()
+        .setEventTimeCol("ts")
+        .setFoldEngine("distributedScan")
+        .setScanChunkDuration("12 hours"),
+        one_key_ts,
+    )
     # n-D (2-state local linear trend) smoother: the r12 scan extension —
     # matrix elements + anchor-vectorized backward window
     hot_sm2 = (
@@ -658,6 +669,20 @@ def _operator_throughput(spark) -> dict[str, int]:
     hot_rls = RecursiveLeastSquaresFilter(1).setStateKeyCol("key").setVectorizedBatch(True)
     rate("rls_1key_sequential", hot_rls.copy().setFoldEngine("sequential"), one_key_rls)
     rate("rls_1key_scan", hot_rls.copy().setFoldEngine("scan"), one_key_rls)
+    one_key_rls_ts = e.select(
+        F.lit("k").alias("key"),
+        F.col("ts"),
+        F.col("value").alias("label"),
+        F.array(F.lit(1.0)).alias("features"),
+    )
+    rate(
+        "rls_1key_distscan",
+        hot_rls.copy()
+        .setEventTimeCol("ts")
+        .setFoldEngine("distributedScan")
+        .setScanChunkDuration("12 hours"),
+        one_key_rls_ts,
+    )
     e.unpersist()
     return out
 
