@@ -1,4 +1,6 @@
-"""DISTRIBUTED parallel-scan execution of the scalar constant-model LKF.
+"""DISTRIBUTED (cross-task) parallel-scan execution of the scalar linear
+recursions: LKF filter, RLS, LMS (two-pass), and the fixed-lag RTS
+smoother (three-pass chunk-overlap; see distributed_smoother_transform).
 
 The in-task scan engine (operators/vectorized.py, Särkkä &
 García-Fernández 2021) removes the rows-per-key SERIAL bound but not the
