@@ -515,6 +515,231 @@ def distributed_lms_transform(op, df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-D LKF: matrix elements (tree reduce in pass 1, seeded n-D scan in pass 2)
+# ---------------------------------------------------------------------------
+
+
+def supports_distributed_nd(c: dict) -> bool:
+    """The n-D matrix scan's shape (constant model, per-row
+    measurementModel allowed — the OLS regression shape; no sliding
+    likelihood already enforced there), excluding the smoother."""
+    from artan_spark.operators.vectorized import supports_scan_general
+
+    return "fixedLag" not in c and supports_scan_general(c)
+
+
+def _nd_tree_reduce(A, b, C, eta, J, eye_n):
+    """Pairwise tree reduce of ordered n-D elements to ONE composite —
+    N-1 combines in log2(N) batched rounds (cheaper than the full
+    prefix scan when only the total is needed). Order-preserving: pairs
+    keep their positions; an odd tail element stays last."""
+    from artan_spark.operators.vectorized import _nd_combine
+
+    cur = (A, b, C, eta, J)
+    while cur[0].shape[0] > 1:
+        M = cur[0].shape[0]
+        even = M - (M % 2)
+        comb = _nd_combine(
+            cur[0][0:even:2], cur[1][0:even:2], cur[2][0:even:2],
+            cur[3][0:even:2], cur[4][0:even:2],
+            cur[0][1:even:2], cur[1][1:even:2], cur[2][1:even:2],
+            cur[3][1:even:2], cur[4][1:even:2], eye_n,
+        )
+        if M % 2:
+            cur = tuple(
+                np.concatenate([cc, tail[-1:]], axis=0)
+                for cc, tail in zip(comb, cur)
+            )
+        else:
+            cur = comb
+    return tuple(x[0] for x in cur)
+
+
+def _nd_first_row_prior(pdf: pd.DataFrame, n: int):
+    """(mean, cov) arrays from the group's first row's
+    initialStateDistribution cell, or (None, None)."""
+    if "initialStateDistribution" not in pdf.columns:
+        return None, None
+    d = pdf["initialStateDistribution"].values[0]
+    if d is None:
+        return None, None
+    from artan_spark.types import mat_to_np, vec_to_np
+
+    mean = np.asarray(vec_to_np(d["mean"] if isinstance(d, dict) else d.mean), dtype=np.float64).ravel()
+    cov = np.asarray(mat_to_np(d["covariance"] if isinstance(d, dict) else d.covariance), dtype=np.float64)
+    return mean, cov
+
+
+def distributed_nd_scan_transform(op, df: DataFrame) -> DataFrame:
+    """Cross-task n-D LKF: the scalar two-pass shape with matrix
+    elements. Pass 1 tree-reduces each chunk's generic elements to one
+    composite (flattened row-major arrays in the summary row); the
+    driver prefix runs the same `_nd_combine` on single pairs; pass 2
+    re-runs the seeded in-task n-D scan per chunk."""
+    from artan_spark.operators.vectorized import (
+        VFLAT_OUT_SCHEMA,
+        _nd_combine,
+        _nd_generic_elements,
+        _nd_scan_emit,
+        _nd_scan_forward,
+    )
+    from artan_spark.types import ArrayType, mat_to_np
+
+    c = op._constants()
+    if not supports_distributed_nd(c):
+        raise ValueError(
+            "foldEngine='distributedScan' requires a constant-model LKF "
+            "shape with fadingFactor=1 and no sliding likelihood (per-row "
+            "measurementModel allowed) — use foldEngine='sequential' for "
+            "this configuration"
+        )
+    n = int(c["stateSize"])
+    mdim = int(c["measurementSize"])
+    F_ = c["processModel"]
+    Q = c["processNoise"]
+    R = c["measurementNoise"]
+    H_const = c["measurementModel"]
+    m0 = c["initialStateMean"]
+    P0 = c["initialStateCovariance"]
+    compute_ll = bool(c["calculateLoglikelihood"])
+    compute_maha = bool(c["calculateMahalanobis"])
+    eye_n = np.eye(n)
+    chunked = _chunked_frame(op, df)
+
+    pass1_schema = StructType(
+        [
+            StructField(STATE_KEY, StringType()),
+            StructField(CHUNK, LongType()),
+            StructField("n", LongType()),
+            StructField("elA", ArrayType(DoubleType())),
+            StructField("elB", ArrayType(DoubleType())),
+            StructField("elC", ArrayType(DoubleType())),
+            StructField("elEta", ArrayType(DoubleType())),
+            StructField("elJ", ArrayType(DoubleType())),
+            StructField("m0ovr", ArrayType(DoubleType()), True),
+            StructField("p0ovr", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def _layout(pdf: pd.DataFrame, N: int):
+        z_cells = pdf["measurement"].values
+        has_z = np.array([z is not None for z in z_cells])
+        Z = np.zeros((N, mdim))
+        for i in np.nonzero(has_z)[0]:
+            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+        if "measurementModel" in pdf.columns:
+            h_cells = pdf["measurementModel"].values
+            Hrows = np.empty((N, mdim, n))
+            for i in range(N):
+                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
+        else:
+            Hrows = None
+        return has_z, Z, Hrows
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        N = len(pdf)
+        has_z, Z, Hrows = _layout(pdf, N)
+        A, b, C, eta, J = _nd_generic_elements(Z, has_z, Hrows, N, n, mdim, F_, Q, R, H_const)
+        eA, eb, eC, ee, eJ = _nd_tree_reduce(A, b, C, eta, J, eye_n)
+        m0o, p0o = _nd_first_row_prior(pdf, n)
+        return pd.DataFrame(
+            {
+                STATE_KEY: [pdf[STATE_KEY].values[0]],
+                CHUNK: [np.int64(pdf[CHUNK].values[0])],
+                "n": [np.int64(N)],
+                "elA": [eA.ravel()],
+                "elB": [eb.ravel()],
+                "elC": [eC.ravel()],
+                "elEta": [ee.ravel()],
+                "elJ": [eJ.ravel()],
+                "m0ovr": [None if m0o is None else m0o],
+                "p0ovr": [None if p0o is None else p0o.ravel()],
+            }
+        )
+
+    summaries = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(reduce_fn, pass1_schema)
+    by_key = _collect_chunk_summaries(op, summaries)
+
+    seeds: dict = {}
+    for k, lst in by_key.items():
+        ovr_m, ovr_p = lst[0]["m0ovr"], lst[0]["p0ovr"]
+        m = np.asarray(ovr_m, dtype=np.float64) if ovr_m is not None else np.asarray(m0, dtype=np.float64).ravel().copy()
+        p = (
+            np.asarray(ovr_p, dtype=np.float64).reshape(n, n)
+            if ovr_p is not None
+            else np.asarray(P0, dtype=np.float64).copy()
+        )
+        off = 0
+        for r in lst:
+            seeds[(k, r[CHUNK])] = (m, p, off)
+            comb = _nd_combine(
+                np.zeros((1, n, n)), m[None], p[None],
+                np.zeros((1, n)), np.zeros((1, n, n)),
+                np.asarray(r["elA"], dtype=np.float64).reshape(1, n, n),
+                np.asarray(r["elB"], dtype=np.float64).reshape(1, n),
+                np.asarray(r["elC"], dtype=np.float64).reshape(1, n, n),
+                np.asarray(r["elEta"], dtype=np.float64).reshape(1, n),
+                np.asarray(r["elJ"], dtype=np.float64).reshape(1, n, n),
+                eye_n,
+            )
+            m, p = comb[1][0], comb[2][0]
+            off += r["n"]
+    seeds_bc = df.sparkSession.sparkContext.broadcast(seeds)
+
+    names = [fld.name for fld in VFLAT_OUT_SCHEMA.fields]
+
+    def scan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        N = len(pdf)
+        if N == 0:
+            return empty_pdf(names)
+        m_in, p_in, off = seeds_bc.value[
+            (pdf[STATE_KEY].values[0], int(pdf[CHUNK].values[0]))
+        ]
+        pdf = pdf.sort_values([EVENT_TIME], kind="stable", na_position="first")
+        fwd = _nd_scan_forward(
+            pdf, N, n, mdim, F_, Q, R, H_const, m0, P0,
+            prior_override=(m_in[None], p_in[None]),
+        )
+        return _nd_scan_emit(
+            fwd, N, n, mdim, F_, Q, R, H_const,
+            compute_ll=compute_ll, compute_maha=compute_maha, idx_offset=off,
+        )
+
+    res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, VFLAT_OUT_SCHEMA)
+    return _shape_nd_output(op, res)
+
+
+def _shape_nd_output(op, res: DataFrame) -> DataFrame:
+    """VFLAT_OUT_SCHEMA -> public struct schema (same JVM-side projection
+    as the n-D branch of KalmanBase._vectorizedTransform)."""
+    n, mdim = int(op.get("stateSize")), int(op.get("measurementSize"))
+
+    def g(mc, cc, rows, cols_):
+        return F.struct(
+            F.col(mc).alias("mean"),
+            F.struct(
+                F.lit(rows).alias("numRows"),
+                F.lit(cols_).alias("numCols"),
+                F.col(cc).alias("values"),
+            ).alias("covariance"),
+        )
+
+    shaped = res.select(
+        STATE_KEY,
+        "stateIndex",
+        "stepIndex",
+        g("mean", "cov", n, n).alias("state"),
+        F.when(F.col("res").isNotNull(), g("res", "resCov", mdim, mdim)).alias("residual"),
+        EVENT_TIME,
+        F.when(~F.isnan("loglikelihood"), F.col("loglikelihood")).alias("loglikelihood"),
+        F.when(~F.isnan("mahalanobis"), F.col("mahalanobis")).alias("mahalanobis"),
+        F.when(~F.isnan("slidingLikelihood"), F.col("slidingLikelihood")).alias("slidingLikelihood"),
+    )
+    return op._dropDisabled(shaped)
+
+
+# ---------------------------------------------------------------------------
 # fixed-lag smoother: 3-pass design (filter passes + chunk-overlap backward)
 # ---------------------------------------------------------------------------
 

@@ -581,16 +581,19 @@ class KalmanBase(StatefulTransformer):
                 )
             if engine == "distributedScan":
                 from artan_spark.operators.distscan import (
+                    distributed_nd_scan_transform,
                     distributed_scan_transform,
                     distributed_smoother_transform,
+                    supports_distributed_scan,
                 )
 
                 self._lastFoldEngine = engine  # introspection (tests/bench)
-                out = (
-                    distributed_smoother_transform(self, df)
-                    if "fixedLag" in c
-                    else distributed_scan_transform(self, df)
-                )
+                if "fixedLag" in c:
+                    out = distributed_smoother_transform(self, df)
+                elif supports_distributed_scan(c):
+                    out = distributed_scan_transform(self, df)
+                else:
+                    out = distributed_nd_scan_transform(self, df)
             elif not df.isStreaming and (
                 engine == "scan"
                 or (self.get("vectorizedBatch") and self._supportsVectorized(c))

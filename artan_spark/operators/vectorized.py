@@ -1646,11 +1646,73 @@ def supports_scan_general(c: dict) -> bool:
     )
 
 
-def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, P0):
+def _nd_sym(M):
+    return (M + np.swapaxes(M, 1, 2)) * 0.5
+
+
+def _nd_generic_elements(Z, has_z, Hrows, N: int, n, mdim, F_, Q, R, H_const):
+    """Per-row GENERIC n-D scan elements (A, b, C, eta, J) — matrix form
+    of `_scalar_generic_elements`, no prior folded in. Combining the
+    prior as the degenerate element (0, m0, P0, 0, 0) through
+    `_nd_combine` reproduces predict+update (pinned by
+    tests/test_dist_scan.py)."""
+    A = np.broadcast_to(F_, (N, n, n)).copy()
+    b = np.zeros((N, n))
+    C = np.broadcast_to(Q, (N, n, n)).copy()
+    eta = np.zeros((N, n))
+    J = np.zeros((N, n, n))
+    meas = np.nonzero(has_z)[0]
+    if len(meas):
+        Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
+        HQ = Hm @ Q  # (a, m, n)
+        S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
+        S = _nd_sym(S)
+        Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
+        eye_n = np.eye(n)
+        ikh = eye_n - Kg @ Hm
+        A[meas] = ikh @ F_
+        b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
+        C[meas] = _nd_sym(ikh @ Q)
+        SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
+        eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
+        J[meas] = _nd_sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
+    return A, b, C, eta, J
+
+
+def _nd_combine(Al, bl, Cl, el, Jl, Ar, br, Cr, er, Jr, eye_n):
+    """Batched n-D scan-element combination (left before right) — the
+    doubling-pass math factored for reuse (tree reduce, driver prefix).
+    Inverts I + C_l J_r with a batched LAPACK solve (nonsingular: C, J
+    are PSD)."""
+    n = eye_n.shape[0]
+    M1 = eye_n + Cl @ Jr
+    M2 = eye_n + Jr @ Cl
+    rhs1 = np.concatenate(
+        [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
+    )
+    X = np.linalg.solve(M1, rhs1)
+    XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
+    Y = np.linalg.solve(
+        M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2)
+    )
+    Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
+    nA = Ar @ XA
+    nb = np.einsum("aij,aj->ai", Ar, Xbe) + br
+    nC = _nd_sym(np.einsum("aij,ajk,alk->ail", Ar, XC, Ar) + Cr)
+    ne = np.einsum("aji,aj->ai", Al, Ye) + el
+    nJ = _nd_sym(np.einsum("aji,ajk,akl->ail", Al, YJ, Al) + Jl)
+    return nA, nb, nC, ne, nJ
+
+
+def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, P0, prior_override=None):
     """Shared n-D forward pass of the scan engine (LKF + smoother):
     segmented layout + per-row matrix elements + doubling scan with
     batched LAPACK solves. Returns (keys_arr, seg, pos, first_idx,
-    has_z, Z, Hrows, ev, m0k, P0k, filtered_mean, filtered_cov)."""
+    has_z, Z, Hrows, ev, m0k, P0k, filtered_mean, filtered_cov).
+
+    ``prior_override``: optional ``(m0k, P0k)`` stacks (one per segment)
+    replacing the param/column prior — the distributed engine's chunk
+    seeds."""
     from artan_spark.types import mat_to_np
 
     eye_n = np.eye(n)
@@ -1680,31 +1742,17 @@ def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, 
         Hrows = None
     ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
-    m0k = np.tile(m0, (K, 1))
-    P0k = np.tile(P0, (K, 1, 1))
-    if "initialStateDistribution" in pdf.columns:
-        _seed_initial_state(pdf, first_idx, m0k, P0k)
+    if prior_override is not None:
+        m0k = np.asarray(prior_override[0], dtype=np.float64).reshape(K, n)
+        P0k = np.asarray(prior_override[1], dtype=np.float64).reshape(K, n, n)
+    else:
+        m0k = np.tile(m0, (K, 1))
+        P0k = np.tile(P0, (K, 1, 1))
+        if "initialStateDistribution" in pdf.columns:
+            _seed_initial_state(pdf, first_idx, m0k, P0k)
 
     # ---- per-row elements ------------------------------------------
-    A = np.broadcast_to(F_, (N, n, n)).copy()
-    b = np.zeros((N, n))
-    C = np.broadcast_to(Q, (N, n, n)).copy()
-    eta = np.zeros((N, n))
-    J = np.zeros((N, n, n))
-    meas = np.nonzero(has_z)[0]
-    if len(meas):
-        Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
-        HQ = Hm @ Q  # (a, m, n)
-        S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
-        S = sym(S)
-        Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
-        ikh = eye_n - Kg @ Hm
-        A[meas] = ikh @ F_
-        b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
-        C[meas] = sym(ikh @ Q)
-        SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
-        eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
-        J[meas] = sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
+    A, b, C, eta, J = _nd_generic_elements(Z, has_z, Hrows, N, n, mdim, F_, Q, R, H_const)
     # first row per key: fold the per-key prior in (A=0)
     fm = m0k @ F_.T
     fP = F_ @ P0k @ F_.T + Q
@@ -1737,27 +1785,15 @@ def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, 
         mk = pos[d:] >= d
         mv = mk[:, None]
         mm = mk[:, None, None]
-        Al, bl, Cl, el, Jl = A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d]
-        Ar, br, Cr, er, Jr = A[d:], b[d:], C[d:], eta[d:], J[d:]
-        M1 = eye_n + Cl @ Jr
-        M2 = eye_n + Jr @ Cl
-        rhs1 = np.concatenate(
-            [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
+        nA, nb, nC, ne, nJ = _nd_combine(
+            A[:-d], b[:-d], C[:-d], eta[:-d], J[:-d],
+            A[d:], b[d:], C[d:], eta[d:], J[d:], eye_n,
         )
-        X = np.linalg.solve(M1, rhs1)
-        XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
-        Y = np.linalg.solve(M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2))
-        Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
-        nA = Ar @ XA
-        nb = np.einsum("aij,aj->ai", Ar, Xbe) + br
-        nC = sym(np.einsum("aij,ajk,alk->ail", Ar, XC, Ar) + Cr)
-        ne = np.einsum("aji,aj->ai", Al, Ye) + el
-        nJ = sym(np.einsum("aji,ajk,akl->ail", Al, YJ, Al) + Jl)
-        A[d:] = np.where(mm, nA, Ar)
-        b[d:] = np.where(mv, nb, br)
-        C[d:] = np.where(mm, nC, Cr)
-        eta[d:] = np.where(mv, ne, er)
-        J[d:] = np.where(mm, nJ, Jr)
+        A[d:] = np.where(mm, nA, A[d:])
+        b[d:] = np.where(mv, nb, b[d:])
+        C[d:] = np.where(mm, nC, C[d:])
+        eta[d:] = np.where(mv, ne, eta[d:])
+        J[d:] = np.where(mm, nJ, J[d:])
         d *= 2
 
     return keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k, b, C
@@ -1792,66 +1828,81 @@ def vectorized_lkf_scan_fold_factory(c: dict):
         if N == 0:
             return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
-        (
-            keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k,
-            out_mean, out_cov,
-        ) = _nd_scan_forward(pdf, N, n, mdim, F_, Q, R, H_const, m0, P0)
-        meas = np.nonzero(has_z)[0]
-
-        # ---- residual family from the one-step prediction --------------
-        prev_m = np.empty((N, n))
-        prev_P = np.empty((N, n, n))
-        prev_m[1:] = out_mean[:-1]
-        prev_P[1:] = out_cov[:-1]
-        prev_m[first_idx] = m0k
-        prev_P[first_idx] = P0k
-        out_res = np.full((N, mdim), np.nan)
-        out_rescov = np.full((N, mdim, mdim), np.nan)
-        out_ll = np.full(N, np.nan)
-        out_maha = np.full(N, np.nan)
-        if len(meas):
-            Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
-            pm = prev_m[meas] @ F_.T
-            pP = F_ @ prev_P[meas] @ F_.T + Q
-            r = Z[meas] - np.einsum("aij,aj->ai", Hm, pm)
-            S = sym(Hm @ pP @ np.swapaxes(Hm, 1, 2) + R)
-            out_res[meas] = r
-            out_rescov[meas] = S
-            if compute_ll or compute_maha:
-                if mdim == 1:
-                    L1 = np.sqrt(S[:, 0, 0] + 1e-300)
-                    sq = (r[:, 0] / L1) ** 2
-                    logdet = 2.0 * np.log(L1)
-                else:
-                    L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
-                    w = np.linalg.solve(L, r[..., None])[..., 0]
-                    sq = np.sum(w * w, axis=1)
-                    logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
-                if compute_maha:
-                    out_maha[meas] = np.sqrt(np.maximum(sq, 0.0))
-                if compute_ll:
-                    out_ll[meas] = -0.5 * (mdim * _LOG2PI + logdet + sq)
-
-        resm = ~np.isnan(out_rescov[:, 0, 0])
-        out = pd.DataFrame(
-            {
-                STATE_KEY: keys_arr,
-                "stateIndex": pos + 1,
-                "stepIndex": 0,
-                "mean": list(out_mean),
-                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-                "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
-                EVENT_TIME: ev if ev is not None else None,
-                "loglikelihood": out_ll,
-                "mahalanobis": out_maha,
-                "slidingLikelihood": np.nan,
-            },
-            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        fwd = _nd_scan_forward(pdf, N, n, mdim, F_, Q, R, H_const, m0, P0)
+        out = _nd_scan_emit(
+            fwd, N, n, mdim, F_, Q, R, H_const,
+            compute_ll=compute_ll, compute_maha=compute_maha,
         )
         return out, None
 
     return fold
+
+
+def _nd_scan_emit(
+    fwd, N: int, n, mdim, F_, Q, R, H_const, *,
+    compute_ll, compute_maha, idx_offset=0,
+):
+    """Residual family + output frame from a `_nd_scan_forward` result
+    (shared by the in-task n-D scan fold and the distributed engine's
+    seeded pass 2; ``idx_offset`` shifts stateIndex)."""
+    sym = _nd_sym
+    (
+        keys_arr, seg, pos, first_idx, has_z, Z, Hrows, ev, m0k, P0k,
+        out_mean, out_cov,
+    ) = fwd
+    meas = np.nonzero(has_z)[0]
+
+    # ---- residual family from the one-step prediction --------------
+    prev_m = np.empty((N, n))
+    prev_P = np.empty((N, n, n))
+    prev_m[1:] = out_mean[:-1]
+    prev_P[1:] = out_cov[:-1]
+    prev_m[first_idx] = m0k
+    prev_P[first_idx] = P0k
+    out_res = np.full((N, mdim), np.nan)
+    out_rescov = np.full((N, mdim, mdim), np.nan)
+    out_ll = np.full(N, np.nan)
+    out_maha = np.full(N, np.nan)
+    if len(meas):
+        Hm = Hrows[meas] if Hrows is not None else np.broadcast_to(H_const, (len(meas), mdim, n))
+        pm = prev_m[meas] @ F_.T
+        pP = F_ @ prev_P[meas] @ F_.T + Q
+        r = Z[meas] - np.einsum("aij,aj->ai", Hm, pm)
+        S = sym(Hm @ pP @ np.swapaxes(Hm, 1, 2) + R)
+        out_res[meas] = r
+        out_rescov[meas] = S
+        if compute_ll or compute_maha:
+            if mdim == 1:
+                L1 = np.sqrt(S[:, 0, 0] + 1e-300)
+                sq = (r[:, 0] / L1) ** 2
+                logdet = 2.0 * np.log(L1)
+            else:
+                L = np.linalg.cholesky(S + 1e-300 * np.eye(mdim))
+                w = np.linalg.solve(L, r[..., None])[..., 0]
+                sq = np.sum(w * w, axis=1)
+                logdet = 2.0 * np.sum(np.log(np.diagonal(L, axis1=1, axis2=2)), axis=1)
+            if compute_maha:
+                out_maha[meas] = np.sqrt(np.maximum(sq, 0.0))
+            if compute_ll:
+                out_ll[meas] = -0.5 * (mdim * _LOG2PI + logdet + sq)
+
+    resm = ~np.isnan(out_rescov[:, 0, 0])
+    return pd.DataFrame(
+        {
+            STATE_KEY: keys_arr,
+            "stateIndex": pos + 1 + idx_offset,
+            "stepIndex": 0,
+            "mean": list(out_mean),
+            "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
+            "res": [out_res[i] if resm[i] else None for i in range(N)],
+            "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
+            EVENT_TIME: ev if ev is not None else None,
+            "loglikelihood": out_ll,
+            "mahalanobis": out_maha,
+            "slidingLikelihood": np.nan,
+        },
+        columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+    )
 
 
 def vectorized_scalar_smoother_scan_fold_factory(c: dict):

@@ -306,6 +306,122 @@ def test_distributed_rls_rejects_nd(spark):
         flt.transform(df)
 
 
+def test_distributed_nd_matches_sequential(spark):
+    # 2-state local linear trend, constant H — the n-D matrix-element path
+    from artan_spark.operators import LinearKalmanFilter
+
+    rng = np.random.RandomState(13)
+    rows = [
+        (
+            f"k{i % 2}",
+            T0 + datetime.timedelta(seconds=60 * i),
+            None if i % 9 == 4 else [float(rng.normal(0.1 * i, 2.0))],
+        )
+        for i in range(220)
+    ]
+    df = spark.createDataFrame(
+        rows, "stateKey string, ts timestamp, measurement array<double>"
+    )
+
+    def run(engine):
+        flt = (
+            LinearKalmanFilter(2, 1)
+            .setStateKeyCol("stateKey")
+            .setEventTimeCol("ts")
+            .setInitialStateMean(np.zeros(2))
+            .setInitialStateCovariance(100.0 * np.eye(2))
+            .setProcessModel(np.array([[1.0, 1.0], [0.0, 1.0]]))
+            .setProcessNoise(np.array([[0.2, 0.0], [0.0, 0.05]]))
+            .setMeasurementModel(np.array([[1.0, 0.0]]))
+            .setMeasurementNoise(np.array([[8.0]]))
+            .setCalculateLoglikelihood(True)
+            .setVectorizedBatch(True)
+            .setFoldEngine(engine)
+        )
+        if engine == "distributedScan":
+            flt.setScanChunkDuration("17 minutes")
+        out = flt.transform(df).select(
+            "stateKey", "stateIndex",
+            F.col("state.mean").alias("m"),
+            F.col("state.covariance.values").alias("p"),
+            F.col("residual.mean")[0].alias("r"),
+            "loglikelihood",
+        )
+        got = {(r.stateKey, r.stateIndex): r for r in out.collect()}
+        assert flt._lastFoldEngine == engine
+        return got
+
+    seq, dist = run("sequential"), run("distributedScan")
+    assert set(seq) == set(dist)
+    for k in seq:
+        a, b = seq[k], dist[k]
+        np.testing.assert_allclose(list(b.m), list(a.m), rtol=1e-8, atol=1e-10, err_msg=str(k))
+        np.testing.assert_allclose(list(b.p), list(a.p), rtol=1e-8, atol=1e-10, err_msg=str(k))
+        if a.r is None:
+            assert b.r is None, k
+        else:
+            np.testing.assert_allclose(b.r, a.r, rtol=1e-8, atol=1e-10, err_msg=str(k))
+            np.testing.assert_allclose(
+                b.loglikelihood, a.loglikelihood, rtol=1e-8, err_msg=str(k)
+            )
+
+
+def test_distributed_nd_per_row_h_ols(spark):
+    # the per-row measurementModel OLS regression shape
+    from artan_spark.operators import LinearKalmanFilter
+
+    rng = np.random.RandomState(21)
+    beta = np.array([2.0, -1.0, 0.5])
+    rows = []
+    for i in range(180):
+        x = rng.normal(size=3)
+        y = float(x @ beta + rng.normal(0, 0.5))
+        rows.append(
+            (
+                f"k{i % 2}",
+                T0 + datetime.timedelta(seconds=60 * i),
+                [y],
+                {"numRows": 1, "numCols": 3, "values": [float(v) for v in x]},
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "stateKey string, ts timestamp, measurement array<double>, "
+        "hrow struct<numRows:int,numCols:int,values:array<double>>",
+    )
+
+    def run(engine):
+        flt = (
+            LinearKalmanFilter(3, 1)
+            .setStateKeyCol("stateKey")
+            .setEventTimeCol("ts")
+            .setInitialStateMean(np.zeros(3))
+            .setInitialStateCovariance(10.0 * np.eye(3))
+            .setProcessModel(np.eye(3))
+            .setProcessNoise(1e-9 * np.eye(3))
+            .setMeasurementNoise(np.array([[0.25]]))
+            .setMeasurementModelCol("hrow")
+            .setVectorizedBatch(True)
+            .setFoldEngine(engine)
+        )
+        if engine == "distributedScan":
+            flt.setScanChunkDuration("23 minutes")
+        out = flt.transform(df).select(
+            "stateKey", "stateIndex", F.col("state.mean").alias("m")
+        )
+        got = {(r.stateKey, r.stateIndex): list(r.m) for r in out.collect()}
+        assert flt._lastFoldEngine == engine
+        return got
+
+    seq, dist = run("sequential"), run("distributedScan")
+    assert set(seq) == set(dist)
+    for k in seq:
+        np.testing.assert_allclose(dist[k], seq[k], rtol=1e-7, atol=1e-9, err_msg=str(k))
+    # the regression actually converged toward beta
+    last = dist[("k0", 90)]
+    np.testing.assert_allclose(last, beta, atol=0.5)
+
+
 def _smoother(lag=7, **kw):
     from artan_spark.operators import LinearKalmanSmoother
 
