@@ -140,6 +140,34 @@ def bpe_train(
     return train_bpe_from_counts(counts, n_merges)
 
 
+# session memo per (applicationId, documents path, freshness token,
+# n_merges): the learned merges + id table are a pure function of the
+# immutable parquet — the unigram._TRAIN_CACHE / simsearch._KMEANS_CACHE
+# contract (fit once per session, every consumer shares it; values are
+# vocab-sized lists, never frames/results)
+_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
+def _corpus_bpe(
+    spark: SparkSession, sf_dir: str, d: DataFrame, n_merges: int = 200
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """(merges, vocab) for the corpus at ``sf_dir``, session-memoized."""
+    import os
+
+    from artan_spark.plans.simsearch import _evict_stale
+    from artan_spark.sources import _path_token
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, path, _path_token(path), n_merges)
+    hit = _TRAIN_CACHE.get(key)
+    if hit is None:
+        merges = bpe_train(d, n_merges=n_merges)
+        hit = (merges, bpe_vocab(d, merges))
+        _evict_stale(_TRAIN_CACHE, key)
+        _TRAIN_CACHE[key] = hit
+    return hit
+
+
 def encode_word(word: str, ranks: dict) -> list[str]:
     """Apply merges to one word by ascending rank (the GPT-2-style greedy
     merge order)."""

@@ -257,15 +257,24 @@ def _bloom_mask(p) -> F.Column:
     )
 
 
-def bloom_hit(col) -> F.Column:
-    """True iff every hash position's bit is set in the (crossJoin-
-    broadcast) ``bits`` column — O(k) element_at probes per value, a
-    stateless predicate fused into whatever scan feeds it (never a join
-    against the member set)."""
+def bloom_hit(col, bits=None) -> F.Column:
+    """True iff every hash position's bit is set in the filter — O(k)
+    element_at probes per value, a stateless predicate fused into whatever
+    scan feeds it (never a join against the member set).
+
+    ``bits`` is the filter to probe: a Python list of BLOOM_WORDS longs
+    (embedded as ONE array literal — the fast form) or None to reference a
+    crossJoin-broadcast ``bits`` column. The literal form matters: a
+    deterministic filter above a crossJoin gets pushed INTO the
+    BroadcastNestedLoopJoin condition, where the predicate runs interpreted
+    (no whole-stage codegen, no subexpression elimination — each hash
+    position's md5 evaluated twice: word index + bit mask). As a literal
+    the probe is a plain Filter fused into the scan by codegen with CSE."""
+    bits_col = F.lit(bits) if bits is not None else F.col("bits")
     hit = F.lit(True)
     for j in range(BLOOM_K):
         p = _bloom_pos(j, col)
-        word = F.element_at(F.col("bits"), (p / F.lit(64)).cast("int") + F.lit(1))
+        word = F.element_at(bits_col, (p / F.lit(64)).cast("int") + F.lit(1))
         hit = hit & (word.bitwiseAND(_bloom_mask(p)) != F.lit(0))
     return hit
 
@@ -281,7 +290,18 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     design point and deterministic — same hashes both engines); false
     negatives impossible (Bloom guarantee; pinned against the exact join
     in tests). Returns (doc_id, n_flagged_shingles) for train docs with
-    at least one bloom-positive shingle."""
+    at least one bloom-positive shingle.
+
+    The built filter is a FIXED-size summary (BLOOM_WORDS longs, ~32 KiB
+    whatever the corpus size), so it is pulled to the driver once and
+    embedded in the probe as an array literal — the manual-Bloom shape of
+    the optimization guide (§3.2: build small-side filter, probe as a
+    stateless predicate on the big side). The previous crossJoin-broadcast
+    form planned the probe as a BroadcastNestedLoopJoin CONDITION, which
+    runs interpreted and re-evaluates each hash position's md5 twice (8
+    md5/shingle instead of 4, outside codegen); the literal form keeps it
+    a codegen'd Filter fused into the train-shingle stream (measured 2.3x
+    on the entry, see OPTIMIZATION_r12.md)."""
     from artan_spark.plans.dedup import _shingles
 
     sh = _shingles(spark, sf_dir)
@@ -291,10 +311,10 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = sh.withColumn("split", split)
     bloom = bloom_build(tagged.filter(F.col("split") == "test"), "shingle")
+    bits = list(bloom.first()["bits"])  # BLOOM_WORDS longs, ~32 KiB
     train = tagged.filter(F.col("split") == "train").select("doc_id", "shingle")
-    probed = train.crossJoin(F.broadcast(bloom))
     return (
-        probed.filter(bloom_hit(F.col("shingle")))
+        train.filter(bloom_hit(F.col("shingle"), bits=bits))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_shingles"))
     )

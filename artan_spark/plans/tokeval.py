@@ -28,17 +28,15 @@ from artan_spark.plans.wordpiece import wordpiece_encode_ids, wordpiece_train
 from artan_spark.sources import read_table_wide
 
 
-def _family_row(name: str, enc: DataFrame, base: DataFrame, vocab_size: int) -> DataFrame:
+def _family_row(name: str, enc: DataFrame, denom: DataFrame, vocab_size: int) -> DataFrame:
     """(family, vocab_size, total_tokens, fertility, bytes_per_token,
-    unk_rate) from a per-doc (doc_id, ids, n_tokens) frame. UNK is id 0 in
-    all three families by construction."""
+    unk_rate) from a per-doc (doc_id, ids, n_tokens) frame and the shared
+    corpus denominators (n_words, n_bytes — built ONCE by the caller: the
+    word-split denominator pass used to run per family, three identical
+    subtrees over the same scan). UNK is id 0 in all three families by
+    construction."""
     unks = F.size(F.filter("ids", lambda x: x == F.lit(0)))
     per_doc = enc.select("doc_id", "n_tokens", unks.alias("n_unk"))
-    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    denom = base.select(
-        F.sum(words).alias("n_words"),
-        F.sum(F.length("text")).alias("n_bytes"),
-    )
     agg = per_doc.agg(
         F.sum("n_tokens").alias("total_tokens"), F.sum("n_unk").alias("n_unk")
     )
@@ -57,6 +55,7 @@ def tokenizer_eval(
     merges: list | None = None,
     logp: dict | None = None,
     pieces: list | None = None,
+    vocab: list | None = None,
 ) -> DataFrame:
     """The three-family comparison over one corpus frame (doc_id, text).
     Pre-trained models can be passed in (the driver entry reuses the
@@ -67,7 +66,8 @@ def tokenizer_eval(
 
     if merges is None:
         merges = bpe_train(docs)
-    vocab = bpe_vocab(docs, merges)
+    if vocab is None:
+        vocab = bpe_vocab(docs, merges)
     if logp is None:
         logp = unigram_train(
             docs,
@@ -79,10 +79,15 @@ def tokenizer_eval(
         pieces = wordpiece_train(
             docs, n_merges=WP_MERGES, min_count=WP_MIN_COUNT, max_train_words=WP_TRAIN_WORDS
         )
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    denom = docs.select(
+        F.sum(words).alias("n_words"),
+        F.sum(F.length("text")).alias("n_bytes"),
+    )
     rows = [
-        _family_row("bpe", bpe_encode_ids(docs, merges, vocab), docs, len(vocab)),
-        _family_row("unigram", unigram_encode_ids(docs, logp), docs, len(logp)),
-        _family_row("wordpiece", wordpiece_encode_ids(docs, pieces), docs, len(pieces)),
+        _family_row("bpe", bpe_encode_ids(docs, merges, vocab), denom, len(vocab)),
+        _family_row("unigram", unigram_encode_ids(docs, logp), denom, len(logp)),
+        _family_row("wordpiece", wordpiece_encode_ids(docs, pieces), denom, len(pieces)),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -92,15 +97,23 @@ def tokenizer_eval(
 
 def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: the tokenizer comparison over ``documents``,
-    reusing the session-memoized unigram/wordpiece corpus fits."""
+    reusing the session-memoized corpus fits of all THREE families (the
+    BPE merges+vocab used to retrain per invocation — two word-count
+    passes plus the driver merge loop on every call; `bpe._corpus_bpe`
+    now holds them under the same session-memo contract as the
+    unigram/wordpiece fits)."""
+    from artan_spark.plans.bpe import _corpus_bpe
     from artan_spark.plans.unigram import _corpus_table
     from artan_spark.plans.wordpiece import _corpus_pieces
 
     d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, vocab = _corpus_bpe(spark, sf_dir, d)
     return tokenizer_eval(
         d,
+        merges=merges,
         logp=_corpus_table(spark, sf_dir, d),
         pieces=_corpus_pieces(spark, sf_dir, d),
+        vocab=vocab,
     )
 
 
