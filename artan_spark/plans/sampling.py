@@ -262,14 +262,14 @@ def bloom_hit(col, bits=None) -> F.Column:
     element_at probes per value, a stateless predicate fused into whatever
     scan feeds it (never a join against the member set).
 
-    ``bits`` is the filter to probe: a Python list of BLOOM_WORDS longs
-    (embedded as ONE array literal — the fast form) or None to reference a
-    crossJoin-broadcast ``bits`` column. The literal form matters: a
-    deterministic filter above a crossJoin gets pushed INTO the
-    BroadcastNestedLoopJoin condition, where the predicate runs interpreted
-    (no whole-stage codegen, no subexpression elimination — each hash
-    position's md5 evaluated twice: word index + bit mask). As a literal
-    the probe is a plain Filter fused into the scan by codegen with CSE."""
+    ``bits`` is the filter to probe: None (default) references a
+    crossJoin-broadcast ``bits`` column — a deterministic filter above the
+    crossJoin is pushed INTO the BroadcastNestedLoopJoin condition and
+    runs interpreted, which the r12 A/B measured as the FASTER form — or a
+    Python list of BLOOM_WORDS longs embedded as an array literal
+    (codegen'd Filter; measured ~1.6x slower per probe than the
+    interpreted condition on this data — the big array-literal accesses
+    dominate — kept for callers that need a joinless plan shape)."""
     bits_col = F.lit(bits) if bits is not None else F.col("bits")
     hit = F.lit(True)
     for j in range(BLOOM_K):
@@ -292,16 +292,13 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests). Returns (doc_id, n_flagged_shingles) for train docs with
     at least one bloom-positive shingle.
 
-    The built filter is a FIXED-size summary (BLOOM_WORDS longs, ~32 KiB
-    whatever the corpus size), so it is pulled to the driver once and
-    embedded in the probe as an array literal — the manual-Bloom shape of
-    the optimization guide (§3.2: build small-side filter, probe as a
-    stateless predicate on the big side). The previous crossJoin-broadcast
-    form planned the probe as a BroadcastNestedLoopJoin CONDITION, which
-    runs interpreted and re-evaluates each hash position's md5 twice (8
-    md5/shingle instead of 4, outside codegen); the literal form keeps it
-    a codegen'd Filter fused into the train-shingle stream (measured 2.3x
-    on the entry, see OPTIMIZATION_r12.md)."""
+    Probe form (r12 A/B, kept deliberately): the crossJoin-broadcast
+    probe plans as a BroadcastNestedLoopJoin CONDITION (interpreted), and
+    the tempting alternative — pull the fixed ~32 KiB bits array to the
+    driver and probe via a codegen'd literal-array Filter — MEASURED
+    SLOWER (2M-shingle micro: 1.99 s vs 1.22 s warm; entry: ~6.0 s vs
+    ~4.3 s), the big array-literal accesses costing more in generated
+    code than the interpreted join condition. See OPTIMIZATION_r12.md."""
     from artan_spark.plans.dedup import _shingles
 
     sh = _shingles(spark, sf_dir)
@@ -311,10 +308,10 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = sh.withColumn("split", split)
     bloom = bloom_build(tagged.filter(F.col("split") == "test"), "shingle")
-    bits = list(bloom.first()["bits"])  # BLOOM_WORDS longs, ~32 KiB
     train = tagged.filter(F.col("split") == "train").select("doc_id", "shingle")
+    probed = train.crossJoin(F.broadcast(bloom))
     return (
-        train.filter(bloom_hit(F.col("shingle"), bits=bits))
+        probed.filter(bloom_hit(F.col("shingle")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_shingles"))
     )
