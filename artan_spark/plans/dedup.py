@@ -257,6 +257,36 @@ JACCARD_THRESHOLD = 0.5
 
 DEFAULT_DF_CAP = 256  # "hot" shingle threshold for the auto/capped paths
 
+# session memo for the auto-mode hot-shingle PROBE decision, keyed
+# (applicationId, documents path, freshness token) like the fit caches:
+# the boolean only selects between two EXACT plans for the same result
+_HOT_PROBE_CACHE: dict[tuple, bool] = {}
+
+
+def _hot_shingle_exists(spark: SparkSession, sf_dir: str, sh: DataFrame) -> bool:
+    import os
+
+    from artan_spark.plans.simsearch import _evict_stale
+    from artan_spark.sources import _path_token
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, path, _path_token(path))
+    hit = _HOT_PROBE_CACHE.get(key)
+    if hit is None:
+        sample = sh.filter(
+            F.pmod(F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(10)) == 0
+        )
+        hit = bool(
+            sample.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > DEFAULT_DF_CAP // 20)
+            .limit(1)
+            .count()
+        )
+        _evict_stale(_HOT_PROBE_CACHE, key)
+        _HOT_PROBE_CACHE[key] = hit
+    return hit
+
 
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, df_cap: int | str | None = "auto"
@@ -326,15 +356,15 @@ def dedup_ngram_jaccard(
         # just keeps the exact direct plan — slower, never wrong (and the
         # engaged plan is the exact prefix one, so a false POSITIVE only
         # costs plan shape, never result rows).
-        sample = sh.filter(F.pmod(F.crc32(F.col("doc_id").cast("string").cast("binary")), F.lit(10)) == 0)
-        hot_exists = (
-            sample.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > DEFAULT_DF_CAP // 20)
-            .limit(1)
-            .count()
-        )
-        df_cap = "prefix" if hot_exists else None
+        #
+        # The decision is a PLAN-SHAPE boolean, a pure function of the
+        # immutable corpus — session-memoized under the same (appId,
+        # path, freshness-token) contract as the fit caches, because the
+        # probe job (sample + aggregate + limit 1) cost ~0.75 s per
+        # invocation at sf0.1 and this operator is the front of FOUR
+        # registry entries (jaccard, clusters, keep_best, clean_stats).
+        # Either branch still computes the exact result from the parquet.
+        df_cap = "prefix" if _hot_shingle_exists(spark, sf_dir, sh) else None
     a, b = sh.alias("a"), sh.alias("b")
     if df_cap is None:
         inter = (
