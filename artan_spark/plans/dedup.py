@@ -739,12 +739,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from artan_spark.plans.textstats import text_quality_score
+    from artan_spark.plans.textstats import _quality_parts
 
     labels = _cluster_labels(spark, sf_dir).localCheckpoint()
     small_enough = labels.count() <= BROADCAST_NODE_LIMIT
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    j = q.join(F.broadcast(labels) if small_enough else labels, "doc_id")
+    # join FIRST, score AFTER: the quality columns are interpreted HOF
+    # lambdas (~per-doc cost), and the label table is a tiny fraction of
+    # the corpus — projecting above the join confines the HOF eval to
+    # clustered docs instead of scoring the whole corpus and discarding
+    # most of it (guide §2.4: shuffle/compute only what the consumer
+    # needs). Same expressions as text_quality_score (shared helper), so
+    # the per-doc values are bit-identical to the standalone scorer.
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = d.join(F.broadcast(labels) if small_enough else labels, "doc_id")
+    _, _, score = _quality_parts()
+    j = j.select("doc_id", "cluster", score.alias("quality_score"))
     w = Window.partitionBy("cluster").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )

@@ -45,6 +45,8 @@ the corpus-curation surface next to the Gopher gates
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +56,44 @@ BACKOFF = 0.4  # stupid-backoff constant (Brants et al. 2007 use 0.4)
 OOV_ALPHA = 0.5  # OOV unigram floor numerator: p = OOV_ALPHA / N
 
 _BUCKETS = ("head", "middle", "tail")
+
+# session memo for the LM's reference count tables: the checkpointed
+# (v=prev|null, w) item counts over the (immutable) reference slice are the
+# sufficient statistic for BOTH scorers — c(w) is the w-marginal, c(vw) the
+# non-null-v subset, and the KN context/continuation tables all derive from
+# c(vw) — so ONE fit serves docs_lm_perplexity + docs_kn_perplexity for the
+# whole session. Same (appId, path, freshness-token) contract as
+# quality_clf._NB_DOCF_CACHE; the key carries ref_source because the
+# statistic is a function of which slice trained it. Callers handing an
+# arbitrary DataFrame leave memo_key None and pay the fit per call.
+_LM_BIG0_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lm_memo_key(spark: SparkSession, sf_dir: str, ref_source: str | None) -> tuple:
+    from artan_spark.sources import _path_token
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return (spark.sparkContext.applicationId, path, _path_token(path), ref_source)
+
+
+def _ref_item_counts(
+    base: DataFrame, ref_source: str | None, memo_key: tuple | None = None
+) -> DataFrame:
+    """(v|null, w, cvw) counts over the reference slice — ONE reference
+    pass (the pre-r12 shape scanned + exploded the reference separately per
+    model table), checkpointed bigram-type-sized, optionally
+    session-memoized."""
+    got = _LM_BIG0_CACHE.get(memo_key) if memo_key is not None else None
+    if got is not None:
+        return got
+    ref = _ref_slice(base, ref_source)
+    items = _token_stream(ref).select("v", "w")
+    big0 = items.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw")).localCheckpoint()
+    if memo_key is not None:
+        for stale in [kk for kk in _LM_BIG0_CACHE if kk[:2] == memo_key[:2] and kk != memo_key]:
+            del _LM_BIG0_CACHE[stale]
+        _LM_BIG0_CACHE[memo_key] = big0
+    return big0
 
 
 def _tok_base(d: DataFrame) -> DataFrame:
@@ -199,6 +239,7 @@ def lm_perplexity_buckets(
     ref_source: str | None = None,
     backoff: float = BACKOFF,
     oov_alpha: float = OOV_ALPHA,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, ppl, n_tokens, bucket).
 
@@ -207,10 +248,17 @@ def lm_perplexity_buckets(
     deterministic for any corpus without a driver-side collect.
     """
     base = _tok_base(d)
-    ref = _ref_slice(base, ref_source)
-    # read 3x inside _sb_ppl: totals + two scoring joins
-    uni = _unigram_counts(ref).localCheckpoint()
-    bi = _bigram_counts(ref)
+    # ONE pass over the reference slice: the (v=prev|null, w) item counts
+    # are a sufficient statistic for BOTH model tables — c(w) is the item
+    # count marginal over w (every occurrence of w is the w of exactly one
+    # item), and c(vw) is the non-null-v subset as-is. The pre-r12 shape
+    # scanned + exploded the reference twice (unigram pass, bigram pass);
+    # deriving both from one checkpointed bigram-type-sized aggregate
+    # halves the reference passes (guide §2.4) with bit-identical integer
+    # counts by construction.
+    big0 = _ref_item_counts(base, ref_source, memo_key)
+    uni = big0.groupBy("w").agg(F.sum("cvw").alias("cw"))
+    bi = big0.filter(F.col("v").isNotNull())
     pp = _sb_ppl(_token_stream(base), uni, bi, backoff, oov_alpha)
     return _rank_buckets(pp)
 
@@ -219,7 +267,8 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: bigram-LM perplexity + CCNet buckets over
     ``documents``, reference = the lexicographically-smallest source."""
     return lm_perplexity_buckets(
-        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        memo_key=_lm_memo_key(spark, sf_dir, None),
     )
 
 
@@ -290,15 +339,17 @@ def kn_perplexity_buckets(
     ref_source: str | None = None,
     discount: float = KN_DISCOUNT,
     oov_alpha: float = OOV_ALPHA,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, ppl, n_tokens, bucket)
     under interpolated Kneser-Ney. Same scale shape as the stupid-backoff
     scorer: model tables are bigram-type-sized aggregates of the reference
-    slice; scoring is explode + equi-joins + one per-doc agg."""
+    slice; scoring is explode + equi-joins + one per-doc agg. The bigram
+    table (read 3x inside _kn_ppl: context totals, continuation counts,
+    scoring) derives from the same checkpointed item-count statistic the
+    stupid-backoff scorer fits — one shared fit per session when both run."""
     base = _tok_base(d)
-    ref = _ref_slice(base, ref_source)
-    # read 3x inside _kn_ppl: context totals, continuation counts, scoring
-    bi = _bigram_counts(ref).localCheckpoint()
+    bi = _ref_item_counts(base, ref_source, memo_key).filter(F.col("v").isNotNull())
     pp = _kn_ppl(_token_stream(base), bi, discount, oov_alpha)
     return _rank_buckets(pp)
 
@@ -307,7 +358,8 @@ def docs_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: interpolated-KN perplexity + CCNet buckets over
     ``documents``, reference = the lexicographically-smallest source."""
     return kn_perplexity_buckets(
-        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        memo_key=_lm_memo_key(spark, sf_dir, None),
     )
 
 

@@ -55,10 +55,13 @@ FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM d
 """
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: stopword ratio, lexical diversity, length
-    band — the standard pretraining-corpus filters, composable per row."""
-    d = read_table(spark, sf_dir, "documents")
+def _quality_parts() -> tuple:
+    """(stopword_ratio, lexical_diversity, quality_score) columns over a
+    frame carrying ``text`` — ONE definition shared by the standalone
+    scorer and every composed consumer (``dedup_keep_best`` projects the
+    score AFTER its label join so the interpreted HOF lambdas run only on
+    clustered docs; sharing the expressions keeps the two bit-identical
+    by construction)."""
     toks = _toks()
     n = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -66,14 +69,23 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.round(stop_hits / n, 6)
     diversity = F.round(uniq / n, 6)
     len_band = F.least(F.lit(1.0), n / F.lit(100.0))
+    score = F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.4) * diversity + F.lit(0.2) * len_band, 6
+    )
+    return stop_ratio, diversity, score
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, lexical diversity, length
+    band — the standard pretraining-corpus filters, composable per row."""
+    d = read_table(spark, sf_dir, "documents")
+    stop_ratio, diversity, score = _quality_parts()
     return d.select(
         "doc_id",
         "lang",
         stop_ratio.alias("stopword_ratio"),
         diversity.alias("lexical_diversity"),
-        F.round(F.lit(0.4) * stop_ratio + F.lit(0.4) * diversity + F.lit(0.2) * len_band, 6).alias(
-            "quality_score"
-        ),
+        score.alias("quality_score"),
     )
 
 
