@@ -1703,12 +1703,99 @@ def _batched_small_solve(M, B):
     return np.linalg.solve(M, B)
 
 
+def _nd_combine2(Al, bl, Cl, el, Jl, Ar, br, Cr, er, Jr):
+    """n == 2 combine, fully component-expanded: the generic path spends
+    ~10 batched (N,2,2) matmul/solve calls per combine, each paying numpy
+    dispatch + temporary allocation far above the 12-flop arithmetic —
+    writing the 2x2 algebra on component views cuts a 30k-row combine
+    ~68 -> ~20 ms, which is the forward doubling scan's unit cost. Same
+    algebra as the generic path (same Cramer inverse, same op grouping
+    per product), so differences are at most reassociation ulps — inside
+    the engines' 1e-9-rtol parity bars."""
+
+    def mm(x00, x01, x10, x11, y00, y01, y10, y11):
+        return (
+            x00 * y00 + x01 * y10,
+            x00 * y01 + x01 * y11,
+            x10 * y00 + x11 * y10,
+            x10 * y01 + x11 * y11,
+        )
+
+    def mv(x00, x01, x10, x11, v0, v1):
+        return (x00 * v0 + x01 * v1, x10 * v0 + x11 * v1)
+
+    def inv2(m00, m01, m10, m11):
+        r = 1.0 / (m00 * m11 - m01 * m10)
+        return (m11 * r, -m01 * r, -m10 * r, m00 * r)
+
+    def unpack(M):
+        return M[:, 0, 0], M[:, 0, 1], M[:, 1, 0], M[:, 1, 1]
+
+    def pack(N, x00, x01, x10, x11):
+        out = np.empty((N, 2, 2))
+        out[:, 0, 0] = x00
+        out[:, 0, 1] = x01
+        out[:, 1, 0] = x10
+        out[:, 1, 1] = x11
+        return out
+
+    N = Al.shape[0]
+    al = unpack(Al)
+    cl = unpack(Cl)
+    jl = unpack(Jl)
+    ar = unpack(Ar)
+    cr = unpack(Cr)
+    jr = unpack(Jr)
+    bl0, bl1 = bl[:, 0], bl[:, 1]
+    el0, el1 = el[:, 0], el[:, 1]
+    br0, br1 = br[:, 0], br[:, 1]
+    er0, er1 = er[:, 0], er[:, 1]
+
+    # M1 = I + Cl Jr ; M2 = I + Jr Cl
+    cj = mm(*cl, *jr)
+    i1 = inv2(1.0 + cj[0], cj[1], cj[2], 1.0 + cj[3])
+    jc = mm(*jr, *cl)
+    i2 = inv2(1.0 + jc[0], jc[1], jc[2], 1.0 + jc[3])
+
+    XA = mm(*i1, *al)
+    ce0, ce1 = mv(*cl, er0, er1)
+    Xbe = mv(*i1, bl0 + ce0, bl1 + ce1)
+    XC = mm(*i1, *cl)
+    jb0, jb1 = mv(*jr, bl0, bl1)
+    Ye = mv(*i2, er0 - jb0, er1 - jb1)
+    YJ = mm(*i2, *jr)
+
+    nA = mm(*ar, *XA)
+    nbv = mv(*ar, *Xbe)
+    nb = np.empty((N, 2))
+    nb[:, 0] = nbv[0] + br0
+    nb[:, 1] = nbv[1] + br1
+    # Ar XC Ar^T + Cr, symmetrized (off-diagonals averaged)
+    t = mm(*ar, *XC)
+    pc = mm(t[0], t[1], t[2], t[3], ar[0], ar[2], ar[1], ar[3])  # @ Ar^T
+    off_c = 0.5 * (pc[1] + cr[1] + pc[2] + cr[2])
+    nC = pack(N, pc[0] + cr[0], off_c, off_c, pc[3] + cr[3])
+    # Al^T Ye + el ; Al^T YJ Al + Jl
+    nev = mv(al[0], al[2], al[1], al[3], *Ye)  # Al^T @
+    ne = np.empty((N, 2))
+    ne[:, 0] = nev[0] + el0
+    ne[:, 1] = nev[1] + el1
+    u = mm(al[0], al[2], al[1], al[3], *YJ)
+    pj = mm(*u, *al)
+    off_j = 0.5 * (pj[1] + jl[1] + pj[2] + jl[2])
+    nJ = pack(N, pj[0] + jl[0], off_j, off_j, pj[3] + jl[3])
+    return pack(N, *nA), nb, nC, ne, nJ
+
+
 def _nd_combine(Al, bl, Cl, el, Jl, Ar, br, Cr, er, Jr, eye_n):
     """Batched n-D scan-element combination (left before right) — the
     doubling-pass math factored for reuse (tree reduce, driver prefix).
     Inverts I + C_l J_r with a batched solve (nonsingular: C, J are PSD;
-    explicit small-n inverse below the LAPACK overhead knee)."""
+    explicit small-n inverse below the LAPACK overhead knee). n == 2
+    (every 2-D state) dispatches to the component-expanded kernel."""
     n = eye_n.shape[0]
+    if n == 2:
+        return _nd_combine2(Al, bl, Cl, el, Jl, Ar, br, Cr, er, Jr)
     M1 = eye_n + Cl @ Jr
     M2 = eye_n + Jr @ Cl
     rhs1 = np.concatenate(
