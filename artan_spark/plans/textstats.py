@@ -1667,27 +1667,33 @@ def docs_collocations(
     d = read_table_wide(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     base = d.select(toks.alias("t"))
-    uni = (
-        base.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
-    bigrams = F.when(
-        F.size("t") >= 2,
+    # ONE corpus token pass (the lm.py _ref_item_counts trick): the
+    # (w1=prev|null, w2) item counts are a sufficient statistic for both
+    # tables — c(w) is the w2-marginal (every token occurrence is the w2
+    # of exactly one item), c12 the non-null-w1 subset as-is. The pre-r12
+    # shape scanned + split + exploded the corpus twice (unigram pass,
+    # bigram pass); the checkpoint is bigram-type-sized. Integer counts
+    # are bit-identical by construction.
+    items = F.when(
+        F.size("t") >= 1,
         F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
+            F.sequence(F.lit(1), F.size("t")),
             lambda i: F.struct(
-                F.element_at("t", i).alias("w1"), F.element_at("t", i + 1).alias("w2")
+                F.when(i > 1, F.element_at("t", (i - 1).cast("int"))).alias("w1"),
+                F.element_at("t", i.cast("int")).alias("w2"),
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
-    bi = (
-        base.select(F.explode(bigrams).alias("b"))
+    big0 = (
+        base.select(F.explode(items).alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()
     )
+    uni = big0.groupBy(F.col("w2").alias("w")).agg(F.sum("c12").cast("long").alias("c"))
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    bi = big0.filter(F.col("w1").isNotNull())
     n2 = bi.agg(F.sum("c12").cast("double").alias("n2"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
