@@ -90,6 +90,7 @@ def dsir_select(
     k: int | None = None,
     frac: float = DSIR_FRAC,
     alpha: float = DSIR_ALPHA,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, logw, score, selected).
 
@@ -116,13 +117,23 @@ def dsir_select(
     # dedup passes — the plan re-planned the stream per consumer, exchange
     # reuse did not fire across the three aggregation shapes): the
     # checkpoint is (doc x distinct-buckets) narrow rows — corpus-count
-    # metadata, not corpus text.
-    docf = (
-        _doc_features(base)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+    # metadata, not corpus text. This IS the NB classifier's feature
+    # statistic (same _doc_features, same aggregation), so driver-table
+    # callers share _NB_DOCF_CACHE — one fit per session serves
+    # docs_dsir_select AND the quality-classifier entries.
+    from artan_spark.plans.quality_clf import _NB_DOCF_CACHE, _nb_evict_stale
+
+    docf = _NB_DOCF_CACHE.get(memo_key) if memo_key is not None else None
+    if docf is None:
+        docf = (
+            _doc_features(base)
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        if memo_key is not None:
+            _nb_evict_stale(memo_key)
+            _NB_DOCF_CACHE[memo_key] = docf
 
     q_tab = docf.groupBy("b").agg(F.sum("c").alias("cq"))
     p_tab = (
@@ -180,8 +191,11 @@ def dsir_select(
 def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-table entry: DSIR selection over ``documents``, target = the
     lexicographically-smallest source, k = ceil(0.25 * n_docs)."""
+    from artan_spark.plans.quality_clf import _nb_memo_key
+
     return dsir_select(
-        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table_wide(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        memo_key=_nb_memo_key(spark, sf_dir),
     )
 
 

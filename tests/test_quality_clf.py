@@ -246,3 +246,11 @@ def test_nb_fit_is_session_memoized(spark):
     docs_domain_quality(spark, SF_DIR).count()
     assert _NB_DOCF_CACHE[key] is ckpt
     assert len(_NB_DOCF_CACHE) == 1
+
+    # DSIR's (doc, bucket) statistic is the SAME fit (same _doc_features,
+    # same aggregation) — the dsir entry shares the cache across families
+    from artan_spark.plans.dsir import docs_dsir_select
+
+    docs_dsir_select(spark, SF_DIR).count()
+    assert _NB_DOCF_CACHE[key] is ckpt
+    assert len(_NB_DOCF_CACHE) == 1
