@@ -114,13 +114,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume reduction), then bands explode to (doc, band, sig) and the LSH
     self-join runs on tiny (band, sig) buckets.
     """
-    sh = _shingles(spark, sf_dir).withColumn("h", _h64(F.col("shingle")) % P31)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERMS)
-        ]
-    )
+    from artan_spark.plans.simsearch import _evict_stale
+
+    # the per-doc signature table is the MinHash FIT (one shingle pass +
+    # N_PERMS column minima) — session-memoized like the other corpus
+    # statistics; the banded LSH self-join still runs per invocation
+    memo_key = _dedup_memo_key(spark, sf_dir, "minhash-sigs")
+    mins = _MINHASH_SIG_CACHE.get(memo_key)
+    if mins is None:
+        sh = _shingles(spark, sf_dir).withColumn("h", _h64(F.col("shingle")) % P31)
+        mins = sh.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"mh{i}")
+                for i, (a, b) in enumerate(PERMS)
+            ]
+        ).localCheckpoint()
+        _evict_stale(_MINHASH_SIG_CACHE, memo_key)
+        _MINHASH_SIG_CACHE[memo_key] = mins
     n_bands = N_PERMS // ROWS_PER_BAND
     band_sigs = F.array(
         *[
@@ -283,6 +293,8 @@ _HOT_PROBE_CACHE: dict[tuple, bool] = {}
 # variant (e.g. labels under a different broadcast gate).
 _DOCSETS_CACHE: dict[tuple, DataFrame] = {}
 _CLUSTER_LABELS_CACHE: dict[tuple, DataFrame] = {}
+# per-doc MinHash signature table (the LSH fit; doc-count x N_PERMS longs)
+_MINHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _dedup_memo_key(spark: SparkSession, sf_dir: str, variant: str) -> tuple:
