@@ -779,6 +779,7 @@ class KalmanBase(StatefulTransformer):
         from artan_spark.operators.vectorized import (
             VFLAT_OUT_SCHEMA,
             VFLAT_SCALAR_OUT_SCHEMA,
+            flat_input_projection,
             supports_scalar_sigma,
             supports_scalar_vectorized,
             vectorized_ekf_fold_factory,
@@ -790,6 +791,13 @@ class KalmanBase(StatefulTransformer):
 
         keyed = self._keyed(df)
         constants = self._constants()
+        # ship measurement/model doubles as flat primitive columns (the
+        # input-side twin of the VFLAT output schemas): object cells cost
+        # ~2-3 us/row to cross Arrow->pandas + be read back; float64
+        # buffers cost ~ nothing (vectorized.flat_input_projection)
+        keyed = flat_input_projection(
+            keyed, self.get("measurementSize"), self.get("stateSize")
+        )
         factory_cell: list = []
 
         scalar_lkf = self._kind == "lkf" and supports_scalar_vectorized(constants)

@@ -301,6 +301,7 @@ class LinearKalmanSmoother(KalmanBase):
         longer bounds wall-clock; ~1e-12 relative parity,
         tests/test_scan_engine.py)."""
         from artan_spark.operators.vectorized import (
+            flat_input_projection,
             supports_scan,
             supports_scan_smoother,
             vectorized_nd_smoother_scan_fold_factory,
@@ -310,6 +311,11 @@ class LinearKalmanSmoother(KalmanBase):
 
         keyed = self._keyed(df)
         constants = self._constants()
+        # flat-primitive measurement columns across the Arrow boundary
+        # (vectorized.flat_input_projection)
+        keyed = flat_input_projection(
+            keyed, self.get("measurementSize"), self.get("stateSize")
+        )
         if engine == "scan":
             if supports_scan(constants) and self._scalarFold():
                 factory = vectorized_scalar_smoother_scan_fold_factory

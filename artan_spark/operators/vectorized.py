@@ -155,6 +155,162 @@ def extract_scalar_measurements(z_cells, has_z, n: int) -> np.ndarray:
     return Z
 
 
+def vec_cells_to_2d(cells, width: int, has_mask=None) -> np.ndarray:
+    """array<double> cells -> (N, width) float64; rows where ``has_mask``
+    is False stay zero (the missing-measurement convention of the folds).
+
+    Fast path: one C-level ``np.concatenate`` over the present cells plus a
+    reshape — same doubles, no per-row Python ``asarray``/``ravel`` loop
+    (measured ~10x on the 2.5M-row lkf_ols_multikey bucket at sf1.0). Any
+    non-conforming cell (wrong length, non-numeric) makes the reshape or
+    cast raise and drops to the exact original loop."""
+    N = len(cells)
+    out = np.zeros((N, width))
+    idx = None if has_mask is None else np.nonzero(has_mask)[0]
+    n_sel = N if idx is None else len(idx)
+    if n_sel == 0:
+        return out
+    sel = cells if idx is None or n_sel == N else cells[idx]
+    try:
+        flat = np.asarray(np.concatenate(sel), dtype=np.float64)
+        vals = flat.reshape(n_sel, width)
+    except (TypeError, ValueError):
+        for i in range(N) if idx is None else idx:
+            out[i] = np.asarray(cells[i], dtype=np.float64).ravel()
+        return out
+    if n_sel == N:
+        return vals
+    out[idx] = vals
+    return out
+
+
+def mat_cells_to_3d(cells, r: int, c: int, default) -> np.ndarray:
+    """Matrix-struct cells (dict / Row / tuple; None -> ``default``) ->
+    (N, r, c) float64 — the batched ``mat_to_np``.
+
+    Fast path: one values-extraction list comp + a dims check + one
+    concatenate/reshape/transpose reproducing mat_to_np's column-major
+    layout batch-wide (same doubles); any None cell, non-dict cell or
+    per-row dim mismatch falls back to the exact per-row loop."""
+    from artan_spark.types import mat_to_np
+
+    N = len(cells)
+    try:
+        vals = [m["values"] for m in cells]
+        if any(m["numRows"] != r or m["numCols"] != c for m in cells):
+            raise TypeError
+        flat = np.asarray(np.concatenate(vals), dtype=np.float64)
+        return flat.reshape(N, c, r).transpose(0, 2, 1)
+    except (TypeError, KeyError, IndexError, ValueError):
+        out = np.empty((N, r, c))
+        for i in range(N):
+            out[i] = mat_to_np(cells[i]) if cells[i] is not None else default
+        return out
+
+
+def cells_not_none(cells) -> np.ndarray:
+    """Per-cell ``is not None`` mask without an intermediate Python list."""
+    return np.fromiter((z is not None for z in cells), np.bool_, len(cells))
+
+
+# -- flat-primitive input projections ---------------------------------------
+#
+# The input-side twin of VFLAT_OUT_SCHEMA / VFLAT_SCALAR_OUT_SCHEMA: an
+# array<double> or matrix-struct column crosses Arrow->pandas as one Python
+# object per row (~1-2 us/row to materialize + another ~1 us/row for the fold
+# to read), while the same doubles projected JVM-side into plain double
+# columns cross as float64 buffers the fold reads with one .to_numpy() per
+# element. The vectorized transforms ship `__zok__`/`__z{j}__` (and
+# `__hr__`/`__hc__`/`__h{j}__` when a per-row measurementModel is set) and
+# drop the cell columns; the cell paths below stay as the fallback so
+# direct-pdf callers (tests, the distributed-scan engine's own frames) are
+# unchanged.
+
+
+def flat_input_projection(keyed, mdim: int, n: int):
+    """JVM-side flat-primitive projection of the measurement (and per-row
+    measurementModel) cells for the vectorized/scan folds — the read_*
+    helpers below consume it. Drops the projected cell columns; a null
+    cell becomes __zok__=false / __hr__=NaN. (A malformed cell — values
+    shorter than its declared dims — becomes NaN here where the cell path
+    raised; dims themselves stay validated in read_measurement_models.)"""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col("measurement").isNotNull().alias("__zok__"),
+        *[F.col("measurement")[j].alias(f"__z{j}__") for j in range(mdim)],
+    ]
+    drop = ["measurement"]
+    if "measurementModel" in keyed.columns:
+        cols += [
+            F.col("measurementModel.numRows").cast("double").alias("__hr__"),
+            F.col("measurementModel.numCols").cast("double").alias("__hc__"),
+            *[
+                F.col("measurementModel.values")[j].alias(f"__h{j}__")
+                for j in range(mdim * n)
+            ],
+        ]
+        drop.append("measurementModel")
+    return keyed.select("*", *cols).drop(*drop)
+
+
+def read_measurements(pdf: pd.DataFrame, mdim: int):
+    """(has_z mask, (N, mdim) float64) from the flat projection when
+    present, else from the ``measurement`` cells. Missing rows are 0.0 in Z
+    (never read — the update loops mask on has_z — but kept equal to the
+    cell path)."""
+    N = len(pdf)
+    if "__z0__" in pdf.columns:
+        has_z = pdf["__zok__"].to_numpy(dtype=np.bool_)
+        Z = np.empty((N, mdim))
+        for j in range(mdim):
+            Z[:, j] = pdf[f"__z{j}__"].to_numpy(dtype=np.float64)
+        if not has_z.all():
+            Z[~has_z] = 0.0
+        return has_z, Z
+    z_cells = pdf["measurement"].values
+    has_z = cells_not_none(z_cells)
+    return has_z, vec_cells_to_2d(z_cells, mdim, None if has_z.all() else has_z)
+
+
+def read_scalar_measurements(pdf: pd.DataFrame):
+    """Scalar (mdim = 1) variant: (has_z, (N,) float64)."""
+    N = len(pdf)
+    if "__z0__" in pdf.columns:
+        has_z = pdf["__zok__"].to_numpy(dtype=np.bool_)
+        Z = pdf["__z0__"].to_numpy(dtype=np.float64, copy=True)
+        if not has_z.all():
+            Z[~has_z] = 0.0
+        return has_z, Z
+    z_cells = pdf["measurement"].values
+    has_z = cells_not_none(z_cells)
+    return has_z, extract_scalar_measurements(z_cells, has_z, N)
+
+
+def read_measurement_models(pdf: pd.DataFrame, mdim: int, n: int, H_const):
+    """(N, mdim, n) model stack (or None if no per-row model column) from
+    the flat projection when present, else from the struct cells. Null
+    cells take ``H_const``; a per-row dim mismatch raises (the cell path
+    raised from mat_to_np's reshape)."""
+    if "__h0__" in pdf.columns:
+        N = len(pdf)
+        hr = pdf["__hr__"].to_numpy(dtype=np.float64)
+        hc = pdf["__hc__"].to_numpy(dtype=np.float64)
+        nulls = np.isnan(hr)
+        if not (nulls | ((hr == mdim) & (hc == n))).all():
+            raise ValueError(f"measurementModel dims must be ({mdim}, {n})")
+        H = np.empty((N, mdim, n))
+        for j in range(mdim * n):
+            # column-major values: element j -> (row j % mdim, col j // mdim)
+            H[:, j % mdim, j // mdim] = pdf[f"__h{j}__"].to_numpy(dtype=np.float64)
+        if nulls.any():
+            H[nulls] = H_const
+        return H
+    if "measurementModel" in pdf.columns:
+        return mat_cells_to_3d(pdf["measurementModel"].values, mdim, n, H_const)
+    return None
+
+
 def cols_to_pdf(cols: dict, n: int, names) -> pd.DataFrame:
     """Block-consolidation-free frame construction for fold outputs.
 
@@ -185,7 +341,12 @@ def multi_key_layout(pdf: pd.DataFrame):
     key+eventTime sorted the frame, so a key's rows are contiguous)."""
     N = len(pdf)
     keys_arr = pdf[STATE_KEY].to_numpy()
-    key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+    # hash-based factorize instead of np.unique: no O(N log N) string sort
+    # (~5x on multi-million-row buckets), and appearance-order codes match
+    # the frame's key-block order by construction regardless of collation
+    # (np.unique's sorted codes relied on the caller's sort agreeing with
+    # numpy's) — first/cumsum contiguity holds either way
+    key_idx, key_codes = pd.factorize(keys_arr)
     K = len(key_codes)
     counts = np.bincount(key_idx, minlength=K)
     first = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -238,9 +399,7 @@ def vectorized_nd_rls_scan_fold_factory(c: dict):
 
         y = pdf["label"].to_numpy(dtype=np.float64)
         feats = pdf["features"].values
-        X = np.empty((N, n))
-        for i in range(N):
-            X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+        X = vec_cells_to_2d(feats, n)
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
         S = np.full(N, lam)
@@ -402,9 +561,8 @@ def vectorized_rls_fold_factory(c: dict):
         T = int(counts.max())
 
         if scalar:
-            X = np.empty(N)
-            for i in range(N):
-                X[i] = float(feats[i][0])
+            # same f[0] semantics as the old indexing loop, one C-level pass
+            X = np.fromiter((f[0] for f in feats), np.float64, N)
             m = np.full(K, m0)
             P = np.full(K, p0)
             out_mean = np.empty(N)
@@ -428,9 +586,7 @@ def vectorized_rls_fold_factory(c: dict):
                 out_cov[block] = P[ki]
             mean_col, cov_col = out_mean, out_cov
         else:
-            X = np.empty((N, n))
-            for i in range(N):
-                X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+            X = vec_cells_to_2d(feats, n)
             m = np.tile(m0v, (K, 1))
             P = np.tile(P0m, (K, 1, 1))
             out_mean = np.empty((N, n))
@@ -490,9 +646,7 @@ def vectorized_lms_fold_factory(c: dict):
         feats = pdf["features"].values
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
         n = len(np.asarray(feats[0], dtype=np.float64).ravel()) if init is None else len(init)
-        X = np.empty((N, n))
-        for i in range(N):
-            X[i] = np.asarray(feats[i], dtype=np.float64).ravel()
+        X = vec_cells_to_2d(feats, n)
         m = np.tile(np.zeros(n) if init is None else init, (K, 1))
         out_idx = np.empty(N, dtype=np.int64)
         out_state = np.empty((N, n))
@@ -682,29 +836,10 @@ def vectorized_sigma_fold_factory(c: dict):
         if N == 0:
             return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
-        keys_arr = pdf[STATE_KEY].to_numpy()
-        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
-        K = len(key_codes)
-        counts = np.bincount(key_idx, minlength=K)
-        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(N) - first[key_idx]
-        order = np.lexsort((key_idx, pos))
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
 
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = np.zeros((N, mdim))
-        for i in np.nonzero(has_z)[0]:
-            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
-
-        if "measurementModel" in pdf.columns:
-            from artan_spark.types import mat_to_np
-
-            h_cells = pdf["measurementModel"].values
-            Hrows = np.empty((N, mdim, n))
-            for i in range(N):
-                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
-        else:
-            Hrows = None
+        has_z, Z = read_measurements(pdf, mdim)
+        Hrows = read_measurement_models(pdf, mdim, n, H_const)
 
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
@@ -801,15 +936,24 @@ def vectorized_sigma_fold_factory(c: dict):
             out_cov[block] = Pb
 
         resm = ~np.isnan(out_rescov[:, 0, 0])
+        if resm.all():
+            res_col = list(out_res)
+            rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
+        else:
+            res_col = [out_res[i] if resm[i] else None for i in range(N)]
+            rescov_col = [
+                rc if ok else None
+                for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
+            ]
         out = pd.DataFrame(
             {
                 STATE_KEY: keys_arr,
                 "stateIndex": out_idx,
                 "stepIndex": 0,
                 "mean": list(out_mean),
-                "cov": [cv.T.ravel() for cv in out_cov],
-                "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
+                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
+                "res": res_col,
+                "resCov": rescov_col,
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
@@ -848,17 +992,9 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
         if N == 0:
             return empty_pdf(names), None
 
-        keys_arr = pdf[STATE_KEY].to_numpy()
-        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
-        K = len(key_codes)
-        counts = np.bincount(key_idx, minlength=K)
-        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.arange(N) - first[key_idx]
-        order = np.lexsort((key_idx, pos))
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
 
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = extract_scalar_measurements(z_cells, has_z, N)
+        has_z, Z = read_scalar_measurements(pdf)
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
         m = np.full(K, m0)
@@ -1068,9 +1204,7 @@ def _scalar_scan_forward(pdf: pd.DataFrame, N: int, f, q, h, rr, m0, p0, prior_o
     first_idx = np.nonzero(new_key)[0]
     pos = np.arange(N) - first_idx[seg]  # 0-based position within key
 
-    z_cells = pdf["measurement"].values
-    has_z = np.array([z is not None for z in z_cells])
-    Z = extract_scalar_measurements(z_cells, has_z, N)
+    has_z, Z = read_scalar_measurements(pdf)
     ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
     # per-key priors (initialStateDistribution col overrides params)
@@ -1325,9 +1459,7 @@ def vectorized_scalar_sigma_fold_factory(c: dict):
 
         keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
 
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = extract_scalar_measurements(z_cells, has_z, N)
+        has_z, Z = read_scalar_measurements(pdf)
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
         m = np.full(K, m0)
@@ -1452,38 +1584,30 @@ def vectorized_lkf_fold_factory(c: dict):
     mf = deserialize_callable(c.get("measurementFunction"))
     mj = deserialize_callable(c.get("measurementStateJacobian"))
     mnj = deserialize_callable(c.get("measurementNoiseJacobian"))
+    # identity process (F = I, Q = 0, fading 1, no EKF hooks): the predict
+    # einsums are bit-exact no-ops (x*1 and +0.0 are exact in IEEE), so skip
+    # them — the OLS/regression shapes (lkf_ols_multikey) pay ~4 batched
+    # calls per time step for nothing
+    static_predict = (
+        pf is None
+        and pj is None
+        and pnj is None
+        and fad2 == 1.0
+        and not np.any(Q)
+        and np.array_equal(F_, eye_n)
+    )
 
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
             return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
 
-        keys_arr = pdf[STATE_KEY].to_numpy()
-        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
-        K = len(key_codes)
-        counts = np.bincount(key_idx, minlength=K)
+        # step-major layout (all pos==0 rows, then pos==1, ...; rows of one
+        # key are contiguous after the caller's key+eventTime sort)
+        keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
 
-        # position of each row within its key (pdf is key+eventTime sorted)
-        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        # rows of one key are contiguous after the caller's sort
-        pos = np.arange(N) - first[key_idx]
-        order = np.lexsort((key_idx, pos))  # step-major: all pos==0, pos==1, ...
-
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = np.zeros((N, mdim))
-        for i in np.nonzero(has_z)[0]:
-            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
-
-        if "measurementModel" in pdf.columns:
-            from artan_spark.types import mat_to_np
-
-            h_cells = pdf["measurementModel"].values
-            Hrows = np.empty((N, mdim, n))
-            for i in range(N):
-                Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
-        else:
-            Hrows = None
+        has_z, Z = read_measurements(pdf, mdim)
+        Hrows = read_measurement_models(pdf, mdim, n, H_const)
 
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
@@ -1511,17 +1635,26 @@ def vectorized_lkf_fold_factory(c: dict):
             # batched predict (Jacobians evaluated at the PRIOR mean,
             # matching the sequential EKF: kalman.py predict())
             m_prior = m[ki]
-            mb = np.asarray(pf(m_prior, F_), dtype=np.float64) if pf is not None else m_prior @ F_.T
-            if pnj is not None:
-                L = np.asarray(pnj(m_prior, Q), dtype=np.float64)
-                Qe = np.einsum("aij,jk,alk->ail", L, Q, L)
+            if static_predict:
+                # fancy indexing already copied, so mb/Pb are safely mutable
+                mb = m_prior
+                Pb = P[ki]
             else:
-                Qe = Q
-            if pj is not None:
-                Fj = np.asarray(pj(m_prior, F_), dtype=np.float64)
-                Pb = fad2 * np.einsum("aij,ajk,alk->ail", Fj, P[ki], Fj) + Qe
-            else:
-                Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Qe
+                mb = (
+                    np.asarray(pf(m_prior, F_), dtype=np.float64)
+                    if pf is not None
+                    else m_prior @ F_.T
+                )
+                if pnj is not None:
+                    L = np.asarray(pnj(m_prior, Q), dtype=np.float64)
+                    Qe = np.einsum("aij,jk,alk->ail", L, Q, L)
+                else:
+                    Qe = Q
+                if pj is not None:
+                    Fj = np.asarray(pj(m_prior, F_), dtype=np.float64)
+                    Pb = fad2 * np.einsum("aij,ajk,alk->ail", Fj, P[ki], Fj) + Qe
+                else:
+                    Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Qe
             out_idx[block] = t + 1
 
             zi = has_z[block]
@@ -1598,6 +1731,17 @@ def vectorized_lkf_fold_factory(c: dict):
             out_cov[block] = Pb
 
         resm = ~np.isnan(out_rescov[:, 0, 0])
+        if resm.all():
+            # no missing measurements (the common shape): plain list() of
+            # row views instead of a per-row Python conditional comp
+            res_col = list(out_res)
+            rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
+        else:
+            res_col = [out_res[i] if resm[i] else None for i in range(N)]
+            rescov_col = [
+                rc if ok else None
+                for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
+            ]
         out = pd.DataFrame(
             {
                 STATE_KEY: keys_arr,
@@ -1605,8 +1749,8 @@ def vectorized_lkf_fold_factory(c: dict):
                 "stepIndex": 0,
                 "mean": list(out_mean),
                 "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-                "res": [out_res[i] if resm[i] else None for i in range(N)],
-                "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
+                "res": res_col,
+                "resCov": rescov_col,
                 EVENT_TIME: ev if ev is not None else None,
                 "loglikelihood": out_ll,
                 "mahalanobis": out_maha,
@@ -1824,8 +1968,6 @@ def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, 
     ``prior_override``: optional ``(m0k, P0k)`` stacks (one per segment)
     replacing the param/column prior — the distributed engine's chunk
     seeds."""
-    from artan_spark.types import mat_to_np
-
     eye_n = np.eye(n)
 
     def sym(M):
@@ -1839,18 +1981,8 @@ def _nd_scan_forward(pdf: pd.DataFrame, N: int, n, mdim, F_, Q, R, H_const, m0, 
     pos = np.arange(N) - first_idx[seg]
     K = len(first_idx)
 
-    z_cells = pdf["measurement"].values
-    has_z = np.array([z is not None for z in z_cells])
-    Z = np.zeros((N, mdim))
-    for i in np.nonzero(has_z)[0]:
-        Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
-    if "measurementModel" in pdf.columns:
-        h_cells = pdf["measurementModel"].values
-        Hrows = np.empty((N, mdim, n))
-        for i in range(N):
-            Hrows[i] = mat_to_np(h_cells[i]) if h_cells[i] is not None else H_const
-    else:
-        Hrows = None
+    has_z, Z = read_measurements(pdf, mdim)
+    Hrows = read_measurement_models(pdf, mdim, n, H_const)
     ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
     if prior_override is not None:
@@ -1998,6 +2130,15 @@ def _nd_scan_emit(
                 out_ll[meas] = -0.5 * (mdim * _LOG2PI + logdet + sq)
 
     resm = ~np.isnan(out_rescov[:, 0, 0])
+    if resm.all():
+        res_col = list(out_res)
+        rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
+    else:
+        res_col = [out_res[i] if resm[i] else None for i in range(N)]
+        rescov_col = [
+            rc if ok else None
+            for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
+        ]
     return pd.DataFrame(
         {
             STATE_KEY: keys_arr,
@@ -2005,8 +2146,8 @@ def _nd_scan_emit(
             "stepIndex": 0,
             "mean": list(out_mean),
             "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-            "res": [out_res[i] if resm[i] else None for i in range(N)],
-            "resCov": [rc if ok else None for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)],
+            "res": res_col,
+            "resCov": rescov_col,
             EVENT_TIME: ev if ev is not None else None,
             "loglikelihood": out_ll,
             "mahalanobis": out_maha,
@@ -2238,7 +2379,7 @@ def vectorized_smoother_fold_factory(c: dict):
     def _layout(pdf):
         N = len(pdf)
         keys_arr = pdf[STATE_KEY].to_numpy()
-        key_codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        key_idx, key_codes = pd.factorize(keys_arr)  # see multi_key_layout
         K = len(key_codes)
         counts = np.bincount(key_idx, minlength=K)
         first = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -2264,9 +2405,7 @@ def vectorized_smoother_fold_factory(c: dict):
         h = float(H_const[0, 0])
         rr = float(R[0, 0])
 
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = extract_scalar_measurements(z_cells, has_z, N)
+        has_z, Z = read_scalar_measurements(pdf)
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
         m = np.full(K, float(m0[0]))
@@ -2356,11 +2495,7 @@ def vectorized_smoother_fold_factory(c: dict):
             return _emit_frame([[] for _ in names], names), None
         N, keys_arr, key_codes, key_idx, K, counts, first, pos, order = _layout(pdf)
 
-        z_cells = pdf["measurement"].values
-        has_z = np.array([z is not None for z in z_cells])
-        Z = np.zeros((N, mdim))
-        for i in np.nonzero(has_z)[0]:
-            Z[i] = np.asarray(z_cells[i], dtype=np.float64).ravel()
+        has_z, Z = read_measurements(pdf, mdim)
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
 
         m = np.tile(m0, (K, 1))
@@ -2526,7 +2661,7 @@ def vectorized_mixture_fold_factory(c: dict):
             return empty_pdf(out_fields), None
         keys_acc, idx_acc, W_acc, P_acc, ev_acc, ll_acc = [], [], [], [], [], []
         keys_arr = pdf[STATE_KEY].to_numpy()
-        _codes, key_idx = np.unique(keys_arr, return_inverse=True)
+        key_idx, _codes = pd.factorize(keys_arr)  # see multi_key_layout
         K = len(_codes)
         counts = np.bincount(key_idx, minlength=K)
         first = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -2536,8 +2671,14 @@ def vectorized_mixture_fold_factory(c: dict):
 
         cells = pdf["sample"].values
         if family == "gaussian":
-            X = np.stack([np.asarray(vec_to_np(v), dtype=np.float64).ravel() for v in cells])
-            d = X.shape[1]
+            d = len(np.asarray(vec_to_np(cells[0]), dtype=np.float64).ravel())
+            try:
+                # one C-level concatenate instead of a per-row vec_to_np loop
+                X = np.asarray(np.concatenate(list(cells)), dtype=np.float64).reshape(N, d)
+            except (TypeError, ValueError):
+                X = np.stack(
+                    [np.asarray(vec_to_np(v), dtype=np.float64).ravel() for v in cells]
+                )
         else:
             X = np.asarray(cells, dtype=np.float64)
 
