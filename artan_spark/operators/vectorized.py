@@ -2752,72 +2752,99 @@ def vectorized_mixture_fold_factory(c: dict):
             # r / r.sum() (identical values to float rounding ~1e-16,
             # absorbed by the contracting recursion; the 5dp oracle margin
             # is ~1e-10 and the seq==vec test tolerance 1e-9).
+            # Round-12 step-cost squeeze (same recursion, bit-identical
+            # elementwise ops): (a) ONE packed per-key state array so each
+            # step pays one fancy gather + one scatter instead of ~10;
+            # (b) the alive set is recomputed only when t crosses a distinct
+            # chain length (it is constant in between); (c) minibatch 1
+            # emits exactly one row per input row, so outputs scatter into
+            # preallocated arrays at the absolute row index — no per-step
+            # appends, no final vstack of T pieces, and keys/stateIndex/
+            # eventTime emit fully vectorized outside the loop.
             X1 = X[:, 0]
-            means1 = means[:, :, 0].copy()  # (K, kc)
-            covs1 = covs[:, :, 0, 0].copy()
-            smeans1 = smeans[:, :, 0].copy()
-            scovs1 = scovs[:, :, 0, 0].copy()
+            # packed state rows: [w, m, v, sw, sm, sc] per component
+            ST = np.empty((K, 6, kc))
+            ST[:, 0] = weights
+            ST[:, 1] = means[:, :, 0]
+            ST[:, 2] = covs[:, :, 0, 0]
+            ST[:, 3] = sweights
+            ST[:, 4] = smeans[:, :, 0]
+            ST[:, 5] = scovs[:, :, 0, 0]
+
+            out_W = np.empty((N, kc))
+            out_P = np.empty((N, 2 * kc))
+            out_ll = np.empty(N)
+            emitted = np.zeros(N, dtype=bool)
+
+            boundaries = np.unique(steps)  # alive set shrinks at these t
+            bi = 0
+            alive = np.arange(K)
+            first_alive = first
             for t in range(T):
-                alive = np.nonzero(steps > t)[0]
-                A = len(alive)
-                rows = first[alive] + t
+                if bi < len(boundaries) and t == boundaries[bi]:
+                    # keys with steps == boundaries[bi] just finished
+                    alive = np.nonzero(steps > t)[0]
+                    first_alive = first[alive]
+                    bi += 1
+                    while bi < len(boundaries) and boundaries[bi] <= t:
+                        bi += 1
+                rows = first_alive + t
                 x = X1[rows]  # (A,)
                 alpha = float((2.0 + t) ** (-decay)) if decay is not None else step
 
-                mA, vA = means1[alive], covs1[alive]
+                S = ST[alive]  # one gather; the slices below are views
+                w, mA, vA = S[:, 0], S[:, 1], S[:, 2]
                 diff = x[:, None] - mA
                 d2 = diff * diff
-                llm = -0.5 * (_LOG2PI + np.log(vA) + d2 / vA) + np.log(weights[alive])
+                llm = -0.5 * (_LOG2PI + np.log(vA) + d2 / vA) + np.log(w)
                 amax = llm.max(axis=1, keepdims=True)
                 amax = np.where(np.isfinite(amax), amax, 0.0)
                 r = np.exp(llm - amax)
                 resp = r / r.sum(axis=1, keepdims=True)  # (A, kc)
 
-                swA = (1 - alpha) * sweights[alive] + alpha * resp
-                smA = (1 - alpha) * smeans1[alive] + alpha * (resp * x[:, None])
-                scA = (1 - alpha) * scovs1[alive] + alpha * (resp * d2)
-                sweights[alive] = swA
-                smeans1[alive] = smA
-                scovs1[alive] = scA
+                U = np.empty_like(S[:, 3:])
+                U[:, 0] = resp
+                U[:, 1] = resp * x[:, None]
+                U[:, 2] = resp * d2
+                S[:, 3:] = (1 - alpha) * S[:, 3:] + alpha * U
                 if t >= holdout:
-                    weights[alive] = swA
-                    means1[alive] = smA / swA
-                    covs1[alive] = scA / swA
+                    S[:, 0] = S[:, 3]
+                    S[:, 1:3] = S[:, 4:6] / S[:, 3][:, None, :]
+                ST[alive] = S
 
-                mN, vN = means1[alive], covs1[alive]
+                mN, vN = S[:, 1], S[:, 2]
                 diff2 = x[:, None] - mN
                 ll2 = -0.5 * (_LOG2PI + np.log(vN) + diff2 * diff2 / vN) + np.log(
-                    np.maximum(weights[alive], 1e-300)
+                    np.maximum(S[:, 0], 1e-300)
                 )
                 amax2 = ll2.max(axis=1, keepdims=True)
                 amax2 = np.where(np.isfinite(amax2), amax2, 0.0)
                 lls = np.log(np.exp(ll2 - amax2).sum(axis=1)) + amax2[:, 0]
 
-                keys_acc.append(keys_arr[first[alive]])
-                idx_acc.append(np.full(A, t + 1, dtype=np.int64))
-                W_acc.append(weights[alive].copy())
-                P_acc.append(
-                    np.concatenate([mN[:, :, None], vN[:, :, None]], axis=2).reshape(A, -1)
-                )
-                if ev is not None:
-                    ev_acc.append(ev[rows])
-                ll_acc.append(lls)
+                out_W[rows] = S[:, 0]
+                out_P[rows, 0::2] = mN
+                out_P[rows, 1::2] = vN
+                out_ll[rows] = lls
+                emitted[rows] = True
 
-            if not keys_acc:
+            if not emitted.any():
                 return empty_pdf(out_fields), None
-            W = np.vstack(W_acc)
-            P = np.vstack(P_acc)
-            n_out = len(W)
+            pos = np.arange(N) - first[key_idx]
+            sel = np.nonzero(emitted)[0]
+            full = len(sel) == N
             data = {
-                STATE_KEY: np.concatenate(keys_acc),
-                "stateIndex": np.concatenate(idx_acc),
+                STATE_KEY: keys_arr if full else keys_arr[sel],
+                "stateIndex": (pos + 1 if full else pos[sel] + 1).astype(np.int64),
             }
             for j in range(kc):
-                data[f"w{j}"] = W[:, j]
-            for i in range(P.shape[1]):
-                data[f"p{i}"] = P[:, i]
-            data[EVENT_TIME] = np.concatenate(ev_acc) if ev is not None else [None] * n_out
-            data["loglikelihood"] = np.concatenate(ll_acc)
+                data[f"w{j}"] = out_W[:, j] if full else out_W[sel, j]
+            for i in range(2 * kc):
+                data[f"p{i}"] = out_P[:, i] if full else out_P[sel, i]
+            if ev is not None:
+                data[EVENT_TIME] = ev if full else ev[sel]
+            else:
+                data[EVENT_TIME] = [None] * len(sel)
+            data["loglikelihood"] = out_ll if full else out_ll[sel]
             return pd.DataFrame(data, columns=out_fields), None
 
         if family in ("poisson", "bernoulli") and mb == 1:
