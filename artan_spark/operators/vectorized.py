@@ -559,6 +559,7 @@ def vectorized_rls_fold_factory(c: dict):
         ev = pdf[EVENT_TIME].values if EVENT_TIME in pdf.columns else None
         out_idx = np.empty(N, dtype=np.int64)
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
 
         if scalar:
             # same f[0] semantics as the old indexing loop, one C-level pass
@@ -569,7 +570,7 @@ def vectorized_rls_fold_factory(c: dict):
             out_cov = np.empty(N)
             ptr = 0
             for t in range(T):
-                a = int(np.sum(counts > t))
+                a = int(alive_at[t])
                 block = order[ptr : ptr + a]
                 ptr += a
                 ki = key_idx[block]
@@ -593,7 +594,7 @@ def vectorized_rls_fold_factory(c: dict):
             out_cov = np.empty((N, n, n))
             ptr = 0
             for t in range(T):
-                a = int(np.sum(counts > t))
+                a = int(alive_at[t])
                 block = order[ptr : ptr + a]
                 ptr += a
                 ki = key_idx[block]
@@ -651,9 +652,10 @@ def vectorized_lms_fold_factory(c: dict):
         out_idx = np.empty(N, dtype=np.int64)
         out_state = np.empty((N, n))
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -862,9 +864,10 @@ def vectorized_sigma_fold_factory(c: dict):
             return np.asarray(pf(pts_flat, F_), dtype=np.float64)
 
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -1026,9 +1029,10 @@ def vectorized_scalar_lkf_fold_factory(c: dict):
         hist = np.zeros((K, ll_window)) if compute_sll else None
 
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -1486,9 +1490,14 @@ def vectorized_scalar_sigma_fold_factory(c: dict):
         out_idx = np.empty(N, dtype=np.int64)
 
         T = int(counts.max())
+        # per-step alive counts once (counts is fixed across the loop), and
+        # the mask machinery hoisted when every row carries a measurement
+        # (the common batch shape) — ~7 fewer small numpy calls per step
+        alive_at = (len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right"))
+        all_z = bool(has_z.all())
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -1502,10 +1511,13 @@ def vectorized_scalar_sigma_fold_factory(c: dict):
                 Pb = fad2 * (Pb - q) + q
             out_idx[block] = t + 1
 
-            zi = has_z[block]
-            if zi.any():
-                rows_u = block[zi]
-                m1, P1 = mb[zi], Pb[zi]
+            zi = None if all_z else has_z[block]
+            if all_z or zi.any():
+                if all_z:
+                    rows_u, m1, P1 = block, mb, Pb
+                else:
+                    rows_u = block[zi]
+                    m1, P1 = mb[zi], Pb[zi]
                 root2 = np.sqrt(g * P1)
                 pts2 = m1[:, None] + root2[:, None] * ofs
                 zpts = h * pts2
@@ -1514,8 +1526,12 @@ def vectorized_scalar_sigma_fold_factory(c: dict):
                 cross = ((pts2 - m1[:, None]) * zdiff) @ wc
                 Kg = np.where(S != 0.0, cross / np.where(S == 0.0, 1.0, S), 0.0)
                 r = Z[rows_u] - zmean
-                mb[zi] = m1 + Kg * r
-                Pb[zi] = P1 - Kg * S * Kg
+                if all_z:
+                    mb = m1 + Kg * r
+                    Pb = P1 - Kg * S * Kg
+                else:
+                    mb[zi] = m1 + Kg * r
+                    Pb[zi] = P1 - Kg * S * Kg
                 out_res[rows_u] = r
                 out_rescov[rows_u] = S
                 if compute_ll or compute_maha:
@@ -1625,9 +1641,13 @@ def vectorized_lkf_fold_factory(c: dict):
         out_idx = np.empty(N, dtype=np.int64)
 
         T = int(counts.max())
+        # per-step alive counts once; mask machinery hoisted when every row
+        # carries a measurement (see the scalar sigma fold)
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
+        all_z = bool(has_z.all())
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -1657,16 +1677,15 @@ def vectorized_lkf_fold_factory(c: dict):
                     Pb = fad2 * np.einsum("ij,ajk,lk->ail", F_, P[ki], F_) + Qe
             out_idx[block] = t + 1
 
-            zi = has_z[block]
-            if zi.any():
-                rows_u = block[zi]
-                kiu = ki[zi]
+            zi = None if all_z else has_z[block]
+            if all_z or zi.any():
+                rows_u = block if all_z else block[zi]
                 Hmod = Hrows[rows_u] if Hrows is not None else np.broadcast_to(H_const, (len(rows_u), mdim, n))
                 # user fns receive the constant 2-D model unless a per-row
                 # model column supplied the (A, mdim, n) stack
-                H_arg = Hrows[rows_u] if Hrows is not None else H_const
-                P1 = Pb[zi]
-                m1 = mb[zi]
+                H_arg = Hmod if Hrows is not None else H_const
+                P1 = Pb if all_z else Pb[zi]
+                m1 = mb if all_z else mb[zi]
                 # measurement prediction uses the MODEL; the update uses the
                 # Jacobian (which defaults to the model), kalman.py estimate()
                 zhat = (
@@ -1704,8 +1723,11 @@ def vectorized_lkf_fold_factory(c: dict):
                     else np.einsum("aij,jk,alk->ail", Kg, R, Kg)
                 )
                 P_new = (P_new + np.swapaxes(P_new, 1, 2)) * 0.5
-                mb[zi] = m_new
-                Pb[zi] = P_new
+                if all_z:
+                    mb, Pb = m_new, P_new
+                else:
+                    mb[zi] = m_new
+                    Pb[zi] = P_new
                 out_res[rows_u] = r
                 out_rescov[rows_u] = S
                 if compute_ll or compute_maha:
@@ -2413,11 +2435,12 @@ def vectorized_smoother_fold_factory(c: dict):
         filt_m = np.empty(N)
         filt_P = np.empty(N)
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
         row_at = np.full((K, T), -1, dtype=np.int64)
 
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
@@ -2503,11 +2526,12 @@ def vectorized_smoother_fold_factory(c: dict):
         filt_m = np.empty((N, n))
         filt_P = np.empty((N, n, n))
         T = int(counts.max())
+        alive_at = len(counts) - np.searchsorted(np.sort(counts), np.arange(T), side="right")
         row_at = np.full((K, T), -1, dtype=np.int64)
 
         ptr = 0
         for t in range(T):
-            a = int(np.sum(counts > t))
+            a = int(alive_at[t])
             block = order[ptr : ptr + a]
             ptr += a
             ki = key_idx[block]
