@@ -147,19 +147,30 @@ def lkf_events_distscan(spark, sf_dir):
 
 
 def _ident_fn(m, H):
+    # shape-polymorphic (the batched-callable contract): the sequential
+    # fold passes one (n,) state, the vectorized fold the whole (A, n)
+    # step batch — same doubles either way (row i of m @ H.T == H @ m_i)
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim == 2:
+        return m @ H.T
     return H @ m
 
 
 def _ident_jac(m, H):
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim == 2:
+        return np.broadcast_to(H, (m.shape[0],) + H.shape)
     return H
 
 
 def ekf_events_local_level(spark, sf_dir):
     # the vectorized EKF fold calls the user fns once per TIME STEP on the
-    # whole key batch (batched-callable contract) and is bit-identical to
-    # the sequential fold on this 1-D shape (test_vectorized_ekf_bit_exact),
-    # so the raw-double recursive-CTE oracle hash is unchanged
+    # whole key batch (batched-callable contract, opted in via
+    # setVectorizedFunctions) and is bit-identical to the sequential fold
+    # on this 1-D shape (test_vectorized_ekf_bit_exact), so the raw-double
+    # recursive-CTE oracle hash is unchanged
     flt = _local_level(ExtendedKalmanFilter).setVectorizedBatch(True)
+    flt.setVectorizedFunctions(True)
     flt.setMeasurementFunction(_ident_fn).setMeasurementStateJacobian(_ident_jac)
     return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
 

@@ -652,10 +652,18 @@ def test_vectorized_ekf_process_fn_matches_sequential(spark):
 
 
 def _bitexact_mfn(m, H):
+    # shape-polymorphic: (n,) from the sequential fold, (N, n) from the
+    # vectorized fold's per-time-step batched call
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim == 2:
+        return m @ H.T
     return H @ m
 
 
 def _bitexact_mjac(m, H):
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim == 2:
+        return np.broadcast_to(H, (m.shape[0],) + H.shape)
     return H
 
 
@@ -687,13 +695,21 @@ def test_vectorized_ekf_bit_exact(spark):
             .setCalculateLoglikelihood(True)
             .setCalculateMahalanobis(True)
             .setVectorizedBatch(vectorized)
+            .setVectorizedFunctions(vectorized)
         )
         return flt.setMeasurementFunction(_bitexact_mfn).setMeasurementStateJacobian(
             _bitexact_mjac
         )
 
     seq = mk(False).transform(df).collect()
-    vec = mk(True).transform(df).collect()
+    vec_flt = mk(True)
+    # guard against the silent sequential fallback this test vacuously
+    # passed under before vectorizedFunctions was set (supports_vectorized
+    # rejects EKF callables without the batched-contract opt-in)
+    from artan_spark.operators.vectorized import supports_vectorized
+
+    assert supports_vectorized(vec_flt._constants())
+    vec = vec_flt.transform(df).collect()
     assert len(seq) == len(vec) == len(rows)
     key_fn = lambda r: (r.stateKey, r.stateIndex)  # noqa: E731
     for rs, rv in zip(sorted(seq, key=key_fn), sorted(vec, key=key_fn)):
