@@ -489,6 +489,11 @@ class KalmanBase(StatefulTransformer):
     """Shared param surface + plumbing for the Kalman family."""
 
     _kind = "lkf"
+    # introspection: did the last transform run a batched (vectorized/scan/
+    # distributed) fold, vs the base per-row chunked fold? _lastFoldEngine
+    # alone can't tell — it reads "sequential" for both the vectorized
+    # time-synchronous fold and the base fold
+    _lastFoldVectorized = False
 
     _defaults = {
         "stateSize": None,
@@ -588,6 +593,7 @@ class KalmanBase(StatefulTransformer):
                 )
 
                 self._lastFoldEngine = engine  # introspection (tests/bench)
+                self._lastFoldVectorized = True
                 if "fixedLag" in c:
                     out = distributed_smoother_transform(self, df)
                 elif supports_distributed_scan(c):
@@ -599,9 +605,15 @@ class KalmanBase(StatefulTransformer):
                 or (self.get("vectorizedBatch") and self._supportsVectorized(c))
             ):
                 self._lastFoldEngine = engine  # introspection (tests/bench)
+                # True iff the batched fold ran (vs the base per-row chunked
+                # fold) — _lastFoldEngine says "sequential" for BOTH, which
+                # is how ekf_events_local_level silently fell back for
+                # rounds; entries guard on this flag
+                self._lastFoldVectorized = True
                 out = self._vectorizedTransform(df, engine)
             else:
                 self._lastFoldEngine = "sequential"
+                self._lastFoldVectorized = False
                 out = super().transform(df)
         finally:
             if sll_forced:

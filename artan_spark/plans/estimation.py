@@ -172,19 +172,28 @@ def ekf_events_local_level(spark, sf_dir):
     flt = _local_level(ExtendedKalmanFilter).setVectorizedBatch(True)
     flt.setVectorizedFunctions(True)
     flt.setMeasurementFunction(_ident_fn).setMeasurementStateJacobian(_ident_jac)
-    return _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
+    out = _finalize_raw(flt.transform(_events_measurements(spark, sf_dir)))
+    if not flt._lastFoldVectorized:  # pragma: no cover - contract guard
+        raise AssertionError("EKF entry fell back to the base sequential fold")
+    return out
 
 
 def ukf_events_local_level(spark, sf_dir):
     # default linear fns -> qualifies for the vectorized multi-key sigma
     # fold; bucket count is auto-sized from the (approx) key count
     flt = _local_level(UnscentedKalmanFilter).setVectorizedBatch(True)
-    return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    out = _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    if not flt._lastFoldVectorized:  # pragma: no cover - contract guard
+        raise AssertionError("UKF entry fell back to the base sequential fold")
+    return out
 
 
 def ckf_events_local_level(spark, sf_dir):
     flt = _local_level(CubatureKalmanFilter).setVectorizedBatch(True)
-    return _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    out = _finalize(flt.transform(_events_measurements(spark, sf_dir)))
+    if not flt._lastFoldVectorized:  # pragma: no cover - contract guard
+        raise AssertionError("CKF entry fell back to the base sequential fold")
+    return out
 
 
 SMOOTHER_LAG = 10
