@@ -80,6 +80,68 @@ VFLAT_SCALAR_OUT_SCHEMA = StructType(
 )
 
 
+def vflat_nd_fields(n: int, mdim: int) -> list:
+    """Column names of the width-(n, mdim) FLAT n-D boundary schema: the
+    n-D twin of VFLAT_SCALAR_OUT_SCHEMA. mean/cov/res/resCov cross the
+    Arrow boundary as plain double columns (m0.., c0.. column-major,
+    r0.., rc0.. column-major) instead of one array cell per row — an
+    array cell costs a Python object per row on BOTH sides of the
+    boundary (list() materialization in the fold, object decode in the
+    JVM reassembly feed), flat float64 buffers cost ~nothing. A missing
+    measurement is marked by NaN in rc0 (the same isnan convention the
+    array layout's emitters used internally)."""
+    return (
+        [STATE_KEY, "stateIndex", "stepIndex"]
+        + [f"m{i}" for i in range(n)]
+        + [f"c{i}" for i in range(n * n)]
+        + [f"r{i}" for i in range(mdim)]
+        + [f"rc{i}" for i in range(mdim * mdim)]
+        + [EVENT_TIME, "loglikelihood", "mahalanobis", "slidingLikelihood"]
+    )
+
+
+def vflat_nd_schema(n: int, mdim: int) -> StructType:
+    fields = [
+        StructField(STATE_KEY, StringType()),
+        StructField("stateIndex", LongType()),
+        StructField("stepIndex", LongType()),
+    ]
+    for name in vflat_nd_fields(n, mdim)[3 : 3 + n + n * n + mdim + mdim * mdim]:
+        fields.append(StructField(name, DoubleType(), True))
+    fields += [
+        StructField(EVENT_TIME, TimestampType(), True),
+        StructField("loglikelihood", DoubleType(), True),
+        StructField("mahalanobis", DoubleType(), True),
+        StructField("slidingLikelihood", DoubleType(), True),
+    ]
+    return StructType(fields)
+
+
+def emit_nd_flat(
+    keys_arr, idx, out_mean, out_cov, out_res, out_rescov, ev, out_ll, out_maha, n, mdim
+) -> pd.DataFrame:
+    """Shared emitter for the n-D folds' flat boundary frame (see
+    vflat_nd_fields). out_res/out_rescov carry NaN on missing-measurement
+    rows (every fold initializes them with np.full(..., nan))."""
+    N = len(keys_arr)
+    cols = {STATE_KEY: keys_arr, "stateIndex": idx, "stepIndex": 0}
+    for i in range(n):
+        cols[f"m{i}"] = out_mean[:, i]
+    covT = out_cov.transpose(0, 2, 1).reshape(N, -1)
+    for i in range(n * n):
+        cols[f"c{i}"] = covT[:, i]
+    for i in range(mdim):
+        cols[f"r{i}"] = out_res[:, i]
+    rcT = out_rescov.transpose(0, 2, 1).reshape(N, -1)
+    for i in range(mdim * mdim):
+        cols[f"rc{i}"] = rcT[:, i]
+    cols[EVENT_TIME] = ev if ev is not None else None
+    cols["loglikelihood"] = out_ll
+    cols["mahalanobis"] = out_maha
+    cols["slidingLikelihood"] = np.nan
+    return pd.DataFrame(cols, columns=vflat_nd_fields(n, mdim))
+
+
 def supports_scalar_vectorized(c: dict) -> bool:
     """Scope of the scalar vectorized LKF fold: the 1-D constant-model shape
     (same as the sequential scalar fast path, kalman.py _is_scalar_lkf) minus
@@ -836,7 +898,7 @@ def vectorized_sigma_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
-            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
+            return empty_pdf(vflat_nd_fields(n, mdim)), None
 
         keys_arr, key_idx, K, counts, first, order = multi_key_layout(pdf)
 
@@ -938,31 +1000,8 @@ def vectorized_sigma_fold_factory(c: dict):
             out_mean[block] = mb
             out_cov[block] = Pb
 
-        resm = ~np.isnan(out_rescov[:, 0, 0])
-        if resm.all():
-            res_col = list(out_res)
-            rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
-        else:
-            res_col = [out_res[i] if resm[i] else None for i in range(N)]
-            rescov_col = [
-                rc if ok else None
-                for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
-            ]
-        out = pd.DataFrame(
-            {
-                STATE_KEY: keys_arr,
-                "stateIndex": out_idx,
-                "stepIndex": 0,
-                "mean": list(out_mean),
-                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-                "res": res_col,
-                "resCov": rescov_col,
-                EVENT_TIME: ev if ev is not None else None,
-                "loglikelihood": out_ll,
-                "mahalanobis": out_maha,
-                "slidingLikelihood": np.nan,
-            },
-            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        out = emit_nd_flat(
+            keys_arr, out_idx, out_mean, out_cov, out_res, out_rescov, ev, out_ll, out_maha, n, mdim
         )
         return out, None
 
@@ -1616,7 +1655,7 @@ def vectorized_lkf_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
-            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
+            return empty_pdf(vflat_nd_fields(n, mdim)), None
 
         # step-major layout (all pos==0 rows, then pos==1, ...; rows of one
         # key are contiguous after the caller's key+eventTime sort)
@@ -1752,33 +1791,8 @@ def vectorized_lkf_fold_factory(c: dict):
             out_mean[block] = mb
             out_cov[block] = Pb
 
-        resm = ~np.isnan(out_rescov[:, 0, 0])
-        if resm.all():
-            # no missing measurements (the common shape): plain list() of
-            # row views instead of a per-row Python conditional comp
-            res_col = list(out_res)
-            rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
-        else:
-            res_col = [out_res[i] if resm[i] else None for i in range(N)]
-            rescov_col = [
-                rc if ok else None
-                for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
-            ]
-        out = pd.DataFrame(
-            {
-                STATE_KEY: keys_arr,
-                "stateIndex": out_idx,
-                "stepIndex": 0,
-                "mean": list(out_mean),
-                "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-                "res": res_col,
-                "resCov": rescov_col,
-                EVENT_TIME: ev if ev is not None else None,
-                "loglikelihood": out_ll,
-                "mahalanobis": out_maha,
-                "slidingLikelihood": np.nan,
-            },
-            columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+        out = emit_nd_flat(
+            keys_arr, out_idx, out_mean, out_cov, out_res, out_rescov, ev, out_ll, out_maha, n, mdim
         )
         return out, None
 
@@ -2091,7 +2105,7 @@ def vectorized_lkf_scan_fold_factory(c: dict):
     def fold(pdf: pd.DataFrame, _state):
         N = len(pdf)
         if N == 0:
-            return empty_pdf([f.name for f in VFLAT_OUT_SCHEMA.fields]), None
+            return empty_pdf(vflat_nd_fields(n, mdim)), None
 
         fwd = _nd_scan_forward(pdf, N, n, mdim, F_, Q, R, H_const, m0, P0)
         out = _nd_scan_emit(
@@ -2151,31 +2165,9 @@ def _nd_scan_emit(
             if compute_ll:
                 out_ll[meas] = -0.5 * (mdim * _LOG2PI + logdet + sq)
 
-    resm = ~np.isnan(out_rescov[:, 0, 0])
-    if resm.all():
-        res_col = list(out_res)
-        rescov_col = list(out_rescov.transpose(0, 2, 1).reshape(N, -1))
-    else:
-        res_col = [out_res[i] if resm[i] else None for i in range(N)]
-        rescov_col = [
-            rc if ok else None
-            for rc, ok in zip(out_rescov.transpose(0, 2, 1).reshape(N, -1), resm)
-        ]
-    return pd.DataFrame(
-        {
-            STATE_KEY: keys_arr,
-            "stateIndex": pos + 1 + idx_offset,
-            "stepIndex": 0,
-            "mean": list(out_mean),
-            "cov": list(out_cov.transpose(0, 2, 1).reshape(N, -1)),
-            "res": res_col,
-            "resCov": rescov_col,
-            EVENT_TIME: ev if ev is not None else None,
-            "loglikelihood": out_ll,
-            "mahalanobis": out_maha,
-            "slidingLikelihood": np.nan,
-        },
-        columns=[f.name for f in VFLAT_OUT_SCHEMA.fields],
+    return emit_nd_flat(
+        keys_arr, pos + 1 + idx_offset, out_mean, out_cov, out_res, out_rescov,
+        ev, out_ll, out_maha, n, mdim,
     )
 
 
