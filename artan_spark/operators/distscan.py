@@ -577,11 +577,12 @@ def distributed_nd_scan_transform(op, df: DataFrame) -> DataFrame:
     driver prefix runs the same `_nd_combine` on single pairs; pass 2
     re-runs the seeded in-task n-D scan per chunk."""
     from artan_spark.operators.vectorized import (
-        VFLAT_OUT_SCHEMA,
         _nd_combine,
         _nd_generic_elements,
         _nd_scan_emit,
         _nd_scan_forward,
+        vflat_nd_fields,
+        vflat_nd_schema,
     )
     from artan_spark.types import ArrayType, mat_to_np
 
@@ -687,7 +688,7 @@ def distributed_nd_scan_transform(op, df: DataFrame) -> DataFrame:
             off += r["n"]
     seeds_bc = df.sparkSession.sparkContext.broadcast(seeds)
 
-    names = [fld.name for fld in VFLAT_OUT_SCHEMA.fields]
+    names = vflat_nd_fields(n, mdim)
 
     def scan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         N = len(pdf)
@@ -706,36 +707,18 @@ def distributed_nd_scan_transform(op, df: DataFrame) -> DataFrame:
             compute_ll=compute_ll, compute_maha=compute_maha, idx_offset=off,
         )
 
-    res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, VFLAT_OUT_SCHEMA)
+    res = chunked.groupBy(STATE_KEY, CHUNK).applyInPandas(scan_fn, vflat_nd_schema(n, mdim))
     return _shape_nd_output(op, res)
 
 
 def _shape_nd_output(op, res: DataFrame) -> DataFrame:
-    """VFLAT_OUT_SCHEMA -> public struct schema (same JVM-side projection
-    as the n-D branch of KalmanBase._vectorizedTransform)."""
+    """Flat n-D boundary frame (vflat_nd_fields) -> public struct schema
+    (same JVM-side projection as the n-D branch of
+    KalmanBase._vectorizedTransform)."""
+    from artan_spark.operators.vectorized import nd_flat_select_exprs
+
     n, mdim = int(op.get("stateSize")), int(op.get("measurementSize"))
-
-    def g(mc, cc, rows, cols_):
-        return F.struct(
-            F.col(mc).alias("mean"),
-            F.struct(
-                F.lit(rows).alias("numRows"),
-                F.lit(cols_).alias("numCols"),
-                F.col(cc).alias("values"),
-            ).alias("covariance"),
-        )
-
-    shaped = res.select(
-        STATE_KEY,
-        "stateIndex",
-        "stepIndex",
-        g("mean", "cov", n, n).alias("state"),
-        F.when(F.col("res").isNotNull(), g("res", "resCov", mdim, mdim)).alias("residual"),
-        EVENT_TIME,
-        F.when(~F.isnan("loglikelihood"), F.col("loglikelihood")).alias("loglikelihood"),
-        F.when(~F.isnan("mahalanobis"), F.col("mahalanobis")).alias("mahalanobis"),
-        F.when(~F.isnan("slidingLikelihood"), F.col("slidingLikelihood")).alias("slidingLikelihood"),
-    )
+    shaped = res.select(*nd_flat_select_exprs(n, mdim))
     return op._dropDisabled(shaped)
 
 

@@ -789,9 +789,9 @@ class KalmanBase(StatefulTransformer):
         import pandas as pd
 
         from artan_spark.operators.vectorized import (
-            VFLAT_OUT_SCHEMA,
             VFLAT_SCALAR_OUT_SCHEMA,
             flat_input_projection,
+            nd_flat_select_exprs,
             supports_scalar_sigma,
             supports_scalar_vectorized,
             vectorized_ekf_fold_factory,
@@ -799,6 +799,7 @@ class KalmanBase(StatefulTransformer):
             vectorized_scalar_lkf_fold_factory,
             vectorized_scalar_sigma_fold_factory,
             vectorized_sigma_fold_factory,
+            vflat_nd_schema,
         )
 
         keyed = self._keyed(df)
@@ -858,7 +859,12 @@ class KalmanBase(StatefulTransformer):
 
         salted = self._saltedKeys(df, keyed)
         res = salted.groupBy("__salt__").applyInPandas(
-            fn, VFLAT_SCALAR_OUT_SCHEMA if scalar else VFLAT_OUT_SCHEMA
+            fn,
+            VFLAT_SCALAR_OUT_SCHEMA
+            if scalar
+            else vflat_nd_schema(
+                int(self.get("stateSize")), int(self.get("measurementSize"))
+            ),
         )
 
         if scalar:
@@ -881,27 +887,8 @@ class KalmanBase(StatefulTransformer):
             )
             return self._dropDisabled(shaped)
 
-        n, mdim = self.get("stateSize"), self.get("measurementSize")
-
-        def g(mc, cc, rows, cols_):
-            return F.struct(
-                F.col(mc).alias("mean"),
-                F.struct(
-                    F.lit(rows).alias("numRows"), F.lit(cols_).alias("numCols"), F.col(cc).alias("values")
-                ).alias("covariance"),
-            )
-
-        shaped = res.select(
-            STATE_KEY,
-            "stateIndex",
-            "stepIndex",
-            g("mean", "cov", n, n).alias("state"),
-            F.when(F.col("res").isNotNull(), g("res", "resCov", mdim, mdim)).alias("residual"),
-            EVENT_TIME,
-            F.when(~F.isnan("loglikelihood"), F.col("loglikelihood")).alias("loglikelihood"),
-            F.when(~F.isnan("mahalanobis"), F.col("mahalanobis")).alias("mahalanobis"),
-            F.when(~F.isnan("slidingLikelihood"), F.col("slidingLikelihood")).alias("slidingLikelihood"),
-        )
+        n, mdim = int(self.get("stateSize")), int(self.get("measurementSize"))
+        shaped = res.select(*nd_flat_select_exprs(n, mdim))
         return self._dropDisabled(shaped)
 
     def _shapeOutput(self, df: DataFrame) -> DataFrame:

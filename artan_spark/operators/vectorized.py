@@ -117,6 +117,43 @@ def vflat_nd_schema(n: int, mdim: int) -> StructType:
     return StructType(fields)
 
 
+def nd_flat_select_exprs(n: int, mdim: int) -> list:
+    """JVM-side reassembly of the flat n-D boundary frame (vflat_nd_fields)
+    into the public struct schema: F.array over the flat double columns is a
+    cheap Catalyst projection, vs one Python object per row per array cell on
+    the worker side. Missing-measurement rows carry NaN in rc0, which crosses
+    Arrow as null — guard both, like the scalar shaped select."""
+    from pyspark.sql import functions as F
+
+    mean = F.array(*[F.col(f"m{i}") for i in range(n)])
+    cov = F.array(*[F.col(f"c{i}") for i in range(n * n)])
+    res_a = F.array(*[F.col(f"r{i}") for i in range(mdim)])
+    rescov = F.array(*[F.col(f"rc{i}") for i in range(mdim * mdim)])
+
+    def gauss(mean_col, cov_col, dim):
+        return F.struct(
+            mean_col.alias("mean"),
+            F.struct(
+                F.lit(dim).alias("numRows"), F.lit(dim).alias("numCols"), cov_col.alias("values")
+            ).alias("covariance"),
+        )
+
+    has_res = F.col("rc0").isNotNull() & ~F.isnan(F.col("rc0"))
+    return [
+        F.col(STATE_KEY),
+        F.col("stateIndex"),
+        F.col("stepIndex"),
+        gauss(mean, cov, n).alias("state"),
+        F.when(has_res, gauss(res_a, rescov, mdim)).alias("residual"),
+        F.col(EVENT_TIME),
+        F.when(~F.isnan("loglikelihood"), F.col("loglikelihood")).alias("loglikelihood"),
+        F.when(~F.isnan("mahalanobis"), F.col("mahalanobis")).alias("mahalanobis"),
+        F.when(~F.isnan("slidingLikelihood"), F.col("slidingLikelihood")).alias(
+            "slidingLikelihood"
+        ),
+    ]
+
+
 def emit_nd_flat(
     keys_arr, idx, out_mean, out_cov, out_res, out_rescov, ev, out_ll, out_maha, n, mdim
 ) -> pd.DataFrame:
